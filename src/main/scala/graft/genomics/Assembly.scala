@@ -1,0 +1,249 @@
+package graft.genomics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Greedy path-based genome assembly, rebuilt Spark-first.
+  *
+  * The reference (/root/reference/assembly_final.cpp) runs three GraphLab
+  * vertex programs over a read-overlap graph: prune dead-end reads
+  * (:155-182), pick each read's highest-scoring successor (:251-325),
+  * then iteratively stitch successor content into each read with overlap
+  * trimming and `N` gap-fill until a fixpoint (:402-624). Here each phase
+  * is a declarative DataFrame transform; the stitch has a closed form
+  * (one aggregation per contig) plus a faithful iterative form for the
+  * general graph case.
+  *
+  * Deterministic deviations from the reference (documented in SURVEY.md
+  * §2.11): argmax ties break toward the smallest successor id (the
+  * reference keeps GraphLab's nondeterministic gather order); the fold
+  * order is ascending `(offset, length, content)` (the reference folds in
+  * gather order).
+  */
+object Assembly {
+
+  // ---------------------------------------------------------------------
+  // Phase 1 — dead-end prune (exempt_reads_program, assembly_final.cpp:155-182)
+  // ---------------------------------------------------------------------
+
+  /** Tag-only mode, faithful to the reference: a read with no successor
+    * that is not the designated destination gets `valid = false`
+    * (assembly_final.cpp:174-176; the flag is never consumed downstream —
+    * SURVEY.md §2.11). Left join against the distinct edge sources is the
+    * degree-existence test (`num_out_edges() == 0`).
+    */
+  def withValidFlag(vertices: DataFrame, edges: DataFrame, destId: Long): DataFrame = {
+    val hasSucc = edges.select(col("src")).distinct()
+    vertices
+      .join(hasSucc, vertices("id") === hasSucc("src"), "left")
+      .withColumn("valid", col("src").isNotNull || col("id") === lit(destId))
+      .drop("src")
+  }
+
+  /** Filter mode (the *intended* semantics): drop invalid reads. */
+  def pruneDeadEnds(vertices: DataFrame, edges: DataFrame, destId: Long): DataFrame =
+    withValidFlag(vertices, edges, destId).where(col("valid")).drop("valid")
+
+  // ---------------------------------------------------------------------
+  // Phase 2 — best successor (find_max_children, assembly_final.cpp:251-325)
+  // ---------------------------------------------------------------------
+
+  /** Per-read argmax over successors: gather `(dst, dst.score)` along out
+    * edges (assembly_final.cpp:269-272) and keep the highest-scoring
+    * successor id as `next_id` (:298-309). One shuffle (the groupBy);
+    * `max_by` gives map-side partial aggregation, exactly the reference's
+    * partial-then-final gather monoid. Leaves keep `next_id = -1`
+    * (the reference leaves the field default-initialised, :283-288).
+    * Ties: highest score, then smallest dst (deterministic; see header).
+    */
+  def bestSuccessor(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val succScore = edges.join(
+      vertices.select(col("id").as("_dst_id"), col("score").as("_dst_score")),
+      col("dst") === col("_dst_id"))
+    val best = succScore
+      .groupBy(col("src"))
+      .agg(max_by(col("dst"), struct(col("_dst_score"), negate(col("dst")))).as("next_id"))
+    vertices
+      .join(best, vertices("id") === best("src"), "left")
+      .drop("src")
+      .withColumn("next_id", coalesce(col("next_id"), lit(-1L)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Phase 3 — interval stitch (merge, assembly_final.cpp:402-624)
+  // ---------------------------------------------------------------------
+
+  /** One stitch step: fold child read `n` into the accumulated span `acc`
+    * (both `struct(offset, length, content)`). Direct transcription of the
+    * apply-phase case analysis (assembly_final.cpp:459-598), inclusive-end
+    * convention `e = offset + length - 1`:
+    *
+    *  - A  (`offset_n < cur_offset`, :469):
+    *    - A1 disjoint-left (`e_n < cur_offset`, :473): child ++ N-gap ++ cur
+    *    - A2 covers-past-end (`e_n > e_cur`, :489): full replace by child
+    *    - A3 left-overlap (otherwise, :503): prepend child's first
+    *      `length_n - 1` chars — the reference does NOT trim by the actual
+    *      overlap width; reproduced as-spec'd (SURVEY.md §2.11)
+    *  - B  (`cur_offset <= offset_n < e_cur`, :520): if `e_n > e_cur`
+    *    append the part of child past `e_cur` (:541-553), else contained →
+    *    no-op
+    *  - C  (`offset_n == e_cur`, :558): append child minus its first char
+    *    (1-base overlap trim)
+    *  - D  (`offset_n > e_cur`, :571): cur ++ N-gap ++ child
+    *
+    * C++ `substr(start, len)` is 0-based; `Column.substr` is 1-based —
+    * every start position below is the C++ one plus 1.
+    */
+  def stitchStep(acc: Column, n: Column): Column = {
+    val co = acc.getField("offset")
+    val cl = acc.getField("length")
+    val cc = acc.getField("content")
+    val no = n.getField("offset")
+    val nl = n.getField("length")
+    val nc = n.getField("content")
+    val eC = Intervals.endInclusive(co, cl)
+    val eN = Intervals.endInclusive(no, nl)
+
+    def span(o: Column, l: Column, c: Column): Column =
+      struct(o.as("offset"), l.as("length"), c.as("content"))
+
+    val gapL = co - no - nl // :479
+    val a1 = span(no, nl + gapL + cl, concat(nc, repeat(lit("N"), gapL), cc))
+    val a2 = span(no, nl, nc)
+    val a3 = span(no, cl + nl - 1, concat(nc.substr(lit(1), nl - 1), cc))
+    val bLen = nl + no - co - cl // :542
+    val b = span(co, cl + bLen, concat(cc, nc.substr(co + cl - no + 1, bLen)))
+    val cAdj = span(co, cl + nl - 1, concat(cc, nc.substr(lit(2), nl - 1)))
+    val gapR = Intervals.gapRight(co, cl, no) // :574
+    val d = span(co, cl + gapR + nl, concat(cc, repeat(lit("N"), gapR), nc))
+
+    when(no < co, when(eN < co, a1).when(eN > eC, a2).otherwise(a3))
+      .when(no >= co && no < eC, when(eN > eC, b).otherwise(span(co, cl, cc)))
+      .when(no === eC, cAdj)
+      .otherwise(d)
+  }
+
+  /** Aggregate expression: stitch all reads of a group into one contig,
+    * folding in ascending `(offset, length, content)` order. Returns
+    * `struct(offset, length, content)`.
+    *
+    * This is the closed form of the reference's O(path-length) fixpoint
+    * (SURVEY.md §3.3): because `next_id` defines a functional path, the
+    * backward re-signaling loop converges to exactly the left-fold of the
+    * path's reads — computed here in ONE aggregation (no iteration, no
+    * lineage growth). Partial `collect_list`s combine map-side, so the
+    * only shuffle is the groupBy itself.
+    */
+  def stitchedSpan(
+      offset: Column = col("offset"),
+      length: Column = col("length"),
+      content: Column = col("content")): Column = {
+    val arr = sort_array(collect_list(struct(
+      offset.as("offset"), length.as("length"), content.as("content"))))
+    aggregate(
+      slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+      element_at(arr, 1),
+      (acc, x) => stitchStep(acc, x))
+  }
+
+  /** Closed-form per-group assembly: one contig row per group. */
+  def stitchContigs(reads: DataFrame, groupCol: String): DataFrame = {
+    val s = stitchedSpan()
+    reads.groupBy(col(groupCol)).agg(
+      s.getField("offset").as("offset"),
+      s.getField("length").as("length"),
+      s.getField("content").as("contig"))
+  }
+
+  /** Faithful iterative form (general graphs): each superstep every read
+    * re-merges its chosen successor's *current* span, exactly the
+    * reference's engine-3 fixpoint (assembly_final.cpp:402-624) — growth
+    * propagates backwards one hop per superstep; `localCheckpoint` per
+    * iteration cuts lineage (the classic iterative-DataFrame failure
+    * mode). Converges in O(longest path) supersteps; `maxIters` guards
+    * the cycle livelock the reference would hit (SURVEY.md §7.3).
+    *
+    * Input must carry `id, next_id, offset, length, content` (leaf
+    * sentinel `next_id = -1`).
+    */
+  def stitchIterative(vertices: DataFrame, maxIters: Int = 64): DataFrame = {
+    var state = vertices
+      .select(col("id"), col("next_id"), col("offset"), col("length"), col("content"))
+      .localCheckpoint()
+    var it = 0
+    var moved = true
+    while (moved && it < maxIters) {
+      val child = state.select(
+        col("id").as("c_id"), col("offset").as("c_offset"),
+        col("length").as("c_length"), col("content").as("c_content"))
+      val joined = state.join(child, col("next_id") === col("c_id"), "left")
+      val acc = struct(col("offset").as("offset"), col("length").as("length"),
+        col("content").as("content"))
+      val n = struct(col("c_offset").as("offset"), col("c_length").as("length"),
+        col("c_content").as("content"))
+      val merged = when(col("c_id").isNull, acc).otherwise(stitchStep(acc, n))
+      val next = joined.select(
+        col("id"), col("next_id"),
+        merged.getField("offset").as("offset"),
+        merged.getField("length").as("length"),
+        merged.getField("content").as("content"))
+        .localCheckpoint()
+      // A merge that changes content always moves (offset, length) here:
+      // spans only ever widen (cases A1/A2/A3/B/C/D all grow or shift).
+      moved = next.as("n").join(state.as("s"), "id")
+        .where(col("n.offset") =!= col("s.offset") ||
+               col("n.length") =!= col("s.length"))
+        .limit(1).count() > 0
+      state = next
+      it += 1
+    }
+    state
+  }
+
+  /** Ids on the `next_id` chain starting at `source`, by pointer doubling:
+    * O(log path-length) rounds, each one self-join — the scalable
+    * replacement for walking the chain one hop at a time. Cycle-safe (the
+    * member set is a fixpoint under distinct-union).
+    */
+  def pathMembers(vertices: DataFrame, source: Long, maxRounds: Int = 40): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    var members = Seq(source).toDF("id").localCheckpoint()
+    var jump = vertices.select(col("id"), col("next_id").as("ptr")).localCheckpoint()
+    var grew = true
+    var round = 0
+    var count = 1L
+    while (grew && round < maxRounds) {
+      val stepped = members.join(jump, Seq("id"))
+        .where(col("ptr") =!= lit(-1L))
+        .select(col("ptr").as("id"))
+      members = members.union(stepped).distinct().localCheckpoint()
+      val c = members.count()
+      grew = c > count
+      count = c
+      jump = jump.as("a").join(
+          jump.select(col("id").as("b_id"), col("ptr").as("b_ptr")),
+          col("a.ptr") === col("b_id"), "left")
+        .select(col("a.id").as("id"), coalesce(col("b_ptr"), lit(-1L)).as("ptr"))
+        .localCheckpoint()
+      round += 1
+    }
+    members
+  }
+
+  /** End-to-end closed-form assembly of the contig reachable from
+    * `source`: prune → best successor → path labeling → one-shot stitch.
+    * Returns a single-row DataFrame `(offset, length, contig)`.
+    */
+  def assembleFrom(
+      vertices: DataFrame,
+      edges: DataFrame,
+      source: Long,
+      dest: Long): DataFrame = {
+    val pruned = pruneDeadEnds(vertices, edges, dest)
+    val withNext = bestSuccessor(pruned, edges)
+    val path = pathMembers(withNext, source)
+    val reads = withNext.join(path, Seq("id"), "left_semi")
+    stitchContigs(reads.withColumn("_g", lit(1)), "_g").drop("_g")
+  }
+}

@@ -1,0 +1,528 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Relational operator catalog over the driver's TPC-H-ish tables — one
+  * query per SURVEY.md §2 inventory row the reference lacks (ABSENT rows)
+  * plus DataFrame re-expressions of the REF join/agg shapes. Every query
+  * has a DuckDB oracle twin in [[Relational.oracles]]; names and aliases
+  * match column-for-column, every output ends in a deterministic total
+  * order, and doubles go through [[Tables.dsum]] for cross-engine
+  * bit-equality.
+  *
+  * Scale notes are inline per query: the small dimensions (region,
+  * nation, supplier, bands) broadcast; the big fact joins
+  * (orders⋈lineitem) shuffle on their keys and survive 1000× because
+  * both sides partition by the join key and aggregation is
+  * partial-then-final.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 shape: scan-filter-aggregate with partial map-side combine;
+    * the canonical "one shuffle, tiny result" plan (SURVEY §2.4 A-hash).
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").where(col("l_shipdate") <= lit("1998-09-02"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + narrow projection: predicate pushdown and column pruning
+    * must reach the parquet scan (SURVEY §2.2 P7, §4.2).
+    */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate").between(lit("1997-01-01"), lit("1997-03-31"))
+        && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-k. customer is the small
+    * side (broadcast); orders⋈lineitem shuffles on orderkey; top-10 runs
+    * as TakeOrderedAndProject (no global sort materialization).
+    */
+  def q03SegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").where(col("o_orderdate") < lit("1997-06-01"))
+    val l = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1997-06-01"))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** EXISTS as a left-semi join (SURVEY §2.3 J4/J5). */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").where(col("l_discount") > 0.05)
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 shape: 6-way star join; region/nation/supplier broadcast,
+    * the fact chain shuffles once per key change; AQE reorders.
+    */
+  def q05LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_orderdate") >= lit("1996-01-01")
+      && col("o_orderdate") < lit("1998-01-01"))
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: pure scan-filter-fold to one row. */
+  def q06RevenueForecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount").between(0.02, 0.06)
+        && col("l_quantity") < 25)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** Left-anti join: customers that never ordered (SURVEY §2.3 J5). */
+  def q07AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-outer join preserving customers with zero orders. */
+  def q08OuterCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_count"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  /** Full-outer join of two aggregates (nations seen by customers vs by
+    * suppliers) — exercises the outer-join null sides.
+    */
+  def q09FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("customer_count"))
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("supplier_count"))
+    c.join(sup, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("customer_count"), lit(0L)).as("customer_count"),
+        coalesce(col("supplier_count"), lit(0L)).as("supplier_count"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Non-equi (range) join against a generated band dimension — the tiny
+    * side broadcasts so this plans as BroadcastNestedLoopJoin, the right
+    * physical choice for band lookup (SURVEY §2.3 J5).
+    */
+  def q10RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 11).select(
+      col("id").as("band"), (col("id") * 5).cast("double").as("lo"),
+      ((col("id") + 1) * 5).cast("double").as("hi"))
+    val l = t(s, dir, "lineitem")
+    l.join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("band"))
+  }
+
+  /** Theta self-join (inequality condition) over a tiny table. */
+  def q11ThetaSelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val r1 = t(s, dir, "region").select(col("r_name").as("r1_name"))
+    val r2 = t(s, dir, "region").select(col("r_name").as("r2_name"))
+    r1.join(r2, col("r1_name") < col("r2_name"))
+      .orderBy(col("r1_name"), col("r2_name"))
+  }
+
+  /** Ranking windows: row_number / rank / dense_rank, top-3 per nation
+    * (SURVEY §2.5 W1/W2 — the windowed alternate plan of the reference's
+    * argmax).
+    */
+  def q12WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .where(col("rn") <= 3)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Analytic windows with explicit frames: running total (decimal-exact)
+    * + lag/lead over each customer's order history.
+    */
+  def q13WindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .where(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(frame)
+          .cast("double").as("running_spend"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Global top-k: plans as TakeOrderedAndProject, not a full sort. */
+  def q14TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+
+  /** DISTINCT (SURVEY §2.4 A7). */
+  def q15Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** ROLLUP hierarchy totals (SURVEY §2.4 A7). */
+  def q16Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** CUBE over two order dimensions. */
+  def q17Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** GROUPING SETS with grouping_id — via SQL (the DataFrame API exposes
+    * only cube/rollup).
+    */
+  def q18GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "region").createOrReplaceTempView("region")
+    s.sql("""
+      SELECT r_name, n_name, count(1) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (r_name, n_name))
+      ORDER BY r_name, n_name
+    """)
+  }
+
+  /** union ∘ intersect ∘ except chain with set semantics (SURVEY §2.7). */
+  def q19SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val auto = c.where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val negative = c.where(col("c_acctbal") < 0).select(col("c_custkey"))
+    building.union(auto).distinct()
+      .intersect(withOrders)
+      .except(negative)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** String function battery (SURVEY §2.8 F1-F4): substring/concat/
+    * repeat/length/upper/replace/lpad — all codegen'd built-ins.
+    */
+  def q20StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 4).as("pfx"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+        repeat(lit("*"), col("p_size")).as("stars"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/timestamp functions (SURVEY §2.8 F7): year/month extraction +
+    * month truncation, monthly order volumes.
+    */
+  def q21DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("y"), col("m"))
+
+  /** JSON extraction from the events.props column (SURVEY §2.8 F7). */
+  def q22Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Conditional aggregation + exact count-distinct. */
+  def q23ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("n_negative"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("c_nationkey"))
+
+  /** As-of join: each purchase event paired with the user's most recent
+    * click at-or-before it (SURVEY §2.3 J5). Implemented the scalable
+    * way: union both sides, one window pass carrying the last click
+    * forward — a single shuffle on user_id, no O(n²) inequality join.
+    * Same-timestamp ties order clicks before purchases in both engines.
+    * `ts` is epoch-nanos BIGINT (see Verify's nanosAsLong config).
+    */
+  def q24AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_ns"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("long").as("click_ns"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .select(col("user_id"), col("ts"), col("kind"), col("event_id"),
+        last(col("click_ns"), ignoreNulls = true).over(w).as("last_click_ns"))
+      .where(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
+        col("last_click_ns"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Global range-partitioned sort (SURVEY §2.6 O2). */
+  def q26GlobalSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_quantity"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+
+  val defs: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_segment_revenue" -> (q03SegmentRevenue _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_local_supplier" -> (q05LocalSupplier _),
+    "q06_revenue_forecast" -> (q06RevenueForecast _),
+    "q07_anti_join" -> (q07AntiJoin _),
+    "q08_outer_counts" -> (q08OuterCounts _),
+    "q09_full_outer" -> (q09FullOuter _),
+    "q10_range_join" -> (q10RangeJoin _),
+    "q11_theta_self_join" -> (q11ThetaSelfJoin _),
+    "q12_window_rank" -> (q12WindowRank _),
+    "q13_window_frame" -> (q13WindowFrame _),
+    "q14_top_k" -> (q14TopK _),
+    "q15_distinct" -> (q15Distinct _),
+    "q16_rollup" -> (q16Rollup _),
+    "q17_cube" -> (q17Cube _),
+    "q18_grouping_sets" -> (q18GroupingSets _),
+    "q19_set_ops" -> (q19SetOps _),
+    "q20_string_funcs" -> (q20StringFuncs _),
+    "q21_date_funcs" -> (q21DateFuncs _),
+    "q22_json" -> (q22Json _),
+    "q23_conditional_agg" -> (q23ConditionalAgg _),
+    "q24_asof_join" -> (q24AsOfJoin _),
+    "q26_global_sort" -> (q26GlobalSort _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_qty,
+        COUNT(1) AS count_order
+      FROM lineitem WHERE l_shipdate <= '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31' AND l_quantity > 45
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_segment_revenue" -> """
+      SELECT o_orderkey, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-06-01'
+        AND l_shipdate > '1997-06-01'
+      GROUP BY o_orderkey, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q04_semi_join" -> """
+      SELECT o_orderpriority, COUNT(1) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_local_supplier" -> """
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
+        AND o_orderdate < '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q06_revenue_forecast" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25""",
+    "q07_anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q08_outer_counts" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS order_count,
+        CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "q09_full_outer" -> """
+      SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+        COALESCE(c.customer_count, 0) AS customer_count,
+        COALESCE(s.supplier_count, 0) AS supplier_count
+      FROM (SELECT c_nationkey, COUNT(1) AS customer_count FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN (SELECT s_nationkey, COUNT(1) AS supplier_count FROM supplier GROUP BY s_nationkey) s
+        ON c.c_nationkey = s.s_nationkey
+      ORDER BY nationkey""",
+    "q10_range_join" -> """
+      SELECT b.band, COUNT(1) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      JOIN (SELECT k AS band, CAST(k*5 AS DOUBLE) AS lo, CAST((k+1)*5 AS DOUBLE) AS hi
+            FROM range(0, 11) t(k)) b
+        ON l_quantity >= b.lo AND l_quantity < b.hi
+      GROUP BY b.band ORDER BY b.band""",
+    "q11_theta_self_join" -> """
+      SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+      FROM region r1 JOIN region r2 ON r1.r_name < r2.r_name
+      ORDER BY r1_name, r2_name""",
+    "q12_window_rank" -> """
+      SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+          ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+      WHERE rn <= 3 ORDER BY c_nationkey, rn""",
+    "q13_window_frame" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders WHERE o_custkey < 200
+      ORDER BY o_custkey, o_orderkey""",
+    "q14_top_k" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+    "q15_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+    "q16_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        COUNT(1) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q17_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q18_grouping_sets" -> """
+      SELECT r_name, n_name, COUNT(1) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (r_name, n_name))
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q19_set_ops" -> """
+      SELECT c_custkey FROM (
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      ORDER BY c_custkey""",
+    "q20_string_funcs" -> """
+      SELECT p_partkey, UPPER(p_name) AS up_name, SUBSTR(p_name, 1, 4) AS pfx,
+        LENGTH(p_name) AS name_len,
+        p_brand || ':' || p_type AS brand_type,
+        REPLACE(p_name, ' ', '_') AS snake,
+        LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+        REPEAT('*', p_size) AS stars
+      FROM part ORDER BY p_partkey""",
+    "q21_date_funcs" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m,
+        COUNT(1) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "q22_json" -> """
+      SELECT event_type, COUNT(1) AS n,
+        SUM(CAST(props->>'k' AS INT)) AS sum_k,
+        MIN(CAST(props->>'k' AS INT)) AS min_k,
+        MAX(CAST(props->>'k' AS INT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q23_conditional_agg" -> """
+      SELECT c_nationkey, COUNT(1) AS n_customers,
+        SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+        COUNT(DISTINCT c_mktsegment) AS n_segments,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q24_asof_join" -> """
+      SELECT event_id, user_id, ts_ns, last_click_ns
+      FROM (
+        SELECT user_id, ts_ns, kind, event_id,
+          LAST_VALUE(click_ns IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_ns, kind ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ns
+        FROM (
+          SELECT user_id, epoch_ns(ts) AS ts_ns, 0 AS kind, CAST(NULL AS BIGINT) AS event_id, epoch_ns(ts) AS click_ns
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, epoch_ns(ts) AS ts_ns, 1 AS kind, event_id, CAST(NULL AS BIGINT) AS click_ns
+          FROM events WHERE event_type = 'purchase'))
+      WHERE kind = 1 ORDER BY event_id""",
+    "q26_global_sort" -> """
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+      FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber""",
+  )
+}

@@ -301,25 +301,32 @@ object Relational {
     * way: union both sides, one window pass carrying the last click
     * forward — a single shuffle on user_id, no O(n²) inequality join.
     * Same-timestamp ties order clicks before purchases in both engines.
-    * `ts` is epoch-nanos BIGINT (see Verify's nanosAsLong config).
+    *
+    * `ts` is epoch-nanos BIGINT on the Spark side (Verify's nanosAsLong
+    * config) but DuckDB truncates the parquet TIMESTAMP(NANOS) column to
+    * microseconds, so both sides work in (floor) microseconds — `ts div
+    * 1000` here, `epoch_us(ts)` in the oracle. Ordering by (ts_us, kind)
+    * is outcome-deterministic: clicks tied on ts_us carry the same
+    * click_us value, and purchases tied on ts_us see the same click
+    * frame.
     */
   def q24AsOfJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    val e = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
     val clicks = e.where(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(0).as("kind"),
-        lit(null).cast("long").as("event_id"), col("ts").as("click_ns"))
+      .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("ts_us").as("click_us"))
     val purchases = e.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("kind"),
-        col("event_id"), lit(null).cast("long").as("click_ns"))
+      .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("long").as("click_us"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind"))
+      .orderBy(col("ts_us"), col("kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
-      .select(col("user_id"), col("ts"), col("kind"), col("event_id"),
-        last(col("click_ns"), ignoreNulls = true).over(w).as("last_click_ns"))
+      .select(col("user_id"), col("ts_us"), col("kind"), col("event_id"),
+        last(col("click_us"), ignoreNulls = true).over(w).as("last_click_us"))
       .where(col("kind") === 1)
-      .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
-        col("last_click_ns"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click_us"))
       .orderBy(col("event_id"))
   }
 
@@ -499,26 +506,26 @@ object Relational {
       FROM orders GROUP BY 1, 2 ORDER BY y, m""",
     "q22_json" -> """
       SELECT event_type, COUNT(1) AS n,
-        SUM(CAST(props->>'k' AS INT)) AS sum_k,
+        CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
         MIN(CAST(props->>'k' AS INT)) AS min_k,
         MAX(CAST(props->>'k' AS INT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q23_conditional_agg" -> """
       SELECT c_nationkey, COUNT(1) AS n_customers,
-        SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+        CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
         COUNT(DISTINCT c_mktsegment) AS n_segments,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(1) AS avg_bal
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q24_asof_join" -> """
-      SELECT event_id, user_id, ts_ns, last_click_ns
+      SELECT event_id, user_id, ts_us, last_click_us
       FROM (
-        SELECT user_id, ts_ns, kind, event_id,
-          LAST_VALUE(click_ns IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_ns, kind ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ns
+        SELECT user_id, ts_us, kind, event_id,
+          LAST_VALUE(click_us IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, kind ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
         FROM (
-          SELECT user_id, epoch_ns(ts) AS ts_ns, 0 AS kind, CAST(NULL AS BIGINT) AS event_id, epoch_ns(ts) AS click_ns
+          SELECT user_id, epoch_us(ts) AS ts_us, 0 AS kind, CAST(NULL AS BIGINT) AS event_id, epoch_us(ts) AS click_us
           FROM events WHERE event_type = 'click'
           UNION ALL
-          SELECT user_id, epoch_ns(ts) AS ts_ns, 1 AS kind, event_id, CAST(NULL AS BIGINT) AS click_ns
+          SELECT user_id, epoch_us(ts) AS ts_us, 1 AS kind, event_id, CAST(NULL AS BIGINT) AS click_us
           FROM events WHERE event_type = 'purchase'))
       WHERE kind = 1 ORDER BY event_id""",
     "q26_global_sort" -> """

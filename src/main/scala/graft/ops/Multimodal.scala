@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Multimodal-column plumbing: media as opaque `BINARY` payloads with a
+  * typed metadata struct, and a partition-batched "decode" stage.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked deterministic stand-in: it consumes the payload bytes
+  * and emits fake-but-stable features (dimensions from byte length,
+  * frame count from the header byte). Everything around it — the binary
+  * schema, the typed row shape, the `mapPartitions` batch boundary the
+  * real decoder (libjpeg/ffmpeg per executor) would plug into, and the
+  * deterministic output contract — is real and oracle-checked.
+  *
+  * Scale note: decode is a narrow map stage — no shuffle; payload bytes
+  * stream through one partition at a time, so executor memory bounds the
+  * batch, not the table. A real deployment would add
+  * `spark.sql.files.maxPartitionBytes` tuning so one partition's media
+  * fits the codec's working set.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+
+  /** Decoded (stub) features. */
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
+      header_byte: Int, width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — replace with a real codec per executor. Deterministic
+    * fake: features are pure functions of payload size and first byte.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val n = r.payload.length
+      val hdr = if (n > 0) r.payload(0) & 0xff else 0
+      MediaFeatures(r.doc_id, r.format, n, hdr,
+        width = n % 640, height = (n * 7) % 480, n_frames = hdr % 30)
+    }
+
+  /** Media table derived from `documents`: the text bytes stand in for
+    * an encoded image/audio blob; format cycles by doc_id.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        element_at(lit(Array("png", "jpg", "wav")), (col("doc_id") % 3).cast("int") + 1)
+          .as("format"),
+        col("text").cast("binary").as("payload"))
+
+  /** Binary ingest → batched stub decode → typed features, end to end. */
+  def q60MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[MediaRow]
+      .mapPartitions(decodeStub _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_multimodal_decode" -> (q60MultimodalDecode _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the stub decode restated in SQL: payload = utf-8 bytes of text
+    "q60_multimodal_decode" -> """
+      SELECT doc_id,
+        ['png', 'jpg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        ascii(substr(text, 1, 1)) AS header_byte,
+        CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+        ascii(substr(text, 1, 1)) % 30 AS n_frames
+      FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Engine-parity trick for float math: every component is scaled by 2^16
+  * and floored to a BIGINT (`floor(x * 65536)` — exact for floats, and
+  * `floor` is IEEE-identical in Spark and DuckDB). Dot products and
+  * norms then happen in EXACT integer arithmetic (64-dim sums stay far
+  * below 2^53), and only the final cosine division runs in IEEE double —
+  * bit-identical across engines regardless of summation order.
+  *
+  * Scale design: q34/q40 are the brute-force baselines (all-pairs /
+  * query-×-corpus, which 100 TB cannot afford); q41 is the scale path —
+  * sign-bit LSH bucketing turns the quadratic join into a per-bucket
+  * join keyed by an 8-bit code, i.e. a hash-partitioned equi-join whose
+  * buckets shrink 256× (IVF-style probing would swap the bucket key for
+  * a learned centroid id; the plumbing is identical).
+  */
+object Similarity {
+
+  /** (vec_id, v: Array[Long] scaled 2^16, nrm: Double, label). */
+  def scaledVectors(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => floor(x.cast("double") * lit(65536.0)))
+          .as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0L), (a, x) => a + x * x).cast("double")))
+
+  /** Exact integer dot product of two scaled vectors. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private val sqlScaled = """
+      iv AS (SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT) AS DOUBLE)))) AS nrm
+             FROM embeddings)"""
+
+  private val sqlDot =
+    "list_sum(list_transform(range(1, 65), i -> CAST(a.v[i] * b.v[i] AS DOUBLE)))"
+
+  /** Top-20 most-similar embedding pairs by cosine — the exhaustive
+    * near-dup baseline (quadratic; superseded at scale by q41's buckets).
+    */
+  def q34EmbeddingTopPairs(s: SparkSession, dir: String): DataFrame = {
+    val iv = scaledVectors(s, dir).cache()
+    val a = iv.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = iv.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(col("ia").as("vec_a"), col("ib").as("vec_b"),
+        (idot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  /** Brute-force cosine top-10 per query (query set = vec_id < 5): the
+    * correctness baseline for ANN. The tiny query side broadcasts; one
+    * pass over the corpus, per-query top-k via window rank.
+    */
+  def q40CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val iv = scaledVectors(s, dir)
+    val q = iv.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (idot(col("qv"), col("v")).cast("double") / (col("qn") * col("nrm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-bit LSH ANN: bucket key = signs of the first 8 dims; queries
+    * (vec_id < 20) probe only their own bucket, top-5 within it. At
+    * scale this is an equi-join on the bucket code — no quadratic blowup.
+    */
+  def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val code = concat((1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")): _*)
+    val iv = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), code.as("bucket"))
+      .join(scaledVectors(s, dir).select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .select(col("vec_id"), col("bucket"), col("v"), col("nrm"))
+    val q = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(iv, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (idot(col("qv"), col("v")).cast("double") / (col("qn") * col("nrm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
+    "q40_cosine_topk" -> (q40CosineTopK _),
+    "q41_ann_lsh" -> (q41AnnLsh _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_embedding_top_pairs" -> s"""
+      WITH $sqlScaled
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        $sqlDot / (a.nrm * b.nrm) AS cosine
+      FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+      ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""",
+    "q40_cosine_topk" -> s"""
+      WITH $sqlScaled,
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM iv a JOIN iv b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 5),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q41_ann_lsh" -> s"""
+      WITH bucketed AS (
+        SELECT vec_id,
+          CONCAT(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                 CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v,
+          sqrt(list_sum(list_transform(embedding,
+            x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)
+                 * CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT) AS DOUBLE)))) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+  )
+}

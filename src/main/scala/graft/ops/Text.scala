@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` table: language ID, quality scoring, token counting,
+  * document fingerprinting, and (on `events`) gap-based sessionization.
+  *
+  * Cross-engine parity rules used throughout this file and
+  * [[Dedup]]/[[Similarity]]:
+  *   - the only hash is `md5` (same lowercase hex in Spark and DuckDB);
+  *     hashes are compared/minimized as fixed-width hex STRINGS, so
+  *     lexicographic order == numeric order and no engine-specific
+  *     integer hash is ever needed;
+  *   - doubles are only produced by integer→double casts, IEEE `/`, `*`,
+  *     `+` and `sqrt`, which are bit-deterministic in both engines;
+  *   - regexes stick to simple character classes (identical semantics in
+  *     Java regex and RE2).
+  */
+object Text {
+
+  /** Whitespace-collapsed lowercase text; DuckDB twin:
+    * `trim(regexp_replace(lower(text), '\s+', ' ', 'g'))`.
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Space-split word array of the normalized text. */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Word 3-gram shingles of a word array (1-based `element_at`, same as
+    * DuckDB `ws[i]`): shingle i = ws[i] ++ ' ' ++ ws[i+1] ++ ' ' ++ ws[i+2].
+    */
+  def shingles3(ws: Column): Column =
+    transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))
+
+  /** The DuckDB spelling of [[normText]] / word split, for oracle reuse. */
+  val sqlNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  val sqlWords = s"string_split($sqlNorm, ' ')"
+  val sqlShingles =
+    "list_transform(range(1, greatest(len(ws)-2, 0)+1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  private val frStop = Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "pas")
+
+  private def sqlList(xs: Seq[String]) = xs.mkString("['", "', '", "']")
+
+  /** Language ID by stopword-list hit counts (n-gram heuristic,
+    * SURVEY-absent north-star op). Runs entirely on the word array — no
+    * explode, no shuffle beyond the final sort; at 100 TB this is a pure
+    * map stage over the document scan.
+    */
+  def q50LangProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("toks", array_distinct(words(col("text"))))
+    val hEn = size(array_intersect(col("toks"), lit(enStop.toArray)))
+    val hDe = size(array_intersect(col("toks"), lit(deStop.toArray)))
+    val hFr = size(array_intersect(col("toks"), lit(frStop.toArray)))
+    d.select(col("doc_id"), col("lang").as("tagged_lang"),
+        hEn.as("hits_en"), hDe.as("hits_de"), hFr.as("hits_fr"))
+      .withColumn("guess",
+        when(col("hits_en") === 0 && col("hits_de") === 0 && col("hits_fr") === 0, "unknown")
+          .when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr"), "en")
+          .when(col("hits_de") >= col("hits_fr"), "de")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic quality score: stopword ratio, alphabetic ratio, length
+    * saturation — weighted sum with a fixed association order so both
+    * engines evaluate the identical IEEE expression tree.
+    */
+  def q51QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " "))
+    val nTok = size(col("ws"))
+    val stopHits = size(array_intersect(array_distinct(col("ws")), lit(enStop.toArray)))
+    val alphaLen = length(regexp_replace(col("norm"), "[^a-z]", ""))
+    val stopRatio = stopHits.cast("double") / nTok.cast("double")
+    val alphaRatio = alphaLen.cast("double") / length(col("norm")).cast("double")
+    val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    d.select(col("doc_id"), nTok.as("n_tokens"),
+        stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"),
+        ((lit(0.4) * stopRatio + lit(0.3) * alphaRatio) + lit(0.3) * lenSat).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter
+    * runs / digit runs / single punctuation), distinct ratio.
+    */
+  def q52TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " "))
+    d.select(col("doc_id"),
+        size(col("ws")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_re_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        (size(array_distinct(col("ws"))).cast("double") / size(col("ws")).cast("double"))
+          .as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: bottom-4 sketch of the md5'd word-3-gram
+    * shingle set (a deterministic min-wise sketch — the same machinery
+    * as one MinHash row, kept as hex strings for engine parity).
+    */
+  def q53Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("sh", array_distinct(shingles3(words(col("text")))))
+    d.select(col("doc_id"),
+        array_join(slice(array_sort(transform(col("sh"), x => md5(x))), 1, 4), "|")
+          .as("fingerprint"),
+        size(col("sh")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gap-based sessionization of the events stream in batch form: a new
+    * session starts after a >10-minute silence. One shuffle on user_id;
+    * the window + aggregation both ride the same partitioning. The
+    * streaming twin lives in [[graft.streaming.Sessionize]].
+    */
+  def q54Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = lit(10L * 60 * 1000 * 1000)
+    val newSess = when(
+      lag(col("ts_us"), 1).over(w).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L)
+    e.withColumn("sess_id",
+        sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_lang_profile" -> (q50LangProfile _),
+    "q51_quality_score" -> (q51QualityScore _),
+    "q52_token_stats" -> (q52TokenStats _),
+    "q53_fingerprint" -> (q53Fingerprint _),
+    "q54_sessionize" -> (q54Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_lang_profile" -> s"""
+      WITH d AS (SELECT doc_id, lang, list_distinct($sqlWords) AS toks FROM documents),
+      h AS (SELECT doc_id, lang AS tagged_lang,
+        len(list_intersect(toks, ${sqlList(enStop)})) AS hits_en,
+        len(list_intersect(toks, ${sqlList(deStop)})) AS hits_de,
+        len(list_intersect(toks, ${sqlList(frStop)})) AS hits_fr
+      FROM d)
+      SELECT doc_id, tagged_lang, hits_en, hits_de, hits_fr,
+        CASE WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 THEN 'unknown'
+             WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_de >= hits_fr THEN 'de'
+             ELSE 'fr' END AS guess
+      FROM h ORDER BY doc_id""",
+    "q51_quality_score" -> s"""
+      WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws FROM documents),
+      m AS (SELECT doc_id, len(ws) AS n_tokens,
+        CAST(len(list_intersect(list_distinct(ws), ${sqlList(enStop)})) AS DOUBLE)
+          / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+        CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+          / CAST(length(norm) AS DOUBLE) AS alpha_ratio,
+        least(1.0, CAST(len(ws) AS DOUBLE) / 100.0) AS len_sat
+      FROM d)
+      SELECT doc_id, n_tokens, stop_ratio, alpha_ratio,
+        ((0.4 * stop_ratio + 0.3 * alpha_ratio) + 0.3 * len_sat) AS quality
+      FROM m ORDER BY doc_id""",
+    "q52_token_stats" -> s"""
+      WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws FROM documents)
+      SELECT doc_id, len(ws) AS n_ws_tokens,
+        len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+        len(list_distinct(ws)) AS n_distinct,
+        CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS distinct_ratio
+      FROM d ORDER BY doc_id""",
+    "q53_fingerprint" -> s"""
+      WITH d AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct($sqlShingles) AS sh FROM d)
+      SELECT doc_id,
+        array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4], '|') AS fingerprint,
+        len(sh) AS n_shingles
+      FROM sh ORDER BY doc_id""",
+    "q54_sessionize" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+      g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM g)
+      SELECT user_id, sess_id, MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
+        COUNT(1) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+  )
+}

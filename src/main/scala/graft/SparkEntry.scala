@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Dedup.defs ++ Similarity.defs ++ Text.defs ++
-      Multimodal.defs
+      Multimodal.defs ++ GenomicsCatalog.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Text.oracles ++ Multimodal.oracles
+      Text.oracles ++ Multimodal.oracles ++ GenomicsCatalog.oracles
 }

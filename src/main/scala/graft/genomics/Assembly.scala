@@ -32,11 +32,18 @@ object Assembly {
     * SURVEY.md §2.11). Left join against the distinct edge sources is the
     * degree-existence test (`num_out_edges() == 0`).
     */
-  def withValidFlag(vertices: DataFrame, edges: DataFrame, destId: Long): DataFrame = {
+  def withValidFlag(vertices: DataFrame, edges: DataFrame, destId: Long): DataFrame =
+    withValidFlag(vertices, edges, col("id") === lit(destId))
+
+  /** Generalized prune tag: `isDest` marks destination reads (resolved
+    * against the joined frame), enabling per-group destinations — e.g.
+    * one designated read per document in the catalog's derived graph.
+    */
+  def withValidFlag(vertices: DataFrame, edges: DataFrame, isDest: Column): DataFrame = {
     val hasSucc = edges.select(col("src")).distinct()
     vertices
       .join(hasSucc, vertices("id") === hasSucc("src"), "left")
-      .withColumn("valid", col("src").isNotNull || col("id") === lit(destId))
+      .withColumn("valid", col("src").isNotNull || isDest)
       .drop("src")
   }
 

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.genomics.Assembly
+
+/** The reference's three assembly phases (prune / best-successor /
+  * interval-stitch, /root/reference/assembly_final.cpp:155-182, :251-325,
+  * :402-624) exposed as oracle-checked catalog queries.
+  *
+  * The aligned-reads graph is derived deterministically from `documents`
+  * inside the query (and identically inside the DuckDB oracle): four
+  * 30-char windows per long-enough document at offsets 0/25/65/100 —
+  * adjacent overlap (stitch case B), two `N` gaps (case D) — with edges
+  * window i → i+1, i+2 and a pseudo-random score from the read id's md5.
+  * Window 2 is the designated destination, so window 3 is a prunable
+  * dead end and the argmax has real branching to resolve.
+  */
+object GenomicsCatalog {
+
+  private val windows = Seq((0, 0), (1, 25), (2, 65), (3, 100))
+  private val edgePairs = Seq((0, 1), (0, 2), (1, 2), (1, 3), (2, 3))
+
+  /** Deterministic score in [0,1): first 4 hex digits of md5(id). */
+  private val scoreExpr =
+    expr("cast(conv(substr(md5(cast(id as string)), 1, 4), 16, 10) as double) / 65536.0")
+
+  /** (vertices(doc_id,id,offset,length,content,score), edges(src,dst)). */
+  def readsGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      .where(length(col("nt")) >= 130)
+    val win = explode(array(windows.map { case (i, o) =>
+      struct(lit(i).as("i"), lit(o).as("off"))
+    }: _*))
+    val vertices = docs
+      .select(col("doc_id"), col("nt"), win.as("w"))
+      .select(col("doc_id"),
+        (col("doc_id") * 10 + col("w.i")).as("id"),
+        col("w.off").as("offset"), lit(30).as("length"),
+        expr("substr(nt, w.off + 1, 30)").as("content"))
+      .withColumn("score", scoreExpr)
+    val edges = docs
+      .select(col("doc_id"),
+        explode(array(edgePairs.map { case (a, b) =>
+          struct(lit(a).as("a"), lit(b).as("b"))
+        }: _*)).as("e"))
+      .select((col("doc_id") * 10 + col("e.a")).as("src"),
+        (col("doc_id") * 10 + col("e.b")).as("dst"))
+    (vertices, edges)
+  }
+
+  /** Phase 1, tag-only prune (assembly_final.cpp:155-182): no-successor
+    * reads that are not a destination get valid=false.
+    */
+  def q70PruneFlag(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = readsGraph(s, dir)
+    Assembly.withValidFlag(v, e, col("id") % 10 === 2)
+      .select(col("id"), col("valid"))
+      .orderBy(col("id"))
+  }
+
+  /** Phase 2, per-read argmax successor (assembly_final.cpp:251-325),
+    * deterministic ties (score desc, id asc); leaves keep -1.
+    */
+  def q71BestSuccessor(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = readsGraph(s, dir)
+    Assembly.bestSuccessor(v, e)
+      .select(col("id"), col("next_id"))
+      .orderBy(col("id"))
+  }
+
+  /** Phase 3, closed-form interval stitch (assembly_final.cpp:402-624):
+    * one contig per document in a single aggregation.
+    */
+  def q72StitchContigs(s: SparkSession, dir: String): DataFrame = {
+    val (v, _) = readsGraph(s, dir)
+    Assembly.stitchContigs(v, "doc_id").orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_prune_flag" -> (q70PruneFlag _),
+    "q71_best_successor" -> (q71BestSuccessor _),
+    "q72_stitch_contigs" -> (q72StitchContigs _),
+  )
+
+  // ---- oracle SQL ----
+
+  private def hx(str: String, k: Int) =
+    s"(strpos('0123456789abcdef', substr($str, $k, 1)) - 1)"
+
+  /** DuckDB twin of [[scoreExpr]]. */
+  private val sqlScore = {
+    val m = "md5(CAST(id AS VARCHAR))"
+    s"CAST(${hx(m, 1)} * 4096 + ${hx(m, 2)} * 256 + ${hx(m, 3)} * 16 + ${hx(m, 4)} AS DOUBLE) / 65536.0"
+  }
+
+  private val sqlGraph = {
+    val winRows = windows.map { case (i, o) => s"($i, $o)" }.mkString(", ")
+    val edgeRows = edgePairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""docs AS (SELECT doc_id, ${Text.sqlNorm} AS nt FROM documents
+                 WHERE length(${Text.sqlNorm}) >= 130),
+      verts AS (SELECT doc_id, doc_id * 10 + w.i AS id, w.off AS off, 30 AS len,
+                  substr(nt, w.off + 1, 30) AS content
+                FROM docs, (VALUES $winRows) w(i, off)),
+      scored AS (SELECT *, $sqlScore AS score FROM verts),
+      edges AS (SELECT doc_id * 10 + e.a AS src, doc_id * 10 + e.b AS dst
+                FROM docs, (VALUES $edgeRows) e(a, b))"""
+  }
+
+  /** Independent derivation of the stitch for ascending-offset,
+    * never-left-extending read sets (the derived windows are exactly
+    * that; cases B/C/D only): the *window form* of SURVEY §2.4 A6. Each
+    * read's contribution is a pure function of the running exclusive end
+    * `prev = max(off+len)` over earlier reads, concatenated in offset
+    * order. Agreeing with Spark's left-fold form from two different
+    * formulations makes this a stronger oracle than a transcription.
+    * (A `list_reduce` transcription was tried first but DuckDB 1.0's
+    * list_reduce mis-evaluates repeat/substr after the first iteration.)
+    */
+  private val sqlStitchWindow = """
+      folded AS (
+        SELECT doc_id, off, len, content,
+          max(off + len) OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        FROM verts),
+      segs AS (
+        SELECT doc_id, off, len, prev,
+          CASE WHEN prev IS NULL THEN content
+               WHEN off + len <= prev THEN ''
+               WHEN off >= prev THEN repeat('N', off - prev) || content
+               WHEN off = prev - 1 THEN substr(content, 2, len - 1)
+               ELSE substr(content, prev - off + 1, off + len - prev)
+          END AS seg
+        FROM folded)"""
+
+  val oracles: Map[String, String] = Map(
+    "q70_prune_flag" -> s"""
+      WITH $sqlGraph
+      SELECT v.id, (e.src IS NOT NULL OR v.id % 10 = 2) AS valid
+      FROM verts v
+      LEFT JOIN (SELECT DISTINCT src FROM edges) e ON v.id = e.src
+      ORDER BY v.id""",
+    "q71_best_successor" -> s"""
+      WITH $sqlGraph,
+      succ AS (SELECT e.src, e.dst, s.score,
+          ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY s.score DESC, e.dst) AS rn
+        FROM edges e JOIN scored s ON e.dst = s.id)
+      SELECT v.id, COALESCE(b.dst, CAST(-1 AS BIGINT)) AS next_id
+      FROM verts v
+      LEFT JOIN (SELECT src, dst FROM succ WHERE rn = 1) b ON v.id = b.src
+      ORDER BY v.id""",
+    "q72_stitch_contigs" -> s"""
+      WITH $sqlGraph,$sqlStitchWindow
+      SELECT doc_id, MIN(off) AS "offset",
+        MAX(off + len) - MIN(off) AS "length",
+        string_agg(seg, '' ORDER BY off) AS contig
+      FROM segs GROUP BY doc_id ORDER BY doc_id""",
+  )
+}

@@ -207,50 +207,87 @@ object Assembly {
     state
   }
 
-  /** Ids on the `next_id` chain starting at `source`, by pointer doubling:
-    * O(log path-length) rounds, each one self-join — the scalable
-    * replacement for walking the chain one hop at a time. Cycle-safe (the
-    * member set is a fixpoint under distinct-union).
+  /** Ids on the `next_id` chain starting at `source` with their hop
+    * index, by pointer doubling: O(log path-length) rounds, each one
+    * self-join — the scalable replacement for walking the chain one hop
+    * at a time. Invariant: after round k, `members` holds every node
+    * within 2^k−1 hops and `jump` maps exactly 2^k hops, so each round
+    * labels the next power-of-two stretch. Cycle-safe: revisited ids
+    * keep their minimum hop and the member set reaches a fixpoint.
+    * Returns `(id, hop)`.
     */
-  def pathMembers(vertices: DataFrame, source: Long, maxRounds: Int = 40): DataFrame = {
+  def pathWithHops(vertices: DataFrame, source: Long, maxRounds: Int = 40): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    var members = Seq(source).toDF("id").localCheckpoint()
-    var jump = vertices.select(col("id"), col("next_id").as("ptr")).localCheckpoint()
+    var members = Seq((source, 0L)).toDF("id", "hop").localCheckpoint()
+    var jump = vertices
+      .where(col("next_id") =!= lit(-1L))
+      .select(col("id"), col("next_id").as("ptr"), lit(1L).as("d"))
+      .localCheckpoint()
     var grew = true
     var round = 0
     var count = 1L
     while (grew && round < maxRounds) {
       val stepped = members.join(jump, Seq("id"))
-        .where(col("ptr") =!= lit(-1L))
-        .select(col("ptr").as("id"))
-      members = members.union(stepped).distinct().localCheckpoint()
+        .select(col("ptr").as("id"), (col("hop") + col("d")).as("hop"))
+      members = members.union(stepped)
+        .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
       val c = members.count()
       grew = c > count
       count = c
       jump = jump.as("a").join(
-          jump.select(col("id").as("b_id"), col("ptr").as("b_ptr")),
-          col("a.ptr") === col("b_id"), "left")
-        .select(col("a.id").as("id"), coalesce(col("b_ptr"), lit(-1L)).as("ptr"))
+          jump.select(col("id").as("b_id"), col("ptr").as("b_ptr"),
+            col("d").as("b_d")),
+          col("a.ptr") === col("b_id"))
+        .select(col("a.id").as("id"), col("b_ptr").as("ptr"),
+          (col("a.d") + col("b_d")).as("d"))
         .localCheckpoint()
       round += 1
     }
     members
   }
 
+  /** Ids on the `next_id` chain starting at `source` (membership only). */
+  def pathMembers(vertices: DataFrame, source: Long, maxRounds: Int = 40): DataFrame =
+    pathWithHops(vertices, source, maxRounds).select(col("id"))
+
   /** End-to-end closed-form assembly of the contig reachable from
-    * `source`: prune → best successor → path labeling → one-shot stitch.
-    * Returns a single-row DataFrame `(offset, length, contig)`.
+    * `source`: best successor over ALL reads (faithful to the reference,
+    * whose prune phase only tags `valid` and never filters
+    * (assembly_final.cpp:175, SURVEY §2.11) — so a dead-end CAN be
+    * chosen and end the path there), then path labeling and a one-shot
+    * fold in PATH order: `stitch(r0, stitch(r1, … stitch(r_{k-1}, r_k)))`,
+    * the closed form of the reference's bottom-up re-signaling fixpoint
+    * (assembly_final.cpp:619). On monotonic-offset paths this equals the
+    * offset-ordered fold of [[stitchedSpan]]; on non-monotonic paths the
+    * reference itself is gather-order nondeterministic, and path order
+    * is the canonical choice. Returns one row `(offset, length, contig)`.
     */
   def assembleFrom(
       vertices: DataFrame,
       edges: DataFrame,
       source: Long,
       dest: Long): DataFrame = {
-    val pruned = pruneDeadEnds(vertices, edges, dest)
-    val withNext = bestSuccessor(pruned, edges)
-    val path = pathMembers(withNext, source)
-    val reads = withNext.join(path, Seq("id"), "left_semi")
-    stitchContigs(reads.withColumn("_g", lit(1)), "_g").drop("_g")
+    val withNext = bestSuccessor(vertices, edges)
+    val path = pathWithHops(withNext, source)
+    val reads = withNext.join(path, Seq("id"))
+    // sort by hop DESC (deepest first) and right-fold: acc starts at the
+    // path tail, each earlier read merges its successor's accumulated span
+    val arr = reverse(sort_array(collect_list(struct(
+      col("hop").as("hop"),
+      struct(col("offset").as("offset"), col("length").as("length"),
+        col("content").as("content")).as("r")))))
+    // `get` (0-based, null-safe) rather than element_at: an empty path
+    // (source absent) folds to a null span instead of an ANSI error
+    val folded = aggregate(
+      expr("slice(arr, 2, greatest(size(arr) - 1, 0))"),
+      expr("get(arr, 0)").getField("r"),
+      (acc, x) => stitchStep(x.getField("r"), acc))
+    reads
+      .agg(arr.as("arr"))
+      .select(folded.as("s"))
+      .select(col("s.offset").as("offset"), col("s.length").as("length"),
+        col("s.content").as("contig"))
   }
 }

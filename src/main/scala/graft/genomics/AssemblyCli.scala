@@ -32,18 +32,23 @@ object AssemblyCli {
     spark.sparkContext.setLogLevel("WARN")
 
     val (vertices, edges) = Reads.loadGraphTsv(spark, infile)
-    val pruned = Assembly.pruneDeadEnds(vertices, edges, dest)
-    val withNext = Assembly.bestSuccessor(pruned, edges)
+    // faithful tag-only prune (the reference never filters on `valid`,
+    // assembly_final.cpp:175) ahead of the per-vertex sink
+    val withNext = Assembly.bestSuccessor(
+      Assembly.withValidFlag(vertices, edges, dest), edges)
 
     // per-vertex projection, the reference's vertex sink
     Reads.bestPathProjection(withNext)
       .write.mode("overwrite").option("sep", "\t").csv(s"$outfile.vertices")
 
-    val contig = Assembly.assembleFrom(vertices, edges, source, dest)
-    contig.select("contig")
+    // collect the single contig row once; write + report from the same copy
+    val rows = Assembly.assembleFrom(vertices, edges, source, dest).collect()
+    val row = rows.headOption
+      .filter(!_.isNullAt(0))
+      .getOrElse(sys.error(s"source read $source not present in $infile — nothing to assemble"))
+    import spark.implicits._
+    Seq(row.getString(2)).toDF("contig")
       .write.mode("overwrite").text(s"$outfile.contig")
-
-    val row = contig.selectExpr("offset", "length").head()
     println(s"assembled contig: offset=${row.getInt(0)} length=${row.getInt(1)}")
     spark.stop()
   }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming transforms over an `events`-shaped stream
+  * (`ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE,
+  * event_id BIGINT`) — the streaming extension of SURVEY §2.9 (the
+  * reference is batch-only; these cover the north-star stream ops).
+  *
+  * All transforms are `DataFrame → DataFrame` so they run identically
+  * on `readStream` sources and on batch frames (the batch twin of
+  * session windows is oracle-checked as q54).
+  *
+  * Scale notes: each op states its state-store footprint — the thing
+  * that actually limits a 1000-executor streaming job. Watermarks bound
+  * state; keys partition it.
+  */
+object EventStreams {
+
+  /** Per-user session aggregation via `session_window` (gap-merged),
+    * watermarked so the state store evicts closed sessions. State per
+    * key ≈ one open session row per active user.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Tumbling per-type counts — the canonical windowed aggregation.
+    * State = one row per (window, type) until the watermark closes it.
+    */
+  def tumblingTypeCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup on event_id, bounded by the watermark — the
+    * streaming face of the q30 exact-dedup op. State = one key per
+    * event_id inside the watermark horizon (evicted after it).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

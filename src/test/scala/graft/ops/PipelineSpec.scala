@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the LLM-pipeline operators on crafted inputs —
+  * the driver tables contain no exact duplicates, so these prove the
+  * detectors actually fire (and stay quiet on unrelated docs).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val docs = Seq(
+      (0L, base, "en", "src0"),
+      (1L, "  THE quick   brown fox jumps over the lazy dog and then runs far away home tonight ", "en", "src0"), // exact dup of 0 modulo case/whitespace
+      (2L, base.replace("lazy", "sleepy"), "en", "src1"), // near dup of 0
+      (3L, "completely different words about spark catalyst optimizer plans and shuffles everywhere", "en", "src2"),
+      (4L, "der hund und die katze sind nicht mit dem vogel zu sehen heute abend", "de", "src3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val e0 = Array.tabulate(64)(i => if (i < 8) 1.0f else 0.0f)
+    val e1 = e0.clone() // identical to e0
+    val e2 = Array.tabulate(64)(i => if (i < 8) -1.0f else if (i < 16) 1.0f else 0.0f) // orthogonal, negative sign bucket
+    val e3 = Array.tabulate(64)(i => (if (i < 8) 0.9f else 0.0f) + (if (i == 63) 0.1f else 0f)) // near e0
+    Seq((0L, e0, 0), (1L, e1, 0), (2L, e2, 1), (3L, e3, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q30 exact dedup groups case/whitespace variants") {
+    val out = Dedup.q30ExactDedup(spark, dir)
+      .select($"canonical_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(out(0L) === 2L) // docs 0 and 1 collapse
+    assert(out(2L) === 1L && out(3L) === 1L)
+  }
+
+  test("q31 minhash+LSH surfaces the near-dup pair and nothing unrelated") {
+    val pairs = Dedup.q31MinhashPairs(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always passes LSH + jaccard
+    assert(pairs.forall { case (a, b) => Set(0L, 1L, 2L)(a) && Set(0L, 1L, 2L)(b) })
+  }
+
+  test("q32 simhash: identical docs hash identically; near-dups stay within small hamming distance") {
+    val h = Dedup.q32Simhash(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(h(0L) === h(1L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(h(0L), h(2L)) <= 6) // one-word change flips few bits
+    assert(ham(h(0L), h(3L)) > 6) // unrelated text flips many
+  }
+
+  test("q33 jaccard pairs scores the near-dup above threshold") {
+    val rows = Dedup.q33JaccardPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val m = rows.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((0L, 1L)) === 1.0)
+    assert(m.get((0L, 2L)).exists(j => j > 0.5 && j < 1.0))
+    assert(!m.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("q34/q40: identical vectors rank first with cosine 1") {
+    val top = Similarity.q34EmbeddingTopPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(top.head._1 === 0L && top.head._2 === 1L)
+    assert(top.head._3 > 0.9999999) // 1.0 modulo sqrt rounding
+    val knn = Similarity.q40CosineTopK(spark, dir)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect()
+    assert(knn.contains((0L, 1, 1L))) // e1 is e0's nearest neighbor
+  }
+
+  test("q41 ANN probes only the query's sign bucket") {
+    val out = Similarity.q41AnnLsh(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // e0,e1,e3 share bucket 11111111…; e2 (bucket 00000000) is alone
+    assert(out.contains((0L, 1L)) && out.contains((0L, 3L)))
+    assert(!out.exists { case (q, n) => n == 2L || q == 2L })
+  }
+
+  test("q60 multimodal stub decode features follow the documented formulas") {
+    val f = Multimodal.q60MultimodalDecode(spark, dir)
+      .where($"doc_id" === 0L)
+      .as[Multimodal.MediaFeatures].head()
+    val n = "the quick brown fox jumps over the lazy dog and then runs far away home tonight".length
+    assert(f.n_bytes === n && f.width === n % 640 && f.height === (n * 7) % 480)
+    assert(f.header_byte === 't'.toInt && f.n_frames === 't'.toInt % 30)
+    assert(f.format === "png")
+  }
+
+  test("q50 language-ID separates the English and German samples") {
+    val g = Text.q50LangProfile(spark, dir)
+      .select($"doc_id", $"guess").as[(Long, String)].collect().toMap
+    assert(g(0L) === "en" && g(4L) === "de")
+  }
+}

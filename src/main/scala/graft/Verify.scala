@@ -18,6 +18,7 @@ object Verify {
       // rejects; read it as a BIGINT of epoch-nanos instead (cheaper at
       // scale too — pure integer comparisons).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

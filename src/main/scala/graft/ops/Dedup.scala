@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 import Text.{normText, shingles3, sqlNorm, sqlShingles, sqlWords, words}
@@ -12,27 +12,46 @@ import Text.{normText, shingles3, sqlNorm, sqlShingles, sqlWords, words}
   *
   * Scale design (100 TB): every variant is shuffle-minimal —
   *   - exact dedup: one hash-partitioned groupBy on the 128-bit digest;
-  *   - MinHash: shingle explode → ONE partial-aggregated groupBy(doc)
-  *     computes all 16 minima map-side; candidates come from the banded
-  *     self-join (keys are 128-bit band digests, so buckets stay tiny and
-  *     skew-free), and only candidates — never all pairs — reach the
-  *     exact-Jaccard verify;
+  *   - shingles are hashed ONCE (md5 → 60-bit BIGINT) and every
+  *     downstream join/agg works on fixed-width integers, not strings;
+  *     the 16 MinHash permutations are a 2-universal family
+  *     `(a_k·h + b_k) mod p` over that single hash — 16 integer ops per
+  *     shingle instead of 16 digests;
+  *   - MinHash: one partial-aggregated groupBy(doc) computes all 16
+  *     minima map-side; candidates come from the banded self-join (band
+  *     buckets stay tiny and skew-free), and only candidates — never
+  *     all pairs — reach the exact-Jaccard verify;
   *   - Jaccard index join: document-frequency cap drops stop-shingles
-  *     before the self-join, the standard guard against quadratic hot
-  *     keys in an inverted index;
-  *   - engine parity: md5-hex-string hashing only (see [[Text]] header).
+  *     before the self-join (the standard guard against quadratic hot
+  *     keys), and pair intersection counts fall straight out of the
+  *     self-join groupBy — no second pass;
+  *   - engine parity: md5 + integer arithmetic only (see [[Text]]).
   */
 object Dedup {
 
-  /** Distinct (doc_id, shingle) pairs — word 3-grams. */
-  private def shingleSet(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(shingles3(words(col("text"))))).as("s"))
+  /** 2-universal hash family parameters, embedded identically in the
+    * Spark exprs and the DuckDB oracles.
+    */
+  private val P = 1000000007L
+  private val hashAB: Seq[(Long, Long)] =
+    (0 until 16).map(k => ((2654435761L * (k + 1)) % P, (40503L * (k + 7)) % P))
 
-  private val sqlShingleSet =
-    s"""norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-        sh AS (SELECT doc_id, unnest(list_distinct($sqlShingles)) AS s FROM norm)"""
+  /** Distinct (doc_id, h) pairs: word-3-gram shingles hashed to a 60-bit
+    * BIGINT (first 15 hex digits of md5) so all downstream work is on
+    * fixed-width integers.
+    *
+    * Each stage binds its input to a column BEFORE the next lambda uses
+    * it: HOF lambdas get no common-subexpression elimination, so an
+    * inline `words(text)` would re-run lower/regexp/split per element
+    * (measured 24× slower at sf0.1).
+    */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles3(col("ws")).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")))
+        .as("h"))
 
   /** Exact dedup: md5 over normalized text, first doc id wins. */
   def q30ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -42,17 +61,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
 
-  /** MinHash (16 perms as seed-prefixed md5 minima) → LSH (4 bands × 4
-    * rows) → exact-Jaccard verification of candidates at 0.8.
+  /** MinHash (16 universal-hash perms) → LSH (4 bands × 4 rows) →
+    * exact-Jaccard verification of candidates at 0.8.
     */
   def q31MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(s, dir).cache()
-    val minAggs = (0 until 16).map(k =>
-      min(md5(concat_ws(":", lit(k), col("s")))).as(s"m$k"))
+    val sh = hashedShingles(s, dir).cache()
+    val minAggs = hashAB.zipWithIndex.map { case ((a, b), k) =>
+      min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
+    }
     val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)).as("bkey"))
+        concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bkey"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -63,19 +83,17 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    jaccardOver(cand, sh, 0.8)
-  }
-
-  /** Exact Jaccard of candidate pairs against the shingle sets, emitting
-    * pairs at/above `thr` as (doc_a, doc_b, jaccard).
-    */
-  private def jaccardOver(cand: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+    val inter = broadcast(cand)
+      .join(sh.select(col("doc_id").as("da"), col("h")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
+    scoredPairs(inter, sizes, 0.8)
+  }
+
+  /** (da, db, inter) + per-doc sizes → thresholded (doc_a, doc_b, jaccard). */
+  private def scoredPairs(inter: DataFrame, sizes: DataFrame, thr: Double): DataFrame = {
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
     inter
@@ -86,35 +104,23 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private def sqlJaccardTail(candCte: String, thr: String) = s"""
-      sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.da, c.db, COUNT(1) AS i
-                FROM $candCte c
-                JOIN sh x ON x.doc_id = c.da
-                JOIN sh y ON y.doc_id = c.db AND y.s = x.s
-                GROUP BY c.da, c.db)
-      SELECT da AS doc_a, db AS doc_b,
-        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-      FROM inter
-      JOIN sizes sa ON da = sa.doc_id
-      JOIN sizes sb ON db = sb.doc_id
-      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $thr
-      ORDER BY doc_a, doc_b"""
-
   /** SimHash: 32-bit majority-vote fingerprint over distinct tokens
-    * (bit j of a token = bit j%4 of hex digit j/4 of its md5).
+    * (bit j of a token = bit j%4 of hex digit j/4 of its md5). One md5
+    * per token; the 32 ±1 votes are unpacked from it with integer ops
+    * and posexploded — the vote aggregation is a single partial-then-
+    * final groupBy(doc, bit).
     */
   def q32Simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("tok"))
+      .withColumn("m8", expr("substr(md5(tok), 1, 8)")) // bound: one md5/token
+      .withColumn("hv", expr(
+        "transform(sequence(1, 8), k -> instr('0123456789abcdef', substr(m8, k, 1)) - 1)"))
     val votes = toks
-      .select(col("doc_id"), col("tok"), explode(sequence(lit(0), lit(31))).as("j"))
-      .select(col("doc_id"), col("j"),
-        expr("""CASE WHEN (shiftright(instr('0123456789abcdef',
-                   substr(md5(tok), (j div 4) + 1, 1)) - 1, j % 4) & 1) = 1
-                THEN 1 ELSE -1 END""").as("pm"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("pm")).as("v"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 31), j -> IF((shiftright(hv[j div 4], j % 4) & 1) = 1, 1, -1))")))
+      .groupBy(col("doc_id"), col("pos").as("j"))
+      .agg(sum(col("col")).as("v"))
     votes
       .select(col("doc_id"), col("j"),
         when(col("v") > 0, "1").otherwise("0").as("bit"))
@@ -126,19 +132,21 @@ object Dedup {
   }
 
   /** df-capped inverted-index exact n-gram Jaccard: shingles in more than
-    * 50 docs are dropped before the index self-join (hot-key guard), then
-    * pairs sharing any surviving shingle are scored at 0.5.
+    * 50 docs are dropped before the self-join (hot-key guard); the pair
+    * intersection counts fall directly out of the join's groupBy, then
+    * pairs are scored at 0.5.
     */
   def q33JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val shAll = shingleSet(s, dir)
-    val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= 50).select(col("s"))
-    val sh = shAll.join(rare, "s").cache()
-    val cand = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    jaccardOver(cand, sh, 0.5)
+    val shAll = hashedShingles(s, dir)
+    val rare = shAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 50).select(col("h"))
+    val sh = shAll.join(rare, "h").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    scoredPairs(inter, sizes, 0.5)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -148,12 +156,37 @@ object Dedup {
     "q33_jaccard_pairs" -> (q33JaccardPairs _),
   )
 
-  private val sqlSig = (0 until 16)
-    .map(k => s"min(md5('$k:' || s)) AS m$k").mkString(", ")
+  // ---- oracle SQL ----
+
+  /** DuckDB parse of the first 15 md5 hex digits into a BIGINT. */
+  private val sqlH60 = (1 to 15)
+    .foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+      s"($acc * 16 + (strpos('0123456789abcdef', substr(m, $k, 1)) - 1))"
+    }
+
+  private val sqlHashedShingles =
+    s"""norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      shs AS (SELECT doc_id, unnest(list_distinct($sqlShingles)) AS s FROM norm),
+      shm AS (SELECT doc_id, md5(s) AS m FROM shs),
+      sh AS (SELECT DISTINCT doc_id, $sqlH60 AS h FROM shm)"""
+
+  private val sqlSig = hashAB.zipWithIndex
+    .map { case ((a, b), k) => s"min(($a * (h % $P) + $b) % $P) AS m$k" }
+    .mkString(", ")
   private val sqlBandRows = (0 until 4).map { b =>
     val key = (0 until 4).map(r => s"m${4 * b + r}").mkString(" || '|' || ")
-    s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
   }.mkString(" UNION ALL ")
+
+  private def sqlScoredTail(thr: String) = s"""
+      sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id)
+      SELECT da AS doc_a, db AS doc_b,
+        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $thr
+      ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> s"""
@@ -161,13 +194,18 @@ object Dedup {
         COUNT(1) AS n_copies
       FROM documents GROUP BY 1 ORDER BY canonical_id""",
     "q31_minhash_pairs" -> s"""
-      WITH $sqlShingleSet,
+      WITH $sqlHashedShingles,
       sig AS (SELECT doc_id, $sqlSig FROM sh GROUP BY doc_id),
       bands AS ($sqlBandRows),
       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
                FROM bands x JOIN bands y
                  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      ${sqlJaccardTail("cand", "0.8")}""",
+      inter AS (SELECT c.da, c.db, COUNT(1) AS i
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.da
+                JOIN sh y ON y.doc_id = c.db AND y.h = x.h
+                GROUP BY c.da, c.db),
+      ${sqlScoredTail("0.8")}""",
     "q32_simhash" -> s"""
       WITH norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
       toks AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM norm),
@@ -181,12 +219,19 @@ object Dedup {
         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q33_jaccard_pairs" -> s"""
-      WITH norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-      sh_all AS (SELECT doc_id, unnest(list_distinct($sqlShingles)) AS s FROM norm),
-      rare AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(1) <= 50),
-      sh AS (SELECT doc_id, x.s AS s FROM sh_all x JOIN rare USING (s)),
-      cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id),
-      ${sqlJaccardTail("cand", "0.5")}""",
+      WITH $sqlHashedShingles,
+      rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(1) <= 50),
+      shr AS (SELECT doc_id, x.h AS h FROM sh x JOIN rare USING (h)),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(1) AS i
+                FROM shr x JOIN shr y ON x.h = y.h AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id),
+      sizes0 AS (SELECT doc_id, COUNT(1) AS n FROM shr GROUP BY doc_id)
+      SELECT da AS doc_a, db AS doc_b,
+        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes0 sa ON da = sa.doc_id
+      JOIN sizes0 sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+      ORDER BY doc_a, doc_b""",
   )
 }

@@ -117,7 +117,8 @@ object Text {
     */
   def q53Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .withColumn("sh", array_distinct(shingles3(words(col("text")))))
+      .withColumn("ws", words(col("text"))) // bound before the lambda (no CSE in HOFs)
+      .withColumn("sh", array_distinct(shingles3(col("ws"))))
     d.select(col("doc_id"),
         array_join(slice(array_sort(transform(col("sh"), x => md5(x))), 1, 4), "|")
           .as("fingerprint"),

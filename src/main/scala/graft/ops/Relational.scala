@@ -330,6 +330,41 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Array explode / lateral view: word frequencies over p_name
+    * (SURVEY §2.8 F7 array ops — generator + re-aggregation).
+    */
+  def q25ExplodeWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+
+  /** Pivot (orders status × priority counts) — DataFrame pivot with an
+    * explicit value list so the output schema is static; the oracle
+    * spells the same thing as conditional aggregation.
+    */
+  def q27Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  /** Sketch aggregation: approx_count_distinct (HLL++). No SQL oracle —
+    * DuckDB's approx sketch differs — so the driver records the weaker
+    * rows-only check; the exact twin rides along for context and the
+    * ScalaTest asserts the ±5% envelope.
+    */
+  def q28ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+
   /** Global range-partitioned sort (SURVEY §2.6 O2). */
   def q26GlobalSort(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -362,7 +397,10 @@ object Relational {
     "q22_json" -> (q22Json _),
     "q23_conditional_agg" -> (q23ConditionalAgg _),
     "q24_asof_join" -> (q24AsOfJoin _),
+    "q25_explode_words" -> (q25ExplodeWords _),
     "q26_global_sort" -> (q26GlobalSort _),
+    "q27_pivot" -> (q27Pivot _),
+    "q28_approx_distinct" -> (q28ApproxDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -528,8 +566,19 @@ object Relational {
           SELECT user_id, epoch_us(ts) AS ts_us, 1 AS kind, event_id, CAST(NULL AS BIGINT) AS click_us
           FROM events WHERE event_type = 'purchase'))
       WHERE kind = 1 ORDER BY event_id""",
+    "q25_explode_words" -> """
+      SELECT word, COUNT(1) AS n
+      FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      GROUP BY word ORDER BY n DESC, word""",
     "q26_global_sort" -> """
       SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
       FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber""",
+    "q27_pivot" -> """
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q28_approx_distinct: intentionally no oracle (engine-specific HLL)
   )
 }

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
 
 /** Structured Streaming transforms over an `events`-shaped stream
   * (`ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE,
@@ -50,4 +53,45 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
+      last_ts: Timestamp)
+
+  /** Custom stateful operator via `flatMapGroupsWithState` — the
+    * streaming analog of the reference's vertex-program `apply` hook
+    * (SURVEY §2.10 X1): per-user running rollup with explicit state,
+    * emitting an updated row per key per batch. State (one UserRollup
+    * per active user) expires on an EVENT-time timeout one idle-window
+    * past the watermark — processing-time timeouts would keep the
+    * micro-batch engine scheduling wake-ups forever on a drained
+    * source.
+    */
+  def userRollups(events: Dataset[(Timestamp, Long, Double)],
+      watermark: String = "10 minutes",
+      idleMs: Long = 3600L * 1000): Dataset[UserRollup] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("ts", "user_id", "value")
+      .withWatermark("ts", watermark)
+      .as[(Timestamp, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[UserRollup, UserRollup](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Timestamp, Long, Double)],
+            state: GroupState[UserRollup]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRollup(user, 0L, 0.0, new Timestamp(0)))
+            val next = batch.foldLeft(prev) { (acc, e) =>
+              UserRollup(user, acc.n_events + 1, acc.total_value + e._3,
+                if (e._1.after(acc.last_ts)) e._1 else acc.last_ts)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts.getTime + idleMs)
+            Iterator.single(next)
+          }
+      }
+  }
 }

@@ -55,6 +55,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(out === Set((0.0, "click", 2L), (60.0, "error", 1L), (60.0, "click", 1L)))
   }
 
+  test("flatMapGroupsWithState keeps a running per-user rollup across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStreams.userRollups(src.toDS())
+      .writeStream.format("memory").queryName("rollups").outputMode("update").start()
+    try {
+      // start at minute 10: an epoch-0 event time ties with the initial
+      // watermark and gets dropped by the late-row filter
+      src.addData((ts(10), 1L, 2.0), (ts(11), 1L, 3.0), (ts(12), 2L, 7.0))
+      q.processAllAvailable()
+      src.addData((ts(15), 1L, 5.0)) // second batch folds into existing state
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("rollups")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_value")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(last === Set((1L, 3L, 10.0), (2L, 1L, 7.0)))
+  }
+
   test("streaming dedup drops same-id events within the watermark") {
     val events = Seq(
       Ev(ts(0), 1, "click", 1.0, 100), Ev(ts(1), 1, "click", 1.0, 100),

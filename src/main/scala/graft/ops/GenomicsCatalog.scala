@@ -79,10 +79,26 @@ object GenomicsCatalog {
     Assembly.stitchContigs(v, "doc_id").orderBy(col("doc_id"))
   }
 
+  /** Phase 3 again, through the registered typed-Aggregator UDAF
+    * (SURVEY §2.10 X2) — same algebra, custom-UDAF surface; shares
+    * q72's independent window-form oracle.
+    */
+  def q73StitchUdaf(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("stitch_span", udaf(graft.functions.StitchAggregator,
+      org.apache.spark.sql.Encoders.product[graft.functions.Span]))
+    val (v, _) = readsGraph(s, dir)
+    v.groupBy(col("doc_id"))
+      .agg(expr("stitch_span(offset, length, content)").as("r"))
+      .select(col("doc_id"), col("r.offset").as("offset"),
+        col("r.length").as("length"), col("r.content").as("contig"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_prune_flag" -> (q70PruneFlag _),
     "q71_best_successor" -> (q71BestSuccessor _),
     "q72_stitch_contigs" -> (q72StitchContigs _),
+    "q73_stitch_udaf" -> (q73StitchUdaf _),
   )
 
   // ---- oracle SQL ----
@@ -152,6 +168,12 @@ object GenomicsCatalog {
       LEFT JOIN (SELECT src, dst FROM succ WHERE rn = 1) b ON v.id = b.src
       ORDER BY v.id""",
     "q72_stitch_contigs" -> s"""
+      WITH $sqlGraph,$sqlStitchWindow
+      SELECT doc_id, MIN(off) AS "offset",
+        MAX(off + len) - MIN(off) AS "length",
+        string_agg(seg, '' ORDER BY off) AS contig
+      FROM segs GROUP BY doc_id ORDER BY doc_id""",
+    "q73_stitch_udaf" -> s"""
       WITH $sqlGraph,$sqlStitchWindow
       SELECT doc_id, MIN(off) AS "offset",
         MAX(off + len) - MIN(off) AS "length",

@@ -61,8 +61,30 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling for video-shaped media: the stub decoder's frame
+    * count fans out into per-frame rows (every 5th frame kept), each
+    * with a deterministic pseudo-feature — the row shape a real
+    * keyframe extractor would emit. Generator stage, no shuffle.
+    */
+  def q61FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[MediaRow]
+      .mapPartitions(decodeStub _)
+      .toDF()
+      .select(col("doc_id"), col("format"), col("header_byte"),
+        // empty/absent array (not a descending sequence) when 0 frames
+        explode(when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1)))
+          .as("fi"))
+      .where(col("fi") % 5 === 0)
+      .select(col("doc_id"), col("format"), col("fi").cast("long").as("frame_idx"),
+        ((col("header_byte") * 31 + col("fi")) % 251).cast("long").as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
+    "q61_frame_sample" -> (q61FrameSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,5 +98,16 @@ object Multimodal {
         CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
         ascii(substr(text, 1, 1)) % 30 AS n_frames
       FROM documents ORDER BY doc_id""",
+    "q61_frame_sample" -> """
+      WITH frames AS (
+        SELECT doc_id,
+          ['png', 'jpg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+          ascii(substr(text, 1, 1)) AS header_byte,
+          unnest(range(0, ascii(substr(text, 1, 1)) % 30)) AS frame_idx
+        FROM documents)
+      SELECT doc_id, format, frame_idx,
+        (header_byte * 31 + frame_idx) % 251 AS frame_sig
+      FROM frames WHERE frame_idx % 5 = 0
+      ORDER BY doc_id, frame_idx""",
   )
 }

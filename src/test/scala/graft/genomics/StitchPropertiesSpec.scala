@@ -120,4 +120,41 @@ class StitchPropertiesSpec extends SparkSpec {
       assert((o, l, c) === expected(g), s"group $g")
     }
   }
+
+  test("the three stitch forms agree: HOF closed form == UDAF == plain-Scala fold") {
+    import graft.functions.{Span, StitchAggregator}
+    val rng = new Random(21)
+    // mixed-case chains: overlaps (B), adjacency (C), gaps (D)
+    val chains = (0 until 100).map { g =>
+      val n = 2 + rng.nextInt(8)
+      var offset = rng.nextInt(30)
+      val reads = (0 until n).map { i =>
+        val len = 4 + rng.nextInt(16)
+        val r = Read(i.toLong, len, randSeq(rng, len), offset, 0.5)
+        offset += (len - 1) + rng.nextInt(8) // C boundary up through D gaps
+        r
+      }
+      g -> reads
+    }
+    val hof = stitchAll(chains)
+    spark.udf.register("stitch_span_t",
+      org.apache.spark.sql.functions.udaf(StitchAggregator,
+        org.apache.spark.sql.Encoders.product[Span]))
+    val rows = chains.flatMap { case (g, rs) =>
+      rs.map(r => (g, r.offset, r.length, r.content))
+    }.toDF("g", "offset", "length", "content")
+    val viaUdaf = rows.groupBy($"g")
+      .agg(expr("stitch_span_t(offset, length, content)").as("r"))
+      .select($"g", $"r.offset", $"r.length", $"r.content")
+      .collect()
+      .map { case Row(g: Int, o: Int, l: Int, c: String) => g -> ((o, l, c)) }
+      .toMap
+    chains.foreach { case (g, rs) =>
+      val spans = rs.map(r => Span(r.offset, r.length, r.content))
+        .sortBy(s => (s.offset, s.length, s.content))
+      val scala = spans.tail.foldLeft(spans.head)(StitchAggregator.step)
+      assert(hof(g) === ((scala.offset, scala.length, scala.content)), s"group $g hof")
+      assert(viaUdaf(g) === hof(g), s"group $g udaf")
+    }
+  }
 }

@@ -106,9 +106,10 @@ object Dedup {
 
   /** SimHash: 32-bit majority-vote fingerprint over distinct tokens
     * (bit j of a token = bit j%4 of hex digit j/4 of its md5). One md5
-    * per token; the 32 ±1 votes are unpacked from it with integer ops
-    * and posexploded — the vote aggregation is a single partial-then-
-    * final groupBy(doc, bit).
+    * per token; the 32 votes are 32 separate sum aggregates over the
+    * token rows — all partial-combined map-side, so the only shuffle
+    * carries one 32-column row per doc per partition (the posexplode
+    * formulation shuffled |tokens|×32 rows instead).
     */
   def q32Simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
@@ -116,18 +117,13 @@ object Dedup {
       .withColumn("m8", expr("substr(md5(tok), 1, 8)")) // bound: one md5/token
       .withColumn("hv", expr(
         "transform(sequence(1, 8), k -> instr('0123456789abcdef', substr(m8, k, 1)) - 1)"))
-    val votes = toks
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 31), j -> IF((shiftright(hv[j div 4], j % 4) & 1) = 1, 1, -1))")))
-      .groupBy(col("doc_id"), col("pos").as("j"))
-      .agg(sum(col("col")).as("v"))
-    votes
-      .select(col("doc_id"), col("j"),
-        when(col("v") > 0, "1").otherwise("0").as("bit"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("bit")))),
-          x => x.getField("bit")), "").as("simhash"))
+    val voteAggs = (0 until 32).map { j =>
+      sum(expr(s"IF((shiftright(hv[${j / 4}], ${j % 4}) & 1) = 1, 1, -1)")).as(s"v$j")
+    }
+    toks.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 32).map(j =>
+          when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
       .orderBy(col("doc_id"))
   }
 

@@ -150,8 +150,34 @@ object Text {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** tf-idf-style top terms per document (SURVEY §7.2 step 5): term
+    * frequencies join document frequencies, score = tf × 1/df as the
+    * exact integer `tf*1e6 div df` — rank-equivalent per document to
+    * linear-idf tf-idf (log-idf is avoided deliberately: ln() is not
+    * bit-identical across engines). Two shuffles total (tf groupBy, df
+    * groupBy), both partial-aggregated; the df side joins broadcast.
+    */
+  def q55TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lang_profile" -> (q50LangProfile _),
+    "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
     "q51_quality_score" -> (q51QualityScore _),
     "q52_token_stats" -> (q52TokenStats _),
     "q53_fingerprint" -> (q53Fingerprint _),
@@ -159,6 +185,18 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q55_tfidf_topterms" -> s"""
+      WITH toks AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(1) AS df FROM
+               (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score
+        FROM tf JOIN df USING (term)),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored)
+      SELECT doc_id, rank, term, tf, df, score FROM ranked
+      WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q50_lang_profile" -> s"""
       WITH d AS (SELECT doc_id, lang, list_distinct($sqlWords) AS toks FROM documents),
       h AS (SELECT doc_id, lang AS tagged_lang,

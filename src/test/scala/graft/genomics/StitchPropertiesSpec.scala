@@ -121,6 +121,36 @@ class StitchPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("iterative fixpoint: EVERY vertex converges to its own chain's fold (shared successors)") {
+    import graft.functions.{Span, StitchAggregator}
+    val rng = new Random(31)
+    val n = 12 // iterative cost is O(depth) supersteps — keep the spec fast
+    // ascending offsets by id; next points strictly forward; several
+    // vertices share a successor (in-branching — the re-merge path)
+    val offsets = (0 until n).scanLeft(0)((o, _) => o + 29 + rng.nextInt(10)).take(n)
+    val reads = (0 until n).map { i =>
+      val len = 20 + rng.nextInt(15)
+      (i.toLong, if (i == n - 1) -1L else (i + 1 + rng.nextInt(math.min(3, n - 1 - i))).toLong,
+        offsets(i), len, randSeq(rng, len))
+    }
+    val state = Assembly.stitchIterative(
+      reads.toDF("id", "next_id", "offset", "length", "content"), maxIters = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    val byId = reads.map(r => r._1 -> r).toMap
+    def chain(i: Long): List[Span] = {
+      val (_, nx, o, l, c) = byId(i)
+      Span(o, l, c) :: (if (nx == -1L) Nil else chain(nx))
+    }
+    (0 until n).foreach { i =>
+      val spans = chain(i.toLong)
+      val expected = spans.dropRight(1).foldRight(spans.last)((r, s) => StitchAggregator.step(r, s))
+      assert(state(i.toLong) === ((expected.offset, expected.length, expected.content)),
+        s"vertex $i")
+    }
+  }
+
   test("the three stitch forms agree: HOF closed form == UDAF == plain-Scala fold") {
     import graft.functions.{Span, StitchAggregator}
     val rng = new Random(21)

@@ -33,13 +33,19 @@ object Text {
 
   /** Word 3-gram shingles of a word array (1-based `element_at`, same as
     * DuckDB `ws[i]`): shingle i = ws[i] ++ ' ' ++ ws[i+1] ++ ' ' ++ ws[i+2].
+    *
+    * Guarded for <3 words: `sequence(1, 0)` is DESCENDING in Spark (not
+    * empty like DuckDB's range), so the unguarded spelling would index
+    * past the array and throw under ANSI mode.
     */
   def shingles3(ws: Column): Column =
-    transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
-      i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))
+    when(size(ws) >= 3,
+      transform(
+        sequence(lit(1), size(ws) - 2),
+        i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   /** The DuckDB spelling of [[normText]] / word split, for oracle reuse. */
   val sqlNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

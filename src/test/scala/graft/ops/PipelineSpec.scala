@@ -18,7 +18,9 @@ class PipelineSpec extends SparkSpec {
       (1L, "  THE quick   brown fox jumps over the lazy dog and then runs far away home tonight ", "en", "src0"), // exact dup of 0 modulo case/whitespace
       (2L, base.replace("lazy", "sleepy"), "en", "src1"), // near dup of 0
       (3L, "completely different words about spark catalyst optimizer plans and shuffles everywhere", "en", "src2"),
-      (4L, "der hund und die katze sind nicht mit dem vogel zu sehen heute abend", "de", "src3"))
+      (4L, "der hund und die katze sind nicht mit dem vogel zu sehen heute abend", "de", "src3"),
+      (5L, "tiny doc", "en", "src4"), // <3 words: shingles must be empty, not an ANSI error
+      (6L, "one", "en", "src4"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text"))
     docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
@@ -30,6 +32,14 @@ class PipelineSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
+  }
+
+  test("short documents (under 3 words) flow through every shingle-based op without error") {
+    // q31/q33/q53 all build word-3-gram shingles; docs 5 and 6 have none
+    assert(Dedup.q31MinhashPairs(spark, dir).count() >= 0)
+    val fp = Text.q53Fingerprint(spark, dir)
+      .where($"doc_id" >= 5L).select($"n_shingles").as[Int].collect()
+    assert(fp.forall(_ === 0))
   }
 
   test("q30 exact dedup groups case/whitespace variants") {

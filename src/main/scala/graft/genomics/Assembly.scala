@@ -207,6 +207,55 @@ object Assembly {
     state
   }
 
+  /** Active-set (frontier) variant of [[stitchIterative]] — the
+    * reference's `context.signal(edge.source())` delta scheduling
+    * (assembly_final.cpp:619, SURVEY §2.10 X4) made explicit: each
+    * superstep, ONLY parents whose chosen child changed last round
+    * re-merge; everything else is carried through untouched. Same
+    * fixpoint as the dense form, but per-round work is proportional to
+    * the frontier, not the graph — on a long-tail workload (most chains
+    * short, few deep) the dense form re-scans every vertex per round
+    * while this touches the shrinking active set.
+    */
+  def stitchIterativeFrontier(vertices: DataFrame, maxIters: Int = 64): DataFrame = {
+    var state = vertices
+      .select(col("id"), col("next_id"), col("offset"), col("length"), col("content"))
+      .localCheckpoint()
+    // round 0: every vertex is "changed" (signal_all, assembly_final.cpp:732)
+    var changed = state.select(col("id")).localCheckpoint()
+    var it = 0
+    while (changed.limit(1).count() > 0 && it < maxIters) {
+      val active = state
+        .join(changed.select(col("id").as("cid")), col("next_id") === col("cid"), "left_semi")
+      val child = state.select(
+        col("id").as("c_id"), col("offset").as("c_offset"),
+        col("length").as("c_length"), col("content").as("c_content"))
+      val acc = struct(col("offset").as("offset"), col("length").as("length"),
+        col("content").as("content"))
+      val n = struct(col("c_offset").as("offset"), col("c_length").as("length"),
+        col("c_content").as("content"))
+      val merged = active.join(child, col("next_id") === col("c_id"))
+        .select(col("id"), col("next_id"),
+          stitchStep(acc, n).getField("offset").as("offset"),
+          stitchStep(acc, n).getField("length").as("length"),
+          stitchStep(acc, n).getField("content").as("content"))
+      // next state: merged rows replace their old versions
+      val untouched = state.join(merged.select(col("id").as("mid")),
+        col("id") === col("mid"), "left_anti")
+      val next = untouched.unionByName(merged).localCheckpoint()
+      // next frontier: vertices whose span moved (spans only widen/shift)
+      changed = merged.as("m")
+        .join(state.as("s"), col("m.id") === col("s.id"))
+        .where(col("m.offset") =!= col("s.offset") ||
+          col("m.length") =!= col("s.length"))
+        .select(col("m.id").as("id"))
+        .localCheckpoint()
+      state = next
+      it += 1
+    }
+    state
+  }
+
   /** Ids on the `next_id` chain starting at `source` with their hop
     * index, by pointer doubling: O(log path-length) rounds, each one
     * self-join — the scalable replacement for walking the chain one hop

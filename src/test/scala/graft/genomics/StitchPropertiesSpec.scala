@@ -133,11 +133,17 @@ class StitchPropertiesSpec extends SparkSpec {
       (i.toLong, if (i == n - 1) -1L else (i + 1 + rng.nextInt(math.min(3, n - 1 - i))).toLong,
         offsets(i), len, randSeq(rng, len))
     }
-    val state = Assembly.stitchIterative(
-      reads.toDF("id", "next_id", "offset", "length", "content"), maxIters = 20)
+    val df = reads.toDF("id", "next_id", "offset", "length", "content")
+    val state = Assembly.stitchIterative(df, maxIters = 20)
       .collect()
       .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getString(4))))
       .toMap
+    // frontier-scheduled form reaches the same fixpoint
+    val frontier = Assembly.stitchIterativeFrontier(df, maxIters = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(frontier === state)
     val byId = reads.map(r => r._1 -> r).toMap
     def chain(i: Long): List[Span] = {
       val (_, nx, o, l, c) = byId(i)

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dumps `explain("formatted")` for the headline queries to a markdown
+  * file — the "is the plan the one we designed" evidence artifact
+  * (regenerate with `sbt 'runMain graft.Explain <sfDir> EXPLAIN.md'`).
+  */
+object Explain {
+  private val headline = Seq(
+    "q02_filter_project", // pushdown + pruning
+    "q03_segment_revenue", // broadcast + shuffle join + top-k
+    "q05_local_supplier", // star join
+    "q14_top_k", // TakeOrderedAndProject
+    "q24_asof_join", // single window pass
+    "q31_minhash_pairs", // one partial-agg groupBy for 16 minima
+    "q34_embedding_top_pairs", // codegen'd vec_ldot kernel
+    "q54_sessionize", // one shuffle, window + agg colocated
+    "q72_stitch_contigs") // closed-form stitch aggregation
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "EXPLAIN.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# EXPLAIN — headline physical plans\n\n")
+    sb.append(s"Formatted plans at `$sfDir` (regenerate: " +
+      "`sbt 'runMain graft.Explain <sfDir> EXPLAIN.md'`). What to look\n" +
+      "for: `PushedFilters`/`ReadSchema` on scans, `BroadcastHashJoin`\n" +
+      "for dimensions, partial→final `HashAggregate` pairs, " +
+      "`WholeStageCodegen` spans, `TakeOrderedAndProject` for top-k.\n")
+    headline.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

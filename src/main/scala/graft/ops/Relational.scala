@@ -352,6 +352,21 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("o_orderpriority"))
 
+  /** MapType surface (SURVEY §2.8 F7): props parsed into a
+    * `map<string,int>`, then size / key-set / lookup — grouped so the
+    * output stays tiny at any scale.
+    */
+  def q29MapJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), lit("map<string,int>")).as("m"))
+      .select(col("event_type"), size(col("m")).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("k"))
+      .groupBy(col("event_type"), col("n_keys"), col("keys"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("n_keys"), col("keys"))
+
   /** Sketch aggregation: approx_count_distinct (HLL++). No SQL oracle —
     * DuckDB's approx sketch differs — so the driver records the weaker
     * rows-only check; the exact twin rides along for context and the
@@ -401,6 +416,7 @@ object Relational {
     "q26_global_sort" -> (q26GlobalSort _),
     "q27_pivot" -> (q27Pivot _),
     "q28_approx_distinct" -> (q28ApproxDistinct _),
+    "q29_map_json" -> (q29MapJson _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -580,5 +596,16 @@ object Relational {
         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // q28_approx_distinct: intentionally no oracle (engine-specific HLL)
+    "q29_map_json" -> """
+      SELECT event_type, n_keys, keys, COUNT(1) AS n,
+        MIN(k) AS min_k, MAX(k) AS max_k
+      FROM (
+        SELECT event_type,
+          CAST(len(json_keys(props)) AS INT) AS n_keys,
+          array_to_string(json_keys(props), ',') AS keys,
+          CAST(props->>'k' AS INT) AS k
+        FROM events)
+      GROUP BY event_type, n_keys, keys
+      ORDER BY event_type, n_keys, keys""",
   )
 }

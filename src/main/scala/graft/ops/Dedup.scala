@@ -49,9 +49,13 @@ object Dedup {
     t(s, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")))
-        .as("h"))
+      // hash AFTER the explode: as a plain projection the md5/conv runs
+      // inside whole-stage codegen; as a transform() lambda element it
+      // ran interpreted (~5× slower). Distinct-by-string ≡ distinct-by-
+      // hash (md5 collisions are negligible and both engines agree).
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sg"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)").as("h"))
 
   /** Exact dedup: md5 over normalized text, first doc id wins. */
   def q30ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -133,7 +137,9 @@ object Dedup {
     * pairs are scored at 0.5.
     */
   def q33JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val shAll = hashedShingles(s, dir)
+    // cache the pre-cap set too: it feeds both the df computation and
+    // the capped join, which would otherwise recompute the scan+hash
+    val shAll = hashedShingles(s, dir).cache()
     val rare = shAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") <= 50).select(col("h"))
     val sh = shAll.join(rare, "h").cache()

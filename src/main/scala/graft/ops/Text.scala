@@ -119,15 +119,22 @@ object Text {
 
   /** Document fingerprint: bottom-4 sketch of the md5'd word-3-gram
     * shingle set (a deterministic min-wise sketch — the same machinery
-    * as one MinHash row, kept as hex strings for engine parity).
+    * as one MinHash row, kept as hex strings for engine parity), plus a
+    * rolling polynomial hash over the normalized characters
+    * (h = Σ c·131^k mod 1e9+7 — the incremental-update form a
+    * streaming fingerprinter would maintain).
     */
   def q53Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .withColumn("ws", words(col("text"))) // bound before the lambda (no CSE in HOFs)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " ")) // bound before the lambda (no CSE in HOFs)
       .withColumn("sh", array_distinct(shingles3(col("ws"))))
+    val rolling = expr("""aggregate(sequence(1, length(norm)), 0L,
+        (h, i) -> (h * 131 + ascii(substr(norm, i, 1))) % 1000000007)""")
     d.select(col("doc_id"),
         array_join(slice(array_sort(transform(col("sh"), x => md5(x))), 1, 4), "|")
           .as("fingerprint"),
+        when(length(col("norm")) > 0, rolling).otherwise(0L).as("rolling_hash"),
         size(col("sh")).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
@@ -236,10 +243,14 @@ object Text {
         CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS distinct_ratio
       FROM d ORDER BY doc_id""",
     "q53_fingerprint" -> s"""
-      WITH d AS (SELECT doc_id, $sqlWords AS ws FROM documents),
-      sh AS (SELECT doc_id, list_distinct($sqlShingles) AS sh FROM d)
+      WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws FROM documents),
+      sh AS (SELECT doc_id, norm, list_distinct($sqlShingles) AS sh FROM d)
       SELECT doc_id,
         array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4], '|') AS fingerprint,
+        list_reduce(
+          [CAST(0 AS BIGINT)] ||
+            list_transform(range(1, length(norm) + 1), i -> CAST(ascii(norm[i]) AS BIGINT)),
+          (h, c) -> (h * 131 + c) % 1000000007) AS rolling_hash,
         len(sh) AS n_shingles
       FROM sh ORDER BY doc_id""",
     "q54_sessionize" -> """

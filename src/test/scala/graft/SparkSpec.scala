@@ -12,6 +12,7 @@ object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -76,6 +76,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(last === Set((1L, 3L, 10.0), (2L, 1L, 7.0)))
   }
 
+  test("streaming session_window over the real events table equals the batch sessionize") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    // ts arrives as BIGINT epoch-nanos (nanosAsLong); rebuild a timestamp
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // readStream wants a directory; stage the single parquet file into one
+    val staged = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stream = spark.readStream.schema(sch).parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.sessionCounts(stream, gap = "10 minutes")
+      .writeStream.format("memory").queryName("real_sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("real_sessions")
+      .select($"user_id", unix_micros($"session_start").as("start_us"), $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    // the batch twin (oracle-checked as q54) with the same 10-min gap
+    val batch = graft.ops.Text.q54Sessionize(spark, dir)
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops same-id events within the watermark") {
     val events = Seq(
       Ev(ts(0), 1, "click", 1.0, 100), Ev(ts(1), 1, "click", 1.0, 100),

@@ -112,10 +112,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style ANN: the `label` column stands in for the coarse
+    * quantizer cell id (a trained k-means would produce one); queries
+    * (vec_id < 20) probe ONLY their own cell, top-5 by cosine. The plan
+    * is an equi-join on the cell id — swap `label` for assigned
+    * centroid ids and this is exactly a 1-probe IVF index at any scale.
+    */
+  def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val iv = scaledVectors(s, dir)
+    val q = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(iv, Seq("label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (idot(col("qv"), col("v")).cast("double") / (col("qn") * col("nrm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_lsh" -> (q41AnnLsh _),
+    "q42_ann_ivf" -> (q42AnnIvf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +183,19 @@ object Similarity {
           $sqlDot / (a.nrm * b.nrm) AS cosine
         FROM bucketed a JOIN bucketed b
           ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q42_ann_ivf" -> s"""
+      WITH $sqlScaled,
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM iv a JOIN iv b
+          ON a.label = b.label AND b.vec_id <> a.vec_id
         WHERE a.vec_id < 20),
       ranked AS (SELECT *, ROW_NUMBER() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

@@ -2,14 +2,24 @@ package graft.genomics
 
 import org.apache.spark.sql.SparkSession
 
+import java.nio.file.{Files, Paths}
+
 /** CLI equivalent of the reference binary
   * (`./assembly --infile=… --outfile=… --source=N --destination=M`,
   * /root/reference/README:10, option parse assembly_final.cpp:663-679):
   * load the aligned-reads graph, assemble the contig reachable from
   * `source`, and save the per-vertex best-path projection
   * (assembly_final.cpp:631-645) plus the assembled contig.
+  *
+  * Engine routing (`--engine=auto|local|spark`, default auto): inputs
+  * under 64 MB run on [[LocalAssembly]] with zero Spark jobs — the
+  * reference is a native binary that finishes its sample in
+  * milliseconds, and JVM+cluster startup would lose that comparison
+  * for no benefit. Bigger inputs take the distributed path.
   */
 object AssemblyCli {
+  private val LocalThresholdBytes = 64L << 20
+
   def main(args: Array[String]): Unit = {
     val opts = args.flatMap { a =>
       a.stripPrefix("--").split("=", 2) match {
@@ -21,7 +31,37 @@ object AssemblyCli {
     val outfile = opts.getOrElse("outfile", sys.error("--outfile=<path> required"))
     val source = opts.getOrElse("source", sys.error("--source=<id> required")).toLong
     val dest = opts.getOrElse("destination", sys.error("--destination=<id> required")).toLong
+    val engine = opts.getOrElse("engine", "auto")
 
+    val useLocal = engine match {
+      case "local" => true
+      case "spark" => false
+      case _       => Files.size(Paths.get(infile)) < LocalThresholdBytes
+    }
+    if (useLocal) runLocal(infile, outfile, source, dest)
+    else runSpark(infile, outfile, source, dest)
+  }
+
+  private def runLocal(infile: String, outfile: String, source: Long, dest: Long): Unit = {
+    val (vertices, edges) = LocalAssembly.parse(infile)
+    val phases = LocalAssembly.phases12(vertices, edges, dest)
+    // per-vertex projection, the reference's vertex sink (single file —
+    // the text twin of the Spark path's .vertices directory)
+    val rows = vertices.sortBy(_.id).map { v =>
+      val next = phases(v.id)._2
+      s"${v.id}\t$next\t${v.offset}\t${v.length}\t${v.content.length}\t${v.content}"
+    }
+    Files.createDirectories(Paths.get(s"$outfile.vertices"))
+    Files.writeString(Paths.get(s"$outfile.vertices/part-00000"),
+      rows.mkString("", "\n", "\n"))
+    val span = LocalAssembly.assembleFrom(vertices, edges, source, dest)
+      .getOrElse(sys.error(s"source read $source not present in $infile — nothing to assemble"))
+    Files.createDirectories(Paths.get(s"$outfile.contig"))
+    Files.writeString(Paths.get(s"$outfile.contig/part-00000.txt"), span.content + "\n")
+    println(s"assembled contig: offset=${span.offset} length=${span.length}")
+  }
+
+  private def runSpark(infile: String, outfile: String, source: Long, dest: Long): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-assembly")

@@ -21,6 +21,20 @@ class LocalAssemblySpec extends SparkSpec {
     assert(span.content.count(_ == 'N') === 2371)
   }
 
+  test("segment-deque foldPath equals the naive step fold on random paths (incl. non-monotonic)") {
+    import graft.functions.{Span, StitchAggregator}
+    val rng = new Random(23)
+    (0 until 300).foreach { trial =>
+      val n = 1 + rng.nextInt(10)
+      val spans = (0 until n).map { _ =>
+        val l = 2 + rng.nextInt(12)
+        Span(rng.nextInt(120), l, Seq.fill(l)("ACGT"(rng.nextInt(4))).mkString)
+      }.toList
+      val naive = spans.dropRight(1).foldRight(spans.last)(StitchAggregator.step)
+      assert(LocalAssembly.foldPath(spans) === naive, s"trial $trial: $spans")
+    }
+  }
+
   test("local engine equals the Spark engine on random branching graphs") {
     val rng = new Random(17)
     (0 until 5).foreach { trial =>

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.LongDotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{LongDotProduct, StitchFoldExpr}
 
 /** Session extensions registering the engine's custom expressions —
   * installed via `spark.sql.extensions=graft.GraftExtensions` (all
@@ -15,9 +15,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_ldot"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "vec_ldot",
         "vec_ldot(a, b) - exact dot product of two BIGINT arrays (codegen)"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.size == 2, "vec_ldot takes exactly 2 arguments")
         LongDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("stitch_fold"),
+      new ExpressionInfo(classOf[StitchFoldExpr].getName, "stitch_fold",
+        "stitch_fold(spans) - linear left fold of sorted interval spans"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "stitch_fold takes exactly 1 argument")
+        StitchFoldExpr(children.head, pathOrder = false)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("stitch_fold_path"),
+      new ExpressionInfo(classOf[StitchFoldExpr].getName, "stitch_fold_path",
+        "stitch_fold_path(spans) - linear right fold of path-ordered spans"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "stitch_fold_path takes exactly 1 argument")
+        StitchFoldExpr(children.head, pathOrder = true)
       }))
   }
 }

@@ -52,10 +52,9 @@ object StitchAggregator extends Aggregator[Span, List[Span], Span] {
         acc.content + "N" * (n.offset - acc.offset - acc.length) + n.content)
   }
 
-  override def finish(buf: List[Span]): Span = {
-    val sorted = buf.sortBy(s => (s.offset, s.length, s.content))
-    sorted.tail.foldLeft(sorted.head)(step)
-  }
+  override def finish(buf: List[Span]): Span =
+    StitchFolds.foldSorted(
+      buf.sortBy(s => (s.offset, s.length, s.content)).toIndexedSeq)
 
   override def bufferEncoder: Encoder[List[Span]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Span]]()

@@ -147,10 +147,10 @@ object Assembly {
       content: Column = col("content")): Column = {
     val arr = sort_array(collect_list(struct(
       offset.as("offset"), length.as("length"), content.as("content"))))
-    aggregate(
-      slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
-      element_at(arr, 1),
-      (acc, x) => stitchStep(acc, x))
+    // linear segment fold (graft.functions.StitchFoldExpr) — the
+    // aggregate() HOF spelling computes the same value but re-copies
+    // the growing contig per element (quadratic on deep groups)
+    call_function("stitch_fold", arr)
   }
 
   /** Closed-form per-group assembly: one contig row per group. */
@@ -321,21 +321,17 @@ object Assembly {
     val withNext = bestSuccessor(vertices, edges)
     val path = pathWithHops(withNext, source)
     val reads = withNext.join(path, Seq("id"))
-    // sort by hop DESC (deepest first) and right-fold: acc starts at the
-    // path tail, each earlier read merges its successor's accumulated span
-    val arr = reverse(sort_array(collect_list(struct(
+    // collect in hop order and right-fold with the linear segment fold
+    // (stitch_fold_path, graft.functions.StitchFoldExpr); an empty path
+    // (source absent) folds to a null span
+    val arr = sort_array(collect_list(struct(
       col("hop").as("hop"),
       struct(col("offset").as("offset"), col("length").as("length"),
-        col("content").as("content")).as("r")))))
-    // `get` (0-based, null-safe) rather than element_at: an empty path
-    // (source absent) folds to a null span instead of an ANSI error
-    val folded = aggregate(
-      expr("slice(arr, 2, greatest(size(arr) - 1, 0))"),
-      expr("get(arr, 0)").getField("r"),
-      (acc, x) => stitchStep(x.getField("r"), acc))
+        col("content").as("content")).as("r"))))
     reads
-      .agg(arr.as("arr"))
-      .select(folded.as("s"))
+      .agg(arr.as("harr"))
+      .select(call_function("stitch_fold_path",
+        transform(col("harr"), x => x.getField("r"))).as("s"))
       .select(col("s.offset").as("offset"), col("s.length").as("length"),
         col("s.content").as("contig"))
   }

@@ -79,67 +79,6 @@ object LocalAssembly {
     Some(foldPath(spans))
   }
 
-  /** Right fold `step(r0, step(r1, … rk))` in O(total contig length)
-    * for monotonic paths: the accumulated child span is a deque of
-    * string segments, so the hot cases (B/C/D — append own content in
-    * front, trim the child's head overlap) move only the overlap chars
-    * instead of re-copying the whole contig per step (the naive
-    * [[StitchAggregator.step]] fold is quadratic — 20k reads / 1.5 M
-    * chars took ~60 s, this takes ~0.1 s). Rare non-monotonic A-cases
-    * fall back to materializing, preserving exact step() semantics.
-    */
-  def foldPath(path: List[Span]): Span = {
-    require(path.nonEmpty)
-    val segs = new java.util.ArrayDeque[String]()
-    var o = path.last.offset
-    var l = path.last.length
-    segs.addFirst(path.last.content)
-    var contentLen = path.last.content.length
-
-    def dropHead(k0: Int): Unit = {
-      var k = k0
-      while (k > 0 && !segs.isEmpty) {
-        val h = segs.pollFirst()
-        if (h.length <= k) k -= h.length
-        else { segs.addFirst(h.substring(k)); k = 0 }
-      }
-      contentLen -= math.min(k0, contentLen)
-    }
-    def materialize(): String = {
-      val sb = new java.lang.StringBuilder(contentLen)
-      segs.forEach(s => sb.append(s))
-      sb.toString
-    }
-    def reset(s: Span): Unit = {
-      segs.clear(); segs.addFirst(s.content)
-      o = s.offset; l = s.length; contentLen = s.content.length
-    }
-
-    path.init.reverseIterator.foreach { own =>
-      val eC = own.offset + own.length - 1 // own's inclusive end
-      if (o < own.offset || (o >= own.offset && o + l - 1 <= eC && o < eC)) {
-        // A-cases (child starts left of own) and B-else (contained):
-        // rare on real paths — exact semantics via the plain step
-        reset(StitchAggregator.step(own, Span(o, l, materialize())))
-      } else if (o < eC) { // B: child extends past own's end
-        dropHead(own.offset + own.length - o)
-        segs.addFirst(own.content)
-        contentLen += own.content.length
-        val grow = l + o - own.offset - own.length
-        l = own.length + grow; o = own.offset
-      } else if (o == eC) { // C: inclusive-end adjacency, 1-base trim
-        dropHead(1)
-        segs.addFirst(own.content)
-        contentLen += own.content.length
-        l = own.length + l - 1; o = own.offset
-      } else { // D: disjoint right of own — N gap
-        val gap = o - own.offset - own.length
-        segs.addFirst("N" * gap)
-        segs.addFirst(own.content)
-        contentLen += gap + own.content.length
-        l = own.length + gap + l; o = own.offset
-      }
-    }
-    Span(o, l, materialize())
-  }
+  /** See [[graft.functions.StitchFolds.foldPath]]. */
+  def foldPath(path: List[Span]): Span = graft.functions.StitchFolds.foldPath(path)
 }

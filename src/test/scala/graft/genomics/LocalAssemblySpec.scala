@@ -21,6 +21,20 @@ class LocalAssemblySpec extends SparkSpec {
     assert(span.content.count(_ == 'N') === 2371)
   }
 
+  test("segment-deque foldSorted equals the naive left fold on random span lists (all cases)") {
+    import graft.functions.{Span, StitchAggregator, StitchFolds}
+    val rng = new Random(29)
+    (0 until 300).foreach { trial =>
+      val n = 1 + rng.nextInt(10)
+      val spans = (0 until n).map { _ =>
+        val l = 2 + rng.nextInt(12)
+        Span(rng.nextInt(120), l, Seq.fill(l)("ACGT"(rng.nextInt(4))).mkString)
+      }.sortBy(s => (s.offset, s.length, s.content)).toIndexedSeq
+      val naive = spans.tail.foldLeft(spans.head)(StitchAggregator.step)
+      assert(StitchFolds.foldSorted(spans) === naive, s"trial $trial: $spans")
+    }
+  }
+
   test("segment-deque foldPath equals the naive step fold on random paths (incl. non-monotonic)") {
     import graft.functions.{Span, StitchAggregator}
     val rng = new Random(23)

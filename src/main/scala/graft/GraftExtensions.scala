@@ -10,30 +10,48 @@ import graft.functions.{LongDotProduct, StitchFoldExpr}
   * entry points set it) or `withExtensions` in code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("vec_ldot"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private[graft] val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_ldot",
       new ExpressionInfo(classOf[LongDotProduct].getName, "vec_ldot",
         "vec_ldot(a, b) - exact dot product of two BIGINT arrays (codegen)"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_ldot takes exactly 2 arguments")
         LongDotProduct(children.head, children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("stitch_fold"),
+      }),
+    ("stitch_fold",
       new ExpressionInfo(classOf[StitchFoldExpr].getName, "stitch_fold",
         "stitch_fold(spans) - linear left fold of sorted interval spans"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "stitch_fold takes exactly 1 argument")
         StitchFoldExpr(children.head, pathOrder = false)
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("stitch_fold_path"),
+      }),
+    ("stitch_fold_path",
       new ExpressionInfo(classOf[StitchFoldExpr].getName, "stitch_fold_path",
         "stitch_fold_path(spans) - linear right fold of path-ordered spans"),
       (children: Seq[Expression]) => {
         require(children.size == 1, "stitch_fold_path takes exactly 1 argument")
         StitchFoldExpr(children.head, pathOrder = true)
       }))
-  }
+
+  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Idempotently install the custom functions into an arbitrary
+    * session (one created WITHOUT the extensions config — e.g. the
+    * driver's own session calling `SparkEntry.entry`). Called from the
+    * library entry points; re-registration is harmless but skipped per
+    * session for cheapness.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (ensured.add(String.valueOf(System.identityHashCode(spark)))) {
+      registrations.foreach { case (name, info, builder) =>
+        org.apache.spark.sql.GraftFunctionRegistrar.register(spark, name, info, builder)
+      }
+    }
 }

@@ -155,6 +155,7 @@ object Assembly {
 
   /** Closed-form per-group assembly: one contig row per group. */
   def stitchContigs(reads: DataFrame, groupCol: String): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(reads.sparkSession)
     val s = stitchedSpan()
     reads.groupBy(col(groupCol)).agg(
       s.getField("offset").as("offset"),
@@ -318,6 +319,7 @@ object Assembly {
       edges: DataFrame,
       source: Long,
       dest: Long): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(vertices.sparkSession)
     val withNext = bestSuccessor(vertices, edges)
     val path = pathWithHops(withNext, source)
     val reads = withNext.join(path, Seq("id"))

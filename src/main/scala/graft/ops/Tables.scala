@@ -18,8 +18,12 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // catalog queries may run on a caller-provided session that lacks
+    // the extensions config — install the custom functions idempotently
+    graft.GraftExtensions.ensureRegistered(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   private val Dec = DecimalType(28, 6)
 

@@ -88,7 +88,9 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
+    // no broadcast hint: the candidate set is usually tiny but unbounded
+    // on dup-heavy corpora — AQE picks broadcast when it actually fits
+    val inter = cand
       .join(sh.select(col("doc_id").as("da"), col("h")), "da")
       .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
       .groupBy(col("da"), col("db"))

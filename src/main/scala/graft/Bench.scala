@@ -25,23 +25,36 @@ object Bench {
     // min — the first run can absorb multi-second codegen/JIT of that
     // query's shapes; fast queries skip the re-run to bound bench wall
     // time.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed query must never flatter the total: its time is reported
+    // as -1 (excluded from the sum), the error is carried into the JSON,
+    // and the process exits nonzero
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators that cache intermediates (dedup shingle sets) would
       // otherwise accumulate blocks across all 48 queries
       spark.catalog.clearCache()
-      dt
+      (if (err.isEmpty) dt else -1.0, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = once(fn)
-      name -> (if (first > 0.8) math.min(first, once(fn)) else first)
+      val (first, err) = once(fn)
+      if (err.isEmpty && first > 0.8) {
+        val (second, err2) = once(fn)
+        (name, if (err2.isEmpty) math.min(first, second) else first, None)
+      } else (name, first, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\"" }
+    val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -40,18 +40,16 @@ object GraftExtensions {
         StitchFoldExpr(children.head, pathOrder = true)
       }))
 
-  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Idempotently install the custom functions into an arbitrary
     * session (one created WITHOUT the extensions config — e.g. the
-    * driver's own session calling `SparkEntry.entry`). Called from the
-    * library entry points; re-registration is harmless but skipped per
-    * session for cheapness.
+    * driver's own session calling `SparkEntry.entry`). registerFunction
+    * itself is idempotent and cheap (a map put), so there is no memo —
+    * an identity-hash memo risked skipping registration on a hash
+    * collision between sessions and grew unboundedly across session
+    * churn.
     */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (ensured.add(String.valueOf(System.identityHashCode(spark)))) {
-      registrations.foreach { case (name, info, builder) =>
-        org.apache.spark.sql.GraftFunctionRegistrar.register(spark, name, info, builder)
-      }
+    registrations.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.GraftFunctionRegistrar.register(spark, name, info, builder)
     }
 }

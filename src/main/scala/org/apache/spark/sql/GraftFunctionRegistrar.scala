@@ -12,7 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctionRegistrar {
   def register(spark: SparkSession, name: String, info: ExpressionInfo,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(new FunctionIdentifier(name), info, builder)
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = new FunctionIdentifier(name)
+    // skip when present: registerFunction would replace (same builder,
+    // harmless) but logs a "replaced a previously registered function"
+    // warning per call, and ensureRegistered runs once per query build
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(ident, info, builder)
+    }
+  }
 }

@@ -153,11 +153,91 @@ object Dedup {
     scoredPairs(inter, sizes, 0.5)
   }
 
+  /** Undirected connected components by min-label propagation: each
+    * round every node lowers its label to the minimum of its own and its
+    * neighbors' labels; fixpoint in O(component diameter) rounds.
+    *
+    * This is the pairs→clusters step a real corpus dedup needs before it
+    * can delete anything: candidate pairs alone don't say which document
+    * survives. Scale shape: near-dup graphs are overwhelmingly tiny,
+    * shallow components (dup clusters, not social graphs), so diameter —
+    * and therefore round count — stays small even at 100 TB, and each
+    * round is one hash-partitioned join + partial-aggregated groupBy on
+    * fixed-width ids. `localCheckpoint` per round cuts the iterative
+    * lineage. (The pointer-doubling in
+    * [[graft.genomics.Assembly.pathWithHops]] needs a functional graph —
+    * one out-pointer per node — so it does not apply to undirected
+    * dup-graphs.)
+    *
+    * Input: pairs with columns `doc_a`, `doc_b`. Output: `(doc_id,
+    * cluster_id)`, one row per node that appears in ≥1 pair, where
+    * `cluster_id` is the component's minimum doc id (the elected
+    * canonical survivor).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // symmetrize via explode, NOT union of two selects: a union would
+    // compute the (expensive) pair derivation twice before the
+    // checkpoint materializes it
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var moved = true
+    var it = 0
+    while (moved && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      moved = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** MinHash pairs → dup clusters with an elected canonical survivor:
+    * the step q31 stops short of. One row per clustered document.
+    */
+  def q35DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(q31MinhashPairs(s, dir))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  /** The deletion step: every document except non-canonical near-dup
+    * cluster members. Because identical documents have identical MinHash
+    * signatures (guaranteed banding candidates at jaccard 1.0), exact
+    * duplicates are subsumed by the near-dup clusters — this is the
+    * corpus that actually ships to training.
+    */
+  def q36DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val doomed = q35DedupClusters(s, dir)
+      .where(!col("is_canonical"))
+      .select(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"))
+      .join(doomed, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
     "q33_jaccard_pairs" -> (q33JaccardPairs _),
+    "q35_dedup_clusters" -> (q35DedupClusters _),
+    "q36_dedup_survivors" -> (q36DedupSurvivors _),
   )
 
   // ---- oracle SQL ----
@@ -191,6 +271,36 @@ object Dedup {
       JOIN sizes sb ON db = sb.doc_id
       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $thr
       ORDER BY doc_a, doc_b"""
+
+  /** The whole q31 pair derivation as CTEs ending in
+    * `pairs(doc_a, doc_b)` plus a recursive transitive closure
+    * `reach(a, b)` — the oracle twin of [[connectedComponents]].
+    */
+  private val sqlClusterCtes = s"""$sqlHashedShingles,
+      sig AS (SELECT doc_id, $sqlSig FROM sh GROUP BY doc_id),
+      bands AS ($sqlBandRows),
+      cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      inter AS (SELECT c.da, c.db, COUNT(1) AS i
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.da
+                JOIN sh y ON y.doc_id = c.db AND y.h = x.h
+                GROUP BY c.da, c.db),
+      sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT da AS doc_a, db AS doc_b
+                FROM inter
+                JOIN sizes sa ON da = sa.doc_id
+                JOIN sizes sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM und
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+                      WHERE e.b <> r.a),
+      clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                   FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> s"""
@@ -237,5 +347,15 @@ object Dedup {
       JOIN sizes0 sb ON db = sb.doc_id
       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
       ORDER BY doc_a, doc_b""",
+    "q35_dedup_clusters" -> s"""
+      WITH RECURSIVE $sqlClusterCtes
+      SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical
+      FROM clusters ORDER BY doc_id""",
+    "q36_dedup_survivors" -> s"""
+      WITH RECURSIVE $sqlClusterCtes
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN
+        (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+      ORDER BY d.doc_id""",
   )
 }

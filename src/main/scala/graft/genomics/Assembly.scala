@@ -76,6 +76,33 @@ object Assembly {
       .withColumn("next_id", coalesce(col("next_id"), lit(-1L)))
   }
 
+  /** The *intended* semantics of the find-phase scatter
+    * (assembly_final.cpp:318-319): after best-successor selection, every
+    * child that some parent did NOT choose gets `valid = false`. As
+    * written the reference compares against a swapped-args message
+    * (score in the id field, assembly_final.cpp:317 vs the ctor at :232 —
+    * SURVEY §2.11), so its own predicate is garbage; this is the
+    * documented intended form. A child chosen by one parent but passed
+    * over by another is still invalidated — the reference's scatter only
+    * ever writes `false`, so any demotion wins.
+    *
+    * Shape: one aggregation (the argmax) + one distinct on demoted ids +
+    * a left join to tag — no per-row UDFs, all hash-partitioned on ids.
+    */
+  def invalidateNonBest(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val next = bestSuccessor(vertices, edges)
+      .select(col("id").as("p_id"), col("next_id").as("p_next"))
+    val demoted = edges
+      .join(next, edges("src") === col("p_id"))
+      .where(col("dst") =!= col("p_next"))
+      .select(col("dst").as("demoted_id"))
+      .distinct()
+    vertices
+      .join(demoted, vertices("id") === demoted("demoted_id"), "left")
+      .withColumn("valid", col("demoted_id").isNull)
+      .drop("demoted_id")
+  }
+
   // ---------------------------------------------------------------------
   // Phase 3 — interval stitch (merge, assembly_final.cpp:402-624)
   // ---------------------------------------------------------------------
@@ -313,12 +340,16 @@ object Assembly {
     * offset-ordered fold of [[stitchedSpan]]; on non-monotonic paths the
     * reference itself is gather-order nondeterministic, and path order
     * is the canonical choice. Returns one row `(offset, length, contig)`.
+    *
+    * Takes no destination: the prune phase is tag-only in the reference
+    * (the `valid` flag is never consumed, SURVEY §2.11), so the
+    * destination id has no effect on the assembled path — a previous
+    * `dest` parameter was dropped because it was silently ignored.
     */
   def assembleFrom(
       vertices: DataFrame,
       edges: DataFrame,
-      source: Long,
-      dest: Long): DataFrame = {
+      source: Long): DataFrame = {
     graft.GraftExtensions.ensureRegistered(vertices.sparkSession)
     val withNext = bestSuccessor(vertices, edges)
     val path = pathWithHops(withNext, source)

@@ -24,6 +24,7 @@ object AssemblyCli {
     val opts = args.flatMap { a =>
       a.stripPrefix("--").split("=", 2) match {
         case Array(k, v) => Some(k -> v)
+        case Array(k)    => Some(k -> "true") // bare flag, e.g. --save-edges
         case _           => None
       }
     }.toMap
@@ -32,18 +33,27 @@ object AssemblyCli {
     val source = opts.getOrElse("source", sys.error("--source=<id> required")).toLong
     val dest = opts.getOrElse("destination", sys.error("--destination=<id> required")).toLong
     val engine = opts.getOrElse("engine", "auto")
+    // S4 edge sink: defined in v1/v2, disabled by the final reference
+    // (assembly_final.cpp:743) — so opt-in, default off
+    val saveEdges = opts.get("save-edges").contains("true")
 
     val useLocal = engine match {
       case "local" => true
       case "spark" => false
       case _       => Files.size(Paths.get(infile)) < LocalThresholdBytes
     }
-    if (useLocal) runLocal(infile, outfile, source, dest)
-    else runSpark(infile, outfile, source, dest)
+    if (useLocal) runLocal(infile, outfile, source, dest, saveEdges)
+    else runSpark(infile, outfile, source, dest, saveEdges)
   }
 
-  private def runLocal(infile: String, outfile: String, source: Long, dest: Long): Unit = {
+  private def runLocal(infile: String, outfile: String, source: Long, dest: Long,
+      saveEdges: Boolean = false): Unit = {
     val (vertices, edges) = LocalAssembly.parse(infile)
+    if (saveEdges) {
+      Files.createDirectories(Paths.get(s"$outfile.edges"))
+      Files.writeString(Paths.get(s"$outfile.edges/part-00000"),
+        edges.map { case (s, d) => s"($s\t$d)" }.mkString("", "\n", "\n"))
+    }
     val phases = LocalAssembly.phases12(vertices, edges, dest)
     // per-vertex projection, the reference's vertex sink (single file —
     // the text twin of the Spark path's .vertices directory)
@@ -61,7 +71,8 @@ object AssemblyCli {
     println(s"assembled contig: offset=${span.offset} length=${span.length}")
   }
 
-  private def runSpark(infile: String, outfile: String, source: Long, dest: Long): Unit = {
+  private def runSpark(infile: String, outfile: String, source: Long, dest: Long,
+      saveEdges: Boolean = false): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-assembly")
@@ -82,8 +93,12 @@ object AssemblyCli {
     Reads.bestPathProjection(withNext)
       .write.mode("overwrite").option("sep", "\t").csv(s"$outfile.vertices")
 
+    if (saveEdges) {
+      Reads.edgeProjection(edges).write.mode("overwrite").text(s"$outfile.edges")
+    }
+
     // collect the single contig row once; write + report from the same copy
-    val rows = Assembly.assembleFrom(vertices, edges, source, dest).collect()
+    val rows = Assembly.assembleFrom(vertices, edges, source).collect()
     val row = rows.headOption
       .filter(!_.isNullAt(0))
       .getOrElse(sys.error(s"source read $source not present in $infile — nothing to assemble"))

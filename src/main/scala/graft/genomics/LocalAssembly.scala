@@ -35,7 +35,12 @@ object LocalAssembly {
         try {
           val v = V(t(0).toLong, t(1).toInt, t(2), t(3).toInt, t(4).toDouble)
           vs += v
-          t.drop(5).foreach(d => es += (v.id -> d.toLong))
+          // per-token safe parse of the successor tail: one malformed
+          // successor drops only itself, matching Reads.loadGraphTsv's
+          // try_cast + null filter (a whole-tail abort would keep the
+          // edges before the bad token and lose the rest)
+          t.drop(5).foreach(d =>
+            scala.util.Try(d.toLong).toOption.foreach(x => es += (v.id -> x)))
         } catch { case _: NumberFormatException => () } // skip malformed line
       }
     }

@@ -112,4 +112,25 @@ object Reads {
     vertices.select(
       col("id"), col("next_id"), col("offset"), col("length"),
       length(col("content")).as("content_size"), col("content"))
+
+  /** Edge sink matching the v1/v2 `save_edge`
+    * (/root/reference/assembly_1.cpp:377-381, assembly_2.cpp:332-336):
+    * one `(src\tdst)` line per edge. The final reference defines but
+    * disables this sink (assembly_final.cpp:743), so the CLI keeps it
+    * behind `--save-edges`, default off.
+    */
+  def edgeProjection(edges: DataFrame): DataFrame =
+    edges.select(
+      concat(lit("("), col("src"), lit("\t"), col("dst"), lit(")")).as("value"))
+
+  /** Parse the [[edgeProjection]] text format back into (src, dst) —
+    * the sink's round-trip inverse, used by the loader robustness spec.
+    */
+  def parseEdgeLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(regexp_extract(col("value"), "^\\((\\d+)\\t(\\d+)\\)$", 1)
+        .cast(LongType).as("src"),
+        regexp_extract(col("value"), "^\\((\\d+)\\t(\\d+)\\)$", 2)
+          .cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
 }

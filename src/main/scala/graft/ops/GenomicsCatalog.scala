@@ -94,11 +94,39 @@ object GenomicsCatalog {
       .orderBy(col("doc_id"))
   }
 
+  /** Phase 3 in its faithful iterative form (the reference's engine-3
+    * fixpoint, assembly_final.cpp:402-624): every read re-merges its
+    * chosen successor's current span per superstep until nothing moves.
+    * One row per read — each ends holding the fold of its whole
+    * `next_id` chain, so this oracles the X4/J3/P6 loop machinery that
+    * was previously spec-only.
+    */
+  def q74StitchIterative(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = readsGraph(s, dir)
+    Assembly.stitchIterative(Assembly.bestSuccessor(v, e))
+      .select(col("id"), col("offset"), col("length"), col("content").as("contig"))
+      .orderBy(col("id"))
+  }
+
+  /** The find-phase scatter's *intended* invalidation
+    * (assembly_final.cpp:318-319; garbage as written per the arg-swap
+    * bug, SURVEY §2.11): children not chosen by some parent get
+    * valid=false.
+    */
+  def q75NonbestInvalid(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = readsGraph(s, dir)
+    Assembly.invalidateNonBest(v, e)
+      .select(col("id"), col("valid"))
+      .orderBy(col("id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_prune_flag" -> (q70PruneFlag _),
     "q71_best_successor" -> (q71BestSuccessor _),
     "q72_stitch_contigs" -> (q72StitchContigs _),
     "q73_stitch_udaf" -> (q73StitchUdaf _),
+    "q74_stitch_iterative" -> (q74StitchIterative _),
+    "q75_nonbest_invalid" -> (q75NonbestInvalid _),
   )
 
   // ---- oracle SQL ----
@@ -179,5 +207,54 @@ object GenomicsCatalog {
         MAX(off + len) - MIN(off) AS "length",
         string_agg(seg, '' ORDER BY off) AS contig
       FROM segs GROUP BY doc_id ORDER BY doc_id""",
+    // Iterative-fixpoint oracle: each read's converged span equals the
+    // window-form fold over its next_id chain's members (chains here are
+    // ≤ 3 hops — edges only go window i → i+1/i+2 — so the closure is
+    // three unrolled self-joins; offsets ascend along every chain, so
+    // the same independent window formulation as q72 applies per chain).
+    "q74_stitch_iterative" -> s"""
+      WITH $sqlGraph,
+      succ AS (SELECT e.src, e.dst, s.score,
+          ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY s.score DESC, e.dst) AS rn
+        FROM edges e JOIN scored s ON e.dst = s.id),
+      nxt AS (SELECT src, dst FROM succ WHERE rn = 1),
+      chain AS (
+        SELECT id AS vid, id AS mid FROM verts
+        UNION SELECT n1.src, n1.dst FROM nxt n1
+        UNION SELECT n1.src, n2.dst FROM nxt n1 JOIN nxt n2 ON n1.dst = n2.src
+        UNION SELECT n1.src, n3.dst FROM nxt n1 JOIN nxt n2 ON n1.dst = n2.src
+                                               JOIN nxt n3 ON n2.dst = n3.src),
+      mem AS (SELECT c.vid, v.off, v.len, v.content
+              FROM chain c JOIN verts v ON c.mid = v.id),
+      folded2 AS (
+        SELECT vid, off, len, content,
+          max(off + len) OVER (PARTITION BY vid ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        FROM mem),
+      segs2 AS (
+        SELECT vid, off, len, prev,
+          CASE WHEN prev IS NULL THEN content
+               WHEN off + len <= prev THEN ''
+               WHEN off >= prev THEN repeat('N', off - prev) || content
+               WHEN off = prev - 1 THEN substr(content, 2, len - 1)
+               ELSE substr(content, prev - off + 1, off + len - prev)
+          END AS seg
+        FROM folded2)
+      SELECT vid AS id, MIN(off) AS "offset",
+        MAX(off + len) - MIN(off) AS "length",
+        string_agg(seg, '' ORDER BY off) AS contig
+      FROM segs2 GROUP BY vid ORDER BY id""",
+    "q75_nonbest_invalid" -> s"""
+      WITH $sqlGraph,
+      succ AS (SELECT e.src, e.dst, s.score,
+          ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY s.score DESC, e.dst) AS rn
+        FROM edges e JOIN scored s ON e.dst = s.id),
+      nxt AS (SELECT src, dst FROM succ WHERE rn = 1),
+      demoted AS (SELECT DISTINCT e.dst AS id
+                  FROM edges e JOIN nxt n ON e.src = n.src
+                  WHERE e.dst <> n.dst)
+      SELECT v.id, (d.id IS NULL) AS valid
+      FROM verts v LEFT JOIN demoted d ON v.id = d.id
+      ORDER BY v.id""",
   )
 }

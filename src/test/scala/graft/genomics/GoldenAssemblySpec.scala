@@ -35,7 +35,7 @@ class GoldenAssemblySpec extends SparkSpec {
   test("closed-form assembly from source 33 matches hand-computed contig") {
     val (v, e) = sample
     val Row(offset: Int, len: Int, contig: String) =
-      Assembly.assembleFrom(v, e, source = 33L, dest = 38L).head()
+      Assembly.assembleFrom(v, e, source = 33L).head()
     assert(offset === 1304)
     assert(len === 3891 + 132 - 1304)
     assert(contig === expected)

@@ -67,7 +67,7 @@ class LocalAssemblySpec extends SparkSpec {
       val vDf = verts.map(v => Read(v.id, v.length, v.content, v.offset, v.score)).toDF()
       val eDf = edges.map { case (a, b) => OverlapEdge(a, b) }.toDF()
       val Row(o: Int, l: Int, c: String) =
-        Assembly.assembleFrom(vDf, eDf, 0L, dest).head()
+        Assembly.assembleFrom(vDf, eDf, 0L).head()
       assert((o, l, c) === ((local.offset, local.length, local.content)), s"trial $trial")
 
       // phase 1+2 parity: next_id per vertex

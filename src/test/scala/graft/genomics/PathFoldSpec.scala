@@ -64,7 +64,7 @@ class PathFoldSpec extends SparkSpec {
     assert(!expected.c.contains("AAAAAAAAAA")) // offset-order fold WOULD keep r0
     val (v, e) = chainDf(reads)
     val Row(o: Int, l: Int, c: String) =
-      Assembly.assembleFrom(v, e, source = 0L, dest = 2L).head()
+      Assembly.assembleFrom(v, e, source = 0L).head()
     assert((o, l, c) === ((expected.o, expected.l, expected.c)))
   }
 
@@ -80,7 +80,7 @@ class PathFoldSpec extends SparkSpec {
     val expected = rightFold(reads)
     val (v, e) = chainDf(reads)
     val Row(o: Int, l: Int, c: String) =
-      Assembly.assembleFrom(v, e, source = 0L, dest = 63L).head()
+      Assembly.assembleFrom(v, e, source = 0L).head()
     assert((o, l, c) === ((expected.o, expected.l, expected.c)))
   }
 
@@ -93,7 +93,7 @@ class PathFoldSpec extends SparkSpec {
       Read(4L, 5, "TTTTT", 20, 0.5)).toDF()
     val e = Seq(OverlapEdge(1L, 2L), OverlapEdge(1L, 3L), OverlapEdge(3L, 4L)).toDF()
     val Row(o: Int, l: Int, c: String) =
-      Assembly.assembleFrom(v, e, source = 1L, dest = 4L).head()
+      Assembly.assembleFrom(v, e, source = 1L).head()
     // path 1 → 2 (dead end chosen over the pruned-in-spirit alternative)
     val expected = step(Span(0, 5, "AAAAA"), Span(10, 5, "CCCCC"))
     assert((o, l, c) === ((expected.o, expected.l, expected.c)))
@@ -102,7 +102,7 @@ class PathFoldSpec extends SparkSpec {
 
   test("assembleFrom on an absent source yields a null span (CLI reports it)") {
     val (v, e) = chainDf(Seq(Span(0, 5, "AAAAA"), Span(10, 5, "CCCCC")))
-    val row = Assembly.assembleFrom(v, e, source = 999L, dest = 1L).head()
+    val row = Assembly.assembleFrom(v, e, source = 999L).head()
     assert(row.isNullAt(0) && row.isNullAt(2))
   }
 }

@@ -87,24 +87,40 @@ object Multimodal {
     "q61_frame_sample" -> (q61FrameSample _),
   )
 
+  /** DuckDB twin of `payload(0) & 0xff`: the first UTF-8 *byte* of the
+    * text, derived from the first character's code point (ascii() gives
+    * the code point, which diverges from the lead byte for any
+    * non-ASCII leading character — plausible in the de/fr corpora).
+    */
+  private val sqlHeadByte = """
+        (CASE WHEN cp < 128 THEN cp
+              WHEN cp < 2048 THEN 192 + cp // 64
+              WHEN cp < 65536 THEN 224 + cp // 4096
+              ELSE 240 + cp // 262144 END)"""
+
   val oracles: Map[String, String] = Map(
     // the stub decode restated in SQL: payload = utf-8 bytes of text
-    "q60_multimodal_decode" -> """
+    "q60_multimodal_decode" -> s"""
+      WITH cps AS (SELECT doc_id, text, ascii(substr(text, 1, 1)) AS cp
+                   FROM documents),
+      hdr AS (SELECT doc_id, text, $sqlHeadByte AS hb FROM cps)
       SELECT doc_id,
         ['png', 'jpg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        ascii(substr(text, 1, 1)) AS header_byte,
+        hb AS header_byte,
         CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-        ascii(substr(text, 1, 1)) % 30 AS n_frames
-      FROM documents ORDER BY doc_id""",
-    "q61_frame_sample" -> """
-      WITH frames AS (
+        hb % 30 AS n_frames
+      FROM hdr ORDER BY doc_id""",
+    "q61_frame_sample" -> s"""
+      WITH cps AS (SELECT doc_id, ascii(substr(text, 1, 1)) AS cp
+                   FROM documents),
+      frames AS (
         SELECT doc_id,
           ['png', 'jpg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
-          ascii(substr(text, 1, 1)) AS header_byte,
-          unnest(range(0, ascii(substr(text, 1, 1)) % 30)) AS frame_idx
-        FROM documents)
+          $sqlHeadByte AS header_byte,
+          unnest(range(0, $sqlHeadByte % 30)) AS frame_idx
+        FROM cps)
       SELECT doc_id, format, frame_idx,
         (header_byte * 31 + frame_idx) % 251 AS frame_sig
       FROM frames WHERE frame_idx % 5 = 0

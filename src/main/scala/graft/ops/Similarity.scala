@@ -50,11 +50,26 @@ object Similarity {
   private val sqlDot =
     "list_sum(list_transform(range(1, 65), i -> CAST(a.v[i] * b.v[i] AS DOUBLE)))"
 
+  /** Hard ceiling for the all-pairs baseline: above this corpus size the
+    * quadratic join is refused instead of silently launched — at 100×
+    * scale an accidental q34 run would be a cluster-melting cartesian.
+    * The scale paths (q41 LSH buckets / q42 IVF cells) have no ceiling.
+    */
+  val AllPairsMaxVectors = 100000L
+
   /** Top-20 most-similar embedding pairs by cosine — the exhaustive
     * near-dup baseline (quadratic; superseded at scale by q41's buckets).
+    * Guarded by [[AllPairsMaxVectors]]: refuses rather than runs at a
+    * scale where the O(n²) plan stops being a baseline and becomes an
+    * outage. The guard probe is a cheap `limit(n+1).count()` — it never
+    * scans past the ceiling.
     */
   def q34EmbeddingTopPairs(s: SparkSession, dir: String): DataFrame = {
     val iv = scaledVectors(s, dir).cache()
+    val probe = iv.limit((AllPairsMaxVectors + 1).toInt).count()
+    require(probe <= AllPairsMaxVectors,
+      s"q34 is the all-pairs baseline: corpus exceeds $AllPairsMaxVectors vectors; " +
+        "use the bucketed paths (q41_ann_lsh / q42_ann_ivf) at this scale")
     val a = iv.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = iv.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("ia") < col("ib"))

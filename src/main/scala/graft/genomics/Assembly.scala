@@ -217,19 +217,23 @@ object Assembly {
       val n = struct(col("c_offset").as("offset"), col("c_length").as("length"),
         col("c_content").as("content"))
       val merged = when(col("c_id").isNull, acc).otherwise(stitchStep(acc, n))
+      // carry the pre-merge span through the projection: the movement
+      // check is then a filter on the already-materialized checkpoint
+      // instead of a second join against the previous state (halves the
+      // per-superstep job count). A merge that changes content always
+      // moves (offset, length): cases A1/A2/A3/B/C/D all grow or shift.
       val next = joined.select(
         col("id"), col("next_id"),
         merged.getField("offset").as("offset"),
         merged.getField("length").as("length"),
-        merged.getField("content").as("content"))
+        merged.getField("content").as("content"),
+        col("offset").as("p_offset"), col("length").as("p_length"))
         .localCheckpoint()
-      // A merge that changes content always moves (offset, length) here:
-      // spans only ever widen (cases A1/A2/A3/B/C/D all grow or shift).
-      moved = next.as("n").join(state.as("s"), "id")
-        .where(col("n.offset") =!= col("s.offset") ||
-               col("n.length") =!= col("s.length"))
+      moved = next
+        .where(col("offset") =!= col("p_offset") ||
+               col("length") =!= col("p_length"))
         .limit(1).count() > 0
-      state = next
+      state = next.drop("p_offset", "p_length")
       it += 1
     }
     state

@@ -193,15 +193,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
+      // carry the previous label through the projection so the movement
+      // check is a filter on the materialized checkpoint, not a second
+      // join against the previous labels (halves the per-round jobs)
       val next = labels
         .join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("p_label"))
         .localCheckpoint()
-      moved = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.label") =!= col("o.label"))
-        .limit(1).count() > 0
-      labels = next
+      moved = next.where(col("label") =!= col("p_label")).limit(1).count() > 0
+      labels = next.drop("p_label")
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -222,8 +224,10 @@ object Dedup {
     * corpus that actually ships to training.
     */
   def q36DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val doomed = q35DedupClusters(s, dir)
-      .where(!col("is_canonical"))
+    // straight off connectedComponents — not q35, whose presentation
+    // orderBy would sit uselessly under this filter+join
+    val doomed = connectedComponents(q31MinhashPairs(s, dir))
+      .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     t(s, dir, "documents")
       .select(col("doc_id"))

@@ -57,19 +57,27 @@ object Similarity {
     */
   val AllPairsMaxVectors = 100000L
 
+  /** Refuse the all-pairs plan above `ceiling` vectors. The probe is a
+    * cheap `limit(n+1).count()` — it never scans past the ceiling.
+    */
+  def requireAllPairsScale(iv: DataFrame, ceiling: Long = AllPairsMaxVectors): Unit = {
+    val probe = iv.limit((ceiling + 1).toInt).count()
+    require(probe <= ceiling,
+      s"q34 is the all-pairs baseline: corpus exceeds $ceiling vectors; " +
+        "use the bucketed paths (q41_ann_lsh / q42_ann_ivf) at this scale")
+  }
+
   /** Top-20 most-similar embedding pairs by cosine — the exhaustive
     * near-dup baseline (quadratic; superseded at scale by q41's buckets).
     * Guarded by [[AllPairsMaxVectors]]: refuses rather than runs at a
     * scale where the O(n²) plan stops being a baseline and becomes an
-    * outage. The guard probe is a cheap `limit(n+1).count()` — it never
-    * scans past the ceiling.
+    * outage.
     */
   def q34EmbeddingTopPairs(s: SparkSession, dir: String): DataFrame = {
+    // probe the raw table, not scaledVectors: the guard then costs one
+    // counted parquet scan instead of materializing transform+sqrt+cache
+    requireAllPairsScale(t(s, dir, "embeddings"))
     val iv = scaledVectors(s, dir).cache()
-    val probe = iv.limit((AllPairsMaxVectors + 1).toInt).count()
-    require(probe <= AllPairsMaxVectors,
-      s"q34 is the all-pairs baseline: corpus exceeds $AllPairsMaxVectors vectors; " +
-        "use the bucketed paths (q41_ann_lsh / q42_ann_ivf) at this scale")
     val a = iv.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = iv.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("ia") < col("ib"))

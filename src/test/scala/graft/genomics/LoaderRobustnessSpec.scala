@@ -23,4 +23,13 @@ class LoaderRobustnessSpec extends SparkSpec {
       Set(Read(7L, 3, "ACG", 5, 0.5), Read(9L, 4, "ACGT", 12, 0.75)))
     assert(e.as[(Long, Long)].collect().toSet === Set((9L, 7L)))
   }
+
+  test("S4 edge sink round-trips through its text format") {
+    val edges = Seq((33L, 10L), (10L, 38L), (7L, 9L)).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft-edges").toString
+    Reads.edgeProjection(edges).write.mode("overwrite").text(dir)
+    val back = Reads.parseEdgeLines(spark, dir)
+    assert(back.as[(Long, Long)].collect().toSet ===
+      Set((33L, 10L), (10L, 38L), (7L, 9L)))
+  }
 }

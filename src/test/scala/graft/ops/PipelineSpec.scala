@@ -74,6 +74,31 @@ class PipelineSpec extends SparkSpec {
     assert(!m.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("q35/q36: dup cluster elects doc 0 canonical; survivors drop its members") {
+    val cl = Dedup.q35DedupClusters(spark, dir)
+      .select($"doc_id", $"cluster_id", $"is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    val byDoc = cl.map(r => r._1 -> r).toMap
+    // docs 0,1 are exact dups (jaccard 1 ≥ 0.8): one cluster, min id wins.
+    // doc 2's one-word edit sits at jaccard ≈ 0.65 — below q31's 0.8
+    // verify bar, so it is NOT clustered (q33's 0.5 bar would catch it).
+    assert(byDoc(0L) === ((0L, 0L, true)))
+    assert(byDoc(1L) === ((1L, 0L, false)))
+    assert(!byDoc.contains(2L))
+    val survivors = Dedup.q36DedupSurvivors(spark, dir)
+      .as[Long].collect().toSet
+    assert(survivors === Set(0L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("q34 all-pairs guard refuses a corpus above the ceiling") {
+    val iv = Similarity.scaledVectors(spark, dir)
+    Similarity.requireAllPairsScale(iv, ceiling = 10L) // 4 vectors: fine
+    val e = intercept[IllegalArgumentException] {
+      Similarity.requireAllPairsScale(iv, ceiling = 3L)
+    }
+    assert(e.getMessage.contains("all-pairs baseline"))
+  }
+
   test("q34/q40: identical vectors rank first with cosine 1") {
     val top = Similarity.q34EmbeddingTopPairs(spark, dir)
       .as[(Long, Long, Double)].collect()

@@ -36,6 +36,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
 
+  test("q33 shingle self-join keeps AQE skew handling enabled and unforced") {
+    // the df-cap bounds per-key fan-out; residual skew inside the cap is
+    // AQE's job — so the plan must stay adaptive and the self-join must
+    // not be hint-forced to a strategy that bypasses skew splitting
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    val p = plan("q33_jaccard_pairs")
+    assert(p.contains("AdaptiveSparkPlan"), p.take(500))
+    // no join-strategy hint anywhere in the q33 build (hints survive into
+    // the analyzed plan, so their absence is checkable)
+    val analyzed = graft.SparkEntry.queries("q33_jaccard_pairs")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("hint"), analyzed.take(500))
+  }
+
   test("q28 approx_count_distinct stays within 5% of exact") {
     val r = Relational.q28ApproxDistinct(spark, dir).head()
     val (ap, ep) = (r.getLong(0), r.getLong(1))

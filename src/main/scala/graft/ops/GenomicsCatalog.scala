@@ -153,6 +153,19 @@ object GenomicsCatalog {
                 FROM docs, (VALUES $edgeRows) e(a, b))"""
   }
 
+  /** Unrolled k-hop closure over `nxt`, one UNION arm per hop count.
+    * Depth = `windows.size - 1`: within a document, every edge strictly
+    * increases the window index, so no `next_id` chain can exceed that
+    * many hops — and deriving the depth here (instead of hard-coding 3)
+    * means adding a window to the constants automatically deepens the
+    * oracle's closure to match.
+    */
+  private val sqlChainHops = (1 to windows.size - 1).map { k =>
+    val joins = (2 to k)
+      .map(j => s"JOIN nxt n$j ON n${j - 1}.dst = n$j.src").mkString(" ")
+    s"UNION SELECT n1.src, n$k.dst FROM nxt n1 $joins"
+  }.mkString("\n        ")
+
   /** Independent derivation of the stitch for ascending-offset,
     * never-left-extending read sets (the derived windows are exactly
     * that; cases B/C/D only): the *window form* of SURVEY §2.4 A6. Each
@@ -208,10 +221,11 @@ object GenomicsCatalog {
         string_agg(seg, '' ORDER BY off) AS contig
       FROM segs GROUP BY doc_id ORDER BY doc_id""",
     // Iterative-fixpoint oracle: each read's converged span equals the
-    // window-form fold over its next_id chain's members (chains here are
-    // ≤ 3 hops — edges only go window i → i+1/i+2 — so the closure is
-    // three unrolled self-joins; offsets ascend along every chain, so
-    // the same independent window formulation as q72 applies per chain).
+    // window-form fold over its next_id chain's members; offsets ascend
+    // along every chain, so the same independent window formulation as
+    // q72 applies per chain. The closure's unroll depth is DERIVED from
+    // `windows` (see sqlChainHops) so editing the graph constants cannot
+    // silently truncate the oracle's chains.
     "q74_stitch_iterative" -> s"""
       WITH $sqlGraph,
       succ AS (SELECT e.src, e.dst, s.score,
@@ -220,10 +234,7 @@ object GenomicsCatalog {
       nxt AS (SELECT src, dst FROM succ WHERE rn = 1),
       chain AS (
         SELECT id AS vid, id AS mid FROM verts
-        UNION SELECT n1.src, n1.dst FROM nxt n1
-        UNION SELECT n1.src, n2.dst FROM nxt n1 JOIN nxt n2 ON n1.dst = n2.src
-        UNION SELECT n1.src, n3.dst FROM nxt n1 JOIN nxt n2 ON n1.dst = n2.src
-                                               JOIN nxt n3 ON n2.dst = n3.src),
+        $sqlChainHops),
       mem AS (SELECT c.vid, v.off, v.len, v.content
               FROM chain c JOIN verts v ON c.mid = v.id),
       folded2 AS (

@@ -61,7 +61,9 @@ object Similarity {
     * cheap `limit(n+1).count()` — it never scans past the ceiling.
     */
   def requireAllPairsScale(iv: DataFrame, ceiling: Long = AllPairsMaxVectors): Unit = {
-    val probe = iv.limit((ceiling + 1).toInt).count()
+    // clamp: a ceiling near Long.MaxValue must not overflow to a negative
+    // limit (which would throw an unrelated error instead of the guard's)
+    val probe = iv.limit(math.min(ceiling + 1, Int.MaxValue.toLong).toInt).count()
     require(probe <= ceiling,
       s"q34 is the all-pairs baseline: corpus exceeds $ceiling vectors; " +
         "use the bucketed paths (q41_ann_lsh / q42_ann_ivf) at this scale")

@@ -266,11 +266,16 @@ object Assembly {
         col("content").as("content"))
       val n = struct(col("c_offset").as("offset"), col("c_length").as("length"),
         col("c_content").as("content"))
+      // bind the merged struct ONCE, then project its fields — three
+      // inline stitchStep copies would lean on physical-plan subexpr
+      // elimination to avoid triple evaluation; the dense form's
+      // bind-then-project is the safe spelling (Assembly.scala:219)
       val merged = active.join(child, col("next_id") === col("c_id"))
+        .select(col("id"), col("next_id"), stitchStep(acc, n).as("m"))
         .select(col("id"), col("next_id"),
-          stitchStep(acc, n).getField("offset").as("offset"),
-          stitchStep(acc, n).getField("length").as("length"),
-          stitchStep(acc, n).getField("content").as("content"))
+          col("m.offset").as("offset"),
+          col("m.length").as("length"),
+          col("m.content").as("content"))
       // next state: merged rows replace their old versions
       val untouched = state.join(merged.select(col("id").as("mid")),
         col("id") === col("mid"), "left_anti")

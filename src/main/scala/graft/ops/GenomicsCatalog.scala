@@ -120,6 +120,19 @@ object GenomicsCatalog {
       .orderBy(col("id"))
   }
 
+  /** q74's fixpoint under the reference's actual `context.signal` delta
+    * scheduling (assembly_final.cpp:619, SURVEY §2.10 X4): only parents
+    * of last round's changed vertices re-merge. Identical converged
+    * state, frontier-proportional per-round work — the variant you'd
+    * run on a long-tail graph. Shares q74's oracle verbatim.
+    */
+  def q76StitchFrontier(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = readsGraph(s, dir)
+    Assembly.stitchIterativeFrontier(Assembly.bestSuccessor(v, e))
+      .select(col("id"), col("offset"), col("length"), col("content").as("contig"))
+      .orderBy(col("id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_prune_flag" -> (q70PruneFlag _),
     "q71_best_successor" -> (q71BestSuccessor _),
@@ -127,6 +140,7 @@ object GenomicsCatalog {
     "q73_stitch_udaf" -> (q73StitchUdaf _),
     "q74_stitch_iterative" -> (q74StitchIterative _),
     "q75_nonbest_invalid" -> (q75NonbestInvalid _),
+    "q76_stitch_frontier" -> (q76StitchFrontier _),
   )
 
   // ---- oracle SQL ----
@@ -192,6 +206,37 @@ object GenomicsCatalog {
           END AS seg
         FROM folded)"""
 
+  /** Shared by q74 and q76 — two schedulings of one fixpoint. */
+  private val sqlIterativeOracle = s"""
+      WITH $sqlGraph,
+      succ AS (SELECT e.src, e.dst, s.score,
+          ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY s.score DESC, e.dst) AS rn
+        FROM edges e JOIN scored s ON e.dst = s.id),
+      nxt AS (SELECT src, dst FROM succ WHERE rn = 1),
+      chain AS (
+        SELECT id AS vid, id AS mid FROM verts
+        $sqlChainHops),
+      mem AS (SELECT c.vid, v.off, v.len, v.content
+              FROM chain c JOIN verts v ON c.mid = v.id),
+      folded2 AS (
+        SELECT vid, off, len, content,
+          max(off + len) OVER (PARTITION BY vid ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        FROM mem),
+      segs2 AS (
+        SELECT vid, off, len, prev,
+          CASE WHEN prev IS NULL THEN content
+               WHEN off + len <= prev THEN ''
+               WHEN off >= prev THEN repeat('N', off - prev) || content
+               WHEN off = prev - 1 THEN substr(content, 2, len - 1)
+               ELSE substr(content, prev - off + 1, off + len - prev)
+          END AS seg
+        FROM folded2)
+      SELECT vid AS id, MIN(off) AS "offset",
+        MAX(off + len) - MIN(off) AS "length",
+        string_agg(seg, '' ORDER BY off) AS contig
+      FROM segs2 GROUP BY vid ORDER BY id"""
+
   val oracles: Map[String, String] = Map(
     "q70_prune_flag" -> s"""
       WITH $sqlGraph
@@ -225,36 +270,10 @@ object GenomicsCatalog {
     // along every chain, so the same independent window formulation as
     // q72 applies per chain. The closure's unroll depth is DERIVED from
     // `windows` (see sqlChainHops) so editing the graph constants cannot
-    // silently truncate the oracle's chains.
-    "q74_stitch_iterative" -> s"""
-      WITH $sqlGraph,
-      succ AS (SELECT e.src, e.dst, s.score,
-          ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY s.score DESC, e.dst) AS rn
-        FROM edges e JOIN scored s ON e.dst = s.id),
-      nxt AS (SELECT src, dst FROM succ WHERE rn = 1),
-      chain AS (
-        SELECT id AS vid, id AS mid FROM verts
-        $sqlChainHops),
-      mem AS (SELECT c.vid, v.off, v.len, v.content
-              FROM chain c JOIN verts v ON c.mid = v.id),
-      folded2 AS (
-        SELECT vid, off, len, content,
-          max(off + len) OVER (PARTITION BY vid ORDER BY off
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-        FROM mem),
-      segs2 AS (
-        SELECT vid, off, len, prev,
-          CASE WHEN prev IS NULL THEN content
-               WHEN off + len <= prev THEN ''
-               WHEN off >= prev THEN repeat('N', off - prev) || content
-               WHEN off = prev - 1 THEN substr(content, 2, len - 1)
-               ELSE substr(content, prev - off + 1, off + len - prev)
-          END AS seg
-        FROM folded2)
-      SELECT vid AS id, MIN(off) AS "offset",
-        MAX(off + len) - MIN(off) AS "length",
-        string_agg(seg, '' ORDER BY off) AS contig
-      FROM segs2 GROUP BY vid ORDER BY id""",
+    // silently truncate the oracle's chains. q76 (the frontier-scheduled
+    // spelling of the same fixpoint) shares it verbatim.
+    "q74_stitch_iterative" -> sqlIterativeOracle,
+    "q76_stitch_frontier" -> sqlIterativeOracle,
     "q75_nonbest_invalid" -> s"""
       WITH $sqlGraph,
       succ AS (SELECT e.src, e.dst, s.score,

@@ -202,12 +202,21 @@ object Assembly {
     * sentinel `next_id = -1`).
     */
   def stitchIterative(vertices: DataFrame, maxIters: Int = 64): DataFrame = {
+    val sc = vertices.sparkSession.sparkContext
     var state = vertices
       .select(col("id"), col("next_id"), col("offset"), col("length"), col("content"))
       .localCheckpoint()
     var it = 0
     var moved = true
     while (moved && it < maxIters) {
+      // convergence detection rides the checkpoint: a one-boolean kernel
+      // bumps a fresh accumulator while the eager localCheckpoint
+      // materializes the superstep, so the movement check costs zero
+      // extra jobs (previously a filter+limit count job per superstep).
+      // A merge that changes content always moves (offset, length):
+      // cases A1/A2/A3/B/C/D all grow or shift.
+      val movedAcc = sc.longAccumulator(s"stitch_moved_round_$it")
+      val bump = udf { m: Boolean => if (m) movedAcc.add(1L); m }
       val child = state.select(
         col("id").as("c_id"), col("offset").as("c_offset"),
         col("length").as("c_length"), col("content").as("c_content"))
@@ -217,23 +226,18 @@ object Assembly {
       val n = struct(col("c_offset").as("offset"), col("c_length").as("length"),
         col("c_content").as("content"))
       val merged = when(col("c_id").isNull, acc).otherwise(stitchStep(acc, n))
-      // carry the pre-merge span through the projection: the movement
-      // check is then a filter on the already-materialized checkpoint
-      // instead of a second join against the previous state (halves the
-      // per-superstep job count). A merge that changes content always
-      // moves (offset, length): cases A1/A2/A3/B/C/D all grow or shift.
-      val next = joined.select(
-        col("id"), col("next_id"),
-        merged.getField("offset").as("offset"),
-        merged.getField("length").as("length"),
-        merged.getField("content").as("content"),
-        col("offset").as("p_offset"), col("length").as("p_length"))
+      val next = joined
+        .select(col("id"), col("next_id"), merged.as("m"),
+          col("offset").as("p_offset"), col("length").as("p_length"))
+        .select(col("id"), col("next_id"),
+          col("m.offset").as("offset"),
+          col("m.length").as("length"),
+          col("m.content").as("content"),
+          bump(col("m.offset") =!= col("p_offset") ||
+               col("m.length") =!= col("p_length")).as("_moved"))
         .localCheckpoint()
-      moved = next
-        .where(col("offset") =!= col("p_offset") ||
-               col("length") =!= col("p_length"))
-        .limit(1).count() > 0
-      state = next.drop("p_offset", "p_length")
+      moved = movedAcc.value > 0
+      state = next.drop("_moved")
       it += 1
     }
     state
@@ -250,13 +254,23 @@ object Assembly {
     * while this touches the shrinking active set.
     */
   def stitchIterativeFrontier(vertices: DataFrame, maxIters: Int = 64): DataFrame = {
+    val sc = vertices.sparkSession.sparkContext
+    // frontier size detection rides each checkpoint's materialization
+    // via an accumulator-bumping kernel — no per-round count job
+    def checkpointCounting(df: DataFrame, accName: String): (DataFrame, Long) = {
+      val acc = sc.longAccumulator(accName)
+      val bump = udf { _: Boolean => acc.add(1L); true }
+      val cp = df.withColumn("_c", bump(lit(true))).localCheckpoint()
+      (cp.drop("_c"), acc.value)
+    }
     var state = vertices
       .select(col("id"), col("next_id"), col("offset"), col("length"), col("content"))
       .localCheckpoint()
     // round 0: every vertex is "changed" (signal_all, assembly_final.cpp:732)
-    var changed = state.select(col("id")).localCheckpoint()
+    var (changed, frontierSize) =
+      checkpointCounting(state.select(col("id")), "frontier_round_0")
     var it = 0
-    while (changed.limit(1).count() > 0 && it < maxIters) {
+    while (frontierSize > 0 && it < maxIters) {
       val active = state
         .join(changed.select(col("id").as("cid")), col("next_id") === col("cid"), "left_semi")
       val child = state.select(
@@ -281,12 +295,15 @@ object Assembly {
         col("id") === col("mid"), "left_anti")
       val next = untouched.unionByName(merged).localCheckpoint()
       // next frontier: vertices whose span moved (spans only widen/shift)
-      changed = merged.as("m")
-        .join(state.as("s"), col("m.id") === col("s.id"))
-        .where(col("m.offset") =!= col("s.offset") ||
-          col("m.length") =!= col("s.length"))
-        .select(col("m.id").as("id"))
-        .localCheckpoint()
+      val (ch, n2) = checkpointCounting(
+        merged.as("m")
+          .join(state.as("s"), col("m.id") === col("s.id"))
+          .where(col("m.offset") =!= col("s.offset") ||
+            col("m.length") =!= col("s.length"))
+          .select(col("m.id").as("id")),
+        s"frontier_round_${it + 1}")
+      changed = ch
+      frontierSize = n2
       state = next
       it += 1
     }

@@ -198,23 +198,29 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    val sc = pairs.sparkSession.sparkContext
     var moved = true
     var it = 0
     while (moved && it < maxIters) {
+      // movement detection rides the checkpoint itself: a one-boolean
+      // kernel bumps a fresh accumulator while the eager localCheckpoint
+      // materializes the round's labels, so convergence costs ZERO extra
+      // jobs (the previous spelling ran a filter+limit count job per
+      // round over the checkpointed blocks). Task retries can only
+      // over-count, and the value is used strictly as "> 0".
+      val movedAcc = sc.longAccumulator(s"cc_moved_round_$it")
+      val bump = udf { m: Boolean => if (m) movedAcc.add(1L); m }
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
-      // carry the previous label through the projection so the movement
-      // check is a filter on the materialized checkpoint, not a second
-      // join against the previous labels (halves the per-round jobs)
       val next = labels
         .join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("p_label"))
+          bump(coalesce(col("nmin"), lit(Long.MaxValue)) < col("label")).as("_moved"))
         .localCheckpoint()
-      moved = next.where(col("label") =!= col("p_label")).limit(1).count() > 0
-      labels = next.drop("p_label")
+      moved = movedAcc.value > 0
+      labels = next.drop("_moved")
       it += 1
     }
     // never return silently-unconverged labels: min-label moves one hop

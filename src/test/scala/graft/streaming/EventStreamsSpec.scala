@@ -107,6 +107,70 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("session_window drops past-watermark late events and finalizes closed sessions") {
+    // the risky behavior of withWatermark is the DROP boundary on
+    // out-of-order data — in-order equivalence (test above) can pass
+    // with a broken watermark. Three hand-stepped batches: open a
+    // session, advance the watermark far past it, then feed a late
+    // event from inside the closed session.
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.sessionCounts(src.toDF(), gap = "10 minutes",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 session [0, 15) — stays open (watermark 0)
+      src.addData(Ev(ts(0), 1, "click", 1.0, 0), Ev(ts(5), 1, "click", 2.0, 1))
+      q.processAllAvailable()
+      // batch 2: max event time jumps to minute 120 → the NEXT batch
+      // runs with watermark 120 - 30 = minute 90
+      src.addData(Ev(ts(120), 9, "click", 9.0, 2))
+      q.processAllAvailable()
+      // batch 3: minute 3 is far below watermark 90 → must be dropped,
+      // NOT merged into (or re-opening) user 1's session; the eviction
+      // pass of this batch also finalizes+emits that session
+      src.addData(Ev(ts(3), 1, "click", 100.0, 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_sessions")
+      .select($"user_id", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // exactly the pre-late-event session: two events, late value absent;
+    // user 9's session is still open (append emits only closed sessions)
+    assert(out === Set((1L, 2L, 3.0)))
+  }
+
+  test("dedup keeps state only within the watermark horizon and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(src.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: ids 100, 101 pass and enter dedup state (start at
+      // minute 10 — an epoch-0 event ties with the initial watermark
+      // and is dropped by the late-row filter)
+      src.addData(Ev(ts(10), 1, "a", 1.0, 100), Ev(ts(15), 1, "a", 1.0, 101))
+      q.processAllAvailable()
+      // batch 2: event time 130 → next batch's watermark = minute 100,
+      // which evicts both ids' state (kept only 30 min past event time)
+      src.addData(Ev(ts(130), 2, "a", 1.0, 200))
+      q.processAllAvailable()
+      // batch 3: a LATE never-seen id (minute 12 < watermark 100) must
+      // be dropped by the watermark filter, not emitted as new; a
+      // REPLAYED id 100 at minute 110 (> watermark, state already
+      // evicted) is correctly re-emitted — "within watermark" is the
+      // guarantee, and this is its boundary
+      src.addData(Ev(ts(12), 3, "a", 1.0, 102), Ev(ts(110), 1, "a", 1.0, 100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_dedup")
+      .select($"event_id", unix_timestamp($"ts") / 60)
+      .as[(Long, Double)].collect().toSet
+    assert(out === Set((100L, 10.0), (101L, 15.0), (200L, 130.0), (100L, 110.0)))
+  }
+
   test("streaming dedup drops same-id events within the watermark") {
     val events = Seq(
       Ev(ts(0), 1, "click", 1.0, 100), Ev(ts(1), 1, "click", 1.0, 100),

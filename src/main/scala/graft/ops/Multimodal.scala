@@ -82,9 +82,31 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Expression-only twin of q60: the stub features restated as pure
+    * Catalyst expressions over the binary column — no Dataset encoder,
+    * no mapPartitions. The pair quantifies the codec-boundary tax: the
+    * mapPartitions form pays encoder (de)serialization per row but is
+    * the shape a REAL decoder needs (codec handle per partition); this
+    * form stays inside whole-stage codegen and is the ceiling. Both are
+    * checked against the same oracle.
+    */
+  def q62DecodeExpr(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("payload")).cast("int")
+    // first payload byte as unsigned int; empty payload → 0
+    val hdr = coalesce(
+      nullif(conv(hex(substring(col("payload"), 1, 1)), 16, 10), lit("")),
+      lit("0")).cast("int")
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("format"), n.as("n_bytes"),
+        hdr.as("header_byte"), (n % 640).as("width"),
+        ((n * 7) % 480).as("height"), (hdr % 30).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_frame_sample" -> (q61FrameSample _),
+    "q62_decode_expr" -> (q62DecodeExpr _),
   )
 
   /** DuckDB twin of `payload(0) & 0xff`: the first UTF-8 *byte* of the
@@ -98,9 +120,10 @@ object Multimodal {
               WHEN cp < 65536 THEN 224 + cp // 4096
               ELSE 240 + cp // 262144 END)"""
 
-  val oracles: Map[String, String] = Map(
-    // the stub decode restated in SQL: payload = utf-8 bytes of text
-    "q60_multimodal_decode" -> s"""
+  /** The stub decode restated in SQL (payload = utf-8 bytes of text);
+    * shared by q60 (mapPartitions form) and q62 (expression form).
+    */
+  private val sqlDecodeOracle = s"""
       WITH cps AS (SELECT doc_id, text, ascii(substr(text, 1, 1)) AS cp
                    FROM documents),
       hdr AS (SELECT doc_id, text, $sqlHeadByte AS hb FROM cps)
@@ -111,7 +134,11 @@ object Multimodal {
         CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
         hb % 30 AS n_frames
-      FROM hdr ORDER BY doc_id""",
+      FROM hdr ORDER BY doc_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q60_multimodal_decode" -> sqlDecodeOracle,
+    "q62_decode_expr" -> sqlDecodeOracle,
     "q61_frame_sample" -> s"""
       WITH cps AS (SELECT doc_id, ascii(substr(text, 1, 1)) AS cp
                    FROM documents),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe above sf0.1 (the largest driver-generated sf).
+  *
+  * Builds a `factor`×-replicated copy of the sf0.1 `documents` and
+  * `embeddings` tables — ids offset per copy, content byte-identical —
+  * and runs the dedup/similarity/assembly families against it. Identical
+  * copies are the deliberate choice: every original near-dup pair fans
+  * out to copy² cross-pairs and every document gains factor−1 exact
+  * twins, so the probe stresses a ~90%-duplicate corpus, the worst
+  * realistic shape for LSH banding, candidate verification, and
+  * connected components (CommonCrawl-scale crawls are dup-heavy in
+  * exactly this way). Numbers land in SCALING.md next to the sf0.1
+  * bench for the same queries.
+  *
+  * Derived data is ephemeral (JVM temp dir), like Spark's own shuffle
+  * files; /root/testdata stays untouched.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // id offset per copy keeps copies disjoint while preserving every
+    // original id (copy 0 is the original table verbatim)
+    val offset = 10000000L
+    def replicate(table: String, idCol: String): Unit = {
+      val dst = s"$out/$table.parquet"
+      if (!new java.io.File(dst).exists()) {
+        spark.read.parquet(s"$src/$table.parquet")
+          .withColumn("_k", explode(sequence(lit(0), lit(factor - 1))))
+          .withColumn(idCol, col(idCol) + col("_k") * offset)
+          .drop("_k")
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(dst)
+      }
+    }
+    replicate("documents", "doc_id")
+    replicate("embeddings", "vec_id")
+
+    // the families whose 100 TB design claims this probe tests; q34 is
+    // excluded by design — its guard admits ≤100k vectors but the point
+    // of the probe is the SCALE paths, and 20k² all-pairs is the
+    // baseline we explicitly route around (q41/q42)
+    val probes = Seq(
+      "q30_exact_dedup", "q31_minhash_pairs", "q32_simhash",
+      "q33_jaccard_pairs", "q35_dedup_clusters", "q36_dedup_survivors",
+      "q37_staged_survivors", "q40_cosine_topk", "q41_ann_lsh",
+      "q42_ann_ivf", "q72_stitch_contigs", "q74_stitch_iterative",
+      "q76_stitch_frontier")
+
+    // warm (codegen + parquet footers), then one timed run per query —
+    // at this size steady-state JIT effects are amortized by the work
+    spark.read.parquet(s"$out/documents.parquet").limit(1).collect()
+    spark.read.parquet(s"$out/embeddings.parquet").limit(1).collect()
+    val results = probes.map { name =>
+      val t0 = System.nanoTime()
+      val (n, err) =
+        try (SparkEntry.queries(name)(spark, out).count(), None)
+        catch { case e: Throwable =>
+          (-1L, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"PROBE $name%-22s ${if (err.isEmpty) f"$dt%8.2f s  rows=$n" else s"FAILED $dt%.2f s ${err.get}"}")
+      (name, dt, n, err)
+    }
+    val qs = results.map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    println(s"""{"metric":"scaleprobe_total","value":$total,"unit":"sec","factor":$factor,"queries":$qs}""")
+    spark.stop()
+    if (results.exists(_._4.nonEmpty)) sys.exit(1)
+  }
+}

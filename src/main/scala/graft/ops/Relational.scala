@@ -387,6 +387,43 @@ object Relational {
         col("l_quantity"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
 
+  /** Bucketed co-located fact⋈fact join — the zero-shuffle join pattern
+    * for 100 TB (SURVEY §4.1): both tables are bucketed+sorted on the
+    * join key (written once per session/sf into the warehouse), so the
+    * SortMergeJoin consumes bucket-partitioning directly and NEITHER
+    * side shuffles — at cluster scale the difference between a
+    * network-bound and a node-local join. The merge hint keeps the
+    * demonstration honest: without it the small sf lets Spark broadcast
+    * the orders side, which is also shuffle-free but proves nothing
+    * about bucketing. Plan pinned in PlanSpec (no exchange on either
+    * join key, bucketed scans).
+    */
+  def q39BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // identifier-safe tag: dots/dashes would break the parsed table name
+    val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
+    val (ob, lb) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+    // write once per session; a PREVIOUS session's managed-table
+    // directory can survive in the warehouse while the fresh in-memory
+    // catalog knows nothing of it, and saveAsTable then refuses the
+    // location — clear the stale path before writing
+    def ensureBucketed(name: String, src: String, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        t(s, dir, src).write.mode("overwrite")
+          .bucketBy(16, key).sortBy(key).saveAsTable(name)
+      }
+    ensureBucketed(ob, "orders", "o_orderkey")
+    ensureBucketed(lb, "lineitem", "l_orderkey")
+    s.table(ob).hint("merge")
+      .join(s.table(lb), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -417,6 +454,7 @@ object Relational {
     "q27_pivot" -> (q27Pivot _),
     "q28_approx_distinct" -> (q28ApproxDistinct _),
     "q29_map_json" -> (q29MapJson _),
+    "q39_bucketed_join" -> (q39BucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -607,5 +645,12 @@ object Relational {
         FROM events)
       GROUP BY event_type, n_keys, keys
       ORDER BY event_type, n_keys, keys""",
+    // bucketing changes the physical plan, never the answer — the
+    // oracle is the plain join
+    "q39_bucketed_join" -> """
+      SELECT o_orderpriority, COUNT(1) AS n_items,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

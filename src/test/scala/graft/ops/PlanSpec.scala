@@ -60,6 +60,17 @@ class PlanSpec extends SparkSpec {
       analyzed.take(500))
   }
 
+  test("q39 bucketed join shuffles NEITHER side and scans buckets") {
+    val p = plan("q39_bucketed_join")
+    // the SortMergeJoin must consume bucket-partitioning directly: no
+    // exchange on either join key (the agg's exchange on
+    // o_orderpriority is expected and fine), and the scans are bucketed
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("hashpartitioning(o_orderkey")
+      && !p.contains("hashpartitioning(l_orderkey"), p)
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+  }
+
   test("q28 approx_count_distinct stays within 5% of exact") {
     val r = Relational.q28ApproxDistinct(spark, dir).head()
     val (ap, ep) = (r.getLong(0), r.getLong(1))

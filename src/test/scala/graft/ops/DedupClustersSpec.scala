@@ -42,4 +42,40 @@ class DedupClustersSpec extends SparkSpec {
     assert(got === Map(5L -> 5L, 50L -> 5L, 51L -> 5L, 52L -> 5L,
       60L -> 60L, 61L -> 60L))
   }
+
+  // ---- large-star/small-star variant ----
+
+  private def starClusters(df: DataFrame, maxIters: Int = 40): Map[Long, Long] =
+    Dedup.connectedComponentsStar(df, maxIters).as[(Long, Long)].collect().toMap
+
+  test("star contraction agrees with min-label on every shape above") {
+    for (ps <- Seq(
+        pairs(1L -> 2L, 2L -> 3L, 10L -> 11L),
+        pairs((0L until 11L).map(i => i -> (i + 1)): _*),
+        pairs(7L -> 3L, 9L -> 7L),
+        pairs(5L -> 50L, 5L -> 51L, 5L -> 52L, 60L -> 61L)))
+      assert(starClusters(ps) === clusters(ps))
+  }
+
+  test("star contraction converges in O(log n) rounds where min-label needs O(diameter)") {
+    // a 65-node path: min-label needs 64 rounds (throws at 10);
+    // star contraction finishes well inside 10
+    val chain = pairs((0L until 64L).map(i => i -> (i + 1)): _*)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 10)
+    }
+    val got = starClusters(chain, maxIters = 10)
+    assert(got.size === 65)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("star contraction on disjoint random-ish components elects each minimum") {
+    val got = starClusters(pairs(
+      100L -> 7L, 7L -> 93L, 93L -> 100L, // triangle with min 7
+      200L -> 201L, 201L -> 202L, 200L -> 202L, // triangle with min 200
+      999L -> 3L)) // pair with min 3
+    assert(got(100L) === 7L && got(93L) === 7L && got(7L) === 7L)
+    assert(got(200L) === 200L && got(201L) === 200L && got(202L) === 200L)
+    assert(got(999L) === 3L && got(3L) === 3L)
+  }
 }

@@ -368,11 +368,15 @@ object Dedup {
   }
 
   /** Stage 2: pairs parquet → cluster labels, persisted. Reads ONLY the
-    * staged pairs — no raw text, no re-hashing.
+    * staged pairs — no raw text, no re-hashing. Deliberately uses the
+    * O(log n) star contraction while q35 uses min-label propagation:
+    * StagedDedupSpec asserts the two algorithms agree on real pairs,
+    * and q37's DuckDB recursive-closure oracle independently validates
+    * the star labels — a cross-algorithm check neither gets alone.
     */
   def stageClusters(s: SparkSession, workDir: String): String = {
     val p = s"$workDir/clusters"
-    connectedComponents(s.read.parquet(s"$workDir/pairs"))
+    connectedComponentsStar(s.read.parquet(s"$workDir/pairs"))
       .write.mode("overwrite").parquet(p)
     p
   }

@@ -387,6 +387,27 @@ object Relational {
         col("l_quantity"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
 
+  /** Salted distinct aggregation — the skew-safe spelling of
+    * `groupBy(key).agg(countDistinct(value))` (SURVEY §4.1). The plain
+    * form shuffles EVERY (key, value) row of a hot key to one task; the
+    * salted form derives a salt from the VALUE (each distinct user lands
+    * in exactly one salt bucket, so per-bucket distinct counts add up
+    * exactly), partial-aggregates per (key, salt), and sums the 16
+    * partials. On a 1000-executor cluster this turns the hottest key's
+    * single straggler task into 16 even ones. Identical answer by
+    * construction; the oracle is the plain distinct.
+    */
+  def q38SaltedDistinct(s: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    t(s, dir, "events")
+      .withColumn("_salt", pmod(xxhash64(col("user_id")), lit(salts)))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(countDistinct(col("user_id")).as("pd"), count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pd")).as("n_users"), sum(col("pn")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Bucketed co-located fact⋈fact join — the zero-shuffle join pattern
     * for 100 TB (SURVEY §4.1): both tables are bucketed+sorted on the
     * join key (written once per session/sf into the warehouse), so the
@@ -454,6 +475,7 @@ object Relational {
     "q27_pivot" -> (q27Pivot _),
     "q28_approx_distinct" -> (q28ApproxDistinct _),
     "q29_map_json" -> (q29MapJson _),
+    "q38_salted_distinct" -> (q38SaltedDistinct _),
     "q39_bucketed_join" -> (q39BucketedJoin _),
   )
 
@@ -645,6 +667,12 @@ object Relational {
         FROM events)
       GROUP BY event_type, n_keys, keys
       ORDER BY event_type, n_keys, keys""",
+    // salting changes the physical plan, never the answer — the oracle
+    // is the plain distinct aggregation
+    "q38_salted_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        COUNT(1) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // bucketing changes the physical plan, never the answer — the
     // oracle is the plain join
     "q39_bucketed_join" -> """

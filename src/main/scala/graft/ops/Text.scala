@@ -188,7 +188,35 @@ object Text {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Per-language sampling quotas (percent) for [[q56StratifiedSample]];
+    * embedded identically in the DuckDB oracle.
+    */
+  private val sampleRates =
+    Seq("en" -> 50, "de" -> 40, "fr" -> 30, "es" -> 20, "zh" -> 10)
+
+  /** Deterministic stratified (quota) sampling — the corpus-mixing step
+    * of a training-data pipeline: keep X% per language, chosen by a
+    * content-stable hash bucket (`md5(doc_id) % 100`), NOT by rand().
+    * Hash-quota sampling is reproducible across runs/engines, streams
+    * with the scan (no shuffle, no state), and composes with
+    * incremental ingestion — every property rand() sampling lacks at
+    * 100 TB. One map stage; the sort is presentation-only.
+    */
+  def q56StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
+    val rate = sampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .withColumn("bucket", bucket)
+      .where(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_stratified_sample" -> (q56StratifiedSample _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
     "q51_quality_score" -> (q51QualityScore _),
@@ -198,6 +226,20 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_stratified_sample" -> {
+      val m = "md5(CAST(doc_id AS VARCHAR))"
+      val hex = (1 to 4).map(k =>
+        s"(strpos('0123456789abcdef', substr($m, $k, 1)) - 1)")
+      val bucket = s"CAST((${hex(0)} * 4096 + ${hex(1)} * 256 + ${hex(2)} * 16 + ${hex(3)}) % 100 AS INT)"
+      val rateCase = sampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE lang ", " ", " ELSE 0 END")
+      s"""
+      WITH b AS (SELECT doc_id, lang, $bucket AS bucket FROM documents)
+      SELECT doc_id, lang, bucket FROM b
+      WHERE bucket < $rateCase
+      ORDER BY doc_id"""
+    },
     "q55_tfidf_topterms" -> s"""
       WITH toks AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),

@@ -271,6 +271,8 @@ object Assembly {
       checkpointCounting(state.select(col("id")), "frontier_round_0")
     var it = 0
     while (frontierSize > 0 && it < maxIters) {
+      val movedAcc = sc.longAccumulator(s"frontier_moved_round_${it + 1}")
+      val bump = udf { m: Boolean => if (m) movedAcc.add(1L); m }
       val active = state
         .join(changed.select(col("id").as("cid")), col("next_id") === col("cid"), "left_semi")
       val child = state.select(
@@ -280,31 +282,29 @@ object Assembly {
         col("content").as("content"))
       val n = struct(col("c_offset").as("offset"), col("c_length").as("length"),
         col("c_content").as("content"))
-      // bind the merged struct ONCE, then project its fields — three
-      // inline stitchStep copies would lean on physical-plan subexpr
-      // elimination to avoid triple evaluation; the dense form's
-      // bind-then-project is the safe spelling (Assembly.scala:219)
+      // bind the merged struct ONCE, then project its fields (the dense
+      // form's safe spelling, Assembly.scala:219); the pre-merge span
+      // rides the same projection so the change flag — which is both
+      // next round's frontier membership AND (via the accumulator) the
+      // loop condition — costs no join and no extra job: one
+      // checkpointed frame per round feeds state update and frontier
       val merged = active.join(child, col("next_id") === col("c_id"))
-        .select(col("id"), col("next_id"), stitchStep(acc, n).as("m"))
+        .select(col("id"), col("next_id"), stitchStep(acc, n).as("m"),
+          col("offset").as("p_offset"), col("length").as("p_length"))
         .select(col("id"), col("next_id"),
           col("m.offset").as("offset"),
           col("m.length").as("length"),
-          col("m.content").as("content"))
+          col("m.content").as("content"),
+          bump(col("m.offset") =!= col("p_offset") ||
+               col("m.length") =!= col("p_length")).as("_ch"))
+        .localCheckpoint()
       // next state: merged rows replace their old versions
       val untouched = state.join(merged.select(col("id").as("mid")),
         col("id") === col("mid"), "left_anti")
-      val next = untouched.unionByName(merged).localCheckpoint()
-      // next frontier: vertices whose span moved (spans only widen/shift)
-      val (ch, n2) = checkpointCounting(
-        merged.as("m")
-          .join(state.as("s"), col("m.id") === col("s.id"))
-          .where(col("m.offset") =!= col("s.offset") ||
-            col("m.length") =!= col("s.length"))
-          .select(col("m.id").as("id")),
-        s"frontier_round_${it + 1}")
-      changed = ch
-      frontierSize = n2
-      state = next
+      state = untouched.unionByName(merged.drop("_ch")).localCheckpoint()
+      // next frontier: lazy filter over the already-materialized merge
+      changed = merged.where(col("_ch")).select(col("id"))
+      frontierSize = movedAcc.value
       it += 1
     }
     state

@@ -420,6 +420,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the training-corpus hygiene step: flag
+    * documents sharing ≥5 distinct word-3-gram shingles with a
+    * benchmark/eval set (here: doc_id < 20 stands in for the eval
+    * suite). Scale shape: the benchmark shingle set is SMALL and fixed,
+    * so it broadcasts and the check is a map-side semi-join over the
+    * corpus scan + one partial-agg groupBy — no wide shuffle, which is
+    * what lets you re-run decontamination on every corpus refresh.
+    */
+  def q57Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(s, dir)
+    val bench = sh.where(col("doc_id") < 20).select(col("h")).distinct()
+    sh.where(col("doc_id") >= 20)
+      // rows are distinct (doc_id, h), so count == distinct overlap
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= 5)
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
@@ -428,6 +447,7 @@ object Dedup {
     "q35_dedup_clusters" -> (q35DedupClusters _),
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
     "q37_staged_survivors" -> (q37StagedSurvivors _),
+    "q57_decontaminate" -> (q57Decontaminate _),
   )
 
   // ---- oracle SQL ----
@@ -554,5 +574,13 @@ object Dedup {
       WHERE d.doc_id NOT IN
         (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
       ORDER BY d.doc_id""",
+    "q57_decontaminate" -> s"""
+      WITH $sqlHashedShingles,
+      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20)
+      SELECT doc_id, COUNT(1) AS n_overlap
+      FROM sh JOIN bench USING (h)
+      WHERE doc_id >= 20
+      GROUP BY doc_id HAVING COUNT(1) >= 5
+      ORDER BY doc_id""",
   )
 }

@@ -215,8 +215,34 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-length sequence packing — the chunking step that turns
+    * variable-length documents into training windows: 64-token chunks
+    * on a 56-token stride (8-token overlap), every start kept so no
+    * token is dropped. Emitted as (chunk_idx, n_tokens, md5-of-chunk):
+    * content-verifying without megabyte rows. Generator stage over the
+    * scan — no shuffle beyond the presentation sort; at 100 TB this is
+    * the map phase feeding the tokenizer.
+    */
+  def q58SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val (win, stride) = (64, 56)
+    t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        // chunk_idx by arithmetic (not posexplode) so the DuckDB twin
+        // needs no WITH ORDINALITY
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_idx"),
+        slice(col("ws"), col("start"), lit(win)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
+    "q58_sequence_pack" -> (q58SequencePack _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
     "q51_quality_score" -> (q51QualityScore _),
@@ -240,6 +266,16 @@ object Text {
       WHERE bucket < $rateCase
       ORDER BY doc_id"""
     },
+    "q58_sequence_pack" -> s"""
+      WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      starts AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 56)) AS start
+                 FROM w),
+      chunks AS (SELECT doc_id, (start - 1) // 56 AS chunk_idx,
+                   ws[start : start + 63] AS chunk
+                 FROM starts)
+      SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+        md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM chunks ORDER BY doc_id, chunk_idx""",
     "q55_tfidf_topterms" -> s"""
       WITH toks AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),

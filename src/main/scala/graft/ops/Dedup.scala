@@ -155,7 +155,11 @@ object Dedup {
     val shAll = hashedShingles(s, dir).cache()
     val rare = shAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") <= 50).select(col("h"))
-    val sh = shAll.join(rare, "h").cache()
+    // EAGER checkpoint, not cache: both sides of the self-join below
+    // read this frame, and a lazy cache gets raced into concurrent
+    // duplicate materialization (the q31 lesson); the checkpoint also
+    // materializes shAll's cache serially as a side effect
+    val sh = shAll.join(rare, "h").localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

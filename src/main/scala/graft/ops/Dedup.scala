@@ -443,6 +443,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q57 with a Bloom prefilter — the shape decontamination takes when
+    * the eval suite is too big to broadcast as an exact set: build a
+    * constant-size Bloom filter over the benchmark shingle hashes
+    * (`DataFrameStatFunctions.bloomFilter`, one small aggregation),
+    * ship it in the filter closure, and drop ~`fpp` of non-matching
+    * corpus shingles BEFORE the verification join. Bloom filters have
+    * no false negatives, and the exact join then removes the false
+    * positives, so the answer is q57's verbatim (same oracle). At
+    * 100 TB the prefilter turns the join's probe side from every
+    * corpus shingle into only the ~overlapping ones — the join input
+    * shrinks by orders of magnitude while the filter itself stays a
+    * few hundred KB regardless of corpus size.
+    */
+  def q59BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(s, dir)
+    val bench = sh.where(col("doc_id") < 20).select(col("h")).distinct()
+    // expected-items bound: 20 docs × ≤~60 shingles each; 1% fpp ≈ 2 KB
+    val bf = bench.stat.bloomFilter("h", 4096L, 0.01)
+    val mightContain = udf { h: Long => bf.mightContain(h) }
+    sh.where(col("doc_id") >= 20)
+      .where(mightContain(col("h"))) // Bloom prefilter (no false negatives)
+      .join(broadcast(bench), "h") // exact verify removes false positives
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= 5)
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
@@ -452,6 +479,7 @@ object Dedup {
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
     "q37_staged_survivors" -> (q37StagedSurvivors _),
     "q57_decontaminate" -> (q57Decontaminate _),
+    "q59_bloom_decontaminate" -> (q59BloomDecontaminate _),
   )
 
   // ---- oracle SQL ----
@@ -578,13 +606,18 @@ object Dedup {
       WHERE d.doc_id NOT IN
         (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
       ORDER BY d.doc_id""",
-    "q57_decontaminate" -> s"""
+    "q57_decontaminate" -> sqlDecontaminate,
+    // the Bloom prefilter is answer-preserving (no false negatives +
+    // exact verify join), so the oracle is q57's verbatim
+    "q59_bloom_decontaminate" -> sqlDecontaminate,
+  )
+
+  private lazy val sqlDecontaminate = s"""
       WITH $sqlHashedShingles,
       bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20)
       SELECT doc_id, COUNT(1) AS n_overlap
       FROM sh JOIN bench USING (h)
       WHERE doc_id >= 20
       GROUP BY doc_id HAVING COUNT(1) >= 5
-      ORDER BY doc_id""",
-  )
+      ORDER BY doc_id"""
 }

@@ -445,6 +445,63 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Unpivot (wide→long reshaping, the inverse of q27's pivot): a
+    * per-nation metrics table melts into (nation, metric, value) rows.
+    * Spark's `unpivot` is a zero-shuffle generator over the already-
+    * aggregated frame; the oracle spells the same reshape as UNION ALL
+    * arms (the portable form). Metrics are cast to a uniform double
+    * before melting — `unpivot` requires one common value type.
+    */
+  def q43Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("c_acctbal")).as("sum_acctbal"),
+        count(lit(1)).cast("double").as("n_customers"))
+    wide.unpivot(
+        Array(col("n_name")),
+        Array(col("sum_acctbal"), col("n_customers")),
+        "metric", "value")
+      .orderBy(col("n_name"), col("metric"))
+  }
+
+  /** Exact grouped percentiles (continuous interpolation): p25/p50/p75
+    * of l_quantity plus the median. Spark `percentile` and DuckDB
+    * `quantile_cont` share the lo + (hi−lo)·frac interpolation; on
+    * whole-number quantities the arithmetic is bit-identical. Exact
+    * percentile shuffles the full value multiset per group — the
+    * sketch alternative at 100 TB is approx_percentile (same shape as
+    * q28's HLL trade-off).
+    */
+  def q44Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75_qty"),
+        median(col("l_quantity")).as("med_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Distribution window functions (the W1 family beyond q12's ranks):
+    * ntile quartiles, percent_rank, cume_dist over each nation's
+    * customers by account balance. All three are rank-derived — the
+    * doubles are (rank−1)/(n−1) and peers/n, identical integer→double
+    * divisions in both engines. One shuffle on the partition key.
+    */
+  def q45DistWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .where(col("c_custkey") <= 300)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -477,6 +534,9 @@ object Relational {
     "q29_map_json" -> (q29MapJson _),
     "q38_salted_distinct" -> (q38SaltedDistinct _),
     "q39_bucketed_join" -> (q39BucketedJoin _),
+    "q43_unpivot" -> (q43Unpivot _),
+    "q44_percentiles" -> (q44Percentiles _),
+    "q45_dist_windows" -> (q45DistWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -680,5 +740,34 @@ object Relational {
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the UNION ALL spelling is the portable twin of DataFrame.unpivot
+    "q43_unpivot" -> """
+      WITH wide AS (
+        SELECT n_name,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal,
+          CAST(COUNT(1) AS DOUBLE) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, metric, value FROM (
+        SELECT n_name, 'sum_acctbal' AS metric, sum_acctbal AS value FROM wide
+        UNION ALL
+        SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide)
+      ORDER BY n_name, metric""",
+    "q44_percentiles" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25_qty,
+        quantile_cont(l_quantity, 0.5) AS p50_qty,
+        quantile_cont(l_quantity, 0.75) AS p75_qty,
+        quantile_cont(l_quantity, 0.5) AS med_qty,
+        COUNT(1) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q45_dist_windows" -> """
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        NTILE(4) OVER w AS quartile,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume
+      FROM customer WHERE c_custkey <= 300
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_nationkey, c_custkey""",
   )
 }

@@ -240,6 +240,41 @@ object Text {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Repetition scoring — the Gopher-style quality signals that catch
+    * templated/looping text: the duplicate word-2-gram fraction
+    * (1 − distinct/total bigrams) and the top-word mass fraction
+    * (count of the most frequent word / total words). The bigram
+    * fraction is computed array-native on the scan (pure map stage);
+    * the top-word count goes through explode → two partial-aggregated
+    * groupBys — the linear, shuffle-bounded shape, not the O(n²)
+    * per-row array scan. At 100 TB both signals stream with the
+    * corpus scan plus one doc_id-partitioned aggregation.
+    */
+  def q63RepetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val big = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val dupFrac = d.select(col("doc_id"), big.as("g2"))
+      .select(col("doc_id"),
+        when(size(col("g2")) > 0,
+          lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / size(col("g2")).cast("double"))
+          .otherwise(0.0).as("dup_bigram_frac"))
+    val top = d.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_words"))
+    dupFrac.join(top, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (col("top_cnt").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        col("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q58_sequence_pack" -> (q58SequencePack _),
@@ -249,6 +284,7 @@ object Text {
     "q52_token_stats" -> (q52TokenStats _),
     "q53_fingerprint" -> (q53Fingerprint _),
     "q54_sessionize" -> (q54Sessionize _),
+    "q63_repetition_score" -> (q63RepetitionScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +378,24 @@ object Text {
         COUNT(1) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    "q63_repetition_score" -> s"""
+      WITH d AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      g2 AS (SELECT doc_id,
+          list_transform(range(1, greatest(len(ws)-1, 0) + 1),
+            i -> ws[i] || ' ' || ws[i+1]) AS g2 FROM d),
+      dup AS (SELECT doc_id,
+          CASE WHEN len(g2) > 0
+            THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_frac FROM g2),
+      toks AS (SELECT doc_id, unnest(ws) AS w FROM d),
+      counts AS (SELECT doc_id, w, COUNT(1) AS c FROM toks GROUP BY doc_id, w),
+      top AS (SELECT doc_id, MAX(c) AS top_cnt,
+                CAST(SUM(c) AS BIGINT) AS n_words
+              FROM counts GROUP BY doc_id)
+      SELECT doc_id, n_words,
+        CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        dup_bigram_frac
+      FROM dup JOIN top USING (doc_id)
+      ORDER BY doc_id""",
   )
 }

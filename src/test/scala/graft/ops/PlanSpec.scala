@@ -71,6 +71,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
   }
 
+  test("q59 bloom prefilter is answer-preserving vs the exact q57") {
+    // bloom has no false negatives and the verify join removes false
+    // positives, so the two decontamination spellings must agree row
+    // for row at any fpp
+    val exact = graft.SparkEntry.queries("q57_decontaminate")(spark, dir).collect()
+    val bloom = graft.SparkEntry.queries("q59_bloom_decontaminate")(spark, dir).collect()
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("q43 unpivot plans as a generator stage, no join or extra shuffle") {
+    val p = plan("q43_unpivot")
+    // the melt is an Expand over the aggregated frame — adding a metric
+    // must never add a join or a per-metric shuffle
+    assert(p.contains("Expand"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("q28 approx_count_distinct stays within 5% of exact") {
     val r = Relational.q28ApproxDistinct(spark, dir).head()
     val (ap, ep) = (r.getLong(0), r.getLong(1))

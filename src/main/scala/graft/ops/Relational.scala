@@ -502,6 +502,25 @@ object Relational {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** Approximate grouped percentiles (KLL-style sketch) riding next to
+    * the exact values — q44's sketch twin, same pairing as q28's HLL vs
+    * exact distinct. No SQL oracle (DuckDB's approx sketch differs);
+    * the ±1% envelope is asserted in PlanSpec. At 100 TB the sketch is
+    * the only affordable form: constant memory per group and
+    * mergeable partials vs the exact form's full value-multiset
+    * shuffle.
+    */
+  def q46ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("exact_p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -537,6 +556,7 @@ object Relational {
     "q43_unpivot" -> (q43Unpivot _),
     "q44_percentiles" -> (q44Percentiles _),
     "q45_dist_windows" -> (q45DistWindows _),
+    "q46_approx_percentiles" -> (q46ApproxPercentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -716,6 +736,8 @@ object Relational {
         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // q28_approx_distinct: intentionally no oracle (engine-specific HLL)
+    // q46_approx_percentiles: intentionally no oracle (engine-specific
+    // quantile sketch); ±1% envelope asserted in PlanSpec
     "q29_map_json" -> """
       SELECT event_type, n_keys, keys, COUNT(1) AS n,
         MIN(k) AS min_k, MAX(k) AS max_k

@@ -161,11 +161,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-label centroid training — the IVF codebook step q42's scaladoc
+    * points at (one Lloyd iteration with label as the fixed assignment;
+    * swap the label column for the previous round's nearest-centroid id
+    * and this IS k-means at scale). Long form (label, dim, centroid):
+    * posexplode → one partial-aggregated groupBy on (label, dim), exact
+    * integer sums on the 2^16-scaled components, one IEEE division
+    * chain at the end. At 100 TB this is the canonical mergeable-
+    * partial aggregation: 64 rows per vector map-side-combine down to
+    * |labels|×64 before the shuffle.
+    */
+  def q47LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    scaledVectors(s, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "sv")))
+      // 1-based dim to match DuckDB generate_subscripts
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(sum(col("sv")).as("ssum"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("dim"), col("n_vectors"),
+        // fixed association: (sum→double / count) / scale
+        ((col("ssum").cast("double") / col("n_vectors")) / lit(65536.0))
+          .as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _),
+    "q47_label_centroids" -> (q47LabelCentroids _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,5 +250,13 @@ object Similarity {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q47_label_centroids" -> """
+      WITH sv AS (SELECT label,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
+        FROM embeddings),
+      ex AS (SELECT label, unnest(v) AS sv, generate_subscripts(v, 1) AS dim FROM sv)
+      SELECT label, dim, COUNT(1) AS n_vectors,
+        (CAST(SUM(sv) AS DOUBLE) / COUNT(1)) / 65536.0 AS centroid
+      FROM ex GROUP BY label, dim ORDER BY label, dim""",
   )
 }

@@ -88,6 +88,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q46 approx percentiles stay within 1% of exact") {
+    Relational.q46ApproxPercentiles(spark, dir).collect().foreach { r =>
+      val (a50, e50) = (r.getDouble(1), r.getDouble(2))
+      val (a90, e90) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"p50: approx $a50 exact $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"p90: approx $a90 exact $e90")
+    }
+  }
+
   test("q28 approx_count_distinct stays within 5% of exact") {
     val r = Relational.q28ApproxDistinct(spark, dir).head()
     val (ap, ep) = (r.getLong(0), r.getLong(1))

@@ -443,6 +443,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental-ingest dedup — the nightly-batch shape: classify each
+    * NEW document (doc_id % 10 = 9 stands in for the incoming batch)
+    * against the EXISTING corpus as `exact_dup` (normalized-text hash
+    * collision), `near_dup` (verified Jaccard ≥ 0.8 via the q31
+    * minhash/LSH machinery, candidates restricted to new×corpus — a
+    * one-sided band join, never a corpus self-join), or `novel`, with
+    * the smallest matching corpus doc as `match_id`. This is the form
+    * dedup actually runs at 100 TB: the corpus signature table is the
+    * staged asset (q37), and each ingest batch only pays bands(new) ⋈
+    * bands(corpus) + the verification joins on the candidate set —
+    * corpus×corpus work is never repeated.
+    */
+  def q48IncrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 9
+    // exact tier: normalized-text hash, new side vs corpus side
+    val hx = t(s, dir, "documents")
+      .select(col("doc_id"), md5(normText(col("text"))).as("nh"))
+      .localCheckpoint() // both split sides read it: materialize once
+    val exact = hx.where(isNew).as("n")
+      .join(hx.where(!isNew).as("c"), col("n.nh") === col("c.nh"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("exact_id"))
+    // near tier: q31's signature/band derivation over ALL docs, split
+    // into new × corpus at the band join
+    val sh = hashedShingles(s, dir).cache()
+    val minAggs = hashAB.zipWithIndex.map { case ((a, b), k) =>
+      min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
+    }
+    val sigN = sh.groupBy(col("doc_id"))
+      .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("n")): _*)
+      .localCheckpoint()
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bkey"))
+    }
+    val bands = sigN
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.where(isNew).as("x")
+      .join(bands.where(!isNew).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("na"), col("y.doc_id").as("ca"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("na"), col("h")), "na")
+      .join(sh.select(col("doc_id").as("ca"), col("h")), Seq("ca", "h"))
+      .groupBy(col("na"), col("ca"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sigN.select(col("doc_id"), col("n"))
+    val j = col("inter").cast("double") /
+      (col("na_n") + col("ca_n") - col("inter")).cast("double")
+    val near = inter
+      .join(sizes.select(col("doc_id").as("na"), col("n").as("na_n")), "na")
+      .join(sizes.select(col("doc_id").as("ca"), col("n").as("ca_n")), "ca")
+      .where(j >= 0.8)
+      .groupBy(col("na").as("doc_id"))
+      .agg(min(col("ca")).as("near_id"))
+    t(s, dir, "documents").where(isNew).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q57 with a Bloom prefilter — the shape decontamination takes when
     * the eval suite is too big to broadcast as an exact set: build a
     * constant-size Bloom filter over the benchmark shingle hashes
@@ -478,6 +546,7 @@ object Dedup {
     "q35_dedup_clusters" -> (q35DedupClusters _),
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
     "q37_staged_survivors" -> (q37StagedSurvivors _),
+    "q48_incremental_ingest" -> (q48IncrementalIngest _),
     "q57_decontaminate" -> (q57Decontaminate _),
     "q59_bloom_decontaminate" -> (q59BloomDecontaminate _),
   )
@@ -605,6 +674,40 @@ object Dedup {
       FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
       WHERE d.doc_id NOT IN
         (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+      ORDER BY d.doc_id""",
+    "q48_incremental_ingest" -> s"""
+      WITH $sqlHashedShingles,
+      sig AS (SELECT doc_id, $sqlSig, COUNT(1) AS n FROM sh GROUP BY doc_id),
+      bands AS ($sqlBandRows),
+      hx AS (SELECT doc_id, md5($sqlNorm) AS nh FROM documents),
+      exact AS (SELECT n.doc_id, MIN(c.doc_id) AS exact_id
+                FROM hx n JOIN hx c ON n.nh = c.nh
+                WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+                GROUP BY n.doc_id),
+      cand AS (SELECT DISTINCT x.doc_id AS na, y.doc_id AS ca
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey
+               WHERE x.doc_id % 10 = 9 AND y.doc_id % 10 <> 9),
+      inter AS (SELECT na, ca, COUNT(1) AS i
+                FROM cand
+                JOIN sh a ON a.doc_id = na
+                JOIN sh b ON b.doc_id = ca AND b.h = a.h
+                GROUP BY na, ca),
+      near AS (SELECT na AS doc_id, MIN(ca) AS near_id
+               FROM inter
+               JOIN sig sa ON na = sa.doc_id
+               JOIN sig sb ON ca = sb.doc_id
+               WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+               GROUP BY na)
+      SELECT d.doc_id,
+        CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+             WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+             ELSE 'novel' END AS status,
+        COALESCE(e.exact_id, nr.near_id) AS match_id
+      FROM documents d
+      LEFT JOIN exact e ON d.doc_id = e.doc_id
+      LEFT JOIN near nr ON d.doc_id = nr.doc_id
+      WHERE d.doc_id % 10 = 9
       ORDER BY d.doc_id""",
     "q57_decontaminate" -> sqlDecontaminate,
     // the Bloom prefilter is answer-preserving (no false negatives +

@@ -521,6 +521,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** SQL front door + correlated LATERAL subquery: top-2 orders per
+    * customer via `spark.sql` over temp views — the decorrelation
+    * path (Catalyst rewrites the per-row subquery into a ranked join,
+    * not a nested loop; the same query through the DataFrame API is
+    * q12's window form). ORDER BY + LIMIT inside a correlated lateral
+    * exercises DecorrelateInnerQuery end-to-end.
+    */
+  def q49SqlLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -557,6 +577,7 @@ object Relational {
     "q44_percentiles" -> (q44Percentiles _),
     "q45_dist_windows" -> (q45DistWindows _),
     "q46_approx_percentiles" -> (q46ApproxPercentiles _),
+    "q49_sql_lateral" -> (q49SqlLateral _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -791,5 +812,13 @@ object Relational {
       FROM customer WHERE c_custkey <= 300
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_nationkey, c_custkey""",
+    "q49_sql_lateral" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
   )
 }

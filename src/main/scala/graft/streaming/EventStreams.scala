@@ -54,6 +54,20 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–static enrichment join: the event stream joins a static
+    * dimension (per-type weights) — the canonical streaming lookup.
+    * The static side is planned per micro-batch and BROADCAST (no
+    * stream-side state at all, unlike stream–stream joins whose state
+    * grows with the watermark horizon); at 1000 executors this is the
+    * only join shape that costs nothing beyond the stream scan. Works
+    * identically on batch frames (spec asserts stream == batch).
+    */
+  def enrichEvents(events: DataFrame, typeDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(typeDim), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"),
+        (col("value") * coalesce(col("weight"), lit(0.0))).as("weighted_value"))
+
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

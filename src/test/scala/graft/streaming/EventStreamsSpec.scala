@@ -76,6 +76,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(last === Set((1L, 3L, 10.0), (2L, 1L, 7.0)))
   }
 
+  test("stream-static enrichment join equals the batch join and keeps unmatched types") {
+    val dim = Seq(("click", 2.0), ("purchase", 10.0)).toDF("event_type", "weight")
+    val events = Seq(
+      Ev(ts(0), 1, "click", 1.5, 0), Ev(ts(1), 2, "purchase", 2.0, 1),
+      Ev(ts(2), 3, "error", 4.0, 2)) // no dim row: weight coalesces to 0
+    val out = runStream("enriched", events,
+      EventStreams.enrichEvents(_, dim), "append")
+      .select($"event_id", $"weighted_value")
+      .as[(Long, Double)].collect().toSet
+    assert(out === Set((0L, 3.0), (1L, 20.0), (2L, 0.0)))
+    // batch twin: same transform over a plain DataFrame (tuples — the
+    // inner Ev case class has no batch toDF encoder scope)
+    val batch = EventStreams.enrichEvents(
+      events.map(e => (e.ts, e.user_id, e.event_type, e.value, e.event_id))
+        .toDF("ts", "user_id", "event_type", "value", "event_id"), dim)
+      .select($"event_id", $"weighted_value")
+      .as[(Long, Double)].collect().toSet
+    assert(batch === out)
+  }
+
   test("streaming session_window over the real events table equals the batch sessionize") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"

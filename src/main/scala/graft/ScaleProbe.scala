@@ -60,7 +60,9 @@ object ScaleProbe {
       "q30_exact_dedup", "q31_minhash_pairs", "q32_simhash",
       "q33_jaccard_pairs", "q35_dedup_clusters", "q36_dedup_survivors",
       "q37_staged_survivors", "q40_cosine_topk", "q41_ann_lsh",
-      "q42_ann_ivf", "q72_stitch_contigs", "q74_stitch_iterative",
+      "q42_ann_ivf", "q47_label_centroids", "q48_incremental_ingest",
+      "q57_decontaminate", "q59_bloom_decontaminate",
+      "q72_stitch_contigs", "q74_stitch_iterative",
       "q76_stitch_frontier")
 
     // warm (codegen + parquet footers), then one timed run per query —

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 
 import java.sql.Timestamp
 
@@ -67,6 +68,24 @@ object EventStreams {
       .join(broadcast(typeDim), Seq("event_type"), "left")
       .select(col("event_id"), col("event_type"),
         (col("value") * coalesce(col("weight"), lit(0.0))).as("weighted_value"))
+
+  /** Exactly-once parquet file sink, drained with `Trigger.AvailableNow`
+    * — the streaming INGESTION shape: process everything available in
+    * bounded micro-batches, commit files through the sink's
+    * `_spark_metadata` log, stop. Restarting with the same checkpoint
+    * resumes after the last committed batch, so re-runs append nothing
+    * for already-seen data (asserted in the spec). At 100 TB this is
+    * how a stream lands as the staged parquet the batch catalog (q37)
+    * consumes: downstream readers see only committed files, never
+    * in-flight ones.
+    */
+  def parquetSink(events: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)

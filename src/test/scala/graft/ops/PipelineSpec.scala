@@ -132,4 +132,24 @@ class PipelineSpec extends SparkSpec {
       .select($"doc_id", $"guess").as[(Long, String)].collect().toMap
     assert(g(0L) === "en" && g(4L) === "de")
   }
+
+  test("q63 repetition: clean doc scores zero dup bigrams, exact top-word mass") {
+    // doc 0: 16 words, 'the' twice, no repeated bigram
+    val r = Text.q63RepetitionScore(spark, dir).where($"doc_id" === 0L)
+      .select($"n_words", $"top_word_frac", $"dup_bigram_frac")
+      .as[(Long, Double, Double)].head()
+    assert(r === ((16L, 2.0 / 16, 0.0)))
+  }
+
+  test("q47 centroids: a singleton label reproduces its vector exactly") {
+    val c = Similarity.q47LabelCentroids(spark, dir)
+    // label 1 has only e2: dims 1-8 = -1, 9-16 = +1, rest 0 — all exact
+    // at the 2^16 scale, so the mean must reproduce them bit-for-bit
+    val l1 = c.where($"label" === 1)
+      .select($"dim", $"centroid").as[(Int, Double)].collect().toMap
+    assert(l1(1) === -1.0 && l1(9) === 1.0 && l1(17) === 0.0)
+    val n = c.select($"label", $"n_vectors").distinct()
+      .as[(Int, Long)].collect().toMap
+    assert(n(0) === 3L && n(1) === 1L)
+  }
 }

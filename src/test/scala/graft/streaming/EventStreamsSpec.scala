@@ -96,6 +96,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch === out)
   }
 
+  test("parquet sink with AvailableNow drains exactly once and resumes from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    def drain(): Long = {
+      val q = EventStreams.parquetSink(src.toDF(), s"$out/data", s"$out/chk")
+      q.awaitTermination()
+      spark.read.parquet(s"$out/data").count()
+    }
+    src.addData(Ev(ts(0), 1, "click", 1.0, 0), Ev(ts(1), 2, "view", 2.0, 1))
+    assert(drain() === 2L)
+    // re-run with no new data: the checkpoint makes it a no-op
+    assert(drain() === 2L)
+    // new data after restart lands incrementally
+    src.addData(Ev(ts(2), 3, "click", 3.0, 2))
+    assert(drain() === 3L)
+  }
+
   test("streaming session_window over the real events table equals the batch sessionize") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"

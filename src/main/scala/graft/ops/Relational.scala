@@ -541,6 +541,43 @@ object Relational {
       ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
   }
 
+  /** RANGE interval frame — value-based framing over event time
+    * (q13's ROWS twin with genuinely different semantics: the frame is
+    * "orders in the last 30 days", peers included, not "last N rows").
+    * Both engines run the identical SQL text. One shuffle on the
+    * partition key; the frame scan is a per-partition sliding sum.
+    */
+  def q64RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(sqlRangeFrame)
+  }
+
+  private val sqlRangeFrame = """
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      FROM orders WHERE o_custkey <= 100
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  /** Global-ratio aggregation, spelled for scale: per-group revenue
+    * share of the corpus total. The naive `sum() OVER ()` empty-frame
+    * window funnels EVERY row through one partition (the classic
+    * single-reducer cliff); this form partial-aggregates both sides
+    * and broadcasts the one-row total — two scan-bound aggregations,
+    * zero wide shuffles beyond the groupBy.
+    */
+  def q65GlobalRatio(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val tot = li.agg(dsum(col("l_extendedprice")).as("tot"))
+    li.groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice")).as("flag_rev"))
+      .crossJoin(broadcast(tot))
+      .select(col("l_returnflag"), col("flag_rev"),
+        (col("flag_rev") / col("tot")).as("rev_share"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -578,6 +615,8 @@ object Relational {
     "q45_dist_windows" -> (q45DistWindows _),
     "q46_approx_percentiles" -> (q46ApproxPercentiles _),
     "q49_sql_lateral" -> (q49SqlLateral _),
+    "q64_range_frame" -> (q64RangeFrame _),
+    "q65_global_ratio" -> (q65GlobalRatio _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -820,5 +859,16 @@ object Relational {
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       WHERE c.c_custkey <= 200
       ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+    // identical SQL text runs on both engines
+    "q64_range_frame" -> sqlRangeFrame,
+    // the broadcast-total spelling is answer-identical to sum() OVER ()
+    "q65_global_ratio" -> """
+      WITH tot AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS tot
+                   FROM lineitem),
+      grp AS (SELECT l_returnflag,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS flag_rev
+              FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, flag_rev, flag_rev / tot AS rev_share
+      FROM grp CROSS JOIN tot ORDER BY l_returnflag""",
   )
 }

@@ -578,6 +578,31 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Time-series gap fill (resample): a calendar spine per entity
+    * (generated, not stored — `sequence` over a broadcast 1-row
+    * min/max) left-joins the actual daily counts, zero-filling silent
+    * days. The standard shape for "orders per customer per day
+    * including days with none"; spine generation is a generator stage
+    * linear in OUTPUT rows, and the join shuffles on the (entity, day)
+    * key the aggregation already produced.
+    */
+  def q66GapFill(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(col("o_custkey") <= 5)
+      .select(col("o_custkey"),
+        to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+    val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = o.select(col("o_custkey")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("o_custkey"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val actual = o.groupBy(col("o_custkey"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(actual, Seq("o_custkey", "day"), "left")
+      .select(col("o_custkey"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy(col("o_custkey"), col("day"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -617,6 +642,7 @@ object Relational {
     "q49_sql_lateral" -> (q49SqlLateral _),
     "q64_range_frame" -> (q64RangeFrame _),
     "q65_global_ratio" -> (q65GlobalRatio _),
+    "q66_gap_fill" -> (q66GapFill _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -870,5 +896,15 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, flag_rev, flag_rev / tot AS rev_share
       FROM grp CROSS JOIN tot ORDER BY l_returnflag""",
+    "q66_gap_fill" -> """
+      WITH o AS (SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS day
+                 FROM orders WHERE o_custkey <= 5),
+      bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o),
+      spine AS (SELECT c.o_custkey, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+                FROM (SELECT DISTINCT o_custkey FROM o) c, bounds b),
+      actual AS (SELECT o_custkey, day, COUNT(1) AS n FROM o GROUP BY o_custkey, day)
+      SELECT s.o_custkey, s.day, COALESCE(a.n, 0) AS n_orders
+      FROM spine s LEFT JOIN actual a ON s.o_custkey = a.o_custkey AND s.day = a.day
+      ORDER BY s.o_custkey, s.day""",
   )
 }

@@ -16,7 +16,10 @@ object Explain {
     "q24_asof_join", // single window pass
     "q31_minhash_pairs", // one partial-agg groupBy for 16 minima
     "q34_embedding_top_pairs", // codegen'd vec_ldot kernel
+    "q43_unpivot", // Expand generator, no per-metric join
+    "q48_incremental_ingest", // one-sided band join, new x corpus
     "q54_sessionize", // one shuffle, window + agg colocated
+    "q65_global_ratio", // broadcast 1-row total, no empty-frame window
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

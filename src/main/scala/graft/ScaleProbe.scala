@@ -56,7 +56,7 @@ object ScaleProbe {
     // excluded by design — its guard admits ≤100k vectors but the point
     // of the probe is the SCALE paths, and 20k² all-pairs is the
     // baseline we explicitly route around (q41/q42)
-    val probes = Seq(
+    val all = Seq(
       "q30_exact_dedup", "q31_minhash_pairs", "q32_simhash",
       "q33_jaccard_pairs", "q35_dedup_clusters", "q36_dedup_survivors",
       "q37_staged_survivors", "q40_cosine_topk", "q41_ann_lsh",
@@ -64,6 +64,11 @@ object ScaleProbe {
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q72_stitch_contigs", "q74_stitch_iterative",
       "q76_stitch_frontier")
+    // optional 2nd arg: comma-separated filter (higher factors only pay
+    // for the scale-path queries, not the pair-explosion-bound ones)
+    val probes = args.lift(1)
+      .map(f => all.filter(f.split(",").toSet))
+      .getOrElse(all)
 
     // warm (codegen + parquet footers), then one timed run per query —
     // at this size steady-state JIT effects are amortized by the work

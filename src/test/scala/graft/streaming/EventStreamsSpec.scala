@@ -10,13 +10,18 @@ import java.sql.Timestamp
   * crafted event sequence, process all available batches, and assert
   * against the in-memory sink.
   */
+/** Top-level so the encoder's codegen'd serializer can call the field
+  * accessors statically — nested in the Spec class, Janino fails on the
+  * outer-instance reference and Spark falls back to interpreted
+  * projections (WARN noise + slower test runs).
+  */
+private[streaming] case class Ev(ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, event_id: Long)
+
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
-
-  private case class Ev(ts: Timestamp, user_id: Long, event_type: String,
-      value: Double, event_id: Long)
 
   private def runStream(name: String, events: Seq[Ev],
       f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,

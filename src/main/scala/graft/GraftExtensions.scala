@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{LongDotProduct, StitchFoldExpr}
+import graft.functions.{BloomMightContain, LongDotProduct, StitchFoldExpr}
 
 /** Session extensions registering the engine's custom expressions —
   * installed via `spark.sql.extensions=graft.GraftExtensions` (all
@@ -38,6 +38,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "stitch_fold_path takes exactly 1 argument")
         StitchFoldExpr(children.head, pathOrder = true)
+      }),
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain",
+        "bloom_might_contain(h, filter) - codegen'd Bloom probe of a BIGINT " +
+          "against a constant serialized BloomFilter"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "bloom_might_contain takes exactly 2 arguments")
+        BloomMightContain(children.head, children(1))
       }))
 
   /** Idempotently install the custom functions into an arbitrary

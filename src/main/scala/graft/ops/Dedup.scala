@@ -523,15 +523,27 @@ object Dedup {
     * corpus shingle into only the ~overlapping ones — the join input
     * shrinks by orders of magnitude while the filter itself stays a
     * few hundred KB regardless of corpus size.
+    *
+    * The probe is the codegen'd `bloom_might_contain` expression
+    * ([[graft.functions.BloomMightContain]]), NOT a Scala UDF: the
+    * prefilter touches every corpus shingle, and a UDF there split
+    * whole-stage codegen and paid a per-row catalyst↔scala conversion —
+    * measured at the 30× scale probe as 100 s vs 14 s for the exact
+    * variant this query is supposed to beat (SCALING.md).
     */
   def q59BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(s, dir)
     val bench = sh.where(col("doc_id") < 20).select(col("h")).distinct()
     // expected-items bound: 20 docs × ≤~60 shingles each; 1% fpp ≈ 2 KB
     val bf = bench.stat.bloomFilter("h", 4096L, 0.01)
-    val mightContain = udf { h: Long => bf.mightContain(h) }
+    val bfBytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
     sh.where(col("doc_id") >= 20)
-      .where(mightContain(col("h"))) // Bloom prefilter (no false negatives)
+      // Bloom prefilter (no false negatives), inside whole-stage codegen
+      .where(call_function("bloom_might_contain", col("h"), lit(bfBytes)))
       .join(broadcast(bench), "h") // exact verify removes false positives
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= 5)

@@ -275,8 +275,49 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Click→purchase attribution — the interval self-join every event
+    * pipeline runs: for each purchase, the clicks by the same user in
+    * the preceding 30 minutes; the LATEST such click wins attribution
+    * (`row_number` desc — identical spelling in both engines; ties on
+    * the timestamp break by click_id, deterministic).
+    *
+    * Scale shape: both event slices shuffle once on `user_id` and the
+    * range predicate is evaluated inside the equi-join on user — never
+    * a cartesian; the per-user group is watermark-bounded in the
+    * streaming twin ([[graft.streaming.EventStreams.attributionPairs]],
+    * asserted equal in EventStreamsSpec). Timestamps ride as
+    * epoch-micros BIGINTs (the q54 parity rule).
+    */
+  def q67ClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"), col("value"))
+    val horizonUs = lit(30L * 60 * 1000 * 1000)
+    val pairs = purchases.join(clicks, Seq("user_id"))
+      .where(col("click_us") <= col("purchase_us") &&
+        col("click_us") > col("purchase_us") - horizonUs)
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    pairs
+      .withColumn("rk", row_number().over(
+        byPurchase.orderBy(col("click_us").desc, col("click_id").desc)))
+      .withColumn("n_clicks", count(lit(1)).over(byPurchase))
+      .where(col("rk") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("click_id").as("attributed_click"),
+        (col("purchase_us") - col("click_us")).as("lag_us"),
+        col("n_clicks"), col("value"))
+      .orderBy(col("purchase_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
+    "q67_click_attribution" -> (q67ClickAttribution _),
     "q58_sequence_pack" -> (q58SequencePack _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
@@ -288,6 +329,26 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_click_attribution" -> """
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+                 FROM events),
+      c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us
+            FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us, value
+            FROM e WHERE event_type = 'purchase'),
+      pairs AS (SELECT p.*, c.click_id, c.click_us
+                FROM p JOIN c USING (user_id)
+                WHERE c.click_us <= p.purchase_us
+                  AND c.click_us > p.purchase_us - 1800000000),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY purchase_id
+                                 ORDER BY click_us DESC, click_id DESC) AS rk,
+              count(*) OVER (PARTITION BY purchase_id) AS n_clicks
+            FROM pairs)
+      SELECT purchase_id, user_id, click_id AS attributed_click,
+             purchase_us - click_us AS lag_us, n_clicks, value
+      FROM r WHERE rk = 1
+      ORDER BY purchase_id""",
     "q56_stratified_sample" -> {
       val m = "md5(CAST(doc_id AS VARCHAR))"
       val hex = (1 to 4).map(k =>

@@ -69,6 +69,36 @@ object EventStreams {
       .select(col("event_id"), col("event_type"),
         (col("value") * coalesce(col("weight"), lit(0.0))).as("weighted_value"))
 
+  /** Stream–stream interval join — click→purchase attribution pairs,
+    * the canonical two-sided stateful join: each purchase matches the
+    * same user's clicks from the preceding `horizon`. BOTH sides carry
+    * a watermark and the join condition bounds event-time distance, so
+    * the state store holds only one horizon's worth of each side per
+    * key and rows older than the watermark are evicted — without the
+    * time bound the join state would grow forever. Batch twin (same
+    * pairs, then latest-click argmax) is the oracle-checked
+    * `q67_click_attribution` ([[graft.ops.Text.q67ClickAttribution]]);
+    * the spec asserts streamed pairs == batch pairs on the real events
+    * table. Works identically on batch frames (the same code path is
+    * the batch interval join when the inputs aren't streaming).
+    */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    val cw = if (c.isStreaming) c.withWatermark("click_ts", horizon) else c
+    val pw = if (p.isStreaming) p.withWatermark("purchase_ts", horizon) else p
+    cw.join(pw,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"interval $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Exactly-once parquet file sink, drained with `Trigger.AvailableNow`
     * — the streaming INGESTION shape: process everything available in
     * bounded micro-batches, commit files through the sink's

@@ -222,4 +222,60 @@ class EventStreamsSpec extends SparkSpec {
       .select($"event_id").as[Long].collect().toSeq.sorted
     assert(out === Seq(100L, 101L))
   }
+
+  test("stream-stream attribution join matches only clicks inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams
+      .attributionPairs(clicks.toDF(), purchases.toDF(), horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attr_pairs")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(ts(10), 1, "click", 0.0, 10), // inside horizon of purchase@35
+        Ev(ts(34), 1, "click", 0.0, 11), // inside, latest
+        Ev(ts(4), 1, "click", 0.0, 12), // minute 4 < 35-30: outside
+        Ev(ts(20), 2, "click", 0.0, 13)) // other user: no purchase
+      purchases.addData(Ev(ts(35), 1, "purchase", 9.0, 50))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attr_pairs")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((50L, 10L), (50L, 11L)))
+  }
+
+  test("stream-stream attribution pairs over the real events table equal the batch join") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Files.createTempDirectory("events-attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    def typed(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.where($"event_type" === t)
+    val stream = spark.readStream.schema(sch).parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams
+      .attributionPairs(typed(stream, "click"), typed(stream, "purchase"))
+      .writeStream.format("memory").queryName("real_attr")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("real_attr")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    // batch twin: the same code path over the batch-loaded table (its
+    // latest-click argmax is the oracle-checked q67_click_attribution)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStreams
+      .attributionPairs(typed(ev, "click"), typed(ev, "purchase"))
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }

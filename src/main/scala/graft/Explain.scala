@@ -19,6 +19,8 @@ object Explain {
     "q43_unpivot", // Expand generator, no per-metric join
     "q48_incremental_ingest", // one-sided band join, new x corpus
     "q54_sessionize", // one shuffle, window + agg colocated
+    "q59_bloom_decontaminate", // codegen'd bloom_might_contain prefilter
+    "q67_click_attribution", // interval self-join: equi on user, range inside
     "q65_global_ratio", // broadcast 1-row total, no empty-frame window
     "q72_stitch_contigs") // closed-form stitch aggregation
 

@@ -44,6 +44,12 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def prettyName: String = "bloom_might_contain"
 
+  // elide the multi-KB serialized-filter literal from plan dumps —
+  // toString lands in explain output, the Spark UI, and event logs,
+  // and a 4 KB hex blob per occurrence drowns the actual plan
+  override def toString: String =
+    s"bloom_might_contain($left, <bloom_filter>)"
+
   @transient private lazy val filter: BloomFilter = {
     val bytes = right.eval().asInstanceOf[Array[Byte]]
     BloomFilter.readFrom(bytes)

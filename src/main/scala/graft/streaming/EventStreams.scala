@@ -83,18 +83,24 @@ object EventStreams {
     * the batch interval join when the inputs aren't streaming).
     */
   def attributionPairs(clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "30 minutes"): DataFrame = {
-    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
-      col("ts").as("click_ts"))
-    val p = purchases.select(col("user_id").as("p_user"),
+      horizon: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id"),
       col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
       col("value"))
     val cw = if (c.isStreaming) c.withWatermark("click_ts", horizon) else c
     val pw = if (p.isStreaming) p.withWatermark("purchase_ts", horizon) else p
-    cw.join(pw,
-      col("user_id") === col("p_user") &&
+    // purchases drive the join so `left_outer` means "every purchase,
+    // click columns null when none" — the outer row emits only once the
+    // watermark passes purchase_ts + horizon and no click can still
+    // arrive (asserted batch-by-batch in the spec)
+    pw.join(cw,
+      col("user_id") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") > col("purchase_ts") - expr(s"interval $horizon"))
+        col("click_ts") > col("purchase_ts") - expr(s"interval $horizon"),
+      joinType)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
   }

@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
     assert(bloom.toSeq == exact.toSeq)
   }
 
+  test("q67 attribution is an equi-join on user, never a cartesian") {
+    // the 30-min range predicate must ride INSIDE the user_id equi-join
+    // (as a post-join condition), not degrade the plan to a nested-loop
+    // cross product — the difference between one shuffle and O(n²) rows
+    val p = plan("q67_click_attribution")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("Join") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
   test("q43 unpivot plans as a generator stage, no join or extra shuffle") {
     val p = plan("q43_unpivot")
     // the melt is an Expand over the aggregated frame — adding a metric

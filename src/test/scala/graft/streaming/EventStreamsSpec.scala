@@ -245,6 +245,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(out === Set((50L, 10L), (50L, 11L)))
   }
 
+  test("left-outer stream-stream join emits unmatched purchases only after watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.attributionPairs(clicks.toDF(), purchases.toDF(),
+        horizon = "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // batch 1: a clickless purchase at minute 10 — must NOT emit yet:
+      // a matching click could still arrive until the watermark passes
+      // minute 10 + horizon
+      purchases.addData(Ev(ts(10), 1, "purchase", 5.0, 50))
+      q.processAllAvailable()
+      assert(spark.table("attr_outer").count() === 0)
+      // batch 2: both sides jump to ~minute 120 → watermark reaches
+      // min(120,121) - 30 = minute 90, past the purchase's close at 40;
+      // the engine's eviction batch emits the null-click outer row
+      // (user 9's own click→purchase pair also matches, inner-style)
+      clicks.addData(Ev(ts(120), 9, "click", 0.0, 1))
+      purchases.addData(Ev(ts(121), 9, "purchase", 1.0, 51))
+      q.processAllAvailable()
+      // batch 3: nudge once more in case eviction rode the next trigger
+      clicks.addData(Ev(ts(125), 9, "click", 0.0, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attr_outer")
+      .select($"purchase_id",
+        when($"click_id".isNull, -1L).otherwise($"click_id").as("cid"))
+      .as[(Long, Long)].collect().toSet
+    assert(out.contains((50L, -1L)), out) // closed clickless purchase: null click
+    assert(out.contains((51L, 1L)), out) // matched pair flows as in inner
+  }
+
   test("stream-stream attribution pairs over the real events table equal the batch join") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"

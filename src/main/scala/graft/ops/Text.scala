@@ -315,9 +315,55 @@ object Text {
       .orderBy(col("purchase_id"))
   }
 
+  /** End-to-end corpus prep — the composition every training pipeline
+    * actually ships: exact-dedup survivors (q30's min-id election) →
+    * quality gate (q51's formula, ≥ 0.42 ≈ the corpus median) →
+    * fixed-length sequence packing (q58's 64/56 window/stride), as ONE
+    * declarative plan. The point over running q30+q51+q58 separately:
+    * Catalyst fuses the three stages — the survivor election is the
+    * only wide shuffle (hash groupBy + semi-join on doc_id), the
+    * quality gate and the packing ride the same scan, and dropped
+    * documents never reach the explode. The staged-parquet variant of
+    * this composition is q37; this is the single-job form.
+    */
+  def q68CorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    val (win, stride) = (64, 56)
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("ws", split(col("norm"), " "))
+    // stage 1: exact-dedup — the min doc_id per normalized-hash group
+    // survives (same election as q30), applied via a doc_id semi-join
+    val canonIds = d.select(col("doc_id"), md5(col("norm")).as("nh"))
+      .groupBy(col("nh")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // stage 2: quality gate — q51's exact expression tree (fixed
+    // association order, bit-identical in DuckDB)
+    val nTok = size(col("ws"))
+    val stopRatio = size(array_intersect(array_distinct(col("ws")),
+      lit(enStop.toArray))).cast("double") / nTok.cast("double")
+    val alphaRatio = length(regexp_replace(col("norm"), "[^a-z]", ""))
+      .cast("double") / length(col("norm")).cast("double")
+    val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    val quality = (lit(0.4) * stopRatio + lit(0.3) * alphaRatio) +
+      lit(0.3) * lenSat
+    // stage 3: packing — q58's windowed slices over what survived
+    d.join(canonIds, Seq("doc_id"), "left_semi")
+      .where(quality >= 0.42)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_idx"),
+        slice(col("ws"), col("start"), lit(win)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
+    "q68_corpus_prep" -> (q68CorpusPrep _),
     "q58_sequence_pack" -> (q58SequencePack _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
@@ -329,6 +375,25 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_corpus_prep" -> s"""
+      WITH d AS (SELECT doc_id, $sqlNorm AS norm FROM documents),
+      w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM d),
+      canon AS (SELECT MIN(doc_id) AS doc_id
+                FROM (SELECT doc_id, md5(norm) AS nh FROM d) GROUP BY nh),
+      q AS (SELECT w.doc_id, w.ws FROM w JOIN canon USING (doc_id)
+            WHERE ((0.4 * (CAST(len(list_intersect(list_distinct(ws), ${sqlList(enStop)})) AS DOUBLE)
+                             / CAST(len(ws) AS DOUBLE))
+                  + 0.3 * (CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+                             / CAST(length(norm) AS DOUBLE)))
+                  + 0.3 * least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)) >= 0.42),
+      starts AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 56)) AS start
+                 FROM q),
+      chunks AS (SELECT doc_id, (start - 1) // 56 AS chunk_idx,
+                   ws[start : start + 63] AS chunk
+                 FROM starts)
+      SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+        md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM chunks ORDER BY doc_id, chunk_idx""",
     "q67_click_attribution" -> """
       WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
                  FROM events),

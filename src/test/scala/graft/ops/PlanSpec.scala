@@ -92,6 +92,21 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q68 corpus prep fuses the gate before the explode via a semi-join election") {
+    // the survivor election must be a LeftSemi (never materializing the
+    // canon side into the output), and dropped/low-quality documents
+    // must be filtered BEFORE the packing explode — the Generate node
+    // sits above the join+filter, so pruned docs never fan out
+    val p = plan("q68_corpus_prep")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val genAt = p.indexOf("Generate")
+    val joinAt = p.indexOf("LeftSemi")
+    // physical plans print top-down: the generator appears above (before)
+    // the semi-join it consumes
+    assert(genAt >= 0 && joinAt > genAt, s"gen@$genAt join@$joinAt")
+  }
+
   test("q43 unpivot plans as a generator stage, no join or extra shuffle") {
     val p = plan("q43_unpivot")
     // the melt is an Expand over the aggregated frame — adding a metric

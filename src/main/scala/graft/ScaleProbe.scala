@@ -38,12 +38,13 @@ object ScaleProbe {
     // id offset per copy keeps copies disjoint while preserving every
     // original id (copy 0 is the original table verbatim)
     val offset = 10000000L
-    def replicate(table: String, idCol: String): Unit = {
+    def replicate(table: String, idCols: String*): Unit = {
       val dst = s"$out/$table.parquet"
       if (!new java.io.File(dst).exists()) {
-        spark.read.parquet(s"$src/$table.parquet")
+        val base = spark.read.parquet(s"$src/$table.parquet")
           .withColumn("_k", explode(sequence(lit(0), lit(factor - 1))))
-          .withColumn(idCol, col(idCol) + col("_k") * offset)
+        idCols.foldLeft(base)((d, c) =>
+            d.withColumn(c, col(c) + col("_k") * offset))
           .drop("_k")
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(dst)
@@ -51,6 +52,11 @@ object ScaleProbe {
     }
     replicate("documents", "doc_id")
     replicate("embeddings", "vec_id")
+    // events offsets user_id too: copies are new USERS at the original
+    // per-user event density — the realistic growth shape for the
+    // attribution join (same-user replication would instead square the
+    // per-user click×purchase pairs, a synthetic quadratic)
+    replicate("events", "event_id", "user_id")
 
     // the families whose 100 TB design claims this probe tests; q34 is
     // excluded by design — its guard admits ≤100k vectors but the point
@@ -62,6 +68,7 @@ object ScaleProbe {
       "q37_staged_survivors", "q40_cosine_topk", "q41_ann_lsh",
       "q42_ann_ivf", "q47_label_centroids", "q48_incremental_ingest",
       "q57_decontaminate", "q59_bloom_decontaminate",
+      "q67_click_attribution", "q68_corpus_prep",
       "q72_stitch_contigs", "q74_stitch_iterative",
       "q76_stitch_frontier")
     // optional 2nd arg: comma-separated filter (higher factors only pay

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Partition-count invariance: the catalog's answers must not depend on
+  * how the shuffle happened to split the data. The DuckDB oracle gate
+  * proves correctness at ONE partitioning; this pins the property that
+  * makes those answers stable on a 1000-executor cluster — every
+  * tie-break is total, every aggregation order-independent, so changing
+  * `spark.sql.shuffle.partitions` (or cluster size) changes nothing.
+  *
+  * Queries chosen for shuffle-order hazard: q31 (minhash self-join,
+  * pair emission order), q35 (iterative label propagation), q68 (fused
+  * election + packing), q71 (argmax with deliberate tie-breaks), q67
+  * (window argmax over join output).
+  */
+class DeterminismSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private val probes = Seq("q31_minhash_pairs", "q35_dedup_clusters",
+    "q67_click_attribution", "q68_corpus_prep", "q71_best_successor")
+
+  test("catalog answers are identical under a different shuffle partitioning") {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    // collectAsList keeps full row content (incl. doubles) in comparison
+    def run(q: String) =
+      graft.SparkEntry.queries(q)(spark, dir).collect().toSeq
+    try {
+      val at4 = probes.map(q => q -> run(q)).toMap
+      spark.conf.set(key, "7") // coprime with 4: every hash key moves
+      probes.foreach { q =>
+        assert(run(q) == at4(q), s"$q differs between $orig and 7 partitions")
+      }
+    } finally spark.conf.set(key, orig)
+  }
+}

@@ -39,6 +39,16 @@ object Similarity {
     */
   def idot(a: Column, b: Column): Column = call_function("vec_ldot", a, b)
 
+  /** Cosine from an exact integer dot and the two precomputed norms —
+    * NULL when either vector is all-zero (norm 0: no direction, cosine
+    * undefined) instead of an ANSI divide-by-zero. The `when` with no
+    * otherwise is exactly DuckDB's x/0 → NULL, so the oracles need no
+    * change and a degenerate embedding (a failed encoder emits them)
+    * can't kill a 100 TB scoring job (PipelineSpec degenerate test).
+    */
+  private def cosine(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > 0, dot.cast("double") / (n1 * n2))
+
   private val sqlScaled = """
       iv AS (SELECT vec_id, label,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v,
@@ -84,7 +94,7 @@ object Similarity {
     val b = iv.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("ia") < col("ib"))
       .select(col("ia").as("vec_a"), col("ib").as("vec_b"),
-        (idot(col("va"), col("vb")).cast("double") / (col("na") * col("nb")))
+        cosine(idot(col("va"), col("vb")), col("na"), col("nb"))
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(20)
@@ -102,7 +112,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (idot(col("qv"), col("v")).cast("double") / (col("qn") * col("nrm")))
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 10)
@@ -129,7 +139,7 @@ object Similarity {
     q.join(iv, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (idot(col("qv"), col("v")).cast("double") / (col("qn") * col("nrm")))
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
@@ -153,7 +163,7 @@ object Similarity {
     q.join(iv, Seq("label"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (idot(col("qv"), col("v")).cast("double") / (col("qn") * col("nrm")))
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)

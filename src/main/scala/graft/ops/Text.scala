@@ -92,7 +92,11 @@ object Text {
     val stopHits = size(array_intersect(array_distinct(col("ws")), lit(enStop.toArray)))
     val alphaLen = length(regexp_replace(col("norm"), "[^a-z]", ""))
     val stopRatio = stopHits.cast("double") / nTok.cast("double")
-    val alphaRatio = alphaLen.cast("double") / length(col("norm")).cast("double")
+    // empty norm (an empty/whitespace-only doc — every crawl has them)
+    // must yield NULL, not an ANSI divide-by-zero: the `when` with no
+    // otherwise IS DuckDB's x/0 semantics (PipelineSpec degenerate test)
+    val alphaRatio = when(length(col("norm")) > 0,
+      alphaLen.cast("double") / length(col("norm")).cast("double"))
     val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
     d.select(col("doc_id"), nTok.as("n_tokens"),
         stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"),
@@ -341,8 +345,11 @@ object Text {
     val nTok = size(col("ws"))
     val stopRatio = size(array_intersect(array_distinct(col("ws")),
       lit(enStop.toArray))).cast("double") / nTok.cast("double")
-    val alphaRatio = length(regexp_replace(col("norm"), "[^a-z]", ""))
-      .cast("double") / length(col("norm")).cast("double")
+    // NULL (not ANSI error) on empty norm — matches DuckDB x/0 and
+    // makes the gate drop degenerate docs (NULL >= 0.42 filters out)
+    val alphaRatio = when(length(col("norm")) > 0,
+      length(regexp_replace(col("norm"), "[^a-z]", ""))
+        .cast("double") / length(col("norm")).cast("double"))
     val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
     val quality = (lit(0.4) * stopRatio + lit(0.3) * alphaRatio) +
       lit(0.3) * lenSat

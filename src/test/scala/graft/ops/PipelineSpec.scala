@@ -141,6 +141,60 @@ class PipelineSpec extends SparkSpec {
     assert(r === ((16L, 2.0 / 16, 0.0)))
   }
 
+  test("null, empty, and whitespace-only texts flow through the text family without error") {
+    // every real crawl contains these three degenerate rows; none may
+    // throw (ANSI mode) or corrupt unrelated docs
+    val d = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
+    Seq(
+      (10L, null.asInstanceOf[String], "en", "s"),
+      (11L, "", "en", "s"),
+      (12L, "   ", "en", "s"),
+      (13L, "normal words here for sanity checks today", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // shingle-based ops must silently skip the degenerate docs
+    assert(Dedup.q31MinhashPairs(spark, d).count() === 0)
+    assert(Text.q53Fingerprint(spark, d)
+      .where($"doc_id" <= 12L && $"n_shingles" =!= 0).count() === 0)
+    // per-doc scorers must keep one row per doc, degenerate ones
+    // included — MATERIALIZED (a bare count() prunes the projection and
+    // masked the empty-norm ANSI divide-by-zero this test first caught)
+    val quality = Text.q51QualityScore(spark, d)
+      .select($"doc_id", $"quality").collect()
+    assert(quality.length === 4)
+    // degenerate docs score NULL (DuckDB x/0 semantics), never throw
+    assert(quality.filter(_.getLong(0) <= 12L).forall(_.isNullAt(1)))
+    assert(quality.filter(_.getLong(0) === 13L).forall(!_.isNullAt(1)))
+    assert(Text.q52TokenStats(spark, d).collect().length === 4)
+    // dedup election and the fused pipeline run end-to-end; only the
+    // normal doc survives q68's quality gate to produce chunks
+    assert(Dedup.q30ExactDedup(spark, d).count() >= 3)
+    val packed = Text.q68CorpusPrep(spark, d)
+    assert(packed.select($"doc_id").distinct().as[Long].collect().toSet
+      .subsetOf(Set(13L)))
+  }
+
+  test("an all-zero embedding yields NULL cosine, not a divide-by-zero") {
+    // failed encoders emit zero vectors; cosine against one is
+    // undefined — the scorers must answer NULL (DuckDB x/0 semantics)
+    // instead of killing the job under ANSI mode
+    val d = java.nio.file.Files.createTempDirectory("graft-zerovec").toString
+    val zero = Array.fill(64)(0.0f)
+    val e1 = Array.tabulate(64)(i => if (i < 8) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i < 16) 0.5f else 0.0f)
+    Seq((0L, zero, 0), (1L, e1, 0), (2L, e2, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.q40CosineTopK(spark, d)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val touchesZero = r.getLong(0) == 0L || r.getLong(1) == 0L
+      assert(r.isNullAt(2) === touchesZero, r.toString)
+    }
+  }
+
   test("q47 centroids: a singleton label reproduces its vector exactly") {
     val c = Similarity.q47LabelCentroids(spark, dir)
     // label 1 has only e2: dims 1-8 = -1, 9-16 = +1, rest 0 — all exact

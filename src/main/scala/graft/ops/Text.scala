@@ -367,10 +367,33 @@ object Text {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Per-language length-outlier filter — the CCNet-style hygiene step:
+    * a document survives if its token count sits inside the central
+    * [5%, 95%] of ITS OWN language's length distribution (absolute
+    * thresholds misfire across languages — Chinese runs shorter in
+    * tokens than German). `percent_rank` is spelled identically in both
+    * engines; the tie-break on doc_id makes the rank (and thus the
+    * boundary rows) deterministic. Scale shape: one shuffle on `lang`
+    * (a handful of partitions — skew-prone, but the per-row state is
+    * one long, and a window over lang is exactly what AQE's skew
+    * handling splits); everything else rides the scan.
+    */
+  def q69LengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(words(col("text"))).as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    d.withColumn("pr", percent_rank().over(w))
+      .where(col("pr") >= 0.05 && col("pr") <= 0.95)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), dcol(col("pr")).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
     "q68_corpus_prep" -> (q68CorpusPrep _),
+    "q69_length_filter" -> (q69LengthFilter _),
     "q58_sequence_pack" -> (q58SequencePack _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
@@ -382,6 +405,16 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_length_filter" -> s"""
+      WITH d AS (SELECT doc_id, lang, len($sqlWords) AS n_tokens FROM documents),
+      r AS (SELECT doc_id, lang, n_tokens,
+              percent_rank() OVER (PARTITION BY lang
+                                   ORDER BY n_tokens, doc_id) AS pr
+            FROM d)
+      SELECT doc_id, lang, n_tokens,
+        CAST(CAST(pr AS DECIMAL(28,6)) AS DOUBLE) AS pr
+      FROM r WHERE pr >= 0.05 AND pr <= 0.95
+      ORDER BY doc_id""",
     "q68_corpus_prep" -> s"""
       WITH d AS (SELECT doc_id, $sqlNorm AS norm FROM documents),
       w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM d),

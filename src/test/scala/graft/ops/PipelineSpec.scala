@@ -175,6 +175,23 @@ class PipelineSpec extends SparkSpec {
       .subsetOf(Set(13L)))
   }
 
+  test("events with null timestamps flow through sessionize and attribution") {
+    // sensor/clock bugs ship null event times; the window orderings and
+    // interval arithmetic must not throw on them
+    val d = java.nio.file.Files.createTempDirectory("graft-nullts").toString
+    Seq(
+      (0L, Some(0L), 1L, "click", 1.0, "{}"),
+      (1L, None, 1L, "purchase", 2.0, "{}"), // null ts
+      (2L, Some(300L * 1000000000L), 1L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    assert(Text.q54Sessionize(spark, d).collect().length >= 1)
+    val attr = Text.q67ClickAttribution(spark, d).collect()
+    // the 5-min purchase attributes to the minute-0 click; the null-ts
+    // purchase matches nothing (NULL comparisons are never true)
+    assert(attr.map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("an all-zero embedding yields NULL cosine, not a divide-by-zero") {
     // failed encoders emit zero vectors; cosine against one is
     // undefined — the scorers must answer NULL (DuckDB x/0 semantics)

@@ -18,7 +18,8 @@ class DeterminismSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private val probes = Seq("q31_minhash_pairs", "q35_dedup_clusters",
-    "q67_click_attribution", "q68_corpus_prep", "q71_best_successor")
+    "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",
+    "q71_best_successor")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

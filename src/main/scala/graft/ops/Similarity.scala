@@ -171,6 +171,85 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Full k-means codebook training — the iterated form of the single
+    * Lloyd step q47 demonstrates, producing the coarse quantizer q42's
+    * scaladoc promises ("swap `label` for assigned centroid ids").
+    *
+    * Distributed shape per iteration (the canonical scalable k-means):
+    *   1. the k centroids BROADCAST (a codebook is model-sized, k×64
+    *      longs — never a shuffle side);
+    *   2. assignment = argmax cosine over the broadcast side via the
+    *      codegen'd `vec_ldot`, a map-only stage over the corpus scan;
+    *   3. new centroids = one partial-aggregated groupBy on
+    *      (assignment, dim) — 64 rows/vector combine map-side to k×64
+    *      before the shuffle, then collapse to the driver (k×64 values:
+    *      collecting the MODEL is not a driver-side data loop).
+    * So each iteration costs one corpus scan + one tiny shuffle, and
+    * the loop carries no growing lineage (the corpus frame is
+    * checkpointed once, centroids travel as literals).
+    *
+    * Determinism (no RNG anywhere): seeding is greedy farthest-point
+    * (k-center) — the lowest vec_id starts, then each next seed is the
+    * vector least similar to ALL chosen seeds (ties: lowest id), one
+    * broadcast scan per seed. This is k-means++'s spread without its
+    * randomness, and it cannot plant two seeds inside one tight
+    * cluster the way naive lowest-k-ids seeding does. Assignment
+    * tie-breaks on centroid id; empty clusters keep their previous
+    * centroid. Asserted in KMeansSpec including assignment convergence
+    * and partition-count invariance.
+    */
+  def trainCodebook(s: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 5): (Array[Array[Double]], DataFrame) = {
+    require(k >= 2, "trainCodebook needs k >= 2")
+    val iv = scaledVectors(s, dir)
+      .where(col("nrm") > 0) // zero vectors have no direction: unassignable
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint() // scanned every iteration: materialize once
+    // greedy farthest-point seeding, lowest vec_id first
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      iv.orderBy(col("vec_id")).limit(1).select(col("v")).head()
+        .getSeq[Long](0).toArray)
+    while (seeds.size < k) {
+      val sims = seeds.map { sv =>
+        cosine(idot(col("v"), typedLit(sv.toSeq)), col("nrm"),
+          lit(math.sqrt(sv.map(x => x.toDouble * x).sum)))
+      }.toSeq
+      val nearest = if (sims.size == 1) sims.head else greatest(sims: _*)
+      seeds += iv.select(col("v"), nearest.as("ms"), col("vec_id"))
+        .orderBy(col("ms"), col("vec_id")).limit(1).head()
+        .getSeq[Long](0).toArray
+    }
+    var centroids: Array[Array[Double]] =
+      seeds.map(_.map(_.toDouble / 65536.0)).toArray
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      // broadcast the codebook as literal columns; argmax cosine via the
+      // same scaled-integer dot the ANN paths use
+      val scaledC = centroids.map(_.map(x => math.floor(x * 65536.0).toLong))
+      val cNorm = scaledC.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+      val scores = scaledC.indices.map { i =>
+        struct(
+          cosine(idot(col("v"), typedLit(scaledC(i).toSeq)), col("nrm"),
+            lit(cNorm(i))).as("cos"),
+          lit(-i).as("negid")) // ties: lowest centroid id wins under max
+      }
+      assigned = iv.select(col("vec_id"), col("v"),
+        (-greatest(scores: _*).getField("negid")).as("cluster"))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("sv")).as("ssum"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+          (r.getAs[Long]("ssum").toDouble / r.getAs[Long]("n")) / 65536.0
+      }
+      centroids = next
+    }
+    (centroids, assigned.select(col("vec_id"), col("cluster")))
+  }
+
   /** Per-label centroid training — the IVF codebook step q42's scaladoc
     * points at (one Lloyd iteration with label as the fixed assignment;
     * swap the label column for the previous round's nearest-centroid id

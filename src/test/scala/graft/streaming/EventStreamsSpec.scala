@@ -279,6 +279,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.contains((51L, 1L)), out) // matched pair flows as in inner
   }
 
+  test("stream-stream join state is evicted once the watermark passes the horizon") {
+    // the scaladoc's central claim — state holds ONE horizon per side —
+    // must be visible in the state-store metrics, not just asserted
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.attributionPairs(clicks.toDF(), purchases.toDF(),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attr_state")
+      .outputMode("append").start()
+    try {
+      // batch 1: 20 clicks + 2 purchases enter join state
+      clicks.addData((0 until 20).map(i => Ev(ts(i), i.toLong, "click", 0.0, i)): _*)
+      purchases.addData(Ev(ts(10), 1, "purchase", 1.0, 100),
+        Ev(ts(12), 2, "purchase", 1.0, 101))
+      q.processAllAvailable()
+      val loaded = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(loaded >= 20, s"expected both sides in state, saw $loaded")
+      // batch 2+3: both sides jump 10 hours → watermark far past every
+      // batch-1 row + horizon; the eviction pass must drain them
+      clicks.addData(Ev(ts(600), 999, "click", 0.0, 900))
+      purchases.addData(Ev(ts(600), 998, "purchase", 0.0, 901))
+      q.processAllAvailable()
+      clicks.addData(Ev(ts(601), 999, "click", 0.0, 902))
+      purchases.addData(Ev(ts(601), 998, "purchase", 0.0, 903))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(after <= 6, s"batch-1 rows must be evicted, state still holds $after")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution pairs over the real events table equal the batch join") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"

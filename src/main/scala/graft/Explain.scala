@@ -22,6 +22,7 @@ object Explain {
     "q59_bloom_decontaminate", // codegen'd bloom_might_contain prefilter
     "q67_click_attribution", // interval self-join: equi on user, range inside
     "q68_corpus_prep", // fused dedup->gate->pack: one wide shuffle
+    "q69_length_filter", // one lang-partitioned window, rest rides the scan
     "q65_global_ratio", // broadcast 1-row total, no empty-frame window
     "q72_stitch_contigs") // closed-form stitch aggregation
 

@@ -44,6 +44,25 @@ class KMeansSpec extends SparkSpec {
     assert(again.as[(Long, Int)].collect().toMap === byVec)
   }
 
+  test("trained cells drive an end-to-end IVF search: in-cell top-1 is the true nearest") {
+    // the q42 promise realized: swap `label` for trained assignments
+    // and probe only the query's own cell
+    val (_, assigned) = Similarity.trainCodebook(spark, dir, k = 3, iters = 4)
+    val iv = Similarity.scaledVectors(spark, dir)
+      .join(assigned, "vec_id")
+      .select($"vec_id", $"cluster", $"v", $"nrm")
+    val q = iv.where($"vec_id" === 0L)
+      .select($"cluster", $"v".as("qv"), $"nrm".as("qn"))
+    val hit = q.join(iv, Seq("cluster"))
+      .where($"vec_id" =!= 0L)
+      .select($"vec_id",
+        (Similarity.idot($"qv", $"v").cast("double") / ($"qn" * $"nrm")).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(1).as[(Long, Double)].head()
+    // vec 1 (same axis, smallest jitter delta) is vec 0's true nearest
+    assert(hit._1 === 1L, hit.toString)
+  }
+
   test("k-means assignments are invariant to shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
     val orig = spark.conf.get(key)

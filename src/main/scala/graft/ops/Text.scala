@@ -389,11 +389,35 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Hopping (sliding) time windows in batch — `window(ts, 1h, 30m)`,
+    * the batch twin of the streaming window family: every event lands
+    * in exactly width/slide = 2 overlapping windows. Spark's generator
+    * expands the window struct inline (no join against a spine — q66
+    * covers the generated-calendar shape); the DuckDB twin spells the
+    * same membership arithmetically (each event's two slide-aligned
+    * window starts, unnested). Epoch-aligned origin on both sides, so
+    * boundaries agree exactly. One shuffle on (window, event_type),
+    * partial-aggregated — at 100 TB the 2× row expansion happens
+    * map-side and combines before it moves.
+    */
+  def q77HoppingWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("tsm"),
+        col("event_type"), col("value"))
+    e.groupBy(window(col("tsm"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        unix_micros(col("window.end")).as("w_end_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
     "q68_corpus_prep" -> (q68CorpusPrep _),
     "q69_length_filter" -> (q69LengthFilter _),
+    "q77_hopping_window" -> (q77HoppingWindow _),
     "q58_sequence_pack" -> (q58SequencePack _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
@@ -405,6 +429,18 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_hopping_window" -> """
+      WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+      x AS (SELECT event_type, value,
+              unnest([ts_us // 1800000000 * 1800000000,
+                      ts_us // 1800000000 * 1800000000 - 1800000000]) AS w_start_us
+            FROM e)
+      SELECT w_start_us, w_start_us + 3600000000 AS w_end_us, event_type,
+        count(1) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM x
+      GROUP BY w_start_us, event_type
+      ORDER BY w_start_us, event_type""",
     "q69_length_filter" -> s"""
       WITH d AS (SELECT doc_id, lang, len($sqlWords) AS n_tokens FROM documents),
       r AS (SELECT doc_id, lang, n_tokens,

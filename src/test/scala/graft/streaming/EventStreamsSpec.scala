@@ -279,6 +279,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.contains((51L, 1L)), out) // matched pair flows as in inner
   }
 
+  test("streaming hopping windows over the real events table equal the batch q77") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Files.createTempDirectory("events-hop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stream = spark.readStream.schema(sch).parquet(staged.toString)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val q = stream
+      .groupBy(window($"tsm", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros($"window.start").as("w_start_us"), $"event_type",
+        $"n_events")
+      .writeStream.format("memory").queryName("hop").outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("hop")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.ops.Text.q77HoppingWindow(spark, dir)
+      .select($"w_start_us", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream join state is evicted once the watermark passes the horizon") {
     // the scaladoc's central claim — state holds ONE horizon per side —
     // must be visible in the state-store metrics, not just asserted

@@ -69,6 +69,7 @@ object ScaleProbe {
       "q42_ann_ivf", "q47_label_centroids", "q48_incremental_ingest",
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",
+      "q77_hopping_window",
       "q72_stitch_contigs", "q74_stitch_iterative",
       "q76_stitch_frontier")
     // optional 2nd arg: comma-separated filter (higher factors only pay

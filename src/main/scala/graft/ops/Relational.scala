@@ -367,18 +367,35 @@ object Relational {
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"), col("n_keys"), col("keys"))
 
-  /** Sketch aggregation: approx_count_distinct (HLL++). No SQL oracle —
-    * DuckDB's approx sketch differs — so the driver records the weaker
-    * rows-only check; the exact twin rides along for context and the
-    * ScalaTest asserts the ±5% envelope.
+  /** Sketch aggregation internals: approx_count_distinct (HLL++) next to
+    * the exact distinct in one plan. DuckDB's HLL differs bit-for-bit, so
+    * the raw sketch value itself can never hash-match an oracle; PlanSpec
+    * asserts the ±5% envelope on this form directly.
     */
-  def q28ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  def q28ApproxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  /** Hash-checkable envelope form of the HLL sketch: emits the exact
+    * distinct counts plus `within_envelope` booleans computed INSIDE the
+    * Spark plan (`|approx − exact| ≤ 5% · exact`). The DuckDB oracle
+    * computes the exact aggregates and literal `true` — a hash match
+    * therefore certifies both the exact computation and the sketch's
+    * error envelope, strictly stronger than a spec-only assertion.
+    */
+  def q28ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    q28ApproxDistinctRaw(s, dir)
+      .select(
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.05)).as("parts_within_5pct"),
+        col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.05)).as("orders_within_5pct"))
 
   /** Global range-partitioned sort (SURVEY §2.6 O2). */
   def q26GlobalSort(s: SparkSession, dir: String): DataFrame =
@@ -504,13 +521,13 @@ object Relational {
 
   /** Approximate grouped percentiles (KLL-style sketch) riding next to
     * the exact values — q44's sketch twin, same pairing as q28's HLL vs
-    * exact distinct. No SQL oracle (DuckDB's approx sketch differs);
-    * the ±1% envelope is asserted in PlanSpec. At 100 TB the sketch is
-    * the only affordable form: constant memory per group and
-    * mergeable partials vs the exact form's full value-multiset
-    * shuffle.
+    * exact distinct. DuckDB's approx sketch differs bit-for-bit, so this
+    * raw form has no SQL oracle; the ±1% envelope is asserted in
+    * PlanSpec on this form. At 100 TB the sketch is the only affordable
+    * form: constant memory per group and mergeable partials vs the
+    * exact form's full value-multiset shuffle.
     */
-  def q46ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+  def q46ApproxPercentilesRaw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -519,6 +536,26 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"),
         percentile(col("l_extendedprice"), lit(0.9)).as("exact_p90"),
         count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Hash-checkable envelope form of the percentile sketch (q28's
+    * pattern): exact per-group percentiles plus `within_envelope`
+    * booleans computed inside the plan (`|approx − exact| ≤ 1% ·
+    * exact`). Oracle: DuckDB `quantile_cont` + literal `true` — the
+    * exact interpolation bit-matches (q44 proves it), so a hash match
+    * certifies the exact values AND the sketch envelope.
+    */
+  def q46ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    q46ApproxPercentilesRaw(s, dir)
+      .select(
+        col("l_returnflag"),
+        col("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          col("exact_p50") * lit(0.01)).as("p50_within_1pct"),
+        col("exact_p90"),
+        (abs(col("approx_p90") - col("exact_p90")) <=
+          col("exact_p90") * lit(0.01)).as("p90_within_1pct"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   /** SQL front door + correlated LATERAL subquery: top-2 orders per
@@ -821,9 +858,26 @@ object Relational {
         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    // q28_approx_distinct: intentionally no oracle (engine-specific HLL)
-    // q46_approx_percentiles: intentionally no oracle (engine-specific
-    // quantile sketch); ±1% envelope asserted in PlanSpec
+    // q28/q46: the approx sketches are engine-specific and can never
+    // hash-match, so the catalog forms emit (exact, within_envelope)
+    // computed inside the Spark plan; the oracle computes the exact
+    // aggregate and literal true. A hash match certifies both the exact
+    // computation and the sketch's error envelope. The raw sketch
+    // envelopes are additionally spec-asserted in PlanSpec.
+    "q28_approx_distinct" -> """
+      SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        true AS parts_within_5pct,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        true AS orders_within_5pct
+      FROM lineitem""",
+    "q46_approx_percentiles" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        true AS p50_within_1pct,
+        quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+        true AS p90_within_1pct,
+        COUNT(1) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q29_map_json" -> """
       SELECT event_type, n_keys, keys, COUNT(1) AS n,
         MIN(k) AS min_k, MAX(k) AS max_k

@@ -116,7 +116,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q46 approx percentiles stay within 1% of exact") {
-    Relational.q46ApproxPercentiles(spark, dir).collect().foreach { r =>
+    Relational.q46ApproxPercentilesRaw(spark, dir).collect().foreach { r =>
       val (a50, e50) = (r.getDouble(1), r.getDouble(2))
       val (a90, e90) = (r.getDouble(3), r.getDouble(4))
       assert(math.abs(a50 - e50) / e50 < 0.01, s"p50: approx $a50 exact $e50")
@@ -124,12 +124,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q46 envelope form certifies every group in-plan") {
+    Relational.q46ApproxPercentiles(spark, dir).collect().foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(4), r.toString)
+    }
+  }
+
   test("q28 approx_count_distinct stays within 5% of exact") {
-    val r = Relational.q28ApproxDistinct(spark, dir).head()
+    val r = Relational.q28ApproxDistinctRaw(spark, dir).head()
     val (ap, ep) = (r.getLong(0), r.getLong(1))
     val (ao, eo) = (r.getLong(2), r.getLong(3))
     assert(math.abs(ap - ep).toDouble / ep < 0.05, s"parts: approx $ap exact $ep")
     assert(math.abs(ao - eo).toDouble / eo < 0.05, s"orders: approx $ao exact $eo")
+  }
+
+  test("q28 envelope form certifies both sketches in-plan") {
+    val r = Relational.q28ApproxDistinct(spark, dir).head()
+    assert(r.getBoolean(1) && r.getBoolean(3), r.toString)
   }
 }
 

@@ -250,6 +250,56 @@ object Similarity {
     (centroids, assigned.select(col("vec_id"), col("cluster")))
   }
 
+  /** Stage the trained coarse quantizer's assignment table (vec_id →
+    * cluster) to parquet — q37's write-stage-then-consume pattern
+    * (Dedup.stagePairs) applied to the IVF index build. At 100 TB the
+    * assignment table IS the index: training runs once (or per refresh),
+    * every search after that is an equi-join against this staged table
+    * and never re-trains. Returns the staged path.
+    */
+  def stageCells(s: SparkSession, dir: String, workDir: String): String = {
+    val p = s"$workDir/cells"
+    val (_, assigned) = trainCodebook(s, dir)
+    assigned.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** Trained-IVF ANN — q42 with the `label` stand-in replaced by REAL
+    * k-means cells ([[trainCodebook]]), searched through the STAGED
+    * assignment table ([[stageCells]]): queries (vec_id < 20) probe
+    * only their own trained cell, top-5 by cosine. The search plan is
+    * identical to q42's — an equi-join on the cell id — which is the
+    * point: swapping a heuristic bucket for a learned codebook changes
+    * recall, not the physical shape. The DuckDB oracle reads the SAME
+    * staged parquet (it never retrains), so the hash-compare certifies
+    * the in-cell search exactly as q42's oracle does, over cells the
+    * engine actually trained. Zero-norm vectors have no direction and
+    * are unassignable (trainCodebook excludes them), so they simply
+    * don't participate — same NULL-cosine policy as [[cosine]].
+    */
+  def q78AnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageCells(s, dir, work)
+    val cells = s.read.parquet(s"$work/cells")
+    val iv = scaledVectors(s, dir)
+      .join(cells, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val q = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(iv, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label centroid training — the IVF codebook step q42's scaladoc
     * points at (one Lloyd iteration with label as the fixed assignment;
     * swap the label column for the previous round's nearest-centroid id
@@ -278,6 +328,7 @@ object Similarity {
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q47_label_centroids" -> (q47LabelCentroids _),
+    "q78_ann_ivf_trained" -> (q78AnnIvfTrained _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +384,27 @@ object Similarity {
           $sqlDot / (a.nrm * b.nrm) AS cosine
         FROM iv a JOIN iv b
           ON a.label = b.label AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the oracle consumes the ENGINE-STAGED assignment parquet (it
+    // never retrains — the index is the staged asset, exactly as q37's
+    // oracle consumes staged pairs); Verify substitutes the staging
+    // root for __GRAFT_STAGED__ at dump time
+    "q78_ann_ivf_trained" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM civ a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
         WHERE a.vec_id < 20),
       ranked AS (SELECT *, ROW_NUMBER() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

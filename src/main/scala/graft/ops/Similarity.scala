@@ -264,6 +264,97 @@ object Similarity {
     p
   }
 
+  /** The IVF search kernel shared by every probe strategy: an equi-join
+    * on the cell id between the probe list and the cell-assigned corpus,
+    * cosine per candidate, window top-k per query. `probes` carries
+    * (query_id, cluster, qv, qn) — one row per (query, probed cell);
+    * `iv` carries (vec_id, cluster, v, nrm). A vector lives in exactly
+    * one cell, so multi-probe needs no dedup. The physical shape never
+    * changes with nprobe: still one hash-partitioned equi-join.
+    */
+  private def searchCells(probes: DataFrame, iv: DataFrame,
+      topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(iv, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-query top-`nprobe` nearest cells from the broadcast codebook —
+    * the multi-probe knob that fixes 1-probe IVF's recall cliff at cell
+    * boundaries. The codebook travels as literal columns (model-sized,
+    * never a shuffle side); scoring is the same scaled-integer dot as
+    * assignment; ties break to the lowest cell id (struct sort on
+    * (cos, -id) descending). Output: (query_id, cluster, qv, qn), one
+    * row per probed cell, ready for [[searchCells]].
+    */
+  def ivfProbes(queries: DataFrame, centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}]")
+    val scaledC = centroids.map(_.map(x => math.floor(x * 65536.0).toLong))
+    val cNorm = scaledC.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val cellScores = scaledC.indices.map { i =>
+      struct(
+        cosine(idot(col("v"), typedLit(scaledC(i).toSeq)), col("nrm"),
+          lit(cNorm(i))).as("cos"),
+        lit(-i).as("negid"))
+    }
+    queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(reverse(array_sort(array(cellScores: _*))), 1, nprobe))
+          .as("probe"))
+      .select(col("query_id"), (-col("probe").getField("negid")).as("cluster"),
+        col("qv"), col("qn"))
+  }
+
+  /** End-to-end multi-probe IVF search (train → probe → in-cell top-k),
+    * the form the recall spec exercises directly. nprobe=1 is exactly
+    * q78's own-cell search; nprobe=p additionally scans the query's
+    * p−1 next-nearest cells — recall rises, the plan stays the same
+    * equi-join, and cost grows by the probed fraction p/k of the
+    * corpus, NOT quadratically.
+    */
+  def ivfSearch(s: SparkSession, dir: String, nprobe: Int, k: Int = 4,
+      iters: Int = 5, topK: Int = 5, maxQueryId: Long = 20L): DataFrame = {
+    val (centroids, assigned) = trainCodebook(s, dir, k, iters)
+    // eager materialization: probe + corpus sides both read this frame
+    // (a lazy cache would race its first materialization — see q31)
+    val iv = scaledVectors(s, dir).join(assigned, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val probes = ivfProbes(iv.where(col("vec_id") < maxQueryId),
+      centroids, nprobe)
+    searchCells(probes, iv, topK)
+  }
+
+  /** Stage the full IVF index in ONE training run: the cell assignments
+    * AND the multi-probe list (query_id → probed cell, nprobe=2). Probe
+    * selection depends on the trained model (like the assignments), so
+    * it stages; the SEARCH over staged probes+cells is pure relational
+    * algebra the oracle replays.
+    */
+  def stageIvfIndex(s: SparkSession, dir: String, workDir: String,
+      nprobe: Int = 2, maxQueryId: Long = 20L): Unit = {
+    val (centroids, assigned) = trainCodebook(s, dir)
+    assigned.write.mode("overwrite").parquet(s"$workDir/cells")
+    val queries = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
+      .where(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    ivfProbes(queries, centroids, nprobe)
+      .select(col("query_id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$workDir/probes")
+  }
+
   /** Trained-IVF ANN — q42 with the `label` stand-in replaced by REAL
     * k-means cells ([[trainCodebook]]), searched through the STAGED
     * assignment table ([[stageCells]]): queries (vec_id < 20) probe
@@ -284,20 +375,33 @@ object Similarity {
     val iv = scaledVectors(s, dir)
       .join(cells, "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val q = iv.where(col("vec_id") < 20)
+    val probes = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("cluster"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(iv, Seq("cluster"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    searchCells(probes, iv, topK = 5)
+  }
+
+  /** Multi-probe IVF through the STAGED index (q78 + the nprobe knob):
+    * one training run stages cells and the nprobe=2 probe lists, then
+    * the search consumes only staged parquet — queries scan their 2
+    * nearest cells, top-5 by cosine. Same oracle discipline as q78:
+    * DuckDB replays the search joins over the engine-staged tables, so
+    * the hash-compare certifies multi-probe search end-to-end. Recall
+    * superiority over 1-probe is asserted on a boundary-case corpus in
+    * IvfMultiProbeSpec.
+    */
+  def q79AnnIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
   }
 
   /** Per-label centroid training — the IVF codebook step q42's scaladoc
@@ -329,6 +433,7 @@ object Similarity {
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q47_label_centroids" -> (q47LabelCentroids _),
     "q78_ann_ivf_trained" -> (q78AnnIvfTrained _),
+    "q79_ann_ivf_multiprobe" -> (q79AnnIvfMultiprobe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +511,26 @@ object Similarity {
         FROM civ a JOIN civ b
           ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
         WHERE a.vec_id < 20),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q79_ann_ivf_multiprobe" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qv AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
       ranked AS (SELECT *, ROW_NUMBER() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)

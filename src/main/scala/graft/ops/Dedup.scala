@@ -466,8 +466,14 @@ object Dedup {
       .groupBy(col("n.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("exact_id"))
     // near tier: q31's signature/band derivation over ALL docs, split
-    // into new × corpus at the band join
-    val sh = hashedShingles(s, dir).cache()
+    // into new × corpus at the band join. Eager localCheckpoint, NOT a
+    // lazy cache: three consumers read this frame (the signature agg +
+    // both sides of the verification join), and a lazy cache's first
+    // materialization both races at high parallelism and leaves the
+    // physical plan at the CacheManager's mercy run-to-run — the
+    // checkpoint pins every consumer to one ExistingRDD scan
+    // (plan-asserted in PlanSpec).
+    val sh = hashedShingles(s, dir).localCheckpoint()
     val minAggs = hashAB.zipWithIndex.map { case ((a, b), k) =>
       min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
     }

@@ -92,6 +92,33 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q48 is a one-sided band join over staged tables, never corpus x corpus") {
+    // the catalog's most expensive query: pin the shape so a silent
+    // plan flip (re-derived signatures, cache substitution, or a
+    // two-sided/cartesian candidate join) fails loudly instead of
+    // showing up as an unexplained 2x bench swing
+    val p = plan("q48_incremental_ingest")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // staged inputs (hx / sh / sigN) are eager checkpoints: every
+    // consumer reads an ExistingRDD scan, and the 16-minima signature
+    // aggregation runs once at build time, never per consumer. The
+    // exact/near tiers' own min(doc_id) aggregates are expected; a
+    // partial_min over the shingle hash `h` would mean the signature
+    // derivation flipped back into the runtime plan (the r3 regression
+    // shape q31 pins against)
+    assert(p.contains("ExistingRDD"), p.take(800))
+    val sigMins = "partial_min\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).filter(a => a.contains("h#") || a.contains("%")).toSeq
+    assert(sigMins.isEmpty, sigMins.mkString("; "))
+    // one-sided split: the new-batch and corpus predicates are pushed
+    // BELOW the band join (a filter on each side), so candidates are
+    // bands(new) x bands(corpus) and corpus x corpus pairs never form
+    val splits = p.linesIterator.filter(_.contains("% 10) = 9)")).toSeq
+    assert(splits.exists(_.contains("NOT")), splits.mkString("\n"))
+    assert(splits.exists(!_.contains("NOT")), splits.mkString("\n"))
+  }
+
   test("q68 corpus prep fuses the gate before the explode via a semi-join election") {
     // the survivor election must be a LeftSemi (never materializing the
     // canon side into the output), and dropped/low-quality documents

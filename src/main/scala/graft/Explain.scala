@@ -44,7 +44,10 @@ object Explain {
       "`sbt 'runMain graft.Explain <sfDir> EXPLAIN.md'`). What to look\n" +
       "for: `PushedFilters`/`ReadSchema` on scans, `BroadcastHashJoin`\n" +
       "for dimensions, partial→final `HashAggregate` pairs, " +
-      "`WholeStageCodegen` spans, `TakeOrderedAndProject` for top-k.\n")
+      "`WholeStageCodegen` spans, `TakeOrderedAndProject` for top-k.\n" +
+      "Generated at bench scale (sf0.1) so broadcast/AQE decisions here\n" +
+      "are the benched ones; the r6 sf0.001→sf0.1 diff showed identical\n" +
+      "join/scan shapes for every pinned query (q02/q03/q31/q48/q59/q68).\n")
     headline.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(

@@ -6,35 +6,45 @@ import org.apache.spark.sql.functions._
 /** Empirical scale probe above sf0.1 (the largest driver-generated sf).
   *
   * Builds a `factor`×-replicated copy of the sf0.1 `documents` and
-  * `embeddings` tables — ids offset per copy, content byte-identical —
-  * and runs the dedup/similarity/assembly families against it. Identical
-  * copies are the deliberate choice: every original near-dup pair fans
-  * out to copy² cross-pairs and every document gains factor−1 exact
-  * twins, so the probe stresses a ~90%-duplicate corpus, the worst
-  * realistic shape for LSH banding, candidate verification, and
-  * connected components (CommonCrawl-scale crawls are dup-heavy in
-  * exactly this way). Numbers land in SCALING.md next to the sf0.1
-  * bench for the same queries.
+  * `embeddings` tables — ids offset per copy — and runs the
+  * dedup/similarity/assembly families against it. Two replication
+  * modes, selected by `SPARK_GRAFT_PERTURB`:
   *
-  * Derived data is ephemeral (JVM temp dir), like Spark's own shuffle
-  * files; /root/testdata stays untouched.
+  *  - **dup-heavy (default, content byte-identical)**: every original
+  *    near-dup pair fans out to copy² cross-pairs and every document
+  *    gains factor−1 exact twins, so the probe stresses a
+  *    ~90%-duplicate corpus — the worst realistic shape for LSH
+  *    banding, candidate verification, and connected components
+  *    (CommonCrawl-scale crawls are dup-heavy in exactly this way).
+  *  - **perturbed (`SPARK_GRAFT_PERTURB=<denom>`, e.g. 25)**: each
+  *    non-zero copy deterministically mutates ~1/denom of its tokens
+  *    (selection = xxhash64(word, copy) % denom, suffix = copy id — no
+  *    RNG anywhere). Mutation is keyed by (word, copy) ONLY, so two
+  *    near-dup documents inside one copy mutate their shared words
+  *    identically and the ORIGINAL dup structure is preserved per
+  *    copy, while cross-copy Jaccard drops below the 0.8 near-dup
+  *    threshold (denom 25 → ~4% of tokens → ~12% of 3-gram shingles
+  *    per copy → cross-copy J ≈ 0.78). Net effect: the duplicate RATE
+  *    stays constant as the corpus grows — the input-tracking curve a
+  *    real 10× corpus follows, vs the dup-heavy mode's worst-case
+  *    pair explosion.
+  *
+  * Numbers land in SCALING.md next to the sf0.1 bench for the same
+  * queries. Derived data is ephemeral (JVM temp dir), like Spark's own
+  * shuffle files; /root/testdata stays untouched.
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe/x$factor"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** Replicate `src`'s documents/embeddings/events tables `factor`× into
+    * a temp dir (idempotent per (factor, perturb) — existing replicas
+    * are reused). Returns the replica dir. `perturbDenom`: None =
+    * byte-identical copies; Some(d) = mutate ~1/d of tokens per copy,
+    * deterministic per (word, copy).
+    */
+  def ensureReplica(spark: SparkSession, src: String, factor: Int,
+      perturbDenom: Option[Int], cpus: Int): String = {
+    val tag = perturbDenom.map(d => s"x${factor}p$d").getOrElse(s"x$factor")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe/$tag"
     // id offset per copy keeps copies disjoint while preserving every
     // original id (copy 0 is the original table verbatim)
     val offset = 10000000L
@@ -43,10 +53,23 @@ object ScaleProbe {
       if (!new java.io.File(dst).exists()) {
         val base = spark.read.parquet(s"$src/$table.parquet")
           .withColumn("_k", explode(sequence(lit(0), lit(factor - 1))))
-        idCols.foldLeft(base)((d, c) =>
-            d.withColumn(c, col(c) + col("_k") * offset))
-          .drop("_k")
-          .repartition(cpus.toInt)
+        val withIds = idCols.foldLeft(base)((d, c) =>
+          d.withColumn(c, col(c) + col("_k") * offset))
+        val perturbed = perturbDenom match {
+          case Some(d) if table == "documents" =>
+            // suffix with no separator ("wordx3") so the tokenizer sees
+            // ONE changed word, not an inserted extra token
+            withIds.withColumn("text",
+              when(col("_k") === 0, col("text")).otherwise(
+                array_join(
+                  transform(split(col("text"), " "),
+                    w => when(pmod(xxhash64(w, col("_k")), lit(d)) === 0,
+                      concat(w, lit("x"), col("_k"))).otherwise(w)),
+                  " ")))
+          case _ => withIds
+        }
+        perturbed.drop("_k")
+          .repartition(cpus)
           .write.mode("overwrite").parquet(dst)
       }
     }
@@ -57,6 +80,29 @@ object ScaleProbe {
     // attribution join (same-user replication would instead square the
     // per-user click×purchase pairs, a synthetic quadratic)
     replicate("events", "event_id", "user_id")
+    out
+  }
+
+  def session(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val perturb = sys.env.get("SPARK_GRAFT_PERTURB").map(_.toInt)
+    val spark = session(cpus)
+    val out = ensureReplica(spark, src, factor, perturb, cpus.toInt)
 
     // the families whose 100 TB design claims this probe tests; q34 is
     // excluded by design — its guard admits ≤100k vectors but the point
@@ -96,7 +142,8 @@ object ScaleProbe {
     }
     val qs = results.map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
-    println(s"""{"metric":"scaleprobe_total","value":$total,"unit":"sec","factor":$factor,"queries":$qs}""")
+    val mode = perturb.map(d => s""","perturb":$d""").getOrElse("")
+    println(s"""{"metric":"scaleprobe_total","value":$total,"unit":"sec","factor":$factor$mode,"queries":$qs}""")
     spark.stop()
     if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }

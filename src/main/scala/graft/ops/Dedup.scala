@@ -237,8 +237,16 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds: a " +
           "component's diameter exceeds the iteration cap; raise maxIters " +
           "(rounds are cheap — one join + partial-agg groupBy each)")
+    lastMinLabelRounds = it
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Rounds the most recent connectedComponents / ...Star call in this
+    * JVM took to converge — benchmark/diagnostic introspection only
+    * (CcBench records them in SCALING.md; not part of any query result).
+    */
+  @volatile var lastMinLabelRounds: Int = -1
+  @volatile var lastStarRounds: Int = -1
 
   /** Connected components by alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
@@ -310,6 +318,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIters rounds " +
           "(needs ~log2(nodes) — raise maxIters)")
+    lastStarRounds = it
     // fixpoint is a star per component: children point at the root;
     // roots (appearing only as b) label themselves
     allNodes
@@ -372,11 +381,17 @@ object Dedup {
   }
 
   /** Stage 2: pairs parquet → cluster labels, persisted. Reads ONLY the
-    * staged pairs — no raw text, no re-hashing. Deliberately uses the
-    * O(log n) star contraction while q35 uses min-label propagation:
-    * StagedDedupSpec asserts the two algorithms agree on real pairs,
-    * and q37's DuckDB recursive-closure oracle independently validates
-    * the star labels — a cross-algorithm check neither gets alone.
+    * staged pairs — no raw text, no re-hashing. Uses the O(log n) star
+    * contraction while q35 uses min-label propagation: StagedDedupSpec
+    * asserts the two algorithms agree on real pairs, and q37's DuckDB
+    * recursive-closure oracle independently validates the star labels —
+    * a cross-algorithm check neither gets alone. Star is the MEASURED
+    * default, not just the structural one: CcBench on the 30× probe's
+    * 2.4M-edge pair graph has star at 9.0 s vs min-label's 13.7 s at
+    * the same round count (SCALING.md) — each star round contracts the
+    * edge set, while every min-label round re-joins full labels×edges —
+    * and star's round count is diameter-independent, so deep templated
+    * near-dup chains can't blow it up.
     */
   def stageClusters(s: SparkSession, workDir: String): String = {
     val p = s"$workDir/clusters"

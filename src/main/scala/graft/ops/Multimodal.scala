@@ -103,10 +103,58 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One encoded-PPM row (payload = real P6 bytes). */
+  case class PpmRow(doc_id: Long, payload: Array[Byte])
+
+  /** Features a real decoder recovers from the raster. */
+  case class PpmFeatures(doc_id: Long, width: Int, height: Int,
+      maxval: Int, n_pixels: Int, pix_sum: Long)
+
+  /** Deterministic real-PPM media table: per doc, a genuine binary P6
+    * image whose dimensions and raster are pure functions of doc_id
+    * (width 4+id%13, height 3+id%7, pixel j = (id·31+j) mod 256) —
+    * constructed with [[Ppm.encode]] in a narrow encoder stage. No RNG,
+    * no fixtures on disk: both engines can derive the expected features
+    * from the construction law.
+    */
+  def ppmTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 13).toInt
+        val h = 3 + (id % 7).toInt
+        val px = Array.tabulate(3 * w * h)(j => ((id * 31 + j) % 256).toByte)
+        PpmRow(id, Ppm.encode(Ppm.Image(w, h, 255, px)))
+      }).toDF()
+  }
+
+  /** REAL decode behind the q60 boundary — the stub retired: the binary
+    * payload is an actual P6 image and [[Ppm.decode]] parses magic,
+    * whitespace/comment-tolerant header, and raster byte-by-byte. The
+    * emitted features (dimensions, pixel-byte sum) must round-trip the
+    * construction law exactly, and the DuckDB oracle recomputes them
+    * FROM that law — so a hash match proves the encoder and the parser
+    * agree byte-for-byte on every document. Same scale shape as q60:
+    * two narrow mapPartitions stages (encode, decode), zero shuffle.
+    */
+  def q80PpmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ppmTable(s, dir).as[PpmRow]
+      .mapPartitions(_.map { r =>
+        val img = Ppm.decode(r.payload)
+        var sum = 0L
+        img.pixels.foreach(b => sum += (b & 0xff))
+        PpmFeatures(r.doc_id, img.width, img.height, img.maxval,
+          img.width * img.height, sum)
+      }).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_frame_sample" -> (q61FrameSample _),
     "q62_decode_expr" -> (q62DecodeExpr _),
+    "q80_ppm_decode" -> (q80PpmDecode _),
   )
 
   /** DuckDB twin of `payload(0) & 0xff`: the first UTF-8 *byte* of the
@@ -139,6 +187,19 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "q60_multimodal_decode" -> sqlDecodeOracle,
     "q62_decode_expr" -> sqlDecodeOracle,
+    // the oracle re-derives the features from the CONSTRUCTION law (it
+    // never parses PPM) — a hash match therefore certifies the Scala
+    // encoder and byte-level parser agree on every document
+    "q80_ppm_decode" -> """
+      SELECT doc_id,
+        CAST(4 + doc_id % 13 AS INT) AS width,
+        CAST(3 + doc_id % 7 AS INT) AS height,
+        CAST(255 AS INT) AS maxval,
+        CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS INT) AS n_pixels,
+        CAST(list_sum(list_transform(
+          range(0, 3 * (4 + doc_id % 13) * (3 + doc_id % 7)),
+          j -> (doc_id * 31 + j) % 256)) AS BIGINT) AS pix_sum
+      FROM documents ORDER BY doc_id""",
     "q61_frame_sample" -> s"""
       WITH cps AS (SELECT doc_id, ascii(substr(text, 1, 1)) AS cp
                    FROM documents),

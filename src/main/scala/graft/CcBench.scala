@@ -19,21 +19,35 @@ import graft.ops.Dedup
   */
 object CcBench {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(30)
-    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val perturb = sys.env.get("SPARK_GRAFT_PERTURB").map(_.toInt)
     val spark = ScaleProbe.session(cpus)
-    val replica = ScaleProbe.ensureReplica(spark, src, factor, perturb, cpus.toInt)
-    val tag = perturb.map(d => s"x${factor}p$d").getOrElse(s"x$factor")
-    val work = s"${sys.props("java.io.tmpdir")}/graft_ccbench/$tag"
 
-    if (!new java.io.File(s"$work/pairs").exists()) {
-      val t0 = System.nanoTime()
-      Dedup.stagePairs(spark, replica, work)
-      println(f"CCBENCH stage_pairs        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    // `chain <depth> <nChains>` mode: a synthetic deep-path graph — the
+    // structural worst case for min-label (rounds = DIAMETER, the shape
+    // templated near-dup chains produce at 100 TB) and the case star's
+    // O(log n) rounds exist for. Deterministic, no staging needed.
+    val pairs = if (args.headOption.contains("chain")) {
+      val depth = args.lift(1).map(_.toInt).getOrElse(64)
+      val chains = args.lift(2).map(_.toInt).getOrElse(1000)
+      println(s"CCBENCH synthetic chains   depth=$depth chains=$chains")
+      spark.range(chains.toLong * depth)
+        .selectExpr(s"(id div $depth) * ${10L * depth} + (id % $depth) as doc_a",
+          s"(id div $depth) * ${10L * depth} + (id % $depth) + 1 as doc_b")
+        .localCheckpoint()
+    } else {
+      val factor = args.headOption.map(_.toInt).getOrElse(30)
+      val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val perturb = sys.env.get("SPARK_GRAFT_PERTURB").map(_.toInt)
+      val replica = ScaleProbe.ensureReplica(spark, src, factor, perturb, cpus.toInt)
+      val tag = perturb.map(d => s"x${factor}p$d").getOrElse(s"x$factor")
+      val work = s"${sys.props("java.io.tmpdir")}/graft_ccbench/$tag"
+      if (!new java.io.File(s"$work/pairs").exists()) {
+        val t0 = System.nanoTime()
+        Dedup.stagePairs(spark, replica, work)
+        println(f"CCBENCH stage_pairs        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      spark.read.parquet(s"$work/pairs")
     }
-    val pairs = spark.read.parquet(s"$work/pairs")
     val nEdges = pairs.count()
     val nNodes = pairs.select(explode(array(col("doc_a"), col("doc_b")))
       .as("n")).distinct().count()
@@ -56,8 +70,8 @@ object CcBench {
     // both elect the component minimum: labelings must be identical
     val agree = nMin == nStar && dfMin.except(dfStar).limit(1).count() == 0
     println(s"CCBENCH agreement          $agree")
-    val mode = perturb.map(d => s""","perturb":$d""").getOrElse("")
-    println(s"""{"metric":"ccbench","factor":$factor$mode,"edges":$nEdges,"nodes":$nNodes,""" +
+    val mode = args.mkString(" ")
+    println(s"""{"metric":"ccbench","mode":"$mode","edges":$nEdges,"nodes":$nNodes,""" +
       s""""min_label":{"sec":$tMin,"rounds":$rMin},""" +
       s""""star":{"sec":$tStar,"rounds":$rStar},"agree":$agree}""")
     spark.stop()

@@ -18,6 +18,7 @@ object Explain {
     "q34_embedding_top_pairs", // codegen'd vec_ldot kernel
     "q43_unpivot", // Expand generator, no per-metric join
     "q48_incremental_ingest", // one-sided band join, new x corpus
+    "q79_ann_ivf_multiprobe", // staged-index IVF search: equi-join on cell id at any nprobe
     "q54_sessionize", // one shuffle, window + agg colocated
     "q59_bloom_decontaminate", // codegen'd bloom_might_contain prefilter
     "q67_click_attribution", // interval self-join: equi on user, range inside

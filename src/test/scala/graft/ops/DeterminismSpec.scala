@@ -12,14 +12,16 @@ import graft.SparkSpec
   * Queries chosen for shuffle-order hazard: q31 (minhash self-join,
   * pair emission order), q35 (iterative label propagation), q68 (fused
   * election + packing), q71 (argmax with deliberate tie-breaks), q67
-  * (window argmax over join output).
+  * (window argmax over join output), q79 (k-means training + probe
+  * selection + in-cell ranking — three stacked tie-break surfaces),
+  * q80 (mapPartitions codec round-trip).
   */
 class DeterminismSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private val probes = Seq("q31_minhash_pairs", "q35_dedup_clusters",
     "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",
-    "q71_best_successor")
+    "q71_best_successor", "q79_ann_ivf_multiprobe", "q80_ppm_decode")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -199,12 +199,38 @@ object Similarity {
     * and partition-count invariance.
     */
   def trainCodebook(s: SparkSession, dir: String, k: Int = 4,
-      iters: Int = 5): (Array[Array[Double]], DataFrame) = {
+      iters: Int = 5): (Array[Array[Double]], DataFrame) =
+    trainCodebookOn(
+      scaledVectors(s, dir)
+        .where(col("nrm") > 0) // zero vectors have no direction: unassignable
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint(), // scanned every iteration: materialize once
+      k, iters)
+
+  /** Nearest-trained-cell id for a (v, nrm) row — the ONE assignment
+    * expression shared by the training loop and incremental ingest
+    * (q81), so an ingested vector lands exactly where a retrain would
+    * have put it given the same codebook: argmax cosine over the
+    * broadcast centroid literals, ties to the lowest cell id.
+    */
+  def cellAssignment(centroids: Array[Array[Double]]): Column = {
+    val scaledC = centroids.map(_.map(x => math.floor(x * 65536.0).toLong))
+    val cNorm = scaledC.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val scores = scaledC.indices.map { i =>
+      struct(
+        cosine(idot(col("v"), typedLit(scaledC(i).toSeq)), col("nrm"),
+          lit(cNorm(i))).as("cos"),
+        lit(-i).as("negid")) // ties: lowest centroid id wins under max
+    }
+    -greatest(scores: _*).getField("negid")
+  }
+
+  /** [[trainCodebook]] over a prepared (vec_id, v, nrm) frame — the
+    * form incremental ingest needs (train on the CORPUS split only).
+    */
+  def trainCodebookOn(iv: DataFrame, k: Int,
+      iters: Int): (Array[Array[Double]], DataFrame) = {
     require(k >= 2, "trainCodebook needs k >= 2")
-    val iv = scaledVectors(s, dir)
-      .where(col("nrm") > 0) // zero vectors have no direction: unassignable
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .localCheckpoint() // scanned every iteration: materialize once
     // greedy farthest-point seeding, lowest vec_id first
     val seeds = scala.collection.mutable.ArrayBuffer(
       iv.orderBy(col("vec_id")).limit(1).select(col("v")).head()
@@ -224,17 +250,9 @@ object Similarity {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       // broadcast the codebook as literal columns; argmax cosine via the
-      // same scaled-integer dot the ANN paths use
-      val scaledC = centroids.map(_.map(x => math.floor(x * 65536.0).toLong))
-      val cNorm = scaledC.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-      val scores = scaledC.indices.map { i =>
-        struct(
-          cosine(idot(col("v"), typedLit(scaledC(i).toSeq)), col("nrm"),
-            lit(cNorm(i))).as("cos"),
-          lit(-i).as("negid")) // ties: lowest centroid id wins under max
-      }
+      // same scaled-integer dot the ANN paths use ([[cellAssignment]])
       assigned = iv.select(col("vec_id"), col("v"),
-        (-greatest(scores: _*).getField("negid")).as("cluster"))
+        cellAssignment(centroids).as("cluster"))
       val sums = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
         .groupBy(col("cluster"), col("pos"))
@@ -404,6 +422,45 @@ object Similarity {
     searchCells(probes, iv, topK = 5)
   }
 
+  /** Incremental IVF ingest — q48's nightly-batch shape applied to the
+    * vector index, completing train → index → INGEST → search. The
+    * codebook is trained on the EXISTING corpus only (vec_id % 10 ≠ 9
+    * stands in for the indexed corpus); the new batch (% 10 = 9) is
+    * assigned to its nearest trained cell by [[cellAssignment]] — a
+    * broadcast-codebook map-only stage, ZERO shuffle, which is the
+    * whole point: at 100 TB nightly vectors ride a single corpus-free
+    * pass while the expensive training amortizes across refreshes. The
+    * refreshed index (corpus cells ∪ new assignments) is staged, and
+    * queries (vec_id < 20, from both splits) search their own cell in
+    * it. The oracle replays the search over the staged refreshed index,
+    * exactly as q78's does — certifying that the index stays coherent
+    * and searchable through an incremental ingest. The assignment
+    * expression itself is shared with the training loop, and
+    * IvfIngestSpec plants a corpus where each new vector's cell (and
+    * its search results) are forced.
+    */
+  def q81AnnIvfIngest(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val isNew = col("vec_id") % 10 === 9
+    val ivAll = scaledVectors(s, dir)
+      .where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint() // corpus split, new split, and search all read it
+    val (centroids, corpusCells) =
+      trainCodebookOn(ivAll.where(!isNew), k = 4, iters = 5)
+    val newCells = ivAll.where(isNew)
+      .select(col("vec_id"), cellAssignment(centroids).as("cluster"))
+    corpusCells.union(newCells)
+      .write.mode("overwrite").parquet(s"$work/cells_ingest")
+    val iv = ivAll
+      .join(s.read.parquet(s"$work/cells_ingest"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
+  }
+
   /** Per-label centroid training — the IVF codebook step q42's scaladoc
     * points at (one Lloyd iteration with label as the fixed assignment;
     * swap the label column for the previous round's nearest-centroid id
@@ -434,6 +491,7 @@ object Similarity {
     "q47_label_centroids" -> (q47LabelCentroids _),
     "q78_ann_ivf_trained" -> (q78AnnIvfTrained _),
     "q79_ann_ivf_multiprobe" -> (q79AnnIvfMultiprobe _),
+    "q81_ann_ivf_ingest" -> (q81AnnIvfIngest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,6 +589,23 @@ object Similarity {
           $sqlDot / (a.nrm * b.nrm) AS cosine
         FROM qv a JOIN civ b
           ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q81_ann_ivf_ingest" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells_ingest/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM civ a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20),
       ranked AS (SELECT *, ROW_NUMBER() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)

@@ -113,6 +113,8 @@ object ScaleProbe {
       "q33_jaccard_pairs", "q35_dedup_clusters", "q36_dedup_survivors",
       "q37_staged_survivors", "q40_cosine_topk", "q41_ann_lsh",
       "q42_ann_ivf", "q47_label_centroids", "q48_incremental_ingest",
+      "q78_ann_ivf_trained", "q79_ann_ivf_multiprobe", "q81_ann_ivf_ingest",
+      "q80_ppm_decode",
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",
       "q77_hopping_window",

@@ -228,12 +228,43 @@ object Similarity {
   /** [[trainCodebook]] over a prepared (vec_id, v, nrm) frame — the
     * form incremental ingest needs (train on the CORPUS split only).
     */
+  /** Seeding pool bound: above this corpus size, farthest-point seed
+    * selection runs over a deterministic hash-sample of ~this many
+    * vectors instead of the full corpus. Rationale: greedy k-center
+    * seeding is k−1 sequential argmin scans — over the FULL corpus
+    * that is k full passes before training even starts, the one cost
+    * in the k-means loop that doesn't amortize at 100 TB. A 4k-vector
+    * pool keeps the seeds well-spread (k ≪ 4096) while the selection
+    * scans become trivial; the Lloyd iterations still run over the
+    * full corpus. Below the bound the pool IS the corpus, so small
+    * inputs (every spec, sf0.01, sf0.1) are byte-identical to the
+    * unsampled algorithm.
+    */
+  val SeedPoolSize = 4096L
+
   def trainCodebookOn(iv: DataFrame, k: Int,
       iters: Int): (Array[Array[Double]], DataFrame) = {
     require(k >= 2, "trainCodebook needs k >= 2")
-    // greedy farthest-point seeding, lowest vec_id first
+    // deterministic sample pool for seed selection (no RNG: membership
+    // is a pure function of vec_id); iv is checkpointed by callers, so
+    // the count and the pool scans read materialized blocks
+    val pool = {
+      val n = iv.count()
+      if (n <= SeedPoolSize) iv
+      else {
+        val stride = (n + SeedPoolSize - 1) / SeedPoolSize
+        val p = iv.where(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+          .localCheckpoint()
+        // a pathological stride could thin the pool below k: fall back
+        // to the lowest-id prefix rather than fail seeding
+        if (p.limit(k).count() >= k) p
+        else iv.orderBy(col("vec_id")).limit(SeedPoolSize.toInt)
+          .localCheckpoint()
+      }
+    }
+    // greedy farthest-point seeding over the pool, lowest vec_id first
     val seeds = scala.collection.mutable.ArrayBuffer(
-      iv.orderBy(col("vec_id")).limit(1).select(col("v")).head()
+      pool.orderBy(col("vec_id")).limit(1).select(col("v")).head()
         .getSeq[Long](0).toArray)
     while (seeds.size < k) {
       val sims = seeds.map { sv =>
@@ -241,7 +272,7 @@ object Similarity {
           lit(math.sqrt(sv.map(x => x.toDouble * x).sum)))
       }.toSeq
       val nearest = if (sims.size == 1) sims.head else greatest(sims: _*)
-      seeds += iv.select(col("v"), nearest.as("ms"), col("vec_id"))
+      seeds += pool.select(col("v"), nearest.as("ms"), col("vec_id"))
         .orderBy(col("ms"), col("vec_id")).limit(1).head()
         .getSeq[Long](0).toArray
     }

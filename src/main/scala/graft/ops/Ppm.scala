@@ -64,6 +64,9 @@ object Ppm {
     val h = intToken()
     val mv = intToken()
     require(mv <= 255, s"ppm: maxval $mv > 255 (2-byte samples unsupported)")
+    // adversarial headers: 3*w*h must not overflow Int (a corrupt blob
+    // must throw the guard's error, not a copyOfRange artifact)
+    require(3L * w * h <= Int.MaxValue, s"ppm: raster ${w}x$h too large")
     // exactly ONE whitespace byte separates maxval from the raster
     require(pos < bytes.length && isWs(bytes(pos)),
       "ppm: missing whitespace before raster")

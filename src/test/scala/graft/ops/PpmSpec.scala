@@ -37,5 +37,8 @@ class PpmSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Ppm.decode("P6\n0 1\n255\n".getBytes ++ raster(0))) // zero dim
     assertThrows[IllegalArgumentException](Ppm.decode("P6\nx 1\n255\n".getBytes ++ raster(3))) // bad int
     assertThrows[IllegalArgumentException](Ppm.decode("P6\n1 1\n999\n".getBytes ++ raster(3))) // wide samples
+    // adversarial dims whose raster size overflows Int must hit the
+    // guard, not a copyOfRange artifact
+    assertThrows[IllegalArgumentException](Ppm.decode("P6\n50000 50000\n255\n".getBytes ++ raster(3)))
   }
 }

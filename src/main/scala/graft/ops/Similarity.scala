@@ -492,6 +492,42 @@ object Similarity {
     searchCells(probes, iv, topK = 5)
   }
 
+  /** Embedding near-dup PAIRS at scale — the answer to q34's guarded
+    * quadratic baseline. q34 is an all-pairs join (refused above 100k
+    * vectors); this is the same top-20-by-cosine output computed from
+    * candidate pairs generated ONLY inside trained IVF cells: stage the
+    * k-means assignment table once ([[stageCells]]), self-equi-join on
+    * the cell id, exact-cosine every in-cell candidate. Cost drops from
+    * n² to Σ|cell|² ≈ n²/k for balanced cells — the cell count is the
+    * scale knob (k ∝ n holds per-cell work constant), and the join is a
+    * hash-partitioned equi-join, so cells spread across executors
+    * instead of melting one. Near-dup recall rests on the same geometry
+    * as 1-probe ANN: a true near-dup pair has cosine ≈ 1, so both ends
+    * quantize into the same cell except exactly ON a cell boundary
+    * (NeardupIvfSpec plants both the recovered and the boundary-miss
+    * case; the miss is the documented 1-probe trade-off q79's multi-
+    * probe knob exists for). The DuckDB oracle replays the in-cell join
+    * over the engine-staged cells, exactly as q78's does.
+    */
+  def q82NeardupIvf(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageCells(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val a = iv.select(col("cluster"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = iv.select(col("cluster"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("vec_a"), col("ib").as("vec_b"),
+        cosine(idot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
   /** Per-label centroid training — the IVF codebook step q42's scaladoc
     * points at (one Lloyd iteration with label as the fixed assignment;
     * swap the label column for the previous round's nearest-centroid id
@@ -523,6 +559,7 @@ object Similarity {
     "q78_ann_ivf_trained" -> (q78AnnIvfTrained _),
     "q79_ann_ivf_multiprobe" -> (q79AnnIvfMultiprobe _),
     "q81_ann_ivf_ingest" -> (q81AnnIvfIngest _),
+    "q82_neardup_ivf" -> (q82NeardupIvf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,6 +568,19 @@ object Similarity {
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         $sqlDot / (a.nrm * b.nrm) AS cosine
       FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+      ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""",
+    // replays the in-cell pair join over the ENGINE-STAGED assignment
+    // table (same discipline as q78: the oracle never retrains)
+    "q82_neardup_ivf" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        $sqlDot / (a.nrm * b.nrm) AS cosine
+      FROM civ a JOIN civ b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""",
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,

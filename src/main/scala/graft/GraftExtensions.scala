@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, LongDotProduct, StitchFoldExpr}
+import graft.functions.{BloomMightContain, CountMinEstimate, LongDotProduct, StitchFoldExpr}
 
 /** Session extensions registering the engine's custom expressions —
   * installed via `spark.sql.extensions=graft.GraftExtensions` (all
@@ -46,6 +46,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "bloom_might_contain takes exactly 2 arguments")
         BloomMightContain(children.head, children(1))
+      }),
+    ("cms_estimate",
+      new ExpressionInfo(classOf[CountMinEstimate].getName, "cms_estimate",
+        "cms_estimate(token, sketch) - codegen'd count-min point query of a " +
+          "STRING against a constant serialized CountMinSketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cms_estimate takes exactly 2 arguments")
+        CountMinEstimate(children.head, children(1))
       }))
 
   /** Idempotently install the custom functions into an arbitrary

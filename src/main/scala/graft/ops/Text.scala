@@ -412,6 +412,50 @@ object Text {
       .orderBy(col("w_start_us"), col("event_type"))
   }
 
+  /** Heavy-hitter tokens certified through a count-min sketch — the
+    * frequency member of the approx-sketch family (q28 cardinality,
+    * q46 quantiles), same hash-checkable envelope discipline: the
+    * exact top-20 token counts are computed by a partial-aggregated
+    * groupBy, the corpus-wide CMS is built by Spark's
+    * `count_min_sketch` aggregate (mergeable elementwise-sum partials
+    * — one model-sized binary leaves the shuffle), and
+    * `within_envelope` is evaluated IN-PLAN by the codegen'd
+    * [[graft.functions.CountMinEstimate]] probe:
+    * `exact ≤ estimate ≤ exact + ⌈eps·N⌉`. The lower bound is CMS's
+    * deterministic overestimate-only guarantee; the upper is the
+    * (eps, 99%) error bound. The DuckDB oracle computes the exact
+    * counts and literal `true`, so a hash match certifies both the
+    * exact aggregation and the sketch's envelope.
+    *
+    * At 100 TB the production form is the sketch pass alone (one scan,
+    * constant memory, mergeable across executors — the point of CMS);
+    * the exact twin here is the certification harness, exactly as
+    * q28 carries `exact_parts` beside `approx_parts`.
+    */
+  def q83HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.0005
+    val toks = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    // the sketch and the token total are the MODEL side: one binary +
+    // one long collect (not a data collect), exactly like the k-means
+    // codebook in Similarity.trainCodebook
+    val r = toks.agg(
+      count(lit(1)).as("n_tokens"),
+      expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)").as("cms")).head()
+    val total = r.getLong(0)
+    val cms = r.getAs[Array[Byte]](1)
+    val slack = math.ceil(eps * total).toLong
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token"))
+      .limit(20)
+      .select(col("token"), col("exact_count"),
+        call_function("cms_estimate", col("token"), lit(cms))
+          .between(col("exact_count"), col("exact_count") + lit(slack))
+          .as("within_envelope"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -426,9 +470,17 @@ object Text {
     "q53_fingerprint" -> (q53Fingerprint _),
     "q54_sessionize" -> (q54Sessionize _),
     "q63_repetition_score" -> (q63RepetitionScore _),
+    "q83_heavy_hitters" -> (q83HeavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
+    // exact counts + literal true: the envelope-oracle pattern (q28/q46)
+    "q83_heavy_hitters" -> s"""
+      WITH toks AS (SELECT unnest($sqlWords) AS token FROM documents),
+      tf AS (SELECT token FROM toks WHERE len(token) > 0),
+      exact AS (SELECT token, count(1) AS exact_count FROM tf GROUP BY token)
+      SELECT token, exact_count, true AS within_envelope
+      FROM exact ORDER BY exact_count DESC, token LIMIT 20""",
     "q77_hopping_window" -> """
       WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
       x AS (SELECT event_type, value,

@@ -456,6 +456,54 @@ object Text {
       .orderBy(col("exact_count").desc, col("token"))
   }
 
+  /** Training-mix weights for [[q84WeightedMix]] — FP-exact binary
+    * fractions (0.25 / 0.125) so `floor(w · scale)` is bit-identical
+    * across engines with no decimal-vs-double rounding edge.
+    */
+  private val mixWeights = Seq(
+    "en" -> 0.25, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125, "zh" -> 0.125)
+
+  /** Deterministic data mixing — downsample the corpus to TARGET
+    * language proportions (the Pile/Dolma-style mixing step that q56's
+    * fixed-rate sampler does not do): the quota for each language is
+    * derived by water-filling, `quota_l = ⌊w_l · scale⌋` with
+    * `scale = min_l(n_l / w_l)`, so the binding stratum is fully
+    * consumed, every other stratum is downsampled to match, and no
+    * stratum ever upsamples. Document selection is exact-quota and
+    * deterministic: rank within language by (md5(doc_id), doc_id) —
+    * a seedless shuffle both engines spell identically — and keep
+    * ranks ≤ quota.
+    *
+    * Scale shape: the counts/quota side is |langs| rows (broadcast
+    * join); the data side pays ONE shuffle for the per-language rank
+    * window (same skew note as q69: per-row window state is one long,
+    * and AQE splits a hot language). At 100 TB this replaces the
+    * usual collect-counts-then-hardcode-rates loop with a single
+    * self-calibrating plan.
+    */
+  def q84WeightedMix(s: SparkSession, dir: String): DataFrame = {
+    val wcol = mixWeights.foldLeft(lit(0.0)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w", wcol)
+      .where(col("w") > 0) // unweighted languages take no quota
+    // scalar scale via aggregate + broadcast cross join (a partition-less
+    // window would single-partition the frame — harmless at |langs| rows
+    // but noisy in the plan)
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(min(col("n") / col("w")).as("scale"))))
+      .select(col("lang"), floor(col("w") * col("scale")).as("quota"))
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.withColumn("mix_rank", row_number().over(rw))
+      .join(broadcast(quotas), "lang")
+      .where(col("mix_rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("mix_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -471,9 +519,29 @@ object Text {
     "q54_sessionize" -> (q54Sessionize _),
     "q63_repetition_score" -> (q63RepetitionScore _),
     "q83_heavy_hitters" -> (q83HeavyHitters _),
+    "q84_weighted_mix" -> (q84WeightedMix _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_weighted_mix" -> {
+      val wcase = mixWeights
+        .map { case (l, w) => s"WHEN '$l' THEN CAST($w AS DOUBLE)" }
+        .mkString("CASE lang ", " ", " ELSE CAST(0 AS DOUBLE) END")
+      s"""
+      WITH c AS (SELECT lang, count(1) AS n, $wcase AS w
+                 FROM documents GROUP BY lang),
+      cw AS (SELECT * FROM c WHERE w > 0),
+      q AS (SELECT lang, floor(w * (SELECT MIN(n / w) FROM cw)) AS quota
+            FROM cw),
+      r AS (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS mix_rank
+            FROM documents)
+      SELECT r.doc_id, r.lang, r.mix_rank
+      FROM r JOIN q ON r.lang = q.lang
+      WHERE r.mix_rank <= q.quota
+      ORDER BY r.doc_id"""
+    },
     // exact counts + literal true: the envelope-oracle pattern (q28/q46)
     "q83_heavy_hitters" -> s"""
       WITH toks AS (SELECT unnest($sqlWords) AS token FROM documents),

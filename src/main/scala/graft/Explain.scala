@@ -25,6 +25,8 @@ object Explain {
     "q68_corpus_prep", // fused dedup->gate->pack: one wide shuffle
     "q69_length_filter", // one lang-partitioned window, rest rides the scan
     "q65_global_ratio", // broadcast 1-row total, no empty-frame window
+    "q82_neardup_ivf", // in-cell pair join: n^2/k blocking, hash equi-join
+    "q83_heavy_hitters", // codegen'd cms_estimate probe over partial-agg exact counts
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

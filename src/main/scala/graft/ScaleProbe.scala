@@ -114,6 +114,7 @@ object ScaleProbe {
       "q37_staged_survivors", "q40_cosine_topk", "q41_ann_lsh",
       "q42_ann_ivf", "q47_label_centroids", "q48_incremental_ingest",
       "q78_ann_ivf_trained", "q79_ann_ivf_multiprobe", "q81_ann_ivf_ingest",
+      "q82_neardup_ivf", "q83_heavy_hitters", "q84_weighted_mix",
       "q80_ppm_decode",
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",

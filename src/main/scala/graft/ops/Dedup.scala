@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 import Text.{normText, shingles3, sqlNorm, sqlShingles, sqlWords, words}
@@ -56,6 +57,66 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sg"))
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)").as("h"))
+
+  /** Cross-document duplicate-SPAN detection — the exact-substring
+    * dedup of Lee et al. ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: a token position is
+    * duplicated if the 5-gram starting there also appears in ANOTHER
+    * document; overlapping duplicated 5-grams merge into maximal spans
+    * (gaps-and-islands over a per-doc window), and each affected doc
+    * reports its span count, duplicated-token count, and duplicated
+    * fraction. Within-doc repetition is deliberately out of scope here
+    * (that is q63's repetition score); this op targets cross-doc
+    * boilerplate and near-copies at sub-document granularity — the
+    * spans are exactly what a span-removal pass would cut.
+    *
+    * Scale shape: positional shingles are a generator over the scan
+    * (hashed AFTER the explode, inside codegen — the q31 lesson); the
+    * cross-doc test is `min(doc_id) ≠ max(doc_id)` per shingle hash (a
+    * partial-aggregated groupBy — NO countDistinct state), and marking
+    * duplicated positions is a LEFT SEMI join, so a boilerplate
+    * shingle with df=10^6 never multiplies rows — each position
+    * matches at most once. The span merge is one per-doc window. The
+    * position table is eagerly checkpointed because the dup-hash agg
+    * and the probe side both read it (the lazy-cache self-join race).
+    */
+  def q85DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = 5
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+    val sh5 = when(size(col("ws")) >= W,
+      transform(sequence(lit(1), size(col("ws")) - (W - 1)),
+        i => concat_ws(" ", (0 until W).map(o => element_at(col("ws"), i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val pos = d
+      .select(col("doc_id"), col("n_tokens"), posexplode(sh5).as(Seq("p", "sg")))
+      .select(col("doc_id"), col("n_tokens"), (col("p") + 1).as("start"),
+        expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)").as("h"))
+      .localCheckpoint()
+    val dupH = pos.groupBy(col("h"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("xdoc"))
+      .where(col("xdoc"))
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val spans = pos.join(dupH, Seq("h"), "leftsemi")
+      .withColumn("end", col("start") + lit(W - 1))
+      .withColumn("pmax",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("pmax").isNull || col("start") > col("pmax"), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("nw")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Exact dedup: md5 over normalized text, first doc id wins. */
   def q30ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -582,6 +643,7 @@ object Dedup {
     "q48_incremental_ingest" -> (q48IncrementalIngest _),
     "q57_decontaminate" -> (q57Decontaminate _),
     "q59_bloom_decontaminate" -> (q59BloomDecontaminate _),
+    "q85_dup_spans" -> (q85DupSpans _),
   )
 
   // ---- oracle SQL ----
@@ -647,6 +709,40 @@ object Dedup {
                    FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
+    // positional 5-gram shingles → cross-doc dup hashes → semi-filter →
+    // gaps-and-islands span merge; sums cast to BIGINT (DuckDB SUM of
+    // ints is HUGEINT, Spark's is LONG)
+    "q85_dup_spans" -> s"""
+      WITH norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      d AS (SELECT doc_id, ws, len(ws) AS n_tokens FROM norm),
+      sp AS (SELECT doc_id, n_tokens,
+               unnest(list_transform(range(1, greatest(len(ws)-4, 0)+1),
+                 i -> {'st': i, 'sg': ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]})) AS z
+             FROM d),
+      shm AS (SELECT doc_id, n_tokens, z.st AS start, md5(z.sg) AS m FROM sp),
+      ph AS (SELECT doc_id, n_tokens, start, $sqlH60 AS h FROM shm),
+      dup AS (SELECT h FROM ph GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+      dp AS (SELECT doc_id, n_tokens, start, start + 4 AS e
+             FROM ph WHERE h IN (SELECT h FROM dup)),
+      isl AS (SELECT doc_id, n_tokens, start, e,
+                CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR start > max(e) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS nw
+              FROM dp),
+      isl2 AS (SELECT doc_id, n_tokens, start, e,
+                 SUM(nw) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      merged AS (SELECT doc_id, n_tokens, island,
+                   MIN(start) AS s, MAX(e) AS e2
+                 FROM isl2 GROUP BY doc_id, n_tokens, island)
+      SELECT doc_id, n_tokens,
+        CAST(COUNT(1) AS BIGINT) AS n_dup_spans,
+        CAST(SUM(e2 - s + 1) AS BIGINT) AS dup_tokens,
+        CAST(SUM(e2 - s + 1) AS DOUBLE) / n_tokens AS dup_frac
+      FROM merged GROUP BY doc_id, n_tokens ORDER BY doc_id""",
     "q30_exact_dedup" -> s"""
       SELECT md5($sqlNorm) AS norm_hash, MIN(doc_id) AS canonical_id,
         COUNT(1) AS n_copies

@@ -89,7 +89,11 @@ object Similarity {
     // probe the raw table, not scaledVectors: the guard then costs one
     // counted parquet scan instead of materializing transform+sqrt+cache
     requireAllPairsScale(t(s, dir, "embeddings"))
-    val iv = scaledVectors(s, dir).cache()
+    // EAGER localCheckpoint, not lazy cache: both self-join sides read
+    // this frame, and a lazy cache races its first materialization at
+    // 32 threads (the q31 gotcha — measured here as 0.65 s → 5.3 s in
+    // the full bench when the race goes badly)
+    val iv = scaledVectors(s, dir).localCheckpoint()
     val a = iv.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = iv.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("ia") < col("ib"))

@@ -37,6 +37,14 @@ object Bench {
       // operators that cache intermediates (dedup shingle sets) would
       // otherwise accumulate blocks across all 48 queries
       spark.catalog.clearCache()
+      // localCheckpoint blocks are reaped by the ContextCleaner only
+      // after a driver GC proves the frames unreachable — left to
+      // chance, block buildup from earlier queries lands on whichever
+      // query GC lags into (measured: q48 swinging 1.2 s ↔ 5.4 s
+      // across full-bench runs with zero code change). Forcing one GC
+      // per query, OUTSIDE the timed section, starts every query from
+      // the same block-manager state.
+      System.gc()
       (if (err.isEmpty) dt else -1.0, err)
     }
     // dev facility: SPARK_GRAFT_ONLY=q31_minhash_pairs,q33_jaccard_pairs

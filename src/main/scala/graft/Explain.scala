@@ -27,6 +27,7 @@ object Explain {
     "q65_global_ratio", // broadcast 1-row total, no empty-frame window
     "q82_neardup_ivf", // in-cell pair join: n^2/k blocking, hash equi-join
     "q83_heavy_hitters", // codegen'd cms_estimate probe over partial-agg exact counts
+    "q85_dup_spans", // semi-join position marking + gaps-and-islands merge
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

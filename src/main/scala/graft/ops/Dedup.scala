@@ -500,6 +500,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Leak-free train/val/test split — the split step done in the only
+    * order that doesn't leak: assignment is a pure function of the
+    * near-dup CLUSTER representative (staged by the q37 pipeline), not
+    * of the document, so two near-duplicate documents can never land
+    * in different splits (the classic eval-contamination bug: a test
+    * document whose near-copy sits in train). Unclustered docs
+    * represent themselves. Buckets come from the q56 md5 arithmetic —
+    * seedless, engine-agnostic — at 80/10/10.
+    *
+    * Scale shape: the staged cluster table is the only join (one
+    * equi-join, broadcast-eligible at its usual ≪corpus size); the
+    * bucket is a map-side projection. The DuckDB oracle replays the
+    * same function over the SAME staged parquet, so a hash match
+    * certifies the no-straddle property end-to-end; DupSpansSpec-style
+    * pair-level leakage is additionally pinned in LeakfreeSplitSpec
+    * against the staged pairs themselves.
+    */
+  def q86LeakfreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val work = stageRoot(dir)
+    stagePairs(s, dir, work)
+    stageClusters(s, work)
+    val clusters = s.read.parquet(s"$work/clusters")
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = expr(
+      "cast(conv(substr(md5(cast(rep as string)), 1, 4), 16, 10) as int) % 100")
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("rep"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — the training-corpus hygiene step: flag
     * documents sharing ≥5 distinct word-3-gram shingles with a
     * benchmark/eval set (here: doc_id < 20 stands in for the eval
@@ -644,6 +681,7 @@ object Dedup {
     "q57_decontaminate" -> (q57Decontaminate _),
     "q59_bloom_decontaminate" -> (q59BloomDecontaminate _),
     "q85_dup_spans" -> (q85DupSpans _),
+    "q86_leakfree_split" -> (q86LeakfreeSplit _),
   )
 
   // ---- oracle SQL ----
@@ -709,6 +747,27 @@ object Dedup {
                    FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
+    // split assignment replayed over the ENGINE-STAGED cluster table
+    // (q78's oracle discipline); bucket = q56's md5-hex arithmetic on rep
+    "q86_leakfree_split" -> {
+      val m = "md5(CAST(rep AS VARCHAR))"
+      val hex = (1 to 4).map(k =>
+        s"(strpos('0123456789abcdef', substr($m, $k, 1)) - 1)")
+      val bucket =
+        s"CAST((${hex(0)} * 4096 + ${hex(1)} * 256 + ${hex(2)} * 16 + ${hex(3)}) % 100 AS INT)"
+      s"""
+      WITH cl AS (SELECT doc_id, cluster_id
+                  FROM '__GRAFT_STAGED__/clusters/*.parquet'),
+      d AS (SELECT documents.doc_id,
+              COALESCE(cl.cluster_id, documents.doc_id) AS rep
+            FROM documents LEFT JOIN cl ON documents.doc_id = cl.doc_id),
+      b AS (SELECT doc_id, rep, $bucket AS bucket FROM d)
+      SELECT doc_id, rep,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""
+    },
     // positional 5-gram shingles → cross-doc dup hashes → semi-filter →
     // gaps-and-islands span merge; sums cast to BIGINT (DuckDB SUM of
     // ints is HUGEINT, Spark's is LONG)

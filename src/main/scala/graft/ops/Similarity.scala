@@ -312,10 +312,31 @@ object Similarity {
     */
   def stageCells(s: SparkSession, dir: String, workDir: String): String = {
     val p = s"$workDir/cells"
-    val (_, assigned) = trainCodebook(s, dir)
+    val (_, assigned) =
+      trainCodebook(s, dir, k = adaptiveCellCount(vectorCount(s, dir)))
     assigned.write.mode("overwrite").parquet(p)
     p
   }
+
+  private def vectorCount(s: SparkSession, dir: String): Long =
+    t(s, dir, "embeddings").count()
+
+  /** Cells-per-corpus sizing: ~[[CellTarget]] vectors per cell, floor 4
+    * (every spec/sf0.01/sf0.1 corpus keeps its historical k=4 — the
+    * staged tables and oracles are unchanged below ~8k vectors), cap 64
+    * (the codebook travels as literal columns; k enters seeding as k−1
+    * pool scans and assignment as a k-way `greatest`, so the cap bounds
+    * both). This is what makes the in-cell join's n²/k claim REAL: with
+    * k fixed, 10× vectors cost 100×/k — measured as q82's 38.7 s at the
+    * 10× probe before this sizing; k ∝ n holds per-cell pair work
+    * linear in n. At true 100 TB a coarse quantizer sizes k ~ √n with a
+    * hierarchical codebook; the clamp documents the single-codebook
+    * validity range rather than pretending past it.
+    */
+  def adaptiveCellCount(n: Long): Int =
+    math.min(64L, math.max(4L, (n + CellTarget - 1) / CellTarget)).toInt
+
+  val CellTarget = 2048L
 
   /** The IVF search kernel shared by every probe strategy: an equi-join
     * on the cell id between the probe list and the cell-assigned corpus,
@@ -397,7 +418,8 @@ object Similarity {
     */
   def stageIvfIndex(s: SparkSession, dir: String, workDir: String,
       nprobe: Int = 2, maxQueryId: Long = 20L): Unit = {
-    val (centroids, assigned) = trainCodebook(s, dir)
+    val (centroids, assigned) =
+      trainCodebook(s, dir, k = adaptiveCellCount(vectorCount(s, dir)))
     assigned.write.mode("overwrite").parquet(s"$workDir/cells")
     val queries = scaledVectors(s, dir)
       .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")

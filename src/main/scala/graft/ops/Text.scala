@@ -504,6 +504,131 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed descriptive statistics + least-squares fit — the
+    * corpus-profiling pass (and the scaling-law fit machinery) every
+    * pipeline runs before mixing decisions: per-language Pearson
+    * correlation and the OLS regression line of token count on
+    * character count.
+    *
+    * Numeric parity design: the five sufficient statistics
+    * (Σx, Σy, Σx², Σy², Σxy) are EXACT BIGINT sums — associative and
+    * order-independent, so partial aggregation (map-side combine)
+    * is free and partitioning can never flip a bit. Only the final
+    * per-group formulas run in IEEE double, over one fixed expression
+    * tree spelled identically in the DuckDB oracle. (Plain
+    * `corr()`/`regr_slope()` would stream doubles in partition order —
+    * ulp-nondeterministic across engines AND across runs; this is the
+    * same reason [[Tables.dsum]] exists.) One partial-aggregated
+    * shuffle on lang; at 100 TB this is the cheapest possible shape —
+    * a 5-long-counters-per-group aggregate over the scan. Degenerate
+    * groups (zero variance) yield NULL, not a divide-by-zero.
+    */
+  def q87CorrStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), col("n_chars").as("x"),
+        size(words(col("text"))).cast("long").as("y"))
+    val g = d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    // exact longs -> doubles once, then one fixed-shape formula
+    val (n, sx, sy) = (col("n").cast("double"), col("sx").cast("double"),
+      col("sy").cast("double"))
+    val (sxx, syy, sxy) = (col("sxx").cast("double"),
+      col("syy").cast("double"), col("sxy").cast("double"))
+    val covn = n * sxy - sx * sy
+    val varxn = n * sxx - sx * sx
+    val varyn = n * syy - sy * sy
+    val slope = covn / varxn
+    g.select(col("lang"), col("n"),
+        when(varxn > 0 && varyn > 0, covn / (sqrt(varxn) * sqrt(varyn)))
+          .as("corr_chars_tokens"),
+        when(varxn > 0, slope).as("slope"),
+        when(varxn > 0, (sy - slope * sx) / n).as("intercept"))
+      .orderBy(col("lang"))
+  }
+
+  /** PII scrubbing — the redaction pass a training corpus gets before
+    * anything else sees it: emails and phone-shaped digit runs are
+    * counted and replaced with typed placeholder tags. The regexes use
+    * only character classes and counted repetition, the subset with
+    * identical semantics in Java regex and RE2 (file-header parity
+    * rule), and replacement order is fixed (emails first) so both
+    * engines rewrite the identical string.
+    *
+    * The driver corpus is digit-free, so the op would be vacuously
+    * green on raw text; instead the query PLANTS one email and one
+    * phone per document in-plan (a deterministic augmentation both
+    * engines construct identically — the same twin-construction trick
+    * as q62's encode→decode) and then must scrub them back out. The
+    * hash compare therefore certifies detection counts AND the exact
+    * rewritten bytes; `residue_free` re-scans the scrubbed text and
+    * must be uniformly true. Pure map stage: zero shuffle at any
+    * scale. PiiSpec additionally pins tricky fixtures (dots/plus
+    * addressing, adjacent PII, no-PII text).
+    */
+  def q88PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val phoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-01"), col("doc_id").cast("string"))
+    val d = t(s, dir, "documents").withColumn("aug", planted)
+    val scrubbed = regexp_replace(
+      regexp_replace(col("aug"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    d.select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+          .as("n_phones"),
+        md5(scrubbed).as("scrub_hash"),
+        (size(regexp_extract_all(scrubbed, lit(emailRe), lit(0))) === 0 &&
+          size(regexp_extract_all(scrubbed, lit(phoneRe), lit(0))) === 0)
+          .as("residue_free"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model statistics — the n-gram counting pass under
+    * classical LM pretraining and data-quality heuristics: per-language
+    * top-3 bigrams by count, each with its conditional probability
+    * p(w2|w1) = c(w1,w2) / c(w1,·).
+    *
+    * Shape: the bigram list is built array-native on the scan (index
+    * arithmetic, no posexplode, so the DuckDB twin needs no
+    * ORDINALITY), then ONE partial-aggregated groupBy on
+    * (lang,w1,w2); the denominator c(w1,·) rides a window over the
+    * counted frame — partitioned by (lang,w1), it reuses the groupBy's
+    * hash partitioning rather than paying a second full shuffle of the
+    * token stream. The division is exact-long → one IEEE divide, both
+    * engines identical. Docs under 2 words contribute no rows (range
+    * upper bound clamps to empty in both engines — same guard family
+    * as [[shingles3]]).
+    */
+  def q89BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), words(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("lang"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("lang"), element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val counted = d.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val headW = Window.partitionBy(col("lang"), col("w1"))
+    val rankW = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+    counted
+      .withColumn("head_cnt", sum(col("cnt")).over(headW))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= 3)
+      .select(col("lang"), col("rank"), col("w1"), col("w2"), col("cnt"),
+        (col("cnt").cast("double") / col("head_cnt").cast("double"))
+          .as("cond_p"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -520,9 +645,76 @@ object Text {
     "q63_repetition_score" -> (q63RepetitionScore _),
     "q83_heavy_hitters" -> (q83HeavyHitters _),
     "q84_weighted_mix" -> (q84WeightedMix _),
+    "q87_corr_stats" -> (q87CorrStats _),
+    "q88_pii_scrub" -> (q88PiiScrub _),
+    "q89_bigram_lm" -> (q89BigramLm _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_corr_stats" -> s"""
+      WITH d AS (SELECT lang, n_chars AS x,
+                   CAST(len($sqlWords) AS BIGINT) AS y
+                 FROM documents),
+      g AS (SELECT lang, COUNT(1) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x*x) AS BIGINT) AS sxx,
+              CAST(SUM(y*y) AS BIGINT) AS syy,
+              CAST(SUM(x*y) AS BIGINT) AS sxy
+            FROM d GROUP BY lang),
+      f AS (SELECT lang, n,
+              CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+              CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+              CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+            FROM g)
+      SELECT lang, n,
+        CASE WHEN nd*sxxd - sxd*sxd > 0 AND nd*syyd - syd*syd > 0
+          THEN (nd*sxyd - sxd*syd)
+               / (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) END
+          AS corr_chars_tokens,
+        CASE WHEN nd*sxxd - sxd*sxd > 0
+          THEN (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END AS slope,
+        CASE WHEN nd*sxxd - sxd*sxd > 0
+          THEN (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd
+          END AS intercept
+      FROM f ORDER BY lang""",
+    "q88_pii_scrub" -> """
+      WITH a AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or +1-555-01' || CAST(doc_id AS VARCHAR)
+            AS aug
+        FROM documents),
+      sc AS (SELECT doc_id, aug,
+          regexp_replace(
+            regexp_replace(aug,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+            '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        FROM a)
+      SELECT doc_id,
+        len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+          AS n_emails,
+        len(regexp_extract_all(aug, '\+[0-9][0-9-]{6,}[0-9]')) AS n_phones,
+        md5(scrubbed) AS scrub_hash,
+        (len(regexp_extract_all(scrubbed,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) = 0
+         AND len(regexp_extract_all(scrubbed, '\+[0-9][0-9-]{6,}[0-9]')) = 0)
+          AS residue_free
+      FROM sc ORDER BY doc_id""",
+    "q89_bigram_lm" -> s"""
+      WITH d AS (SELECT lang, $sqlWords AS ws FROM documents),
+      bg AS (SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+             FROM (SELECT lang, ws,
+                     unnest(range(1, greatest(len(ws)-1, 0) + 1)) AS i
+                   FROM d WHERE len(ws) >= 2)),
+      counted AS (SELECT lang, w1, w2, COUNT(1) AS cnt
+                  FROM bg GROUP BY lang, w1, w2),
+      scored AS (SELECT lang, w1, w2, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY lang, w1) AS BIGINT) AS head_cnt,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, w1, w2)
+            AS rank
+        FROM counted)
+      SELECT lang, rank, w1, w2, cnt,
+        CAST(cnt AS DOUBLE) / CAST(head_cnt AS DOUBLE) AS cond_p
+      FROM scored WHERE rank <= 3 ORDER BY lang, rank""",
     "q84_weighted_mix" -> {
       val wcase = mixWeights
         .map { case (l, w) => s"WHEN '$l' THEN CAST($w AS DOUBLE)" }

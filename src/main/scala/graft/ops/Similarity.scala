@@ -576,6 +576,168 @@ object Similarity {
           .as("centroid"))
       .orderBy(col("label"), col("dim"))
 
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ's compression half)
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: 64 dims → [[PqSubspaces]] subspaces of [[PqSubDim]]
+    * dims, [[PqCodes]] centroids per subspace. A vector compresses to
+    * m=4 codes (4 bytes) from 64 floats (256 B) — the 64× shrink that
+    * lets a 100 TB embedding corpus live in executor memory as codes
+    * while full vectors stay in cold storage.
+    */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqCodes = 16
+
+  /** Per-subspace k-means (Lloyd) over the scaled-integer subvectors —
+    * INTEGER-EXACT end to end: distances are exact BIGINT L2 on the
+    * 2^16-scaled components, centroid updates are `floorDiv(Σ, n)` on
+    * exact BIGINT sums, and seeding picks the [[PqCodes]] subvectors
+    * with the lowest (md5(salt:vec_id), vec_id) — seedless-deterministic
+    * and independent per subspace via the salt. No doubles anywhere, so
+    * the trained codebook is bit-identical under any partitioning
+    * (PqSpec pins this).
+    *
+    * All [[PqSubspaces]] trainings share each Lloyd round's jobs: ONE
+    * assignment expression computes every subspace's argmin (64 codegen
+    * dot products on 16-dim slices), and ONE explode→groupBy→collect
+    * brings back the m·k·d = 1024 partial sums (a model collect, not a
+    * data collect — same discipline as [[trainCodebookOn]]).
+    *
+    * Empty codes keep their previous centroid. Returns
+    * codebook(sub)(code) = scaled components, plus the final assignment
+    * frame (vec_id, sub, code) in the long form ADC joins on.
+    */
+  def trainPq(iv: DataFrame,
+      iters: Int = 3): (Array[Array[Array[Long]]], DataFrame) = {
+    val (m, d, k) = (PqSubspaces, PqSubDim, PqCodes)
+    val spark = iv.sparkSession
+    val codebook: Array[Array[Array[Long]]] = (0 until m).toArray.map { sub =>
+      iv.select(slice(col("v"), sub * d + 1, d).as("sv"),
+          md5(concat(lit(s"pq$sub:"), col("vec_id").cast("string"))).as("h"),
+          col("vec_id"))
+        .orderBy(col("h"), col("vec_id")).limit(k).collect()
+        .map(_.getSeq[Long](0).toArray)
+    }
+    // corpora smaller than k seed fewer centroids; pad by repeating
+    // (duplicate centroids are harmless: argmin ties to the lowest code)
+    codebook.indices.foreach { sub =>
+      while (codebook(sub).length < k)
+        codebook(sub) = codebook(sub) :+ codebook(sub).head
+    }
+
+    def codeCol(sub: Int): Column = {
+      val sv = slice(col("v"), sub * d + 1, d)
+      val cands = (0 until k).map { c =>
+        val cw = codebook(sub)(c)
+        val c2 = cw.map(x => x * x).sum // exact: |x| ≤ 2^17, d=16 ⋘ 2^63
+        struct(
+          (idot(sv, typedLit(cw.toSeq)) * lit(-2L) + lit(c2)).as("dist"),
+          lit(c).as("code"))
+      }
+      // ‖sv‖² is constant across candidates — dropped from the argmin
+      element_at(array_sort(array(cands: _*)), 1).getField("code")
+    }
+
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = iv.select(col("vec_id"), col("v"),
+        explode(array((0 until m).map { sub =>
+          struct(lit(sub).as("sub"), codeCol(sub).as("code"))
+        }: _*)).as("e"))
+        .select(col("vec_id"), col("v"), col("e.sub").as("sub"),
+          col("e.code").as("code"))
+      val sums = assigned
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("v"), col("sub") * d + 1, lit(d)))
+            .as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = codebook.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(r.getAs[Int]("pos")) =
+          Math.floorDiv(r.getAs[Long]("sx"), r.getAs[Long]("n"))
+      }
+      codebook.indices.foreach(s => next(s).indices.foreach(c =>
+        codebook(s)(c) = next(s)(c)))
+    }
+    (codebook, assigned.select(col("vec_id"), col("sub"), col("code")))
+  }
+
+  /** Stage the PQ index: `pq_codes` (vec_id, sub, code — the 4-byte
+    * compressed corpus) and `pq_codebook` in the LONG form (sub, code,
+    * dim, w) that both the ADC joins and the DuckDB oracle consume
+    * row-relationally. Training runs once; everything downstream reads
+    * only these two tables — the q37/q78 stage-then-consume pattern.
+    */
+  def stagePq(s: SparkSession, dir: String, workDir: String): Unit = {
+    val iv = scaledVectors(s, dir).select(col("vec_id"), col("v"))
+      .localCheckpoint() // seed scans + every Lloyd round read this frame
+    val (codebook, codes) = trainPq(iv)
+    codes.write.mode("overwrite").parquet(s"$workDir/pq_codes")
+    val rows = for {
+      sub <- codebook.indices
+      code <- codebook(sub).indices
+      dim <- codebook(sub)(code).indices
+    } yield (sub, code, dim + 1, codebook(sub)(code)(dim))
+    import s.implicits._
+    rows.toDF("sub", "code", "dim", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$workDir/pq_codebook")
+  }
+
+  /** ANN search by asymmetric distance computation over the staged PQ
+    * index — the compression half of IVF-PQ, and the shape that makes
+    * 100 TB ANN tractable: the corpus side of the search never touches
+    * a vector again, only its m=4 codes.
+    *
+    * ADC, relationally: each query (vec_id < 20, full precision) builds
+    * a lookup table — exact BIGINT ‖q_sub − centroid‖² for every
+    * (sub, code) — as a join of the query's exploded components against
+    * the long-form codebook: Q·m·k = 20·64 rows, broadcast. The
+    * distance to EVERY corpus vector is then codes ⋈ lut on (sub,code)
+    * + a partial-aggregated sum over the m rows per (query, vector) —
+    * a broadcast equi-join over the 4-byte codes, zero shuffle on the
+    * corpus side before the final (query,vec) partial agg. Top-5 per
+    * query by (adc_dist, neighbor_id). Every value in flight is BIGINT
+    * (the scaled-integer trick from the file header taken all the way:
+    * not even a final division), so the hash compare is
+    * rounding-trivial, and the DuckDB oracle replays the identical
+    * joins over the engine-staged tables. Recall vs exact search is
+    * pinned on planted clusters in PqSpec; composing with the IVF cell
+    * blocking of q78/q82 (codes within cells) is the standard IVF-PQ
+    * layout and changes no plumbing here.
+    */
+  def q90PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stagePq(s, dir, work)
+    val cb = s.read.parquet(s"$work/pq_codebook")
+    val codes = s.read.parquet(s"$work/pq_codes")
+    val ql = scaledVectors(s, dir).where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("v")).as(Seq("pos", "qw")))
+      .select(col("query_id"),
+        expr(s"pos div $PqSubDim").cast("int").as("sub"),
+        (col("pos") % PqSubDim + 1).cast("int").as("dim"), col("qw"))
+    val lut = ql.join(cb, Seq("sub", "dim"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(sum((col("qw") - col("w")) * (col("qw") - col("w"))).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
@@ -586,9 +748,39 @@ object Similarity {
     "q79_ann_ivf_multiprobe" -> (q79AnnIvfMultiprobe _),
     "q81_ann_ivf_ingest" -> (q81AnnIvfIngest _),
     "q82_neardup_ivf" -> (q82NeardupIvf _),
+    "q90_pq_adc" -> (q90PqAdc _),
   )
 
   val oracles: Map[String, String] = Map(
+    // replays ADC over the ENGINE-STAGED pq_codes/pq_codebook (the
+    // oracle never retrains — q78's discipline); every value BIGINT,
+    // so the hash compare is rounding-trivial
+    "q90_pq_adc" -> """
+      WITH iv AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
+        FROM embeddings),
+      ql AS (SELECT query_id,
+          CAST((g - 1) // 16 AS INT) AS sub,
+          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+        FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
+                generate_subscripts(v, 1) AS g
+              FROM iv WHERE vec_id < 20)),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      lut AS (SELECT query_id, sub, code,
+          CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
+        FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
+      d AS (SELECT query_id, vec_id,
+          CAST(SUM(pd) AS BIGINT) AS adc_dist
+        FROM codes JOIN lut USING (sub, code)
+        WHERE vec_id <> query_id GROUP BY query_id, vec_id),
+      r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, vec_id) AS rank
+        FROM d)
+      SELECT query_id, rank, neighbor_id, adc_dist
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "q34_embedding_top_pairs" -> s"""
       WITH $sqlScaled
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -738,6 +738,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Full IVF-PQ search — the two staged assets composed: the coarse
+    * quantizer ([[stageCells]], q78) prunes candidates to the query's
+    * own cell, and PQ codes ([[stagePq]], q90) price every surviving
+    * candidate by ADC without ever touching a vector. This is the
+    * standard billion-scale ANN layout (IVF for the n/k candidate cut,
+    * PQ for the 64× memory cut), and here it is pure relational
+    * algebra over staged parquet: cell equi-join → code attach →
+    * broadcast-LUT equi-join → partial-agg sum → per-query top-5.
+    * Per-query work is |cell| code rows (4 BIGINTs each) instead of
+    * n vectors (64 floats each) — the two multiplicative savings the
+    * layout exists for. Zero-norm vectors are unassignable by the
+    * cosine coarse quantizer and sit out, exactly as in q78; recall
+    * inherits q78's cell-boundary trade (q79's multi-probe knob
+    * composes here unchanged — probes would just add (query, cluster)
+    * rows to the candidate join). The DuckDB oracle replays the
+    * identical joins over the three engine-staged tables.
+    */
+  def q91IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageCells(s, dir, work)
+    stagePq(s, dir, work)
+    val cells = s.read.parquet(s"$work/cells")
+    val cb = s.read.parquet(s"$work/pq_codebook")
+    val codes = s.read.parquet(s"$work/pq_codes")
+    val ql = scaledVectors(s, dir).where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("v")).as(Seq("pos", "qw")))
+      .select(col("query_id"),
+        expr(s"pos div $PqSubDim").cast("int").as("sub"),
+        (col("pos") % PqSubDim + 1).cast("int").as("dim"), col("qw"))
+    val lut = ql.join(cb, Seq("sub", "dim"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(sum((col("qw") - col("w")) * (col("qw") - col("w"))).as("pd"))
+    val cand = cells.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("cluster"))
+      .join(cells, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
@@ -749,6 +801,7 @@ object Similarity {
     "q81_ann_ivf_ingest" -> (q81AnnIvfIngest _),
     "q82_neardup_ivf" -> (q82NeardupIvf _),
     "q90_pq_adc" -> (q90PqAdc _),
+    "q91_ivfpq_search" -> (q91IvfPq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -775,6 +828,41 @@ object Similarity {
           CAST(SUM(pd) AS BIGINT) AS adc_dist
         FROM codes JOIN lut USING (sub, code)
         WHERE vec_id <> query_id GROUP BY query_id, vec_id),
+      r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, vec_id) AS rank
+        FROM d)
+      SELECT query_id, rank, neighbor_id, adc_dist
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // IVF-PQ composed: the oracle replays cell pruning + ADC over the
+    // THREE engine-staged tables (cells, pq_codes, pq_codebook)
+    "q91_ivfpq_search" -> """
+      WITH iv AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
+        FROM embeddings),
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      ql AS (SELECT query_id,
+          CAST((g - 1) // 16 AS INT) AS sub,
+          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+        FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
+                generate_subscripts(v, 1) AS g
+              FROM iv WHERE vec_id < 20)),
+      lut AS (SELECT query_id, sub, code,
+          CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
+        FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
+      cand AS (SELECT q.vec_id AS query_id, c.vec_id, c.sub, c.code
+        FROM cells q JOIN cells t ON q.cluster = t.cluster
+          JOIN codes c ON c.vec_id = t.vec_id
+        WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+      d AS (SELECT cand.query_id, cand.vec_id,
+          CAST(SUM(pd) AS BIGINT) AS adc_dist
+        FROM cand JOIN lut ON lut.query_id = cand.query_id
+          AND lut.sub = cand.sub AND lut.code = cand.code
+        GROUP BY cand.query_id, cand.vec_id),
       r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
           ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY adc_dist, vec_id) AS rank

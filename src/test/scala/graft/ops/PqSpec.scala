@@ -83,6 +83,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("q91: composed IVF-PQ keeps top-1 in-cluster and prices only in-cell candidates") {
+    val rows = Similarity.q91IvfPq(spark, dir)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 1).foreach { case (q, _, n, _) =>
+      assert(cluster(q.toInt) === cluster(n.toInt),
+        s"query $q top-1 neighbor $n crossed clusters")
+    }
+    // candidate pruning is real: every returned neighbor shares the
+    // query's trained coarse cell
+    val cells = spark.read.parquet(s"${Dedup.stageRoot(dir)}/cells")
+      .as[(Long, Int)].collect().toMap
+    rows.foreach { case (q, _, n, _) =>
+      assert(cells(q) === cells(n), s"($q,$n) crossed cells")
+    }
+  }
+
   test("q90: codebook and codes are partition-invariant") {
     val iv = Similarity.scaledVectors(spark, dir)
       .select($"vec_id", $"v")

@@ -28,6 +28,8 @@ object Explain {
     "q82_neardup_ivf", // in-cell pair join: n^2/k blocking, hash equi-join
     "q83_heavy_hitters", // codegen'd cms_estimate probe over partial-agg exact counts
     "q85_dup_spans", // semi-join position marking + gaps-and-islands merge
+    "q90_pq_adc", // broadcast-LUT ADC: corpus side scans 4-byte codes only
+    "q91_ivfpq_search", // cell prune equi-join + ADC, no vector touch
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

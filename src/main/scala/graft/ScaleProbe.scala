@@ -115,7 +115,8 @@ object ScaleProbe {
       "q42_ann_ivf", "q47_label_centroids", "q48_incremental_ingest",
       "q78_ann_ivf_trained", "q79_ann_ivf_multiprobe", "q81_ann_ivf_ingest",
       "q82_neardup_ivf", "q83_heavy_hitters", "q84_weighted_mix",
-      "q85_dup_spans",
+      "q85_dup_spans", "q90_pq_adc", "q91_ivfpq_search",
+      "q87_corr_stats", "q88_pii_scrub", "q89_bigram_lm",
       "q80_ppm_decode",
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",

@@ -790,6 +790,61 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine threshold for [[q92SemanticDedup]]. The synthetic corpus's
+    * in-cell cosine distribution tops out near 0.48 (q82's top-20), so
+    * 0.45 exercises every stage at the driver scales; a production
+    * SemDeDup pass reads the knee of its own corpus's distribution
+    * (typically ≥0.95) — the threshold is data, not design. FP-safety:
+    * both engines compare the SAME bit-identical double (integer dot /
+    * product of norms), so the cut admits the same pairs everywhere.
+    */
+  val SemDedupThreshold = 0.45
+
+  /** Semantic deduplication end to end (SemDeDup, Abbas et al. 2023):
+    * prune candidate pairs to trained IVF cells (q82's n²/k blocking),
+    * keep pairs with cosine ≥ [[SemDedupThreshold]] as near-dup EDGES,
+    * stage them, run min-label connected components over the staged
+    * edge set, and elect the minimum vec_id of each component as the
+    * survivor — the embedding-space twin of the q31→q35→q36 text
+    * pipeline, sharing its CC machinery ([[Dedup.connectedComponents]],
+    * including its non-convergence throw) and its staging discipline.
+    * Output: every vector that participates in any semantic cluster,
+    * its elected representative, and whether it survives the dedup.
+    * The DuckDB oracle replays the closure over the engine-staged
+    * edges with the same recursive CTE family as q35's.
+    *
+    * Scale shape: candidate generation is the in-cell equi-join
+    * (adaptive cell count keeps per-cell work linear, Similarity
+    * header), the threshold cut happens BEFORE the shuffle to CC (edges
+    * out ≪ candidates), and CC rounds are join + partial-agg groupBy
+    * on fixed-width ids. At 100 TB the edge set — not the corpus — is
+    * what CC touches, and a semantic-dup-heavy corpus shrinks, not
+    * grows, downstream training cost.
+    */
+  def q92SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageCells(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .localCheckpoint() // both self-join sides read it (q31 race note)
+    val a = iv.select(col("cluster"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = iv.select(col("cluster"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        cosine(idot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= SemDedupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$work/sem_pairs")
+    Dedup.connectedComponents(s.read.parquet(s"$work/sem_pairs"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
@@ -802,6 +857,7 @@ object Similarity {
     "q82_neardup_ivf" -> (q82NeardupIvf _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
+    "q92_semantic_dedup" -> (q92SemanticDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -834,6 +890,22 @@ object Similarity {
         FROM d)
       SELECT query_id, rank, neighbor_id, adc_dist
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // min-label closure replayed over the ENGINE-STAGED semantic edge
+    // set — q35's recursive-CTE family, q78's staging discipline
+    "q92_semantic_dedup" -> """
+      WITH RECURSIVE
+      pairs AS (SELECT doc_a, doc_b
+                FROM '__GRAFT_STAGED__/sem_pairs/*.parquet'),
+      und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM und
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+                      WHERE e.b <> r.a),
+      clusters AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS rep_id
+                   FROM reach GROUP BY a)
+      SELECT vec_id, rep_id, (vec_id = rep_id) AS is_survivor
+      FROM clusters ORDER BY vec_id""",
     // IVF-PQ composed: the oracle replays cell pruning + ADC over the
     // THREE engine-staged tables (cells, pq_codes, pq_codebook)
     "q91_ivfpq_search" -> """

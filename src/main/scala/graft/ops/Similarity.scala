@@ -609,6 +609,38 @@ object Similarity {
     * codebook(sub)(code) = scaled components, plus the final assignment
     * frame (vec_id, sub, code) in the long form ADC joins on.
     */
+  /** The PQ encoder: every subspace's argmin code for each vector of
+    * `iv` (vec_id, v), against a broadcast-as-literals codebook — the
+    * SAME expression the training loop iterates, reused by q93's
+    * ingest so a batch encodes exactly as training would have encoded
+    * it. Pure map stage over the scan: 64 codegen'd 16-dim integer
+    * dots per row, ZERO shuffle (PqSpec pins the plan). Output long
+    * form (vec_id, v, sub, code); ‖sv‖² is constant per (row, sub) and
+    * is dropped from the argmin; ties break to the lowest code via the
+    * (dist, code) struct sort.
+    */
+  def pqCodes(iv: DataFrame,
+      codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val (m, d) = (PqSubspaces, PqSubDim)
+    def codeCol(sub: Int): Column = {
+      val sv = slice(col("v"), sub * d + 1, d)
+      val cands = codebook(sub).indices.map { c =>
+        val cw = codebook(sub)(c)
+        val c2 = cw.map(x => x * x).sum // exact: |x| ≤ 2^17, d=16 ⋘ 2^63
+        struct(
+          (idot(sv, typedLit(cw.toSeq)) * lit(-2L) + lit(c2)).as("dist"),
+          lit(c).as("code"))
+      }
+      element_at(array_sort(array(cands: _*)), 1).getField("code")
+    }
+    iv.select(col("vec_id"), col("v"),
+      explode(array((0 until m).map { sub =>
+        struct(lit(sub).as("sub"), codeCol(sub).as("code"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("v"), col("e.sub").as("sub"),
+        col("e.code").as("code"))
+  }
+
   def trainPq(iv: DataFrame,
       iters: Int = 3): (Array[Array[Array[Long]]], DataFrame) = {
     val (m, d, k) = (PqSubspaces, PqSubDim, PqCodes)
@@ -627,27 +659,9 @@ object Similarity {
         codebook(sub) = codebook(sub) :+ codebook(sub).head
     }
 
-    def codeCol(sub: Int): Column = {
-      val sv = slice(col("v"), sub * d + 1, d)
-      val cands = (0 until k).map { c =>
-        val cw = codebook(sub)(c)
-        val c2 = cw.map(x => x * x).sum // exact: |x| ≤ 2^17, d=16 ⋘ 2^63
-        struct(
-          (idot(sv, typedLit(cw.toSeq)) * lit(-2L) + lit(c2)).as("dist"),
-          lit(c).as("code"))
-      }
-      // ‖sv‖² is constant across candidates — dropped from the argmin
-      element_at(array_sort(array(cands: _*)), 1).getField("code")
-    }
-
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = iv.select(col("vec_id"), col("v"),
-        explode(array((0 until m).map { sub =>
-          struct(lit(sub).as("sub"), codeCol(sub).as("code"))
-        }: _*)).as("e"))
-        .select(col("vec_id"), col("v"), col("e.sub").as("sub"),
-          col("e.code").as("code"))
+      assigned = pqCodes(iv, codebook)
       val sums = assigned
         .select(col("sub"), col("code"),
           posexplode(slice(col("v"), col("sub") * d + 1, lit(d)))
@@ -676,7 +690,17 @@ object Similarity {
     val iv = scaledVectors(s, dir).select(col("vec_id"), col("v"))
       .localCheckpoint() // seed scans + every Lloyd round read this frame
     val (codebook, codes) = trainPq(iv)
-    codes.write.mode("overwrite").parquet(s"$workDir/pq_codes")
+    codes.select(col("vec_id"), col("sub"), col("code"))
+      .write.mode("overwrite").parquet(s"$workDir/pq_codes")
+    writeCodebook(s, codebook, s"$workDir/pq_codebook")
+  }
+
+  /** Dump a trained codebook in the long (sub, code, dim, w) form the
+    * ADC joins and the DuckDB oracles consume (1-based dim, matching
+    * `generate_subscripts`).
+    */
+  def writeCodebook(s: SparkSession, codebook: Array[Array[Array[Long]]],
+      path: String): Unit = {
     val rows = for {
       sub <- codebook.indices
       code <- codebook(sub).indices
@@ -684,7 +708,7 @@ object Similarity {
     } yield (sub, code, dim + 1, codebook(sub)(code)(dim))
     import s.implicits._
     rows.toDF("sub", "code", "dim", "w")
-      .coalesce(1).write.mode("overwrite").parquet(s"$workDir/pq_codebook")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** ANN search by asymmetric distance computation over the staged PQ
@@ -712,8 +736,18 @@ object Similarity {
   def q90PqAdc(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     stagePq(s, dir, work)
-    val cb = s.read.parquet(s"$work/pq_codebook")
-    val codes = s.read.parquet(s"$work/pq_codes")
+    adcSearch(s, dir, s"$work/pq_codes", s"$work/pq_codebook")
+  }
+
+  /** The ADC search kernel over a staged (codes, codebook) pair —
+    * shared by q90 (fresh index) and q93 (post-ingest index): per-query
+    * LUT from the exploded query components ⋈ long-form codebook,
+    * then codes ⋈ broadcast LUT + partial-agg sum, top-5 per query.
+    */
+  private def adcSearch(s: SparkSession, dir: String, codesPath: String,
+      cbPath: String): DataFrame = {
+    val cb = s.read.parquet(cbPath)
+    val codes = s.read.parquet(codesPath)
     val ql = scaledVectors(s, dir).where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"),
         posexplode(col("v")).as(Seq("pos", "qw")))
@@ -790,6 +824,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental PQ ingest — q81's nightly-batch shape applied to the
+    * compressed index, completing train → encode → INGEST → search for
+    * the PQ half exactly as q81 completes it for the coarse quantizer.
+    * The codebook is trained on the EXISTING corpus only (vec_id % 10
+    * ≠ 9); the new batch (% 10 = 9) is encoded by [[pqCodes]] — the
+    * SAME broadcast-codebook argmin expression the training loop
+    * iterates, as a ZERO-shuffle map pass — and the refreshed code
+    * table (corpus ∪ batch) plus the unchanged codebook are staged.
+    * Queries (vec_id < 20, both splits) then ADC-search the refreshed
+    * index. At 100 TB this is the whole point of PQ as an OPERATIONAL
+    * index: nightly vectors ride one broadcast map pass (4 bytes/row
+    * written), the k·iters training passes amortize across refreshes,
+    * and search cost is unchanged because the codebook didn't move.
+    * The oracle replays ADC over the two engine-staged `_ingest`
+    * tables, certifying the index stays coherent through the ingest.
+    */
+  def q93PqIngest(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val isNew = col("vec_id") % 10 === 9
+    val ivAll = scaledVectors(s, dir).select(col("vec_id"), col("v"))
+      .localCheckpoint() // corpus split, batch split, and search read it
+    val (codebook, corpusCodes) = trainPq(ivAll.where(!isNew))
+    val newCodes = pqCodes(ivAll.where(isNew), codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+    corpusCodes.union(newCodes)
+      .write.mode("overwrite").parquet(s"$work/pq_codes_ingest")
+    writeCodebook(s, codebook, s"$work/pq_codebook_ingest")
+    adcSearch(s, dir, s"$work/pq_codes_ingest", s"$work/pq_codebook_ingest")
+  }
+
   /** Cosine threshold for [[q92SemanticDedup]]. The synthetic corpus's
     * in-cell cosine distribution tops out near 0.48 (q82's top-20), so
     * 0.45 exercises every stage at the driver scales; a production
@@ -858,13 +922,10 @@ object Similarity {
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
+    "q93_pq_ingest" -> (q93PqIngest _),
   )
 
-  val oracles: Map[String, String] = Map(
-    // replays ADC over the ENGINE-STAGED pq_codes/pq_codebook (the
-    // oracle never retrains — q78's discipline); every value BIGINT,
-    // so the hash compare is rounding-trivial
-    "q90_pq_adc" -> """
+  private def sqlAdc(codes: String, cb: String): String = s"""
       WITH iv AS (SELECT vec_id,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
@@ -875,8 +936,8 @@ object Similarity {
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),
-      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
-      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/$cb/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/$codes/*.parquet'),
       lut AS (SELECT query_id, sub, code,
           CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
         FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
@@ -889,7 +950,15 @@ object Similarity {
             ORDER BY adc_dist, vec_id) AS rank
         FROM d)
       SELECT query_id, rank, neighbor_id, adc_dist
-      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  val oracles: Map[String, String] = Map(
+    // replays ADC over the ENGINE-STAGED codes/codebook (the oracle
+    // never retrains — q78's discipline); every value BIGINT, so the
+    // hash compare is rounding-trivial. q93 differs only in which
+    // staged index it reads (the post-ingest one).
+    "q90_pq_adc" -> sqlAdc("pq_codes", "pq_codebook"),
+    "q93_pq_ingest" -> sqlAdc("pq_codes_ingest", "pq_codebook_ingest"),
     // min-label closure replayed over the ENGINE-STAGED semantic edge
     // set — q35's recursive-CTE family, q78's staging discipline
     "q92_semantic_dedup" -> """

@@ -60,6 +60,18 @@ class PlanSpec extends SparkSpec {
       analyzed.take(500))
   }
 
+  test("q90/q91 ADC joins broadcast the LUT; no join ever falls back to a cartesian") {
+    // the ADC design rests on the corpus side staying a code-row scan
+    // joined against a BROADCAST lookup table: a plan that shuffles the
+    // codes to a sort-merge join (or worse, degenerates to a cartesian)
+    // has lost the property that makes PQ search affordable at 100 TB
+    Seq("q90_pq_adc", "q91_ivfpq_search").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(800)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
+    }
+  }
+
   test("q39 bucketed join shuffles NEITHER side and scans buckets") {
     val p = plan("q39_bucketed_join")
     // the SortMergeJoin must consume bucket-partitioning directly: no

@@ -100,6 +100,38 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("q93: ingested batch encodes like the corpus and search stays in-cluster") {
+    val rows = Similarity.q93PqIngest(spark, dir)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    rows.filter(_._2 == 1).foreach { case (q, _, n, _) =>
+      assert(cluster(q.toInt) === cluster(n.toInt),
+        s"query $q top-1 neighbor $n crossed clusters")
+    }
+    // the batch's codes in the refreshed staged index are exactly what
+    // the trained encoder assigns — re-encode the batch independently
+    val work = Dedup.stageRoot(dir)
+    val staged = spark.read.parquet(s"$work/pq_codes_ingest")
+      .where($"vec_id" % 10 === 9)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(staged.nonEmpty)
+    val iv = Similarity.scaledVectors(spark, dir).select($"vec_id", $"v")
+    val (cb, _) = Similarity.trainPq(
+      iv.where($"vec_id" % 10 =!= 9).localCheckpoint())
+    val reencoded = Similarity.pqCodes(iv.where($"vec_id" % 10 === 9), cb)
+      .select($"vec_id", $"sub", $"code")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(staged === reencoded)
+  }
+
+  test("q93: batch encoding is a pure map stage — no shuffle") {
+    val iv = Similarity.scaledVectors(spark, dir).select($"vec_id", $"v")
+    val (cb, _) = Similarity.trainPq(
+      iv.where($"vec_id" % 10 =!= 9).localCheckpoint())
+    val p = Similarity.pqCodes(iv.where($"vec_id" % 10 === 9), cb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q90: codebook and codes are partition-invariant") {
     val iv = Similarity.scaledVectors(spark, dir)
       .select($"vec_id", $"v")

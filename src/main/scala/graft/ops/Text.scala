@@ -629,6 +629,202 @@ object Text {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** BM25 ranking — the retrieval scorer behind corpus search and
+    * hard-negative mining. Okapi BM25 with k1=1.2, b=0.75, computed as
+    * EXACT BIGINT rational arithmetic end to end: with corpus totals
+    * T = Σ tokens and N = docs, the tf saturation term
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) reduces (avgdl = T/N,
+    * k1 = 6/5, b = 3/4) to the integer-exact
+    * `44·T·tf·10⁶ div (20·T·tf + 6·T + 18·dl·N)`, and the idf factor
+    * uses the exact rational inside BM25's log — (N−df+½)/(df+½) =
+    * (2N−2df+1)/(2df+1) — a linear-idf variant (same deliberate choice
+    * as q55: ln() is not bit-identical across engines). Top-3 terms
+    * per doc by (score, term).
+    *
+    * Scale shape: tf and dl are partial-aggregated groupBys on the
+    * exploded token stream; df is vocabulary-sized and joins
+    * broadcast; (T, N) is a 2-long scalar that rides a broadcast
+    * cross join — the same self-calibrating-constant pattern as q84's
+    * water-fill scale. The BIGINT envelope holds to ~10¹⁰ corpus
+    * tokens (44·T·tf·10⁶ < 2⁶³); past that the same plan runs with
+    * the scores in DECIMAL(38,0).
+    */
+  def q94Bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(sum(col("dl")).as("t_total"),
+      count(lit(1)).as("n_docs"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("tf_part_1e6", expr(
+        "(44 * t_total * tf * 1000000) div (20 * t_total * tf + 6 * t_total + 18 * dl * n_docs)"))
+      .withColumn("score", expr(
+        "(tf_part_1e6 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("dl"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Inter-document boilerplate removal — the CCNet-style hygiene pass
+    * that strips content REPEATED ACROSS documents (headers, footers,
+    * license blocks) while q63 handles within-doc repetition. The text
+    * has no line structure, so the unit is a fixed 5-word segment
+    * (non-overlapping stride); a segment whose text occurs in ≥2
+    * DISTINCT documents is boilerplate and is dropped from every
+    * document. Output: the surviving segments (content-verified by
+    * md5) plus each doc's total/dropped counts, so the hash compare
+    * certifies both the kept bytes and the drop accounting.
+    *
+    * Scale shape: one explode → distinct → partial-aggregated groupBy
+    * builds the document-frequency table; only segments at df≥2 ride
+    * the (filtered, small) broadcast membership join back — the same
+    * filtered-broadcast discipline as q57's contaminated-shingle set.
+    * The per-doc counts ride ONE window on doc_id; nothing shuffles
+    * the corpus twice.
+    */
+  def q95Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val segLen = 5
+    val segs = t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")), lit(segLen))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $segLen AS BIGINT)").as("seg_idx"),
+        array_join(slice(col("ws"), col("start"), lit(segLen)), " ").as("seg"))
+    val boiler = segs.select(col("doc_id"), col("seg")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("seg"), lit(1L).as("is_boiler"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    segs.join(broadcast(boiler), Seq("seg"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
+      .withColumn("n_segs", count(lit(1)).over(byDoc))
+      .withColumn("n_dropped", sum(col("is_boiler")).over(byDoc))
+      .where(col("is_boiler") === 0)
+      .select(col("doc_id"), col("seg_idx"), md5(col("seg")).as("seg_hash"),
+        col("n_segs"), col("n_dropped"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  /** Tokenizer vocabulary building — the frequency-cutoff vocab pass
+    * (word-level; the counting half of BPE's initialization): corpus
+    * word counts, keep count ≥ 5, assign dense ids by (count desc,
+    * token), and report each prefix's cumulative corpus coverage —
+    * the curve that picks the vocab size for a target OOV rate.
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the exploded
+    * token stream does all the corpus work; the ranking window is
+    * global but runs over the AGGREGATED vocabulary table (≤ |V|
+    * rows — millions, not the corpus), the standard shape for
+    * model-sized artifacts, like q83's sketch and the k-means
+    * codebook. The corpus token total rides a broadcast cross join.
+    */
+  def q96VocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val minCount = 5
+    val toks = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("t_total"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.where(col("cnt") >= minCount)
+      .crossJoin(broadcast(total))
+      .withColumn("token_id",
+        row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("token_id"), col("token"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("t_total").cast("double"))
+          .as("coverage"))
+      .orderBy(col("token_id"))
+  }
+
+  /** DSIR-style importance weighting — score every document by how
+    * target-domain-like its token distribution is (target = the
+    * English slice), the data-selection step that upweights in-domain
+    * text before mixing. Per token, the smoothed target/corpus ratio
+    * `(c_tgt+1)·10⁶ div (c_all+1)` (add-one smoothing, exact BIGINT —
+    * the linear-domain twin of DSIR's log-likelihood ratio, same
+    * deliberate ln() avoidance as q55/q94); per document, the mean
+    * ratio over its tokens, so length never inflates the score.
+    *
+    * Scale shape: the ratio table is vocabulary-sized — built by one
+    * partial-aggregated groupBy (the target counter is a conditional
+    * sum inside the SAME aggregate, not a second pass) and joined
+    * broadcast; the per-doc score is a second partial-aggregated
+    * groupBy. Two shuffles total, both combine map-side; the corpus
+    * is scanned once.
+    */
+  def q97ImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val ratios = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("token"),
+        expr("((c_tgt + 1) * 1000000) div (c_all + 1)").as("r_1e6"))
+    toks.join(broadcast(ratios), "token")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r_1e6")).as("score_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("score_sum div n_tokens").as("importance_1e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SCD2 compaction — the change-data-capture step that turns an
+    * append-only event log into slowly-changing-dimension rows: per
+    * user, consecutive events with the SAME event_type collapse into
+    * one versioned state run carrying [valid_from, valid_to) and an
+    * is_current flag (gaps-and-islands, the warehouse twin of q54's
+    * sessionization — there the island break is a time gap, here a
+    * state change). Ties at one timestamp break by event_id, so runs
+    * are deterministic.
+    *
+    * Scale shape: the lag window, the running-sum window, the run
+    * groupBy, and the lead window ALL share the user_id hash
+    * partitioning — Catalyst plans one Exchange and the rest rides
+    * it. Per-user state is one row; at 100 TB this is the canonical
+    * single-shuffle CDC pass.
+    */
+  def q98Scd2Compaction(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = e
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -648,9 +844,103 @@ object Text {
     "q87_corr_stats" -> (q87CorrStats _),
     "q88_pii_scrub" -> (q88PiiScrub _),
     "q89_bigram_lm" -> (q89BigramLm _),
+    "q94_bm25" -> (q94Bm25 _),
+    "q95_boilerplate" -> (q95Boilerplate _),
+    "q96_vocab_build" -> (q96VocabBuild _),
+    "q97_importance_weights" -> (q97ImportanceWeights _),
+    "q98_scd2_compaction" -> (q98Scd2Compaction _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_bm25" -> s"""
+      WITH toks0 AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
+      toks AS (SELECT doc_id, term FROM toks0 WHERE len(term) > 0),
+      tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, COUNT(1) AS dl FROM toks GROUP BY doc_id),
+      df AS (SELECT term, COUNT(1) AS df FROM
+               (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_total, COUNT(1) AS n_docs
+              FROM dl),
+      scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+          (((44 * t_total * tf.tf * 1000000)
+              // (20 * t_total * tf.tf + 6 * t_total + 18 * dl.dl * n_docs))
+            * (2 * n_docs - 2 * df.df + 1)) // (2 * df.df + 1) AS score
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN tot),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored)
+      SELECT doc_id, rank, term, tf, df, dl, score FROM ranked
+      WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q95_boilerplate" -> s"""
+      WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      starts AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 5)) AS start
+                 FROM w),
+      segs AS (SELECT doc_id, (start - 1) // 5 AS seg_idx,
+                 array_to_string(ws[start : start + 4], ' ') AS seg
+               FROM starts),
+      boiler AS (SELECT seg FROM
+                   (SELECT DISTINCT doc_id, seg FROM segs)
+                 GROUP BY seg HAVING COUNT(1) >= 2),
+      flagged AS (SELECT s.doc_id, s.seg_idx, s.seg,
+          CASE WHEN b.seg IS NULL THEN 0 ELSE 1 END AS is_boiler
+        FROM segs s LEFT JOIN boiler b USING (seg)),
+      counted AS (SELECT *,
+          COUNT(1) OVER (PARTITION BY doc_id) AS n_segs,
+          CAST(SUM(is_boiler) OVER (PARTITION BY doc_id) AS BIGINT)
+            AS n_dropped
+        FROM flagged)
+      SELECT doc_id, seg_idx, md5(seg) AS seg_hash, n_segs, n_dropped
+      FROM counted WHERE is_boiler = 0
+      ORDER BY doc_id, seg_idx""",
+    "q96_vocab_build" -> s"""
+      WITH toks0 AS (SELECT unnest($sqlWords) AS token FROM documents),
+      toks AS (SELECT token FROM toks0 WHERE len(token) > 0),
+      counts AS (SELECT token, COUNT(1) AS cnt FROM toks GROUP BY token),
+      tot AS (SELECT COUNT(1) AS t_total FROM toks),
+      v AS (SELECT token, cnt FROM counts WHERE cnt >= 5),
+      ranked AS (SELECT token, cnt,
+          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+            AS token_id,
+          CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_cnt
+        FROM v)
+      SELECT token_id, token, cnt, cum_cnt,
+        CAST(cum_cnt AS DOUBLE) / CAST(t_total AS DOUBLE) AS coverage
+      FROM ranked CROSS JOIN tot ORDER BY token_id""",
+    "q97_importance_weights" -> s"""
+      WITH toks0 AS (SELECT doc_id, lang, unnest($sqlWords) AS token
+                     FROM documents),
+      toks AS (SELECT doc_id, lang, token FROM toks0 WHERE len(token) > 0),
+      ratios AS (SELECT token,
+          ((CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1)
+             * 1000000) // (COUNT(1) + 1) AS r_1e6
+        FROM toks GROUP BY token),
+      scored AS (SELECT doc_id, lang, COUNT(1) AS n_tokens,
+          CAST(SUM(r_1e6) AS BIGINT) AS score_sum
+        FROM toks JOIN ratios USING (token) GROUP BY doc_id, lang)
+      SELECT doc_id, lang, n_tokens, score_sum // n_tokens AS importance_1e6
+      FROM scored ORDER BY doc_id""",
+    "q98_scd2_compaction" -> """
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+                 FROM events),
+      g AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS version
+            FROM g),
+      runs AS (SELECT user_id, version, MIN(event_type) AS state,
+                 MIN(ts_us) AS valid_from_us, COUNT(1) AS n_events
+               FROM r GROUP BY user_id, version),
+      iv AS (SELECT *, lead(valid_from_us) OVER
+               (PARTITION BY user_id ORDER BY version) AS valid_to_us
+             FROM runs)
+      SELECT user_id, version, state, valid_from_us, valid_to_us, n_events,
+        valid_to_us IS NULL AS is_current
+      FROM iv ORDER BY user_id, version""",
     "q87_corr_stats" -> s"""
       WITH d AS (SELECT lang, n_chars AS x,
                    CAST(len($sqlWords) AS BIGINT) AS y

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q94–q98 (BM25, boilerplate removal, vocab build, importance
+  * weights, SCD2 compaction): each recomputed independently in plain
+  * Scala from the raw table, plus planted fixtures for the two ops
+  * whose interesting cases (shared segments, state runs) the real
+  * corpus only exercises incidentally.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def norm(s: String): String =
+    s.toLowerCase.replaceAll("\\s+", " ").trim
+  private def toks(s: String): Seq[String] =
+    norm(s).split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSeq
+
+  // ---- q94 BM25: exact replay of the integer formula ----
+
+  test("q94 equals a plain-Scala BM25 replay") {
+    val tokenized = docs.map { case (id, text, _) => id -> toks(text) }
+    val dl = tokenized.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val tTotal = dl.values.sum
+    val nDocs = dl.count(_._2 > 0).toLong
+    val df = tokenized.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = tokenized.filter(_._2.nonEmpty).flatMap { case (id, ts) =>
+      val d = dl(id)
+      ts.groupBy(identity).toSeq.map { case (term, occ) =>
+        val tf = occ.size.toLong
+        val tfPart = (44L * tTotal * tf * 1000000L) /
+          (20L * tTotal * tf + 6L * tTotal + 18L * d * nDocs)
+        val score = (tfPart * (2 * nDocs - 2 * df(term) + 1)) /
+          (2 * df(term) + 1)
+        (id, term, tf, df(term), d, score)
+      }.sortBy { case (_, term, _, _, _, score) => (-score, term) }
+        .take(3).zipWithIndex
+        .map { case ((i, t, tf, dfv, dv, sc), r) => (i, r + 1, t, tf, dfv, dv, sc) }
+    }.sortBy { case (id, r, _, _, _, _, _) => (id, r) }
+    val got = Text.q94Bm25(spark, dir)
+      .as[(Long, Int, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
+  // ---- q95 boilerplate: planted shared segment ----
+
+  test("q95 drops exactly the cross-document segments (planted)") {
+    val tmp = java.nio.file.Files.createTempDirectory("q95").toString
+    Seq(
+      (1L, "a b c d e f g h i j", "en", "src0", 19L),
+      (2L, "a b c d e x y z w v", "en", "src0", 19L),
+      (3L, "p q r s t u v w x y", "en", "src0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Text.q95Boilerplate(spark, tmp)
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "a b c d e" occurs in docs 1 and 2 -> dropped from both
+    assert(got === Seq(
+      (1L, 1L, h("f g h i j"), 2L, 1L),
+      (2L, 1L, h("x y z w v"), 2L, 1L),
+      (3L, 0L, h("p q r s t"), 2L, 0L),
+      (3L, 1L, h("u v w x y"), 2L, 0L)))
+  }
+
+  test("q95 keeps no segment that occurs in two documents (real corpus)") {
+    val segsOf = docs.map { case (id, text, _) =>
+      id -> toks(text).grouped(5).map(_.mkString(" ")).toSeq
+    }
+    val segDf = segsOf.flatMap { case (_, ss) => ss.distinct }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keptHashes = Text.q95Boilerplate(spark, dir)
+      .select($"seg_hash").as[String].collect().toSet
+    val boilerHashes = segDf.filter(_._2 >= 2).keySet.map(h)
+    assert(keptHashes.intersect(boilerHashes).isEmpty)
+    // and the survivors are exactly the df=1 segments
+    val uniqueHashes = segDf.filter(_._2 == 1).keySet.map(h)
+    assert(keptHashes === uniqueHashes)
+  }
+
+  // ---- q96 vocab: exact replay + coverage shape ----
+
+  test("q96 equals a plain-Scala vocab replay; coverage is monotone") {
+    val all = docs.flatMap { case (_, text, _) => toks(text) }
+    val tTotal = all.size.toLong
+    val expect = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= 5L)
+      .sortBy { case (tok, cnt) => (-cnt, tok) }
+      .scanLeft(("", 0L, 0L)) { case ((_, _, cum), (tok, cnt)) =>
+        (tok, cnt, cum + cnt)
+      }.drop(1).zipWithIndex
+      .map { case ((tok, cnt, cum), i) =>
+        (i + 1L, tok, cnt, cum, cum.toDouble / tTotal.toDouble)
+      }
+    val got = Text.q96VocabBuild(spark, dir)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got === expect)
+    assert(got.map(_._5) === got.map(_._5).sorted)
+    assert(got.last._5 <= 1.0)
+  }
+
+  // ---- q97 importance: exact replay ----
+
+  test("q97 equals a plain-Scala importance replay") {
+    val tokenized = docs.map { case (id, text, lang) => (id, lang, toks(text)) }
+    val cAll = tokenized.flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cTgt = tokenized.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = tokenized.filter(_._3.nonEmpty).map { case (id, lang, ts) =>
+      val sum = ts.map(t =>
+        ((cTgt.getOrElse(t, 0L) + 1) * 1000000L) / (cAll(t) + 1)).sum
+      (id, lang, ts.size.toLong, sum / ts.size)
+    }.sortBy(_._1)
+    val got = Text.q97ImportanceWeights(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
+  // ---- q98 SCD2: planted runs + real-data invariants ----
+
+  test("q98 compacts planted state runs into SCD2 intervals") {
+    val tmp = java.nio.file.Files.createTempDirectory("q98").toString
+    // ts written as epoch-nanos BIGINT, matching the nanosAsLong read
+    Seq(
+      (10L, 1L, "view", 1000000000L, 0.0, "{}"),
+      (11L, 1L, "view", 2000000000L, 0.0, "{}"),
+      (12L, 1L, "click", 3000000000L, 0.0, "{}"),
+      (13L, 1L, "view", 4000000000L, 0.0, "{}"),
+      // user 2: tie on ts breaks by event_id -> view(20) before click(21)
+      (21L, 2L, "click", 5000000000L, 0.0, "{}"),
+      (20L, 2L, "view", 5000000000L, 0.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Text.q98Scd2Compaction(spark, tmp)
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "view", 1000000L, Some(3000000L), 2L, false),
+      (1L, 2L, "click", 3000000L, Some(4000000L), 1L, false),
+      (1L, 3L, "view", 4000000L, None, 1L, true),
+      (2L, 1L, "view", 5000000L, Some(5000000L), 1L, false),
+      (2L, 2L, "click", 5000000L, None, 1L, true)))
+  }
+
+  test("q98 real-data invariants: dense versions, one current row per user") {
+    val got = Text.q98Scd2Compaction(spark, dir)
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().toSeq
+    got.groupBy(_._1).foreach { case (user, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.size).toSeq, s"user $user")
+      assert(rows.count(_._7) === 1, s"user $user")
+      rows.foreach { r =>
+        r._5.foreach(to => assert(r._4 <= to, s"user $user v${r._2}"))
+      }
+      // runs really are maximal: consecutive versions change state
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 != b._3, s"user $user v${b._2}")
+        case _ =>
+      }
+    }
+  }
+}

@@ -133,6 +133,56 @@ object GenomicsCatalog {
       .orderBy(col("id"))
   }
 
+  /** PageRank fixed-point iterations for [[q100PageRank]] — 5 rounds
+    * covers the derived graph's depth-3 chains with slack, so the
+    * emitted ranks are the converged DAG values.
+    */
+  private val PrIters = 5
+  private val PrScale = 1000000000000L
+
+  /** PageRank over the derived reads graph — GraphLab's canonical
+    * example vertex program (the app the reference's framework ships
+    * as its hello-world), expressed as the same gather/apply loop as
+    * q74: per round, every edge forwards `85·r(src) div (100·outdeg)`
+    * and every vertex applies `base + Σ inflow` with
+    * `base = 15·SCALE div 100`. All arithmetic is BIGINT with
+    * truncating div at SCALE=10¹² — both engines evaluate the
+    * identical integer recurrence, so 5 unrolled iterations
+    * hash-match exactly (the ln()/double-mass forms would not).
+    * Dangling vertices keep base rank (their mass is dropped, the
+    * common simplification; documented rather than redistributed).
+    *
+    * Scale shape: outdeg is computed ONCE and joined to the edge list
+    * before the loop (the static `degEdges` frame is the analog of
+    * q74's bind-once projection); each round is one hash equi-join on
+    * src + one partial-aggregated groupBy on dst — the canonical
+    * iterate-until-fixpoint shuffle pair, with the left-join back to
+    * the vertex list keeping rank-less sinks alive. Plan depth grows
+    * linearly in rounds; at 5 rounds no checkpoint is needed (q74's
+    * accumulator-convergence machinery is the unbounded-round
+    * variant).
+    */
+  def q100PageRank(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = readsGraph(s, dir)
+    val verts = v.select(col("id")).localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val degEdges = e.join(outDeg, "src").localCheckpoint()
+    val base = 15L * PrScale / 100L
+    var ranks = verts.select(col("id"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val inflow = degEdges.join(ranks, degEdges("src") === ranks("id"))
+        .select(col("dst"), expr("(85 * pr) div (100 * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = verts.join(inflow, verts("id") === inflow("dst"), "left")
+        .select(verts("id"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("pr"))
+    }
+    ranks.join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), col("pr"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .orderBy(col("id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_prune_flag" -> (q70PruneFlag _),
     "q71_best_successor" -> (q71BestSuccessor _),
@@ -141,6 +191,7 @@ object GenomicsCatalog {
     "q74_stitch_iterative" -> (q74StitchIterative _),
     "q75_nonbest_invalid" -> (q75NonbestInvalid _),
     "q76_stitch_frontier" -> (q76StitchFrontier _),
+    "q100_pagerank" -> (q100PageRank _),
   )
 
   // ---- oracle SQL ----
@@ -237,7 +288,34 @@ object GenomicsCatalog {
         string_agg(seg, '' ORDER BY off) AS contig
       FROM segs2 GROUP BY vid ORDER BY id"""
 
+  /** q100's twin: the identical BIGINT recurrence, one CTE per round —
+    * unrolled from the same (PrIters, PrScale) constants, so deepening
+    * the loop deepens the oracle (the sqlChainHops derivation rule).
+    */
+  private val sqlPageRank = {
+    val base = 15L * PrScale / 100L
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""r$k AS (SELECT v.id, $base + COALESCE(f.inflow, 0) AS pr
+        FROM verts v LEFT JOIN (
+          SELECT de.dst,
+            CAST(SUM((85 * r.pr) // (100 * de.outdeg)) AS BIGINT) AS inflow
+          FROM de JOIN r${k - 1} r ON de.src = r.id GROUP BY de.dst) f
+          ON f.dst = v.id)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $sqlGraph,
+      deg AS (SELECT src, COUNT(1) AS outdeg FROM edges GROUP BY src),
+      de AS (SELECT e.src, e.dst, d.outdeg
+             FROM edges e JOIN deg d USING (src)),
+      r0 AS (SELECT id, CAST($PrScale AS BIGINT) AS pr FROM verts),
+      $iterCtes
+      SELECT r.id, r.pr, COALESCE(d.outdeg, 0) AS outdeg
+      FROM r$PrIters r LEFT JOIN deg d ON r.id = d.src
+      ORDER BY r.id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q100_pagerank" -> sqlPageRank,
     "q70_prune_flag" -> s"""
       WITH $sqlGraph
       SELECT v.id, (e.src IS NOT NULL OR v.id % 10 = 2) AS valid

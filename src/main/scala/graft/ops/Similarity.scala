@@ -909,6 +909,61 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Decon cut for [[q99SemanticDecon]] — looser than
+    * [[SemDedupThreshold]] because decontamination optimizes recall
+    * (a missed eval paraphrase poisons the benchmark; an over-flagged
+    * training doc costs one document), the q57 vs q59 asymmetry in
+    * embedding space. 0.35 flags 28 vectors at sf0.01 — a real result
+    * set — where 0.45 flags 2.
+    */
+  val DeconThreshold = 0.35
+
+  /** Semantic benchmark decontamination — the embedding-space twin of
+    * q57/q59's exact n-gram decontamination (and the decon flavor of
+    * q92's SemDeDup): corpus vectors too close to any held-out
+    * benchmark vector (cosine ≥ [[DeconThreshold]]) are flagged
+    * before training. The benchmark split is `vec_id % 10 == 7` (the
+    * q81/q93 split convention); candidate pairs are pruned to trained
+    * IVF cells (q82's n²/k blocking — an eval-set paraphrase lands in
+    * the same cell unless it crosses a boundary, the documented
+    * 1-probe recall caveat that q79's multi-probe knob addresses).
+    * Per flagged vector: its hit count and the argmax benchmark
+    * neighbor, elected by the q67 attribution shape (row_number over
+    * (cosine desc, bench_id) — deterministic ties).
+    *
+    * Scale shape: the bench side is ~10% of the corpus and joins on
+    * the cell id — the SAME hash equi-join as every IVF search, never
+    * bench×corpus; the threshold cut runs before the per-vector
+    * window; the window and the final sort share the vec_id hash.
+    * The oracle replays the search over the engine-staged cells
+    * (q78's discipline).
+    */
+  def q99SemanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageCells(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .localCheckpoint() // both split sides read it (q31 race note)
+    val isBench = col("vec_id") % 10 === 7
+    val bench = iv.where(isBench)
+      .select(col("cluster"), col("vec_id").as("bench_id"),
+        col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("bench_id"))
+    iv.where(!isBench).join(bench, Seq("cluster"))
+      .select(col("vec_id"), col("bench_id"),
+        cosine(idot(col("v"), col("bv")), col("nrm"), col("bn")).as("cos"))
+      .where(col("cos") >= DeconThreshold)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_bench_hits", count(lit(1)).over(
+        Window.partitionBy(col("vec_id"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("n_bench_hits"),
+        col("bench_id").as("nearest_bench"), col("cos").as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
@@ -923,6 +978,7 @@ object Similarity {
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
     "q93_pq_ingest" -> (q93PqIngest _),
+    "q99_semantic_decon" -> (q99SemanticDecon _),
   )
 
   private def sqlAdc(codes: String, cb: String): String = s"""
@@ -953,6 +1009,27 @@ object Similarity {
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // in-cell bench×corpus replay over the ENGINE-STAGED cells —
+    // q82's join spelling, q67's argmax election
+    "q99_semantic_decon" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      pairs AS (SELECT a.vec_id, b.vec_id AS bench_id,
+                  $sqlDot / (a.nrm * b.nrm) AS cos
+                FROM civ a JOIN civ b ON a.cluster = b.cluster
+                WHERE a.vec_id % 10 <> 7 AND b.vec_id % 10 = 7),
+      hits AS (SELECT * FROM pairs WHERE cos >= $DeconThreshold),
+      r AS (SELECT vec_id, bench_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, bench_id) AS rk,
+              COUNT(1) OVER (PARTITION BY vec_id) AS n_bench_hits
+            FROM hits)
+      SELECT vec_id, n_bench_hits, bench_id AS nearest_bench,
+        cos AS max_cos
+      FROM r WHERE rk = 1 ORDER BY vec_id""",
     // replays ADC over the ENGINE-STAGED codes/codebook (the oracle
     // never retrains — q78's discipline); every value BIGINT, so the
     // hash compare is rounding-trivial. q93 differs only in which

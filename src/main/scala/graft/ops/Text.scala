@@ -825,6 +825,88 @@ object Text {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Fuzzy-token join via deletion-neighborhood blocking (FastSS) —
+    * the approximate string matching behind typo-tolerant entity
+    * resolution and spelling normalization. Two tokens are within
+    * edit distance 1 only if their {self} ∪ 1-deletion neighborhoods
+    * intersect, so the candidate space is an EQUI-join on the
+    * neighborhood key — never vocab×vocab — and the exact
+    * `levenshtein ≤ 1` verify runs on candidates only (block-then-
+    * verify, q31's discipline; blocking admits some distance-2 pairs
+    * — e.g. transpositions — which is WHY the verify is load-bearing).
+    * The corpus vocabulary is typo-free, so the query side PLANTS one
+    * deterministic misspelling per token (middle character dropped —
+    * q88's twin-construction trick); the hash compare then certifies
+    * blocking completeness and the verify cut together.
+    *
+    * Scale shape: both sides are vocabulary-sized aggregates of the
+    * corpus (q96's model-artifact shape); the neighborhood explode is
+    * O(token length) per row and the join is a hash equi-join on the
+    * key. Levenshtein's O(len²) runs only on the blocked candidates.
+    */
+  def q101FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    def del1(c: Column): Column = array_union(array(c),
+      transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    val vocab = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("tok"))
+      .where(length(col("tok")) >= 3)
+      .distinct()
+    val mid = expr("(length(tok) + 1) div 2")
+    val queries = vocab.select(
+      concat(
+        col("tok").substr(lit(1), mid - 1),
+        col("tok").substr(mid + 1, length(col("tok")))).as("qtok"))
+      .distinct()
+    val vocabKeys = vocab
+      .select(col("tok"), explode(del1(col("tok"))).as("key"))
+    val queryKeys = queries
+      .select(col("qtok"), explode(del1(col("qtok"))).as("key"))
+    queryKeys.join(vocabKeys, "key")
+      .select(col("qtok"), col("tok")).distinct()
+      .withColumn("dist", levenshtein(col("qtok"), col("tok")).cast("long"))
+      .where(col("dist") <= 1)
+      .orderBy(col("qtok"), col("tok"))
+  }
+
+  /** Ordered funnel analysis — the view→click→purchase progression
+    * every product-analytics stack computes: per user, the first view,
+    * the first click AT OR AFTER that view, the first purchase at or
+    * after that click, and the furthest stage reached. Strictly
+    * ordered (a click before any view doesn't count), spelled as
+    * three chained conditional-min windows — each references the
+    * previous stage's timestamp, and all three partition by user_id,
+    * so Catalyst stacks them on ONE Exchange; the final groupBy rides
+    * the same partitioning (q98's single-shuffle CDC shape). NULL
+    * propagation does the gating: `ts ≥ t_view` is NULL-false when
+    * the user never viewed, identically in both engines.
+    */
+  def q102Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+    e.withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") >= col("t_view"), col("ts_us"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("t_click"), col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view"),
+        min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -849,9 +931,53 @@ object Text {
     "q96_vocab_build" -> (q96VocabBuild _),
     "q97_importance_weights" -> (q97ImportanceWeights _),
     "q98_scd2_compaction" -> (q98Scd2Compaction _),
+    "q101_fuzzy_join" -> (q101FuzzyJoin _),
+    "q102_funnel" -> (q102Funnel _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_fuzzy_join" -> s"""
+      WITH vocab AS (SELECT DISTINCT tok FROM
+          (SELECT unnest($sqlWords) AS tok FROM documents)
+        WHERE length(tok) >= 3),
+      queries AS (SELECT DISTINCT
+          substr(tok, 1, (length(tok)+1)//2 - 1)
+            || substr(tok, (length(tok)+1)//2 + 1, length(tok)) AS qtok
+        FROM vocab),
+      vk AS (SELECT tok, unnest([tok] ||
+          list_transform(range(1, length(tok)+1),
+            i -> substr(tok, 1, i-1) || substr(tok, i+1, length(tok))))
+          AS key
+        FROM vocab),
+      qk AS (SELECT qtok, unnest([qtok] ||
+          list_transform(range(1, length(qtok)+1),
+            i -> substr(qtok, 1, i-1) || substr(qtok, i+1, length(qtok))))
+          AS key
+        FROM queries),
+      cand AS (SELECT DISTINCT qtok, tok FROM qk JOIN vk USING (key))
+      SELECT qtok, tok, CAST(levenshtein(qtok, tok) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(qtok, tok) <= 1
+      ORDER BY qtok, tok""",
+    "q102_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                 FROM events),
+      w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+               OVER (PARTITION BY user_id) AS t_view FROM e),
+      w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+                 AND ts_us >= t_view THEN ts_us END)
+               OVER (PARTITION BY user_id) AS t_click FROM w1),
+      w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                 AND ts_us >= t_click THEN ts_us END)
+               OVER (PARTITION BY user_id) AS t_purchase FROM w2),
+      g AS (SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+              MIN(t_purchase) AS t_purchase
+            FROM w3 GROUP BY user_id)
+      SELECT user_id, t_view, t_click, t_purchase,
+        CASE WHEN t_purchase IS NOT NULL THEN 3
+             WHEN t_click IS NOT NULL THEN 2
+             WHEN t_view IS NOT NULL THEN 1
+             ELSE 0 END AS funnel_stage
+      FROM g ORDER BY user_id""",
     "q94_bm25" -> s"""
       WITH toks0 AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
       toks AS (SELECT doc_id, term FROM toks0 WHERE len(term) > 0),

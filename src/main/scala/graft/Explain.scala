@@ -30,6 +30,10 @@ object Explain {
     "q85_dup_spans", // semi-join position marking + gaps-and-islands merge
     "q90_pq_adc", // broadcast-LUT ADC: corpus side scans 4-byte codes only
     "q91_ivfpq_search", // cell prune equi-join + ADC, no vector touch
+    "q94_bm25", // broadcast df + scalar corpus totals, partial-agg tf/dl
+    "q95_boilerplate", // filtered-broadcast boilerplate membership join
+    "q100_pagerank", // iterated equi-join + partial-agg groupBy rounds
+    "q102_funnel", // three chained windows + groupBy on ONE Exchange
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

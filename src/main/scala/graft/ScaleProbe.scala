@@ -116,7 +116,11 @@ object ScaleProbe {
       "q78_ann_ivf_trained", "q79_ann_ivf_multiprobe", "q81_ann_ivf_ingest",
       "q82_neardup_ivf", "q83_heavy_hitters", "q84_weighted_mix",
       "q85_dup_spans", "q90_pq_adc", "q91_ivfpq_search",
+      "q92_semantic_dedup", "q93_pq_ingest",
       "q87_corr_stats", "q88_pii_scrub", "q89_bigram_lm",
+      "q94_bm25", "q95_boilerplate", "q97_importance_weights",
+      "q98_scd2_compaction", "q99_semantic_decon", "q100_pagerank",
+      "q102_funnel",
       "q80_ppm_decode",
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",

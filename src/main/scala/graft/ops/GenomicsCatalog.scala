@@ -183,6 +183,36 @@ object GenomicsCatalog {
       .orderBy(col("id"))
   }
 
+  /** Distributed triangle counting over the derived reads graph — the
+    * third classic graph kernel beside CC (q35/q37) and PageRank
+    * (q100). The standard two-join formulation on ORIENTED edges:
+    * every edge here already points from a lower to a higher window
+    * index, so each triangle {a<b<c} is counted exactly once as
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) — no /6 dedup, no symmetric blowup.
+    * (On a general graph the same plan runs after degree-based
+    * orientation — orient each edge toward the higher-degree
+    * endpoint — which bounds the join fan-out by the arboricity; the
+    * derived DAG gives that orientation for free.) Per document the
+    * window DAG closes {0,1,2} and {1,2,3}, so the expected count is
+    * exactly 2 per long-enough doc — a structurally known answer the
+    * oracle re-derives relationally.
+    *
+    * Scale shape: two hash equi-joins on vertex ids (the wedge join
+    * on the shared middle vertex, then the closing-edge join on the
+    * (a,c) pair) + one partial-aggregated groupBy. Nothing is ever
+    * materialized per-wedge beyond the join stream.
+    */
+  def q104Triangles(s: SparkSession, dir: String): DataFrame = {
+    val (_, e) = readsGraph(s, dir)
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = e.select(col("src").as("a"), col("dst").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .groupBy(expr("a div 10").as("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_prune_flag" -> (q70PruneFlag _),
     "q71_best_successor" -> (q71BestSuccessor _),
@@ -192,6 +222,7 @@ object GenomicsCatalog {
     "q75_nonbest_invalid" -> (q75NonbestInvalid _),
     "q76_stitch_frontier" -> (q76StitchFrontier _),
     "q100_pagerank" -> (q100PageRank _),
+    "q104_triangles" -> (q104Triangles _),
   )
 
   // ---- oracle SQL ----
@@ -316,6 +347,13 @@ object GenomicsCatalog {
 
   val oracles: Map[String, String] = Map(
     "q100_pagerank" -> sqlPageRank,
+    "q104_triangles" -> s"""
+      WITH $sqlGraph
+      SELECT e1.src // 10 AS doc_id, COUNT(1) AS n_triangles
+      FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY e1.src // 10 ORDER BY doc_id""",
     "q70_prune_flag" -> s"""
       WITH $sqlGraph
       SELECT v.id, (e.src IS NOT NULL OR v.id % 10 = 2) AS valid

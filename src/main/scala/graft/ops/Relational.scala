@@ -640,7 +640,43 @@ object Relational {
       .orderBy(col("o_custkey"), col("day"))
   }
 
+  /** Equi-width histogram — the profiling primitive behind every data
+    * summary pane: 20 buckets of `l_extendedprice` between the global
+    * min and max, with per-bucket count and exact (decimal-routed)
+    * revenue. The [min, max] pair is a scalar aggregate that rides a
+    * broadcast cross join (q65's global-ratio pattern — never a
+    * partition-less window over the fact table); bucket assignment is
+    * then a pure map expression and the histogram itself ONE
+    * partial-aggregated groupBy on ≤ 20 keys. The bucket index and
+    * the bucket bounds are each a single fixed IEEE expression tree
+    * spelled identically in DuckDB (`width_bucket` is avoided — it
+    * doesn't exist there), with the top edge closed by `least(19, ·)`
+    * so x = max lands in the last bucket in both engines.
+    */
+  def q103Histogram(s: SparkSession, dir: String): DataFrame = {
+    val nb = 20
+    val li = t(s, dir, "lineitem")
+    val bounds = li.agg(min(col("l_extendedprice")).as("mn"),
+      max(col("l_extendedprice")).as("mx"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(19L),
+        floor(((col("l_extendedprice") - col("mn")) * lit(nb.toDouble)) /
+          (col("mx") - col("mn")))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+      .select(col("bucket"),
+        (col("mn") + (col("bucket").cast("double") * (col("mx") - col("mn")))
+          / lit(nb.toDouble)).as("lo"),
+        (col("mn") + ((col("bucket") + 1).cast("double") *
+          (col("mx") - col("mn"))) / lit(nb.toDouble)).as("hi"),
+        col("n"), col("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q103_histogram" -> (q103Histogram _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_segment_revenue" -> (q03SegmentRevenue _),
@@ -683,6 +719,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_histogram" -> """
+      WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+                 FROM lineitem),
+      x AS (SELECT l_extendedprice AS x, mn, mx,
+              least(19, CAST(floor(((l_extendedprice - mn) * 20.0)
+                / (mx - mn)) AS BIGINT)) AS bucket
+            FROM lineitem CROSS JOIN b),
+      g AS (SELECT bucket, COUNT(1) AS n,
+              CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+              MIN(mn) AS mn, MIN(mx) AS mx
+            FROM x GROUP BY bucket)
+      SELECT bucket,
+        mn + (CAST(bucket AS DOUBLE) * (mx - mn)) / 20.0 AS lo,
+        mn + (CAST(bucket + 1 AS DOUBLE) * (mx - mn)) / 20.0 AS hi,
+        n, sum_price
+      FROM g ORDER BY bucket""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

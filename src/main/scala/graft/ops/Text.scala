@@ -907,6 +907,40 @@ object Text {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention — the product-analytics table beside q102's
+    * funnel: users cohorted by their FIRST active day, then each
+    * (cohort, day-offset) cell counts how many of that cohort were
+    * active offset days later, plus the retention fraction against
+    * the cohort's day-0 size. The distinct-user count needs no
+    * countDistinct: (user, day) is deduplicated FIRST (one
+    * partial-agg distinct — the q55 df pattern), after which each
+    * user contributes at most one row per cell and a plain count is
+    * exact. The cohort day rides a user_id window over the deduped
+    * activity (same Exchange as the dedup's hash); the day-0 size
+    * rides a cohort window over the AGGREGATED cells (cohort-count
+    * rows, not events).
+    */
+  def q105Retention(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val cells = act
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("offset_days") === 0, col("n_users")))
+          .over(Window.partitionBy(col("cohort_day"))))
+      .select(col("cohort_day"), col("offset_days"), col("n_users"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -933,9 +967,25 @@ object Text {
     "q98_scd2_compaction" -> (q98Scd2Compaction _),
     "q101_fuzzy_join" -> (q101FuzzyJoin _),
     "q102_funnel" -> (q102Funnel _),
+    "q105_retention" -> (q105Retention _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_retention" -> """
+      WITH a AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+                 FROM events),
+      c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+            FROM a),
+      cells AS (SELECT cohort_day, day - cohort_day AS offset_days,
+                  COUNT(1) AS n_users
+                FROM c GROUP BY cohort_day, day - cohort_day),
+      sized AS (SELECT *, MAX(CASE WHEN offset_days = 0 THEN n_users END)
+                  OVER (PARTITION BY cohort_day) AS cohort_size
+                FROM cells)
+      SELECT cohort_day, offset_days, n_users,
+        CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      FROM sized ORDER BY cohort_day, offset_days""",
     "q101_fuzzy_join" -> s"""
       WITH vocab AS (SELECT DISTINCT tok FROM
           (SELECT unnest($sqlWords) AS tok FROM documents)

@@ -120,7 +120,7 @@ object ScaleProbe {
       "q87_corr_stats", "q88_pii_scrub", "q89_bigram_lm",
       "q94_bm25", "q95_boilerplate", "q97_importance_weights",
       "q98_scd2_compaction", "q99_semantic_decon", "q100_pagerank",
-      "q102_funnel",
+      "q102_funnel", "q104_triangles", "q105_retention",
       "q80_ppm_decode",
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",

@@ -653,11 +653,15 @@ object Text {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .where(length(col("term")) > 0)
+    // tf is the minimal sufficient statistic: dl, df, and the corpus
+    // totals are all narrow aggregates OF tf, so the token stream is
+    // exploded and shuffled exactly once (ReuseExchange dedups the
+    // shared groupBy subplan) — the 10× probe measured the naive
+    // 4-derivation spelling at 2× over linear (SCALING.md)
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = dl.agg(sum(col("dl")).as("t_total"),
       count(lit(1)).as("n_docs"))
     val scored = tf.join(dl, "doc_id")
@@ -771,14 +775,20 @@ object Text {
       .select(col("doc_id"), col("lang"),
         explode(words(col("text"))).as("token"))
       .where(length(col("token")) > 0)
-    val ratios = toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("c_all"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    // q94's sufficient-statistic discipline: ONE explode + ONE wide
+    // shuffle builds tf; the ratio table and the per-doc score are
+    // aggregates of tf (score = Σ tf·r ≡ Σ over tokens of r)
+    val tf = toks.groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val ratios = tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("c_all"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("c_tgt"))
       .select(col("token"),
         expr("((c_tgt + 1) * 1000000) div (c_all + 1)").as("r_1e6"))
-    toks.join(broadcast(ratios), "token")
+    tf.join(broadcast(ratios), "token")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("r_1e6")).as("score_sum"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("r_1e6")).as("score_sum"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr("score_sum div n_tokens").as("importance_1e6"))
       .orderBy(col("doc_id"))
@@ -1032,9 +1042,8 @@ object Text {
       WITH toks0 AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
       toks AS (SELECT doc_id, term FROM toks0 WHERE len(term) > 0),
       tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
-      dl AS (SELECT doc_id, COUNT(1) AS dl FROM toks GROUP BY doc_id),
-      df AS (SELECT term, COUNT(1) AS df FROM
-               (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
       tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_total, COUNT(1) AS n_docs
               FROM dl),
       scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
@@ -1087,13 +1096,15 @@ object Text {
       WITH toks0 AS (SELECT doc_id, lang, unnest($sqlWords) AS token
                      FROM documents),
       toks AS (SELECT doc_id, lang, token FROM toks0 WHERE len(token) > 0),
+      tf AS (SELECT doc_id, lang, token, COUNT(1) AS tf
+             FROM toks GROUP BY doc_id, lang, token),
       ratios AS (SELECT token,
-          ((CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1)
-             * 1000000) // (COUNT(1) + 1) AS r_1e6
-        FROM toks GROUP BY token),
-      scored AS (SELECT doc_id, lang, COUNT(1) AS n_tokens,
-          CAST(SUM(r_1e6) AS BIGINT) AS score_sum
-        FROM toks JOIN ratios USING (token) GROUP BY doc_id, lang)
+          ((CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) + 1)
+             * 1000000) // (CAST(SUM(tf) AS BIGINT) + 1) AS r_1e6
+        FROM tf GROUP BY token),
+      scored AS (SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(tf * r_1e6) AS BIGINT) AS score_sum
+        FROM tf JOIN ratios USING (token) GROUP BY doc_id, lang)
       SELECT doc_id, lang, n_tokens, score_sum // n_tokens AS importance_1e6
       FROM scored ORDER BY doc_id""",
     "q98_scd2_compaction" -> """

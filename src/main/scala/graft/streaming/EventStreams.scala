@@ -123,6 +123,65 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  case class Scd2Closed(user_id: Long, version: Long, state: String,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
+  /** The one open run per user held in the state store (not emitted —
+    * public only because the state encoder's codegen needs the
+    * constructor visible, the Ev note in EventStreamsSpec).
+    */
+  case class Scd2Open(version: Long, state: String,
+      from_us: Long, n: Long)
+
+  /** Streaming SCD2/CDC compaction — the streaming twin of the batch
+    * [[graft.ops.Text.q98Scd2Compaction]]: per user, consecutive
+    * same-`event_type` events collapse into versioned state runs, and
+    * a run's SCD2 row is emitted the moment a DIFFERENT state arrives
+    * and closes it (Append mode: closed intervals are final and
+    * immutable — exactly the rows batch q98 marks `is_current =
+    * false`; the still-open run lives ONLY in the state store, since
+    * an infinite stream can never finalize it). State per key = one
+    * open run (version, state, from, count) — constant per active
+    * user, the smallest possible CDC footprint.
+    *
+    * Ordering contract: events must arrive per-user in event-time
+    * order ACROSS micro-batches (within a batch they are sorted here
+    * by (ts_us, event_id), q98's tie-break); out-of-order delivery
+    * across batches would mis-segment runs in any one-pass CDC
+    * consumer — upstream this is the parquetSink replay or a
+    * watermark-ordered source. The spec feeds the REAL events table
+    * in event-time order over multiple batches and asserts the
+    * emitted rows equal batch q98's closed set exactly.
+    */
+  def scd2Stream(events: Dataset[(Long, String, Long, Long)])
+      : Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long, Long)],
+            state: GroupState[Scd2Open]) =>
+          val closed = Seq.newBuilder[Scd2Closed]
+          var run = state.getOption.orNull
+          batch.toSeq.sortBy { case (_, _, tsUs, eid) => (tsUs, eid) }
+            .foreach { case (_, tpe, tsUs, _) =>
+              run match {
+                case null =>
+                  run = Scd2Open(1L, tpe, tsUs, 1L)
+                case r if r.state == tpe =>
+                  run = r.copy(n = r.n + 1)
+                case r =>
+                  closed += Scd2Closed(user, r.version, r.state,
+                    r.from_us, tsUs, r.n)
+                  run = Scd2Open(r.version + 1, tpe, tsUs, 1L)
+              }
+            }
+          if (run != null) state.update(run)
+          closed.result().iterator
+      }
+  }
+
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

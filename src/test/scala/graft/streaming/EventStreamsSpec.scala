@@ -150,6 +150,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SCD2 closed intervals over the real events equal batch q98") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the ordering contract: per-user event-time order across batches —
+    // a global (ts, event_id) sort delivers it; split into 3 batches
+    val ordered = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"),
+        $"event_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+      .sortBy { case (_, _, tsUs, eid) => (tsUs, eid) }
+    val src = MemoryStream[(Long, String, Long, Long)]
+    val q = EventStreams.scd2Stream(src.toDS())
+      .writeStream.format("memory").queryName("scd2_closed")
+      .outputMode("append").start()
+    try {
+      ordered.grouped((ordered.size + 2) / 3).foreach { chunk =>
+        src.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("scd2_closed")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // batch q98's finalized rows: everything not current
+    val batch = graft.ops.Text.q98Scd2Compaction(spark, dir)
+      .where(!$"is_current")
+      .select($"user_id", $"version", $"state", $"valid_from_us",
+        $"valid_to_us", $"n_events")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session_window drops past-watermark late events and finalizes closed sessions") {
     // the risky behavior of withWatermark is the DROP boundary on
     // out-of-order data — in-order equivalence (test above) can pass

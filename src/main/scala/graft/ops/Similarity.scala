@@ -964,7 +964,57 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** k-NN classification through the staged IVF index — the predict
+    * step that completes train (q78) → index (stageCells) → search
+    * (q79/q91) → PREDICT: each query (vec_id < 20) takes its top-5
+    * in-cell cosine neighbors (exactly q78's search, with the
+    * neighbor's label carried through the same join) and the
+    * majority label wins, ties broken by (votes desc, label asc) —
+    * both elections deterministic, so the oracle (which replays the
+    * search over the engine-staged cells, q78's discipline) hash-
+    * matches. Output carries the query's own label and a correctness
+    * flag, making the query double as the index-quality report every
+    * embedding pipeline tracks.
+    *
+    * Scale shape: identical to q78 — one hash equi-join on the cell
+    * id + one per-query window — plus a votes groupBy and argmax
+    * window over ≤ k rows per query. Nothing new shuffles the corpus.
+    */
+  def q106KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageCells(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("label"), col("cluster"), col("v"),
+        col("nrm"))
+      .localCheckpoint() // probe + corpus sides both read it (q31 note)
+    val probes = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("cluster"), col("v").as("qv"), col("nrm").as("qn"))
+    val topW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = probes.join(iv, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(topW))
+      .where(col("rank") <= 5)
+    val voteW = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    topk.groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(voteW))
+      .where(col("rk") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"),
+        col("votes"), col("true_label"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_knn_classify" -> (q106KnnClassify _),
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_lsh" -> (q41AnnLsh _),
@@ -1009,6 +1059,32 @@ object Similarity {
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // top-5 in-cell search + majority vote replayed over the
+    // ENGINE-STAGED cells — q78's oracle family with the neighbor
+    // label carried through, then the two deterministic elections
+    "q106_knn_classify" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      civ AS (SELECT iv.vec_id, iv.label, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      topk AS (SELECT a.vec_id AS query_id, a.label AS true_label,
+          b.vec_id AS neighbor_id, b.label,
+          $sqlDot / (a.nrm * b.nrm) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY $sqlDot / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+        FROM civ a JOIN civ b
+          ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20),
+      votes AS (SELECT query_id, true_label, label, COUNT(1) AS votes
+                FROM topk WHERE rank <= 5
+                GROUP BY query_id, true_label, label),
+      won AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, label) AS rk
+              FROM votes)
+      SELECT query_id, label AS predicted_label, votes, true_label,
+        (label = true_label) AS correct
+      FROM won WHERE rk = 1 ORDER BY query_id""",
     // in-cell bench×corpus replay over the ENGINE-STAGED cells —
     // q82's join spelling, q67's argmax election
     "q99_semantic_decon" -> s"""

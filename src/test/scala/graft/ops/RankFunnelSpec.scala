@@ -49,6 +49,40 @@ class RankFunnelSpec extends SparkSpec {
     assert(got.nonEmpty) // the threshold must flag something at sf0.001 too
   }
 
+  // ---- q106: kNN classify replay over the staged cells ----
+
+  test("q106 equals a plain-Scala in-cell kNN majority-vote replay") {
+    val got = Similarity.q106KnnClassify(spark, dir)
+      .as[(Long, Int, Long, Int, Boolean)].collect().toSeq
+    val cells = spark.read.parquet(s"${Dedup.stageRoot(dir)}/cells")
+      .as[(Long, Int)].collect().toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect().toSeq
+      .filter { case (id, _, _) => cells.contains(id) }
+      .map { case (id, lbl, e) =>
+        val v = e.map(x => math.floor(x.toDouble * 65536.0).toLong)
+        (id, lbl, v, math.sqrt(v.map(x => x * x).sum.toDouble))
+      }
+    val byCell = vecs.groupBy { case (id, _, _, _) => cells(id) }
+    val expect = vecs.filter(_._1 < 20).map { case (qid, qlbl, qv, qn) =>
+      val topk = byCell(cells(qid))
+        .filter(_._1 != qid)
+        .flatMap { case (nid, nlbl, nv, nn) =>
+          val prod = qn * nn
+          if (prod > 0)
+            Some((nid, nlbl, qv.zip(nv).map { case (a, b) => a * b }.sum.toDouble / prod))
+          else None
+        }
+        .sortBy { case (nid, _, cos) => (-cos, nid) }.take(5)
+      val (lbl, votes) = topk.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.minBy { case (l, n) => (-n, l) }
+      (qid, lbl, votes, qlbl, lbl == qlbl)
+    }.sortBy(_._1)
+    assert(got === expect)
+    assert(got.size === vecs.count(_._1 < 20))
+  }
+
   // ---- q100: exact integer PageRank replay ----
 
   test("q100 equals a plain-Scala integer PageRank replay") {

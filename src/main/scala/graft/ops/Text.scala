@@ -951,6 +951,54 @@ object Text {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Rolling z-score anomaly detection — the monitoring primitive over
+    * an event stream: each event is scored against the PRECEDING
+    * day's value distribution for its own event type (RANGE interval
+    * frame — q64's frame family on the BIGINT microsecond axis), and
+    * |z| > 3 flags it. The windowed sufficient statistics (n, Σv,
+    * Σv²) are exact decimal sums (q87's discipline, windowed); mean,
+    * variance, and z then run in ONE fixed IEEE tree spelled
+    * identically in DuckDB, NULL-guarded for frames with n < 2 or
+    * zero variance. RANGE (not ROWS) makes tie handling deterministic:
+    * every row at the same timestamp sees the same frame.
+    *
+    * Scale shape: one shuffle on event_type (few partitions — the q69
+    * skew note applies, AQE splits a hot type), one sort, three frame
+    * aggregates sharing it; the filter drops everything un-anomalous
+    * before the presentation sort.
+    */
+  def q107Anomaly(s: SparkSession, dir: String): DataFrame = {
+    // the driver's values are uniform — an honest |z|>3 cut flags
+    // nothing — so the query PLANTS a deterministic 20× spike on
+    // every 997th event (q88's twin construction: both engines build
+    // the identical augmented column) and must then find them; the
+    // hash compare certifies the full stats→score→cut path
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"),
+        when(col("event_id") % 997 === 0, col("value") * 20.0)
+          .otherwise(col("value")).as("value"))
+    // 24 h frame: the driver stream runs ~2.8 events/type/hour, and a
+    // z-score frame needs n ≳ 11 before |z| > 3 is even reachable
+    // (max |z| = (n−1)/√n) — an hour frame can structurally never flag
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-86400L * 1000000, 0)
+    val dec = "decimal(28,6)"
+    val sumv = sum(col("value").cast(dec)).over(w).cast("double")
+    val sumsq = sum((col("value") * col("value")).cast(dec)).over(w)
+      .cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val mean = sumv / n
+    val varr = (sumsq - (sumv * sumv) / n) / (n - 1)
+    e.withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("z", when(col("n_frame") >= 2 && varr > 0,
+        (col("value") - mean) / sqrt(varr)))
+      .where(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        col("value"), col("n_frame"), col("z"))
+      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -978,9 +1026,33 @@ object Text {
     "q101_fuzzy_join" -> (q101FuzzyJoin _),
     "q102_funnel" -> (q102Funnel _),
     "q105_retention" -> (q105Retention _),
+    "q107_anomaly" -> (q107Anomaly _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_anomaly" -> """
+      WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN event_id % 997 = 0 THEN value * 20.0
+                        ELSE value END AS value
+                 FROM events),
+      w AS (SELECT *,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER fr AS DOUBLE) AS sumv,
+          CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER fr AS DOUBLE)
+            AS sumsq,
+          COUNT(1) OVER fr AS n_frame
+        FROM e WINDOW fr AS (PARTITION BY event_type ORDER BY ts_us
+          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+      z AS (SELECT *,
+          CASE WHEN n_frame >= 2
+                 AND (sumsq - (sumv * sumv) / CAST(n_frame AS DOUBLE))
+                       / (CAST(n_frame AS DOUBLE) - 1) > 0
+            THEN (value - sumv / CAST(n_frame AS DOUBLE))
+                   / sqrt((sumsq - (sumv * sumv) / CAST(n_frame AS DOUBLE))
+                          / (CAST(n_frame AS DOUBLE) - 1)) END AS z
+        FROM w)
+      SELECT event_id, event_type, ts_us, value, n_frame, z
+      FROM z WHERE abs(z) > 3
+      ORDER BY event_type, ts_us, event_id""",
     "q105_retention" -> """
       WITH a AS (SELECT DISTINCT user_id,
                    epoch_us(ts) // 86400000000 AS day

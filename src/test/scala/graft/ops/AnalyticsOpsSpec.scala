@@ -42,6 +42,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === eligible.map(_ -> 2L))
   }
 
+  test("q107 equals a plain-Scala rolling z-score replay") {
+    // sf0.01: the sf0.001 stream carries ~7 events/type/frame and
+    // max |z| = (n−1)/√n < 3 — nothing is flaggable at that scale
+    val dir = "/root/testdata/sf0.01"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"),
+        $"value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+      .map { case (id, tpe, ts, v) =>
+        (id, tpe, ts, if (id % 997 == 0) v * 20.0 else v)
+      }
+    def dec(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = events.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      es.map { case (id, tpe, ts, v) =>
+        val frame = es.filter(e => e._3 >= ts - 86400000000L && e._3 <= ts)
+        val n = frame.size.toDouble
+        val sumv = frame.map(e => dec(e._4)).sum.toDouble
+        val sumsq = frame.map(e => dec(e._4 * e._4)).sum.toDouble
+        val varr = (sumsq - (sumv * sumv) / n) / (n - 1)
+        val z = if (frame.size >= 2 && varr > 0)
+          Some((v - sumv / n) / math.sqrt(varr)) else None
+        (id, tpe, ts, v, frame.size.toLong, z)
+      }
+    }.collect { case (id, tpe, ts, v, n, Some(z)) if math.abs(z) > 3 =>
+      (id, tpe, ts, v, n, z)
+    }.sortBy { case (id, tpe, ts, _, _, _) => (tpe, ts, id) }
+    val got = Text.q107Anomaly(spark, dir)
+      .as[(Long, String, Long, Double, Long, Double)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("q105 equals a plain-Scala cohort-retention replay") {
     val act = spark.read.parquet(s"$dir/events.parquet")
       .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))

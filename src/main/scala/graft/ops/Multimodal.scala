@@ -150,11 +150,71 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One encoded-WAV row (payload = real RIFF/PCM bytes). */
+  case class WavRow(doc_id: Long, payload: Array[Byte])
+
+  /** Features a real audio decoder recovers from the samples. */
+  case class WavFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+      duration_us: Long, sum_abs: Long, peak: Int)
+
+  /** Deterministic real-WAV media table: per doc, a genuine RIFF/PCM
+    * file whose rate and samples are pure functions of doc_id
+    * (rate 8000 + (id%3)·4000, n = 50 + id%97, sample j =
+    * (id·37 + j·13) mod 4001 − 2000), [[Wav.encode]]d in a narrow
+    * stage; every even doc additionally carries an unknown LIST chunk
+    * the decoder must skip. No RNG, no fixtures: the DuckDB oracle
+    * derives expected features from the same construction law.
+    */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = 8000 + (id % 3).toInt * 4000
+        val n = 50 + (id % 97).toInt
+        val samples =
+          Array.tabulate(n)(j => ((id * 37 + j * 13) % 4001 - 2000).toShort)
+        val junk = if (id % 2 == 0)
+          Some(Array.tabulate(5 + (id % 9).toInt)(k => (id + k).toByte))
+        else None
+        WavRow(id, Wav.encode(Wav.Audio(rate, 1, samples), junk))
+      }).toDF()
+  }
+
+  /** REAL audio decode behind the multimodal boundary — [[Ppm]]'s
+    * pattern on the RIFF chunk grammar: [[Wav.decode]] walks magic,
+    * fmt/data/unknown chunks (pad-aligned skip), and little-endian
+    * int16 samples. The emitted features — rate, count, exact
+    * `n·10⁶ div rate` duration, |sample| sum and peak (integer-exact,
+    * no float audio math) — must round-trip the construction law,
+    * which the oracle recomputes without ever parsing RIFF: a hash
+    * match proves encoder and parser agree byte-for-byte, junk chunks
+    * included. Two narrow mapPartitions stages, zero shuffle (q80's
+    * scale shape).
+    */
+  def q108WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir).as[WavRow]
+      .mapPartitions(_.map { r =>
+        val a = Wav.decode(r.payload)
+        var sumAbs = 0L
+        var peak = 0
+        a.samples.foreach { sv =>
+          val m = math.abs(sv.toInt)
+          sumAbs += m
+          if (m > peak) peak = m
+        }
+        WavFeatures(r.doc_id, a.sampleRate, a.samples.length,
+          a.samples.length * 1000000L / a.sampleRate, sumAbs, peak)
+      }).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_frame_sample" -> (q61FrameSample _),
     "q62_decode_expr" -> (q62DecodeExpr _),
     "q80_ppm_decode" -> (q80PpmDecode _),
+    "q108_wav_decode" -> (q108WavDecode _),
   )
 
   /** DuckDB twin of `payload(0) & 0xff`: the first UTF-8 *byte* of the
@@ -200,6 +260,20 @@ object Multimodal {
           range(0, 3 * (4 + doc_id % 13) * (3 + doc_id % 7)),
           j -> (doc_id * 31 + j) % 256)) AS BIGINT) AS pix_sum
       FROM documents ORDER BY doc_id""",
+    // construction-law recompute, never parses RIFF (q80's discipline);
+    // abs/max/sum all integer-exact
+    "q108_wav_decode" -> """
+      WITH law AS (SELECT doc_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          CAST(50 + doc_id % 97 AS INT) AS n_samples,
+          list_transform(range(0, 50 + doc_id % 97),
+            j -> abs((doc_id * 37 + j * 13) % 4001 - 2000)) AS mags
+        FROM documents)
+      SELECT doc_id, sample_rate, n_samples,
+        (CAST(n_samples AS BIGINT) * 1000000) // sample_rate AS duration_us,
+        CAST(list_sum(mags) AS BIGINT) AS sum_abs,
+        CAST(list_max(mags) AS INT) AS peak
+      FROM law ORDER BY doc_id""",
     "q61_frame_sample" -> s"""
       WITH cps AS (SELECT doc_id, ascii(substr(text, 1, 1)) AS cp
                    FROM documents),

@@ -675,7 +675,62 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Data-quality constraint report — the validation gate a pipeline
+    * runs before anything consumes a table (the deequ/Great-
+    * Expectations shape): null keys, value-range violations,
+    * duplicate primary keys, and orphan foreign keys, one row per
+    * check with its violation count. The driver tables are clean, so
+    * the query PLANTS two bad lineitem rows in-plan (an orphan order
+    * key and a negative price — q88's twin construction, both engines
+    * build them identically) and the checks must find exactly those.
+    *
+    * Scale shape: the null/range checks are conditional sums fused
+    * into ONE scan aggregate; duplicates are a partial-agg groupBy on
+    * the key; orphans are a left-anti join against the (broadcast-
+    * able) key set — each the canonical spelling of its constraint,
+    * and the report is a union of one-row aggregates, so nothing
+    * widens the fact scan.
+    */
+  def q110DqReport(s: SparkSession, dir: String): DataFrame = {
+    val planted = Seq(
+      (-1L, -5.0), // orphan l_orderkey
+      (1L, -42.0)) // negative price on a real order
+    val bad = s.createDataFrame(planted)
+      .toDF("l_orderkey", "l_extendedprice")
+      .select(col("l_orderkey"), lit(null).cast("double").as("l_discount"),
+        col("l_extendedprice"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_discount"), col("l_extendedprice"))
+      .unionByName(bad)
+    val orders = t(s, dir, "orders").select(col("o_orderkey"))
+    val scanChecks = li.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("neg_price"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("bad_discount"))
+    val dupKeys = t(s, dir, "orders").groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("v"))
+    val orphans = li.join(orders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    scanChecks.select(lit("lineitem").as("table_name"),
+        lit("null_order_key").as("check"), col("null_key").as("violations"))
+      .unionByName(scanChecks.select(lit("lineitem").as("table_name"),
+        lit("negative_price").as("check"), col("neg_price").as("violations")))
+      .unionByName(scanChecks.select(lit("lineitem").as("table_name"),
+        lit("discount_in_[0,1]").as("check"),
+        col("bad_discount").as("violations")))
+      .unionByName(dupKeys.select(lit("orders").as("table_name"),
+        lit("unique_order_key").as("check"), col("v").as("violations")))
+      .unionByName(orphans.select(lit("lineitem").as("table_name"),
+        lit("orphan_order_key").as("check"), col("v").as("violations")))
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("table_name"), col("check"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q110_dq_report" -> (q110DqReport _),
     "q103_histogram" -> (q103Histogram _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -719,6 +774,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q110_dq_report" -> """
+      WITH li AS (SELECT l_orderkey, l_discount, l_extendedprice FROM lineitem
+                  UNION ALL SELECT -1, NULL, -5.0
+                  UNION ALL SELECT 1, NULL, -42.0),
+      scan AS (SELECT
+          CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS null_key,
+          CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS neg_price,
+          CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_discount
+        FROM li),
+      dup AS (SELECT COALESCE(CAST(SUM(n - 1) AS BIGINT), 0) AS v FROM
+                (SELECT o_orderkey, COUNT(1) AS n FROM orders
+                 GROUP BY o_orderkey HAVING COUNT(1) > 1)),
+      orph AS (SELECT COUNT(1) AS v FROM li
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = li.l_orderkey)),
+      rep AS (
+        SELECT 'lineitem' AS table_name, 'null_order_key' AS "check",
+          null_key AS violations FROM scan
+        UNION ALL SELECT 'lineitem', 'negative_price', neg_price FROM scan
+        UNION ALL SELECT 'lineitem', 'discount_in_[0,1]', bad_discount
+          FROM scan
+        UNION ALL SELECT 'orders', 'unique_order_key', v FROM dup
+        UNION ALL SELECT 'lineitem', 'orphan_order_key', v FROM orph)
+      SELECT table_name, "check", violations, violations = 0 AS passed
+      FROM rep ORDER BY table_name, "check"""",
     "q103_histogram" -> """
       WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
                  FROM lineitem),

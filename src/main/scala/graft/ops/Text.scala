@@ -999,6 +999,35 @@ object Text {
       .orderBy(col("event_type"), col("ts_us"), col("event_id"))
   }
 
+  /** Rolling active users — DAU, trailing-7-day WAU, and the
+    * stickiness ratio per day, the engagement triple every analytics
+    * stack reports. Exact sliding-window distinct WITHOUT a distinct-
+    * over-frame (which no engine does scalably): each deduped
+    * (user, day) activity row is exploded into the ≤7 report days it
+    * contributes to, deduped again on (user, report_day), and counted
+    * — the contribute-then-count spelling that bounds fan-out at the
+    * window width and keeps every stage a partial-aggregated
+    * hash groupBy. Days are reported when they have any same-day
+    * activity (inner join of the two counters).
+    */
+  def q109RollingActive(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau7"),
+        (col("dau").cast("double") / col("wau7").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -1027,9 +1056,21 @@ object Text {
     "q102_funnel" -> (q102Funnel _),
     "q105_retention" -> (q105Retention _),
     "q107_anomaly" -> (q107Anomaly _),
+    "q109_rolling_active" -> (q109RollingActive _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q109_rolling_active" -> """
+      WITH a AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+                 FROM events),
+      dau AS (SELECT day, COUNT(1) AS dau FROM a GROUP BY day),
+      c AS (SELECT DISTINCT user_id, day + o AS day
+            FROM a, (SELECT unnest(range(0, 7)) AS o)),
+      wau AS (SELECT day, COUNT(1) AS wau7 FROM c GROUP BY day)
+      SELECT day, dau, wau7,
+        CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE) AS stickiness
+      FROM dau JOIN wau USING (day) ORDER BY day""",
     "q107_anomaly" -> """
       WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
                    CASE WHEN event_id % 997 = 0 THEN value * 20.0

@@ -75,6 +75,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q109 equals a plain-Scala DAU/WAU replay") {
+    val act = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))
+      .as[(Long, Long)].collect().toSeq.distinct
+    val dau = act.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wau = act.flatMap { case (u, d) => (0 to 6).map(o => (u, d + o)) }
+      .distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expect = dau.keys.toSeq.sorted.map(d =>
+      (d, dau(d), wau(d), dau(d).toDouble / wau(d).toDouble))
+    val got = Text.q109RollingActive(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expect)
+    // WAU always covers at least the day's own actives
+    got.foreach { case (_, d, w, s0) =>
+      assert(w >= d && s0 <= 1.0)
+    }
+  }
+
+  test("q110 finds exactly the planted violations on the clean corpus") {
+    val got = Relational.q110DqReport(spark, dir)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("lineitem", "discount_in_[0,1]", 0L, true),
+      ("lineitem", "negative_price", 2L, false),
+      ("lineitem", "null_order_key", 0L, true),
+      ("lineitem", "orphan_order_key", 1L, false),
+      ("orders", "unique_order_key", 0L, true)))
+  }
+
   test("q105 equals a plain-Scala cohort-retention replay") {
     val act = spark.read.parquet(s"$dir/events.parquet")
       .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))

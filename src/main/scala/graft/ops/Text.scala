@@ -972,25 +972,75 @@ object Text {
     // nothing — so the query PLANTS a deterministic 20× spike on
     // every 997th event (q88's twin construction: both engines build
     // the identical augmented column) and must then find them; the
-    // hash compare certifies the full stats→score→cut path
-    val e = t(s, dir, "events")
+    // hash compare certifies the full stats→score→cut path.
+    //
+    // 24 h frame: the driver stream runs ~2.8 events/type/hour, and a
+    // z-score frame needs n ≳ 11 before |z| > 3 is even reachable
+    // (max |z| = (n−1)/√n) — an hour frame can structurally never flag.
+    //
+    // NOT a RANGE window: Spark recomputes a moving frame's aggregate
+    // from scratch per row (no retraction), so the naive
+    // `rangeBetween(-24h, 0)` spelling is O(rows × frame) — measured
+    // 61 s at sf0.1 where this form runs in ~1 s. Instead the frame
+    // [t−24h, t] is decomposed into 23 FULL hour buckets (precomputed
+    // partials, model-sized table, broadcast) + two PARTIAL boundary
+    // buckets (per-row row-level joins bounded by one bucket's
+    // occupancy). Decimal addition is exact and associative, so the
+    // decomposed sums equal the naive frame sums bit-for-bit — the
+    // DuckDB oracle keeps the naive RANGE window and the hash still
+    // matches. This is the production sliding-aggregate shape: linear
+    // in events, fan-out bounded by window/bucket.
+    val W = 86400000000L // 24 h in µs
+    val B = 3600000000L // 1 h buckets
+    val nb = (W / B).toInt
+    val dec = "decimal(28,6)"
+    val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"),
         when(col("event_id") % 997 === 0, col("value") * 20.0)
           .otherwise(col("value")).as("value"))
-    // 24 h frame: the driver stream runs ~2.8 events/type/hour, and a
-    // z-score frame needs n ≳ 11 before |z| > 3 is even reachable
-    // (max |z| = (n−1)/√n) — an hour frame can structurally never flag
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
-      .rangeBetween(-86400L * 1000000, 0)
-    val dec = "decimal(28,6)"
-    val sumv = sum(col("value").cast(dec)).over(w).cast("double")
-    val sumsq = sum((col("value") * col("value")).cast(dec)).over(w)
-      .cast("double")
-    val n = count(lit(1)).over(w).cast("double")
-    val mean = sumv / n
-    val varr = (sumsq - (sumv * sumv) / n) / (n - 1)
-    e.withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("bucket", expr(s"ts_us div $B"))
+      .localCheckpoint() // row side + both boundary sides read it
+    val buckets = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("value").cast(dec)).as("sv_b"),
+        sum((col("value") * col("value")).cast(dec)).as("sq_b"))
+    val full = ev
+      .select(col("event_id"), col("event_type"),
+        explode(sequence(lit(1), lit(nb - 1))).as("off"), col("bucket"))
+      .select(col("event_id"), col("event_type"),
+        (col("bucket") - col("off")).as("bucket"))
+      .join(broadcast(buckets), Seq("event_type", "bucket"))
+      .groupBy(col("event_id"))
+      .agg(sum(col("n_b")).as("n_full"), sum(col("sv_b")).as("sv_full"),
+        sum(col("sq_b")).as("sq_full"))
+    val other = ev.select(col("event_type").as("g2"), col("bucket").as("b2"),
+      col("ts_us").as("ts2"), col("value").as("v2"))
+    def boundary(bucketOf: Column, cond: Column, sfx: String) = ev
+      .join(other, col("event_type") === col("g2") &&
+        bucketOf === col("b2") && cond)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as(s"n_$sfx"),
+        sum(col("v2").cast(dec)).as(s"sv_$sfx"),
+        sum((col("v2") * col("v2")).cast(dec)).as(s"sq_$sfx"))
+    val lo = boundary(col("bucket") - nb, col("ts2") >= col("ts_us") - W, "lo")
+    val hi = boundary(col("bucket"), col("ts2") <= col("ts_us"), "hi")
+    val dzero = lit(0).cast("decimal(38,6)")
+    def dsum3(a: String, b: String, c: String) =
+      (coalesce(col(a), dzero) + coalesce(col(b), dzero) +
+        coalesce(col(c), dzero)).cast("double")
+    val withStats = ev
+      .join(full, Seq("event_id"), "left")
+      .join(lo, Seq("event_id"), "left")
+      .join(hi, Seq("event_id"), "left")
+      .withColumn("n_frame", coalesce(col("n_full"), lit(0L)) +
+        coalesce(col("n_lo"), lit(0L)) + coalesce(col("n_hi"), lit(0L)))
+      .withColumn("sumv", dsum3("sv_full", "sv_lo", "sv_hi"))
+      .withColumn("sumsq", dsum3("sq_full", "sq_lo", "sq_hi"))
+    val n = col("n_frame").cast("double")
+    val mean = col("sumv") / n
+    val varr = (col("sumsq") - (col("sumv") * col("sumv")) / n) / (n - 1)
+    withStats
       .withColumn("z", when(col("n_frame") >= 2 && varr > 0,
         (col("value") - mean) / sqrt(varr)))
       .where(abs(col("z")) > 3)

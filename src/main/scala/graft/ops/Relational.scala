@@ -729,7 +729,47 @@ object Relational {
       .orderBy(col("table_name"), col("check"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view delta
+    * merge every warehouse runs nightly, and the relational twin of
+    * the q48/q81/q93 incremental-index family: the pricing summary's
+    * MERGEABLE partials (count, decimal Σqty, decimal Σprice per
+    * group) are staged to parquet over the corpus split
+    * (`l_orderkey % 10 ≠ 9`, the q81 split convention), the new batch
+    * contributes delta partials, and the refreshed view is
+    * partials ∪ delta → one more partial-agg merge — the new batch is
+    * scanned ONCE and the corpus is never rescanned. Decimal addition
+    * is exact and associative, so the merged view equals a full
+    * recompute bit-for-bit: the DuckDB oracle IS the full recompute
+    * over the whole table, and the hash match is the proof the
+    * incremental path loses nothing.
+    */
+  def q112IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val work = graft.ops.Dedup.stageRoot(dir)
+    val dec = "decimal(28,6)"
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_orderkey"))
+    val isNew = col("l_orderkey") % 10 === 9
+    def partials(rows: org.apache.spark.sql.DataFrame) =
+      rows.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).as("sq"),
+          sum(col("l_extendedprice").cast(dec)).as("sp"))
+    partials(li.where(!isNew))
+      .write.mode("overwrite").parquet(s"$work/agg_state")
+    s.read.parquet(s"$work/agg_state")
+      .unionByName(partials(li.where(isNew)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sq")).as("sq"),
+        sum(col("sp")).as("sp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sp").cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q112_incremental_agg" -> (q112IncrementalAgg _),
     "q110_dq_report" -> (q110DqReport _),
     "q103_histogram" -> (q103Histogram _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -774,6 +814,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the FULL recompute — a hash match proves the
+    // staged-partials + delta merge is lossless
+    "q112_incremental_agg" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(1) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+          AS sum_price
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
     "q110_dq_report" -> """
       WITH li AS (SELECT l_orderkey, l_discount, l_extendedprice FROM lineitem
                   UNION ALL SELECT -1, NULL, -5.0

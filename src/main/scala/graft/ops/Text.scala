@@ -1078,6 +1078,35 @@ object Text {
       .orderBy(col("day"))
   }
 
+  /** Event-type transition matrix — the Markov-chain estimate behind
+    * next-action prediction and funnel diagnostics: per user the event
+    * sequence (q98's ordering, ties by event_id), each consecutive
+    * pair counted into a |types|² matrix with row-normalized
+    * probabilities. One user_id shuffle for the lag window; the
+    * matrix itself is model-sized, so the row-total window runs over
+    * 25 rows, not the stream. Exact-long counts, one IEEE divide.
+    */
+  def q111Transitions(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val counted = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("row_total",
+        sum(col("cnt")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("cnt"),
+        (col("cnt").cast("double") / col("row_total").cast("double"))
+          .as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -1107,9 +1136,26 @@ object Text {
     "q105_retention" -> (q105Retention _),
     "q107_anomaly" -> (q107Anomaly _),
     "q109_rolling_active" -> (q109RollingActive _),
+    "q111_transitions" -> (q111Transitions _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q111_transitions" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                 FROM events),
+      p AS (SELECT event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS prev_type
+            FROM e),
+      counted AS (SELECT prev_type, event_type, COUNT(1) AS cnt
+                  FROM p WHERE prev_type IS NOT NULL
+                  GROUP BY prev_type, event_type),
+      tot AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS row_total
+              FROM counted)
+      SELECT prev_type, event_type AS next_type, cnt,
+        CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+      FROM tot ORDER BY prev_type, next_type""",
     "q109_rolling_active" -> """
       WITH a AS (SELECT DISTINCT user_id,
                    epoch_us(ts) // 86400000000 AS day

@@ -104,6 +104,48 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("orders", "unique_order_key", 0L, true)))
   }
 
+  test("q111 equals a plain-Scala transition-matrix replay") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"),
+        $"event_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val pairs = events.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._3, e._4)).map(_._2).sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.toSeq
+    val counted = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+    val rowTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong)
+    val expect = counted.toSeq.map { case ((a, b), n) =>
+      (a, b, n, n.toDouble / rowTotals(a).toDouble)
+    }.sortBy { case (a, b, _, _) => (a, b) }
+    val got = Text.q111Transitions(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === expect)
+    // probabilities row-normalize to 1
+    got.groupBy(_._1).values.foreach(rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9))
+  }
+
+  test("q112 incremental merge equals a direct full recompute") {
+    val got = Relational.q112IncrementalAgg(spark, dir)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    val full = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(28,6)")).cast("double")
+          .as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(28,6)")).cast("double")
+          .as("sum_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got === full)
+    // the staged state really is a strict subset of the corpus
+    val staged = spark.read.parquet(s"${Dedup.stageRoot(dir)}/agg_state")
+      .agg(sum($"n")).as[Long].head()
+    assert(staged < got.map(_._3).sum && staged > 0)
+  }
+
   test("q105 equals a plain-Scala cohort-retention replay") {
     val act = spark.read.parquet(s"$dir/events.parquet")
       .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))

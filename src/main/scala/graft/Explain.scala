@@ -34,6 +34,8 @@ object Explain {
     "q95_boilerplate", // filtered-broadcast boilerplate membership join
     "q100_pagerank", // iterated equi-join + partial-agg groupBy rounds
     "q102_funnel", // three chained windows + groupBy on ONE Exchange
+    "q107_anomaly", // bucketed sliding aggregate: broadcast partials + bounded boundary joins (not a RANGE window)
+    "q112_incremental_agg", // staged mergeable partials + delta, corpus never rescanned
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -21,7 +21,12 @@ class DeterminismSpec extends SparkSpec {
 
   private val probes = Seq("q31_minhash_pairs", "q35_dedup_clusters",
     "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",
-    "q71_best_successor", "q79_ann_ivf_multiprobe", "q80_ppm_decode")
+    "q71_best_successor", "q79_ann_ivf_multiprobe", "q80_ppm_decode",
+    // q107: the bucketed frame decomposition re-associates decimal
+    // additions across partitions — exactness of that re-association
+    // is precisely what this property pins. q94/q106: stacked
+    // tie-break surfaces (score/term, votes/label) over join output.
+    "q94_bm25", "q106_knn_classify", "q107_anomaly")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -154,6 +154,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q107 never plans a moving-frame Window; bucket partials broadcast") {
+    // the RANGE-window spelling benched 60.9 s at sf0.1 (SCALING.md:
+    // Spark recomputes moving frames per row) — the committed form is
+    // a bucket decomposition whose ONLY acceptable plan is broadcast
+    // partials + hash joins. A Window node with a RangeFrame reappearing
+    // here means someone reverted to the cliff.
+    val p = plan("q107_anomaly")
+    assert(!p.contains("RangeFrame"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q94 broadcasts the vocabulary-sized df and totals sides") {
+    val p = plan("q94_bm25")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q112 refresh reads staged partials, never re-aggregating the corpus split") {
+    // the staged side must enter the merge as a parquet scan of the
+    // model-sized partial table; a plan whose UNION side re-scans
+    // lineitem for the corpus split has lost the incremental property
+    val p = plan("q112_incremental_agg")
+    assert(p.contains("agg_state"), p.take(1200))
+  }
+
   test("q46 approx percentiles stay within 1% of exact") {
     Relational.q46ApproxPercentilesRaw(spark, dir).collect().foreach { r =>
       val (a50, e50) = (r.getDouble(1), r.getDouble(2))

@@ -121,6 +121,9 @@ object ScaleProbe {
       "q94_bm25", "q95_boilerplate", "q97_importance_weights",
       "q98_scd2_compaction", "q99_semantic_decon", "q100_pagerank",
       "q102_funnel", "q104_triangles", "q105_retention",
+      "q107_anomaly", "q109_rolling_active", "q111_transitions",
+      // q103/q110/q112 read lineitem/orders, which the replica does
+      // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",
       "q57_decontaminate", "q59_bloom_decontaminate",
       "q67_click_attribution", "q68_corpus_prep", "q69_length_filter",

@@ -978,65 +978,56 @@ object Text {
     // z-score frame needs n ≳ 11 before |z| > 3 is even reachable
     // (max |z| = (n−1)/√n) — an hour frame can structurally never flag.
     //
-    // NOT a RANGE window: Spark recomputes a moving frame's aggregate
-    // from scratch per row (no retraction), so the naive
+    // NOT a moving RANGE window: Spark recomputes a moving frame's
+    // aggregate from scratch per row (no retraction), so the natural
     // `rangeBetween(-24h, 0)` spelling is O(rows × frame) — measured
-    // 61 s at sf0.1 where this form runs in ~1 s. Instead the frame
-    // [t−24h, t] is decomposed into 23 FULL hour buckets (precomputed
-    // partials, model-sized table, broadcast) + two PARTIAL boundary
-    // buckets (per-row row-level joins bounded by one bucket's
-    // occupancy). Decimal addition is exact and associative, so the
-    // decomposed sums equal the naive frame sums bit-for-bit — the
-    // DuckDB oracle keeps the naive RANGE window and the hash still
-    // matches. This is the production sliding-aggregate shape: linear
-    // in events, fan-out bounded by window/bucket.
+    // 61 s at sf0.1. And not the bucket decomposition either: its
+    // boundary fan-out is O(bucket occupancy), which the 30× probe
+    // (density-compressed, same time span) drove to 149 s. The linear
+    // exact form is PREFIX SUMS: a GROWING range frame (unbounded
+    // preceding → current row) is evaluated incrementally by Spark,
+    // and frame[t−W, t] = cum(≤t) − cum(≤t−W−1). The left endpoint is
+    // an as-of lookup done by the union trick — each event also enters
+    // the stream as a zero-contribution PROBE row at ts−W−1, so ONE
+    // window pass yields both cumulatives. Decimal sums/differences
+    // are exact, so the result equals the naive frame aggregation
+    // bit-for-bit and the DuckDB oracle keeps the naive RANGE window.
+    // One type-partitioned sort + one incremental window + two
+    // event_id equi-joins: linear at any density.
     val W = 86400000000L // 24 h in µs
-    val B = 3600000000L // 1 h buckets
-    val nb = (W / B).toInt
     val dec = "decimal(28,6)"
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"),
         when(col("event_id") % 997 === 0, col("value") * 20.0)
           .otherwise(col("value")).as("value"))
-      .withColumn("bucket", expr(s"ts_us div $B"))
-      .localCheckpoint() // row side + both boundary sides read it
-    val buckets = ev.groupBy(col("event_type"), col("bucket"))
-      .agg(count(lit(1)).as("n_b"),
-        sum(col("value").cast(dec)).as("sv_b"),
-        sum((col("value") * col("value")).cast(dec)).as("sq_b"))
-    val full = ev
-      .select(col("event_id"), col("event_type"),
-        explode(sequence(lit(1), lit(nb - 1))).as("off"), col("bucket"))
-      .select(col("event_id"), col("event_type"),
-        (col("bucket") - col("off")).as("bucket"))
-      .join(broadcast(buckets), Seq("event_type", "bucket"))
-      .groupBy(col("event_id"))
-      .agg(sum(col("n_b")).as("n_full"), sum(col("sv_b")).as("sv_full"),
-        sum(col("sq_b")).as("sq_full"))
-    val other = ev.select(col("event_type").as("g2"), col("bucket").as("b2"),
-      col("ts_us").as("ts2"), col("value").as("v2"))
-    def boundary(bucketOf: Column, cond: Column, sfx: String) = ev
-      .join(other, col("event_type") === col("g2") &&
-        bucketOf === col("b2") && cond)
-      .groupBy(col("event_id"))
-      .agg(count(lit(1)).as(s"n_$sfx"),
-        sum(col("v2").cast(dec)).as(s"sv_$sfx"),
-        sum((col("v2") * col("v2")).cast(dec)).as(s"sq_$sfx"))
-    val lo = boundary(col("bucket") - nb, col("ts2") >= col("ts_us") - W, "lo")
-    val hi = boundary(col("bucket"), col("ts2") <= col("ts_us"), "hi")
+    val data = ev.select(col("event_type"), col("ts_us"), col("event_id"),
+      lit(1L).as("is_data"), col("value").cast(dec).as("dv"),
+      (col("value") * col("value")).cast(dec).as("dq"))
+    val probes = ev.select(col("event_type"),
+      (col("ts_us") - W - 1).as("ts_us"), col("event_id"),
+      lit(0L).as("is_data"), lit(null).cast(dec).as("dv"),
+      lit(null).cast(dec).as("dq"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = data.unionByName(probes)
+      .select(col("event_type"), col("event_id"), col("is_data"),
+        sum(col("is_data")).over(w).as("c_n"),
+        sum(col("dv")).over(w).as("c_v"),
+        sum(col("dq")).over(w).as("c_q"))
+    val hi = cum.where(col("is_data") === 1)
+      .select(col("event_id"), col("c_n").as("n_hi"),
+        col("c_v").as("v_hi"), col("c_q").as("q_hi"))
+    val lo = cum.where(col("is_data") === 0)
+      .select(col("event_id"), col("c_n").as("n_lo"),
+        col("c_v").as("v_lo"), col("c_q").as("q_lo"))
     val dzero = lit(0).cast("decimal(38,6)")
-    def dsum3(a: String, b: String, c: String) =
-      (coalesce(col(a), dzero) + coalesce(col(b), dzero) +
-        coalesce(col(c), dzero)).cast("double")
-    val withStats = ev
-      .join(full, Seq("event_id"), "left")
-      .join(lo, Seq("event_id"), "left")
-      .join(hi, Seq("event_id"), "left")
-      .withColumn("n_frame", coalesce(col("n_full"), lit(0L)) +
-        coalesce(col("n_lo"), lit(0L)) + coalesce(col("n_hi"), lit(0L)))
-      .withColumn("sumv", dsum3("sv_full", "sv_lo", "sv_hi"))
-      .withColumn("sumsq", dsum3("sq_full", "sq_lo", "sq_hi"))
+    val withStats = ev.join(hi, "event_id").join(lo, "event_id")
+      .withColumn("n_frame", col("n_hi") - col("n_lo"))
+      .withColumn("sumv",
+        (col("v_hi") - coalesce(col("v_lo"), dzero)).cast("double"))
+      .withColumn("sumsq",
+        (col("q_hi") - coalesce(col("q_lo"), dzero)).cast("double"))
     val n = col("n_frame").cast("double")
     val mean = col("sumv") / n
     val varr = (col("sumsq") - (col("sumv") * col("sumv")) / n) / (n - 1)

@@ -154,15 +154,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
-  test("q107 never plans a moving-frame Window; bucket partials broadcast") {
-    // the RANGE-window spelling benched 60.9 s at sf0.1 (SCALING.md:
-    // Spark recomputes moving frames per row) — the committed form is
-    // a bucket decomposition whose ONLY acceptable plan is broadcast
-    // partials + hash joins. A Window node with a RangeFrame reappearing
-    // here means someone reverted to the cliff.
+  test("q107 windows only GROWING range frames, never a moving one") {
+    // a moving RANGE frame is recomputed from scratch per row (no
+    // retraction) — the 61 s sf0.1 cliff in SCALING.md; the committed
+    // prefix-sum form may only use unbounded-preceding (incremental)
+    // frames. A RangeFrame with a finite negative lower bound
+    // reappearing here means someone reverted to the cliff.
     val p = plan("q107_anomaly")
-    assert(!p.contains("RangeFrame"), p.take(800))
-    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("RangeFrame, -"), p.take(1000))
+    assert(p.contains("unboundedpreceding"), p.take(1000))
   }
 
   test("q94 broadcasts the vocabulary-sized df and totals sides") {

@@ -1098,6 +1098,51 @@ object Text {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** One BPE merge step — the actual tokenizer-training kernel (q96
+    * counts the vocabulary; this LEARNS a merge): the corpus-wide
+    * most-frequent adjacent word pair (ties by (w1, w2) — the
+    * deterministic election) is merged left-to-right non-overlapping
+    * in every document, exactly BPE's application order, and each doc
+    * reports its token count before/after plus the merged bytes'
+    * hash. The winning pair is a 1-row aggregate that rides a
+    * broadcast cross join, and the merge itself is
+    * `regexp_replace(norm, '\\b' || w1 || ' ' || w2 || '\\b', …)`
+    * with a COLUMN pattern — no driver round-trip, and global regex
+    * replacement is left-to-right non-overlapping in both engines
+    * (Java + RE2), which is precisely BPE's semantics. Tokens are
+    * [a-z0-9]+ so the dynamic pattern needs no escaping; the merge
+    * marker '+' cannot occur in a token.
+    *
+    * Scale shape: q89's ONE partial-agg bigram shuffle, a 1-row
+    * argmax, then a pure map stage over the scan. Iterating k merges
+    * is k passes of this plan (each merge changes the pair
+    * distribution, so a second pass is genuinely new work — the
+    * production form checkpoints the corpus every few merges exactly
+    * as q37 stages dedup).
+    */
+  def q113BpeMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("ws", split(col("norm"), " "))
+    val best = d
+      .where(size(col("ws")) >= 2)
+      .select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"),
+        col("ws"))
+      .select(element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+    val pat = concat(lit("\\b"), col("w1"), lit(" "), col("w2"), lit("\\b"))
+    val repl = concat(col("w1"), lit("+"), col("w2"))
+    d.crossJoin(broadcast(best))
+      .withColumn("merged", regexp_replace(col("norm"), pat, repl))
+      .select(col("doc_id"), col("w1"), col("w2"), col("cnt"),
+        size(col("ws")).as("n_before"),
+        size(split(col("merged"), " ")).as("n_after"),
+        md5(col("merged")).as("merged_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -1128,9 +1173,27 @@ object Text {
     "q107_anomaly" -> (q107Anomaly _),
     "q109_rolling_active" -> (q109RollingActive _),
     "q111_transitions" -> (q111Transitions _),
+    "q113_bpe_merge" -> (q113BpeMerge _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_bpe_merge" -> s"""
+      WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws
+                 FROM documents),
+      bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+             FROM (SELECT ws, unnest(range(1, greatest(len(ws)-1, 0) + 1))
+                     AS i
+                   FROM d WHERE len(ws) >= 2)),
+      best AS (SELECT w1, w2, COUNT(1) AS cnt FROM bg GROUP BY w1, w2
+               ORDER BY cnt DESC, w1, w2 LIMIT 1),
+      m AS (SELECT doc_id, w1, w2, cnt, ws,
+              regexp_replace(norm, '\\b' || w1 || ' ' || w2 || '\\b',
+                w1 || '+' || w2, 'g') AS merged
+            FROM d CROSS JOIN best)
+      SELECT doc_id, w1, w2, cnt, len(ws) AS n_before,
+        len(string_split(merged, ' ')) AS n_after,
+        md5(merged) AS merged_hash
+      FROM m ORDER BY doc_id""",
     "q111_transitions" -> """
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
                  FROM events),

@@ -129,6 +129,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  // ---- q113 BPE merge: exact replay ----
+
+  test("q113 equals a plain-Scala BPE-merge replay") {
+    val normed = docs.map { case (id, text, _) => (id, norm(text)) }
+    val pairs = normed.flatMap { case (_, n) =>
+      val ws = n.split(" ", -1).toSeq
+      if (ws.size >= 2) ws.sliding(2).map(p => (p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val ((w1, w2), cnt) = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = normed.map { case (id, n) =>
+      // Java replaceAll is left-to-right non-overlapping — BPE's order
+      val merged = n.replaceAll(s"\\b$w1 $w2\\b", s"$w1+$w2")
+      (id, w1, w2, cnt, n.split(" ", -1).length,
+        merged.split(" ", -1).length, h(merged))
+    }.sortBy(_._1)
+    val got = Text.q113BpeMerge(spark, dir)
+      .as[(Long, String, String, Long, Int, Int, String)].collect().toSeq
+    assert(got === expect)
+    // the merge must actually fire somewhere
+    assert(got.exists { case (_, _, _, _, before, after, _) => after < before })
+  }
+
   // ---- q98 SCD2: planted runs + real-data invariants ----
 
   test("q98 compacts planted state runs into SCD2 intervals") {

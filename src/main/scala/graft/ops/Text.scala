@@ -1143,6 +1143,43 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Chi-square independence test — the A/B-analysis primitive: the
+    * event_type × value-quartile contingency table with each cell's
+    * observed count, expected count under independence
+    * (row·col/total), and χ² contribution. Counts are exact longs
+    * from ONE partial-agg groupBy (bucket bounds from the broadcast
+    * global [min,max] scalar, q103's pattern); expected/contrib are
+    * one fixed IEEE tree over those longs, identical in DuckDB. The
+    * row/col/total marginals ride windows over the AGGREGATED 20-cell
+    * table — model-sized, never the stream (q111's discipline).
+    */
+  def q114ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"), col("value"))
+    val bounds = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val cells = e.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(3L),
+        floor(((col("value") - col("mn")) * lit(4.0)) /
+          (col("mx") - col("mn")))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("observed"))
+    val obsD = col("observed").cast("double")
+    cells
+      .withColumn("row_tot",
+        sum(col("observed")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("col_tot",
+        sum(col("observed")).over(Window.partitionBy(col("bucket"))))
+      .crossJoin(broadcast(cells.agg(sum(col("observed")).as("n_tot"))))
+      .withColumn("expected",
+        (col("row_tot").cast("double") * col("col_tot").cast("double")) /
+          col("n_tot").cast("double"))
+      .withColumn("contrib",
+        ((obsD - col("expected")) * (obsD - col("expected"))) /
+          col("expected"))
+      .select(col("event_type"), col("bucket"), col("observed"),
+        col("expected"), col("contrib"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -1174,9 +1211,33 @@ object Text {
     "q109_rolling_active" -> (q109RollingActive _),
     "q111_transitions" -> (q111Transitions _),
     "q113_bpe_merge" -> (q113BpeMerge _),
+    "q114_chi_square" -> (q114ChiSquare _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_chi_square" -> """
+      WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+      x AS (SELECT event_type,
+              least(3, CAST(floor(((value - mn) * 4.0) / (mx - mn))
+                AS BIGINT)) AS bucket
+            FROM events CROSS JOIN b),
+      cells AS (SELECT event_type, bucket, COUNT(1) AS observed
+                FROM x GROUP BY event_type, bucket),
+      m AS (SELECT *,
+              CAST(SUM(observed) OVER (PARTITION BY event_type) AS BIGINT)
+                AS row_tot,
+              CAST(SUM(observed) OVER (PARTITION BY bucket) AS BIGINT)
+                AS col_tot
+            FROM cells),
+      tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_tot FROM cells),
+      f AS (SELECT event_type, bucket, observed,
+              (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                / CAST(n_tot AS DOUBLE) AS expected
+            FROM m CROSS JOIN tot)
+      SELECT event_type, bucket, observed, expected,
+        ((CAST(observed AS DOUBLE) - expected)
+           * (CAST(observed AS DOUBLE) - expected)) / expected AS contrib
+      FROM f ORDER BY event_type, bucket""",
     "q113_bpe_merge" -> s"""
       WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws
                  FROM documents),

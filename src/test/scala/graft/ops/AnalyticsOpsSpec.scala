@@ -146,6 +146,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(staged < got.map(_._3).sum && staged > 0)
   }
 
+  test("q114 equals a plain-Scala chi-square replay") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"value").as[(String, Double)].collect().toSeq
+    val (mn, mx) = (events.map(_._2).min, events.map(_._2).max)
+    def bucket(v: Double): Long =
+      math.min(3L, math.floor(((v - mn) * 4.0) / (mx - mn)).toLong)
+    val cells = events.groupBy { case (t, v) => (t, bucket(v)) }
+      .view.mapValues(_.size.toLong).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nT = cells.values.sum
+    val expect = cells.toSeq.map { case ((t, b), o) =>
+      val e = (rowT(t).toDouble * colT(b).toDouble) / nT.toDouble
+      (t, b, o, e, ((o.toDouble - e) * (o.toDouble - e)) / e)
+    }.sortBy { case (t, b, _, _, _) => (t, b) }
+    val got = Text.q114ChiSquare(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got === expect)
+  }
+
   test("q105 equals a plain-Scala cohort-retention replay") {
     val act = spark.read.parquet(s"$dir/events.parquet")
       .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))

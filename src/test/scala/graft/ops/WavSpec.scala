@@ -28,6 +28,22 @@ class WavSpec extends AnyFunSuite {
     assert(Wav.decode(Wav.encode(a)).samples.toSeq === a.samples.toSeq)
   }
 
+  test("200 random audios round-trip, with and without junk chunks") {
+    val rng = new scala.util.Random(42)
+    (1 to 200).foreach { i =>
+      val n = rng.nextInt(500)
+      val a = Wav.Audio(1 + rng.nextInt(48000), 1 + rng.nextInt(4),
+        Array.fill(n)((rng.nextInt(65536) - 32768).toShort))
+      val junk = if (rng.nextBoolean())
+        Some(Array.fill(rng.nextInt(33))(rng.nextInt(256).toByte))
+      else None
+      val back = Wav.decode(Wav.encode(a, junk))
+      assert(back.sampleRate === a.sampleRate, s"case $i")
+      assert(back.channels === a.channels, s"case $i")
+      assert(back.samples.toSeq === a.samples.toSeq, s"case $i")
+    }
+  }
+
   test("malformed inputs throw instead of emitting garbage") {
     val ok = Wav.encode(Wav.Audio(8000, 1, tone(10)))
     // bad magic

@@ -166,6 +166,49 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q107's prefix-sum decomposition equals the naive RANGE window on adversarial data") {
+    // the committed form replaced the O(rows × frame) moving-frame
+    // window (SCALING.md); this pins value-equality against the naive
+    // spelling on data built to stress the decomposition: heavy ts
+    // ties (integer-division timestamps), frame-empty leading rows,
+    // and spikes — 2,000 random events, seeded
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, s"t${rng.nextInt(3)}",
+        (rng.nextInt(200) * 86400000000L / 64) + rng.nextInt(3), // dense ties
+        if (rng.nextInt(50) == 0) rng.nextDouble() * 1000 else rng.nextDouble())
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q107eq").toString
+    rows.toDF("event_id", "event_type", "ts_us", "value")
+      .select($"event_id", $"event_type", ($"ts_us" * 1000).as("ts"),
+        $"value", lit("{}").as("props"), lit(0L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Text.q107Anomaly(spark, tmp)
+      .as[(Long, String, Long, Double, Long, Double)].collect().toSeq
+    // naive spelling, test-only (the 61 s form — fine on 2k rows)
+    val e = spark.read.parquet(s"$tmp/events.parquet")
+      .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"),
+        when($"event_id" % 997 === 0, $"value" * 20.0)
+          .otherwise($"value").as("value"))
+    val w = W.partitionBy($"event_type").orderBy($"ts_us")
+      .rangeBetween(-86400000000L, 0)
+    val dec = "decimal(28,6)"
+    val sumv = sum($"value".cast(dec)).over(w).cast("double")
+    val sumsq = sum(($"value" * $"value").cast(dec)).over(w).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val varr = (sumsq - (sumv * sumv) / n) / (n - 1)
+    val naive = e.withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("z", when($"n_frame" >= 2 && varr > 0,
+        ($"value" - sumv / n) / sqrt(varr)))
+      .where(abs($"z") > 3)
+      .select($"event_id", $"event_type", $"ts_us", $"value", $"n_frame", $"z")
+      .orderBy($"event_type", $"ts_us", $"event_id")
+      .as[(Long, String, Long, Double, Long, Double)].collect().toSeq
+    assert(got === naive)
+    assert(got.nonEmpty) // the planted spikes must flag on this stream
+  }
+
   test("q105 equals a plain-Scala cohort-retention replay") {
     val act = spark.read.parquet(s"$dir/events.parquet")
       .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))

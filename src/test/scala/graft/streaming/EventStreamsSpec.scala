@@ -182,6 +182,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SCD2 tolerates WITHIN-batch disorder (sorts per group per batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: view,view,click,view in event time — delivered shuffled
+    // inside one batch; the operator's per-batch (ts, event_id) sort
+    // must reconstruct the runs exactly
+    val src = MemoryStream[(Long, String, Long, Long)]
+    val q = EventStreams.scd2Stream(src.toDS())
+      .writeStream.format("memory").queryName("scd2_disorder")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, "view", 4000000L, 13L), (1L, "click", 3000000L, 12L),
+        (1L, "view", 1000000L, 10L), (1L, "view", 2000000L, 11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2_disorder")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, "view", 1000000L, 3000000L, 2L),
+      (1L, 2L, "click", 3000000L, 4000000L, 1L)))
+  }
+
   test("session_window drops past-watermark late events and finalizes closed sessions") {
     // the risky behavior of withWatermark is the DROP boundary on
     // out-of-order data — in-order equivalence (test above) can pass

@@ -182,6 +182,56 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-dedup ingestion — the q48 nightly-batch shape
+    * promoted to a continuous stream: each micro-batch of documents is
+    * deduped WITHIN itself (min doc_id per normalized-content hash,
+    * q30's election), anti-joined against the STAGED digest table the
+    * previous batches built, and only novel digests are appended. The
+    * staged table is the same kind of asset as q37's pairs/q78's cells
+    * — the index the stream maintains and every later batch consumes.
+    * With batches arriving in doc_id order, greedy first-wins equals
+    * q30's global min-id election, which the spec asserts on the real
+    * documents table; exactly-once comes from foreachBatch riding the
+    * checkpoint (a drained AvailableNow re-run appends nothing —
+    * asserted).
+    *
+    * Scale shape per batch: one hash groupBy of the BATCH (small), one
+    * anti-join against the staged parquet keyed on the digest — the
+    * one-sided join discipline of q48 (batch × corpus-index, never
+    * corpus × corpus), and an append-only write. State lives in
+    * parquet, not the state store: a restart resumes from the digest
+    * table + checkpoint, and the table is directly queryable.
+    */
+  def dedupIngest(docs: DataFrame, stagedDir: String,
+      checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.DataFrame
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val digests = batch
+          .select(col("doc_id"),
+            md5(graft.ops.Text.normText(col("text"))).as("norm_hash"))
+          .groupBy(col("norm_hash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val path = s"$stagedDir/corpus_digests"
+        val existing =
+          if (new java.io.File(path).exists) s.read.parquet(path)
+          else s.emptyDataFrame.select(lit("").as("norm_hash"),
+            lit(0L).as("doc_id")).limit(0)
+        digests
+          .join(existing.select(col("norm_hash")), Seq("norm_hash"),
+            "left_anti")
+          // the anti-join must fully evaluate BEFORE the append opens
+          // the same path for writing (read-your-own-writes hazard)
+          .localCheckpoint()
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+  }
+
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

@@ -204,6 +204,36 @@ class EventStreamsSpec extends SparkSpec {
       (1L, 2L, "click", 3000000L, 4000000L, 1L)))
   }
 
+  test("streaming dedup ingestion converges to batch q30's survivor set; re-run appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("dedup-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ckpt").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1) // doc_id order: greedy first-wins == min-id election
+    val src = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = EventStreams.dedupIngest(
+        src.toDF().toDF("doc_id", "text"), staged, ckpt)
+      q.awaitTermination() // AvailableNow: runs until drained
+    }
+    docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+      src.addData(chunk: _*)
+      drain()
+    }
+    val got = spark.read.parquet(s"$staged/corpus_digests")
+      .as[(String, Long)].collect().toSet
+    val batch = graft.ops.Dedup.q30ExactDedup(spark, dir)
+      .select($"norm_hash", $"canonical_id")
+      .as[(String, Long)].collect().toSet
+    assert(got === batch)
+    // exactly-once: a drained re-run with the same checkpoint is a no-op
+    drain()
+    val again = spark.read.parquet(s"$staged/corpus_digests").count()
+    assert(again === got.size.toLong)
+  }
+
   test("session_window drops past-watermark late events and finalizes closed sessions") {
     // the risky behavior of withWatermark is the DROP boundary on
     // out-of-order data — in-order equivalence (test above) can pass

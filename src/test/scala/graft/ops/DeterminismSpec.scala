@@ -26,7 +26,10 @@ class DeterminismSpec extends SparkSpec {
     // additions across partitions — exactness of that re-association
     // is precisely what this property pins. q94/q106: stacked
     // tie-break surfaces (score/term, votes/label) over join output.
-    "q94_bm25", "q106_knn_classify", "q107_anomaly")
+    "q94_bm25", "q106_knn_classify", "q107_anomaly",
+    // q113: the corpus-wide argmax pair election must not depend on
+    // which partition's candidate arrives first
+    "q113_bpe_merge")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

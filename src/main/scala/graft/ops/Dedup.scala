@@ -126,6 +126,45 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
 
+  /** Cross-source duplication report — the dataset-diligence table a
+    * corpus audit opens with: for every pair of sources, how much
+    * CONTENT they share, as exact Jaccard over each source's distinct
+    * word-3-gram shingles (the n-gram-overlap measure; whole-document
+    * digests would be the stricter unit, but this corpus's exact dups
+    * never span sources, so shingles are the honest signal). The
+    * per-source shingle sets are one explode + partial-agg distinct;
+    * the intersection counts come from ONE equi-join on the shingle
+    * hash (pairs only where content actually collides — never a
+    * source × source cross join); sizes join broadcast (|sources|
+    * rows). Pure-integer counts, one IEEE divide.
+    */
+  def q115SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        graft.ops.Text.words(col("text")).as("ws"))
+      .select(col("source"),
+        explode(graft.ops.Text.shingles3(col("ws"))).as("sh"))
+      .select(col("source"), md5(col("sh")).as("nh"))
+      .distinct()
+    val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = d.select(col("source").as("src_a"), col("nh"))
+    val b = d.select(col("source").as("src_b"), col("nh"))
+    a.join(b, Seq("nh"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** MinHash (16 universal-hash perms) → LSH (4 bands × 4 rows) →
     * exact-Jaccard verification of candidates at 0.8.
     */
@@ -670,6 +709,7 @@ object Dedup {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_source_overlap" -> (q115SourceOverlap _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
@@ -747,6 +787,24 @@ object Dedup {
                    FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
+    "q115_source_overlap" -> s"""
+      WITH w AS (SELECT source, ${graft.ops.Text.sqlWords} AS ws
+                 FROM documents),
+      d AS (SELECT DISTINCT source,
+              md5(unnest(${graft.ops.Text.sqlShingles})) AS nh
+            FROM w),
+      sizes AS (SELECT source, COUNT(1) AS n FROM d GROUP BY source),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                  COUNT(1) AS n_shared
+                FROM d a JOIN d b ON a.nh = b.nh AND a.source < b.source
+                GROUP BY a.source, b.source)
+      SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        CAST(n_shared AS DOUBLE)
+          / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.source = inter.src_a
+        JOIN sizes sb ON sb.source = inter.src_b
+      ORDER BY src_a, src_b""",
     // split assignment replayed over the ENGINE-STAGED cluster table
     // (q78's oracle discipline); bucket = q56's md5-hex arithmetic on rep
     "q86_leakfree_split" -> {

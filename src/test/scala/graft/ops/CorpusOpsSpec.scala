@@ -155,6 +155,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.exists { case (_, _, _, _, before, after, _) => after < before })
   }
 
+  // ---- q115 source overlap: exact replay ----
+
+  test("q115 equals a plain-Scala source-overlap replay") {
+    val bySource = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.flatMap { case (_, t0) =>
+        toks(t0).sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet).toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      (a, b) = (srcs(i), srcs(j))
+      inter = bySource(a).intersect(bySource(b)).size.toLong
+      if inter > 0
+    } yield (a, b, bySource(a).size.toLong, bySource(b).size.toLong, inter,
+      inter.toDouble / (bySource(a).size + bySource(b).size - inter).toDouble))
+      .sortBy { case (a, b, _, _, _, _) => (a, b) }
+    val got = Dedup.q115SourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   // ---- q98 SCD2: planted runs + real-data invariants ----
 
   test("q98 compacts planted state runs into SCD2 intervals") {

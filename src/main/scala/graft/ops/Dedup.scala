@@ -126,20 +126,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
 
+  /** Source-df cap for [[q115SourceOverlap]]: a shingle present in
+    * more than this many distinct sources is boilerplate ("all rights
+    * reserved…"), not shared content. It contributes C(df,2) rows to
+    * the intersection join — quadratic in source count for universal
+    * chrome — while adding ~1 to every intersection, so at a crawl
+    * with thousands of source domains one ubiquitous shingle multiplies
+    * by every source pair (the round-6 verdict's unguarded fan-out).
+    * The cap is ABSOLUTE (q33's df-cap discipline): join fan-out per
+    * shingle is bounded by C(cap,2) regardless of how many sources the
+    * corpus has, and shingles above it are counted once in the report's
+    * `ubiquitous_shingles` column instead of joined.
+    */
+  val SourceDfCap = 10
+
   /** Cross-source duplication report — the dataset-diligence table a
     * corpus audit opens with: for every pair of sources, how much
-    * CONTENT they share, as exact Jaccard over each source's distinct
-    * word-3-gram shingles (the n-gram-overlap measure; whole-document
-    * digests would be the stricter unit, but this corpus's exact dups
-    * never span sources, so shingles are the honest signal). The
-    * per-source shingle sets are one explode + partial-agg distinct;
-    * the intersection counts come from ONE equi-join on the shingle
-    * hash (pairs only where content actually collides — never a
-    * source × source cross join); sizes join broadcast (|sources|
-    * rows). Pure-integer counts, one IEEE divide.
+    * CONTENT they share, as Jaccard over each source's distinct
+    * 60-bit-hashed word-3-gram shingle sets (collision-negligible to
+    * ~2^30 shingles/source; whole-document digests would be the
+    * stricter unit, but this corpus's exact dups never span sources,
+    * so shingles are the honest signal). The per-source shingle sets
+    * are one explode + partial-agg distinct; shingles whose source-df
+    * exceeds [[SourceDfCap]] are boilerplate and are excluded from the
+    * measure (both intersection AND sizes, so the Jaccard universe
+    * stays coherent), reported once in the global
+    * `ubiquitous_shingles` count; the intersection counts come from
+    * ONE equi-join on the shingle hash (pairs only where content
+    * actually collides — never a source × source cross join); sizes
+    * join broadcast (|sources| rows). Pure-integer counts, one IEEE
+    * divide.
     */
   def q115SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d0 = t(s, dir, "documents")
       .select(col("source"), words(col("text")).as("ws"))
       .select(col("source"), explode(shingles3(col("ws"))).as("sh"))
       // 60-bit BIGINT shingle hash (the q31 discipline): the distinct
@@ -148,6 +167,18 @@ object Dedup {
         expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)")
           .as("nh"))
       .distinct()
+      // read by the df groupBy, the semi-join, sizes, and both join
+      // sides — materialize once (q31's eager-checkpoint discipline)
+      .localCheckpoint()
+    // source-df per shingle: one partial-agg groupBy on the SAME key
+    // the intersection join shuffles on
+    val sdf = d0.groupBy(col("nh")).agg(count(lit(1)).as("sdf"))
+      .localCheckpoint()
+    val ubiq = sdf.where(col("sdf") > SourceDfCap)
+      .agg(count(lit(1)).as("ubiquitous_shingles"))
+    val d = d0.join(
+      sdf.where(col("sdf") <= SourceDfCap).select(col("nh")),
+      Seq("nh"), "leftsemi")
     val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val a = d.select(col("source").as("src_a"), col("nh"))
     val b = d.select(col("source").as("src_b"), col("nh"))
@@ -159,11 +190,13 @@ object Dedup {
         col("n").as("n_a"))), Seq("src_a"))
       .join(broadcast(sizes.select(col("source").as("src_b"),
         col("n").as("n_b"))), Seq("src_b"))
+      .crossJoin(broadcast(ubiq)) // global 1-row scalar
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("n_shared"),
         (col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
-          .as("jaccard"))
+          .as("jaccard"),
+        col("ubiquitous_shingles"))
       .orderBy(col("src_a"), col("src_b"))
   }
 
@@ -793,7 +826,12 @@ object Dedup {
       WITH w AS (SELECT source, $sqlWords AS ws FROM documents),
       shs AS (SELECT source, unnest($sqlShingles) AS s FROM w),
       shm AS (SELECT source, md5(s) AS m FROM shs),
-      d AS (SELECT DISTINCT source, $sqlH60 AS nh FROM shm),
+      d0 AS (SELECT DISTINCT source, $sqlH60 AS nh FROM shm),
+      sdf AS (SELECT nh, COUNT(1) AS sdf FROM d0 GROUP BY nh),
+      ubiq AS (SELECT COUNT(1) AS ubiquitous_shingles FROM sdf
+               WHERE sdf > $SourceDfCap),
+      d AS (SELECT d0.* FROM d0 JOIN sdf USING (nh)
+            WHERE sdf <= $SourceDfCap),
       sizes AS (SELECT source, COUNT(1) AS n FROM d GROUP BY source),
       inter AS (SELECT a.source AS src_a, b.source AS src_b,
                   COUNT(1) AS n_shared
@@ -801,10 +839,12 @@ object Dedup {
                 GROUP BY a.source, b.source)
       SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
         CAST(n_shared AS DOUBLE)
-          / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+          / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard,
+        ubiquitous_shingles
       FROM inter
         JOIN sizes sa ON sa.source = inter.src_a
         JOIN sizes sb ON sb.source = inter.src_b
+        CROSS JOIN ubiq
       ORDER BY src_a, src_b""",
     // split assignment replayed over the ENGINE-STAGED cluster table
     // (q78's oracle discipline); bucket = q56's md5-hex arithmetic on rep

@@ -158,11 +158,17 @@ class CorpusOpsSpec extends SparkSpec {
   // ---- q115 source overlap: exact replay ----
 
   test("q115 equals a plain-Scala source-overlap replay") {
-    val bySource = spark.read.parquet(s"$dir/documents.parquet")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"text").as[(String, String)].collect().toSeq
       .groupBy(_._1).view.mapValues(_.flatMap { case (_, t0) =>
         toks(t0).sliding(3).filter(_.size == 3).map(_.mkString(" "))
       }.toSet).toMap
+    // the boilerplate guard: shingles in more than SourceDfCap sources
+    // are counted once, excluded from sizes and intersections
+    val sdf = raw.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val ubiq = sdf.count { case (_, df) => df > Dedup.SourceDfCap }.toLong
+    val bySource = raw.view
+      .mapValues(_.filter(sh => sdf(sh) <= Dedup.SourceDfCap)).toMap
     val srcs = bySource.keys.toSeq.sorted
     val expect = (for {
       i <- srcs.indices; j <- (i + 1) until srcs.size
@@ -170,10 +176,11 @@ class CorpusOpsSpec extends SparkSpec {
       inter = bySource(a).intersect(bySource(b)).size.toLong
       if inter > 0
     } yield (a, b, bySource(a).size.toLong, bySource(b).size.toLong, inter,
-      inter.toDouble / (bySource(a).size + bySource(b).size - inter).toDouble))
-      .sortBy { case (a, b, _, _, _, _) => (a, b) }
+      inter.toDouble / (bySource(a).size + bySource(b).size - inter).toDouble,
+      ubiq))
+      .sortBy { case (a, b, _, _, _, _, _) => (a, b) }
     val got = Dedup.q115SourceOverlap(spark, dir)
-      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+      .as[(String, String, Long, Long, Long, Double, Long)].collect().toSeq
     assert(got === expect)
     assert(got.nonEmpty)
   }

@@ -26,6 +26,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("q03_segment_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("q49 lateral decorrelates to a ranked equi-join, never a nested loop") {
+    // DecorrelateInnerQuery must rewrite the per-customer ORDER BY +
+    // LIMIT subquery into a window-rank + equi-join — the plan shape
+    // whose drift BENCH_r06 flagged; pinned so a Spark-side planner
+    // change (or a lost pushed filter) fails loudly instead of as a
+    // silent slowdown
+    val p = plan("q49_sql_lateral")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("Window"), p.take(800))
+    // the c_custkey <= 200 gate reaches both parquet scans (customer
+    // directly; orders via the decorrelated subquery's domain)
+    assert(p.linesIterator.count(_.contains("PushedFilters: [IsNotNull"))
+      >= 2 || p.contains("LessThanOrEqual"), p.take(1200))
+  }
+
   test("q14 plans global top-k as TakeOrderedAndProject (no full sort)") {
     assert(plan("q14_top_k").contains("TakeOrderedAndProject"))
   }

@@ -232,6 +232,38 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming IVF index ingest — [[dedupIngest]]'s foreachBatch-
+    * maintains-a-staged-table pattern composed with q81's zero-shuffle
+    * cell assignment: vectors stream in, each batch is assigned to its
+    * nearest TRAINED cell by the same broadcast-centroid argmax
+    * expression the batch ingest and the training loop share
+    * (Similarity.cellAssignment), and the (vec_id, cluster) rows
+    * append to the staged cells table. This is the operational form of
+    * index refresh at 100 TB: training amortizes across refreshes
+    * (the centroids are an input, not a per-batch cost), each
+    * micro-batch is a pure map stage — no shuffle, no state store —
+    * and the index stays a directly queryable parquet table that q78's
+    * search consumes unchanged. Exactly-once rides the checkpoint
+    * (a drained AvailableNow re-run appends nothing); zero-norm
+    * vectors are unassignable and sit out, exactly as in training.
+    * IvfIngestStreamSpec asserts the streamed index equals q81's
+    * batch-ingested index row-for-row over ≥3 micro-batches.
+    */
+  def ivfIngestStream(vectors: DataFrame,
+      centroids: Array[Array[Double]], stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.where(col("nrm") > 0)
+          .select(col("vec_id"),
+            graft.ops.Similarity.cellAssignment(centroids).as("cluster"))
+          .write.mode("append").parquet(s"$stagedDir/cells_stream")
+        ()
+      }
+      .start()
+
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

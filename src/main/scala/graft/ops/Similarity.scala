@@ -909,6 +909,147 @@ object Similarity {
     adcRank(cand, lut, topK = 5)
   }
 
+  // ---- hierarchical (two-level) coarse quantizer ----
+
+  /** Sub-cells per super-cell for the two-level quantizer. Total cell
+    * count is k1·k2 with both factors ≤ 64, lifting the single-codebook
+    * clamp ([[adaptiveCellCount]]'s k ≤ 64, where the codebook travels
+    * as literal plan columns) to ~4096 cells — the k ~ √n a true
+    * 100 TB coarse quantizer needs — WITHOUT ever putting 4096 vectors
+    * in a plan: level-2 centroids live in a (k1·k2)-row broadcast
+    * TABLE, not in expression literals.
+    */
+  val HierSubCells = 4
+
+  /** Cosine score of a member row against a centroid ROW (cv, cnrm) —
+    * the table-join twin of [[cellAssignment]]'s literal-column argmax;
+    * −2 (below any real cosine) when the centroid degenerated to zero
+    * norm, so `max` never elects it.
+    */
+  private def hierScore: Column =
+    coalesce(
+      when(col("cnrm") > 0,
+        idot(col("v"), col("cv")).cast("double") / (col("nrm") * col("cnrm"))),
+      lit(-2.0))
+
+  /** Per-vector argmax over its OWN super-cell's sub-centroids: join on
+    * the super id against the broadcast centroid table (k2 candidate
+    * rows per vector), then one partial-agg max of (cos, −sub) — ties
+    * to the lowest sub id, exactly [[cellAssignment]]'s policy.
+    */
+  private def hierAssign(ivs: DataFrame, cents: DataFrame): DataFrame =
+    ivs.join(broadcast(cents), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        struct(hierScore.as("cos"), (-col("sub")).as("negsub")).as("sc"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), col("cluster"),
+        (-col("m.negsub")).cast("int").as("sub"))
+
+  /** Two-level coarse quantizer: [[trainCodebookOn]] trains k1 ≤ 64
+    * super-cells exactly as before, then ONE distributed Lloyd loop
+    * trains the k2 sub-cells of ALL super-cells simultaneously — each
+    * round is one broadcast-join assignment pass + one partial-agg
+    * mean update over the whole corpus, shared across every super-cell
+    * (the same shared-rounds discipline as [[trainPq]]'s per-subspace
+    * Lloyd; a per-cell driver loop would serialize k1 trainings). The
+    * centroid state between rounds is a (k1·k2)-row TABLE — broadcast,
+    * never collected, never literal — so the two-level form scales to
+    * k1·k2 ~ 4096 cells with the driver holding nothing. Sub-seeding
+    * is greedy farthest-point WITHIN each super-cell, all cells at
+    * once: seed 0 is the md5-min member, each next seed the member
+    * minimizing max-cosine to the cell's existing seeds (k2−1 rounds
+    * of join + argmin — bounded by k2 ≤ 64, not by cell count).
+    * Degenerate corners: a sub-centroid that loses every member drops
+    * out of the update (fewer live subs — deterministic); a cell with
+    * fewer members than k2 re-elects an existing seed whose duplicate
+    * centroid never wins the tie-broken argmax. Returns (vec_id,
+    * cell = super·k2 + sub); search over it is the SAME equi-join as
+    * q78's — the entire point of lifting k this way.
+    */
+  def trainHierCells(s: SparkSession, dir: String, k1: Int,
+      k2: Int = HierSubCells, iters: Int = 3): DataFrame = {
+    require(k2 >= 2 && k2 <= 64, "hier quantizer needs 2 <= k2 <= 64")
+    val (_, sup) = trainCodebook(s, dir, k1)
+    val ivs = scaledVectors(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(sup.select(col("vec_id"), col("cluster")), "vec_id")
+      // every seeding round, every Lloyd round, and the final assign
+      // scan this frame — materialize once (q31 discipline)
+      .localCheckpoint()
+    var cents = ivs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(
+          md5(concat(lit("hier:"), col("vec_id").cast("string"))),
+          col("vec_id"))))
+      .where(col("rk") === 1)
+      .select(col("cluster"), lit(0).as("sub"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+      .localCheckpoint()
+    for (j <- 1 until k2) {
+      val far = ivs.join(broadcast(cents), Seq("cluster"))
+        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+          hierScore.as("cos"))
+        .groupBy(col("cluster"), col("vec_id"))
+        .agg(max(col("cos")).as("mc"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      val pick = far
+        .select(col("cluster"),
+          struct(col("mc"), col("vec_id"), col("v"), col("nrm")).as("c"))
+        .groupBy(col("cluster")).agg(min(col("c")).as("c"))
+        .select(col("cluster"), lit(j).as("sub"),
+          col("c.v").as("cv"), col("c.nrm").as("cnrm"))
+      cents = cents.unionByName(pick).localCheckpoint()
+    }
+    for (_ <- 1 to iters) {
+      val asg = hierAssign(ivs, cents)
+      val sums = asg
+        .join(ivs.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(col("cluster"), col("sub"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("sub"), col("dim"))
+        .agg(expr("sum(x) div count(1)").as("w"))
+      cents = sums
+        .groupBy(col("cluster"), col("sub"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("w"))))
+          .as("ps"))
+        .select(col("cluster"), col("sub"),
+          expr("transform(ps, p -> p.w)").as("cv"))
+        .withColumn("cnrm", sqrt(
+          expr("aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+            .cast("double")))
+        .localCheckpoint()
+    }
+    hierAssign(ivs, cents)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * k2 + col("sub")).as("cell"))
+  }
+
+  /** Trained-IVF ANN through the TWO-LEVEL staged index — q78 with the
+    * single-codebook clamp removed: [[trainHierCells]] stages (vec_id,
+    * cell) where cell ranges over k1·k2 ~ up to 4096 learned cells,
+    * and the search is byte-identical to q78's — queries (vec_id < 20)
+    * equi-join their own cell, top-5 by exact cosine. The physical
+    * plan does not know the quantizer became hierarchical: that is the
+    * design's claim, and the oracle (q78's replay against the staged
+    * hier table) certifies the search end-to-end. HierIvfSpec plants a
+    * macro×micro geometry and pins that level 1 separates the macro
+    * clusters and level 2 the micro clusters within each.
+    */
+  def q118AnnIvfHier(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    trainHierCells(s, dir, adaptiveCellCount(vectorCount(s, dir)))
+      .write.mode("overwrite").parquet(s"$work/cells_hier")
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells_hier"), "vec_id")
+      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
+        col("nrm"))
+    val probes = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
+  }
+
   /** Incremental PQ ingest — q81's nightly-batch shape applied to the
     * compressed index, completing train → encode → INGEST → search for
     * the PQ half exactly as q81 completes it for the coarse quantizer.
@@ -1112,6 +1253,7 @@ object Similarity {
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
+    "q118_ann_ivf_hier" -> (q118AnnIvfHier _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
     "q93_pq_ingest" -> (q93PqIngest _),
     "q99_semantic_decon" -> (q99SemanticDecon _),
@@ -1393,6 +1535,25 @@ object Similarity {
           $sqlDot / (a.nrm * b.nrm) AS cosine
         FROM qv a JOIN civ b
           ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q78's replay over the TWO-LEVEL staged index: the search does not
+    // know the quantizer became hierarchical — same equi-join, new key
+    "q118_ann_ivf_hier" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cell
+                FROM '__GRAFT_STAGED__/cells_hier/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cell, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM civ a JOIN civ b
+          ON a.cell = b.cell AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20),
       ranked AS (SELECT *, ROW_NUMBER() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)

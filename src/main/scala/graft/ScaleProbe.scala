@@ -124,7 +124,7 @@ object ScaleProbe {
       "q106_knn_classify", "q107_anomaly", "q108_wav_decode",
       "q109_rolling_active", "q111_transitions",
       "q113_bpe_merge", "q114_chi_square", "q115_source_overlap",
-      "q116_bpe_train", "q117_ivfpq_multiprobe",
+      "q116_bpe_train", "q117_ivfpq_multiprobe", "q118_ann_ivf_hier",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

@@ -29,7 +29,13 @@ class DeterminismSpec extends SparkSpec {
     "q94_bm25", "q106_knn_classify", "q107_anomaly",
     // q113: the corpus-wide argmax pair election must not depend on
     // which partition's candidate arrives first
-    "q113_bpe_merge")
+    "q113_bpe_merge",
+    // round-7 surfaces: q116 stacks ten elections (each the q113
+    // hazard, compounding — round k's election depends on round k−1's
+    // merge being byte-identical); q117 stacks probe selection + ADC
+    // ties; q118's two-level training adds the sub-seeding argmin and
+    // the sub-assignment argmax on top of q79's three surfaces
+    "q116_bpe_train", "q117_ivfpq_multiprobe", "q118_ann_ivf_hier")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -967,10 +967,18 @@ object Similarity {
     * cell = super·k2 + sub); search over it is the SAME equi-join as
     * q78's — the entire point of lifting k this way.
     */
-  def trainHierCells(s: SparkSession, dir: String, k1: Int,
-      k2: Int = HierSubCells, iters: Int = 3): DataFrame = {
+  /** [[trainHierCells]] plus the trained model itself: (level-1
+    * centroid arrays, level-2 centroid TABLE (cluster, sub, cv, cnrm),
+    * assignments (vec_id, cell)) — the form tree-descent probing
+    * (q120) needs: level 1 scores k1 literal centroids per query
+    * ([[ivfProbes]] unchanged), level 2 scores only the probed
+    * supers' sub-rows from the broadcast table.
+    */
+  def trainHier(s: SparkSession, dir: String, k1: Int,
+      k2: Int = HierSubCells, iters: Int = 3)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
     require(k2 >= 2 && k2 <= 64, "hier quantizer needs 2 <= k2 <= 64")
-    val (_, sup) = trainCodebook(s, dir, k1)
+    val (c1, sup) = trainCodebook(s, dir, k1)
     val ivs = scaledVectors(s, dir)
       .select(col("vec_id"), col("v"), col("nrm"))
       .join(sup.select(col("vec_id"), col("cluster")), "vec_id")
@@ -1020,9 +1028,99 @@ object Similarity {
             .cast("double")))
         .localCheckpoint()
     }
-    hierAssign(ivs, cents)
+    val asg = hierAssign(ivs, cents)
       .select(col("vec_id"),
         (col("cluster").cast("long") * k2 + col("sub")).as("cell"))
+    (c1, cents, asg)
+  }
+
+  def trainHierCells(s: SparkSession, dir: String, k1: Int,
+      k2: Int = HierSubCells, iters: Int = 3): DataFrame =
+    trainHier(s, dir, k1, k2, iters)._3
+
+  /** Multi-probe through the TWO-LEVEL index by TREE DESCENT — the
+    * probe-selection shape that makes k1·k2 ~ 4096 cells probeable at
+    * scale: scoring all k1·k2 sub-centroids per query would be the
+    * flat quantizer's cost all over again (and the reason real IVF
+    * trees descend); instead each query scores the k1 level-1
+    * centroids ([[ivfProbes]], unchanged), keeps its 2 nearest
+    * supers, scores ONLY those supers' sub-rows from the broadcast
+    * centroid table (≤ 2·k2 rows per query), and keeps the 2 nearest
+    * (super, sub) cells overall — k1 + 2·k2 scores per query instead
+    * of k1·k2. The probe list and the assignments both stage; the
+    * search is q79's equi-join over them, and the oracle replays it.
+    * HierMultiprobeSpec plants the sub-cell boundary case: a query
+    * whose true nearest quantized into the SIBLING sub-cell — 1-probe
+    * (own cell only) must miss it, tree-descent 2-probe recovers it
+    * at rank 1.
+    */
+  /** Tree-descent probe list for the two-level index: nprobe nearest
+    * SUPERS per query via the literal-centroid [[ivfProbes]] (k1
+    * scores), then only those supers' sub-rows from the broadcast
+    * centroid table (≤ nprobe·k2 scores), keeping the nprobe nearest
+    * (super, sub) cells overall. Output (query_id, cell).
+    */
+  def hierProbes(queries: DataFrame, c1: Array[Array[Double]],
+      cents: DataFrame, k2: Int, nprobe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("cell"))
+    ivfProbes(queries, c1, math.min(nprobe, c1.length))
+      .join(broadcast(cents), Seq("cluster"))
+      .select(col("query_id"),
+        (col("cluster").cast("long") * k2 + col("sub")).as("cell"),
+        when(col("cnrm") > 0,
+          idot(col("qv"), col("cv")).cast("double")
+            / (col("qn") * col("cnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wp))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+  }
+
+  /** End-to-end tree-descent search (train → descend → in-cell top-k),
+    * the spec-facing form with every knob explicit — nprobe=1 is
+    * q118's own-cell shape, nprobe=p the q120 descent.
+    */
+  def hierSearch(s: SparkSession, dir: String, k1: Int, k2: Int,
+      nprobe: Int, topK: Int = 5, maxQueryId: Long = 20L): DataFrame = {
+    val (c1, cents, asg) = trainHier(s, dir, k1, k2)
+    val iv = scaledVectors(s, dir).join(asg, "vec_id")
+      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
+        col("nrm"))
+      .localCheckpoint() // probe + corpus sides both read it (q31 note)
+    val queries = iv.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = hierProbes(queries, c1, cents, k2, nprobe)
+      .withColumnRenamed("cell", "cluster")
+      .join(queries.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK)
+  }
+
+  def q120HierMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val k2 = HierSubCells
+    val (c1, cents, asg) =
+      trainHier(s, dir, adaptiveCellCount(vectorCount(s, dir)))
+    asg.write.mode("overwrite").parquet(s"$work/cells_hier")
+    val queries = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells_hier").select(col("vec_id")),
+        "vec_id")
+      .where(col("vec_id") < 20)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    hierProbes(queries, c1, cents, k2, nprobe = 2)
+      .write.mode("overwrite").parquet(s"$work/probes_hier")
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells_hier"), "vec_id")
+      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
+        col("nrm"))
+    val probes = s.read.parquet(s"$work/probes_hier")
+      .withColumnRenamed("cell", "cluster")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
   }
 
   /** Trained-IVF ANN through the TWO-LEVEL staged index — q78 with the
@@ -1254,6 +1352,7 @@ object Similarity {
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
     "q118_ann_ivf_hier" -> (q118AnnIvfHier _),
+    "q120_hier_multiprobe" -> (q120HierMultiprobe _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
     "q93_pq_ingest" -> (q93PqIngest _),
     "q99_semantic_decon" -> (q99SemanticDecon _),
@@ -1535,6 +1634,29 @@ object Similarity {
           $sqlDot / (a.nrm * b.nrm) AS cosine
         FROM qv a JOIN civ b
           ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q79's replay over the TWO-LEVEL staged probes + cells: the
+    // tree-descent probe SELECTION is staged (it is model output, like
+    // the assignments); the search is pure relational algebra
+    "q120_hier_multiprobe" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cell
+                FROM '__GRAFT_STAGED__/cells_hier/*.parquet'),
+      probes AS (SELECT query_id, cell
+                 FROM '__GRAFT_STAGED__/probes_hier/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cell, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qv AS (SELECT p.query_id, p.cell, iv.v, iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cell = b.cell AND b.vec_id <> a.query_id),
       ranked AS (SELECT *, ROW_NUMBER() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)

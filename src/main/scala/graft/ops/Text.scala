@@ -629,6 +629,72 @@ object Text {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Bigram-LM fluency filter — the CCNet/Wenzek-style perplexity gate
+    * in the repo's hash-exact linear domain: every document is scored
+    * by the MEAN add-one-smoothed conditional probability of its
+    * bigrams under the corpus's own per-language bigram LM (q89's
+    * model, consumed instead of reported), and docs scoring under
+    * half the corpus mean are flagged for the drop the real pipeline
+    * applies before training. Linear-domain mean-p stands in for
+    * log-perplexity deliberately (q55/q94's ln()-avoidance rule:
+    * ln is not bit-identical across engines; the RANKING the filter
+    * needs survives the monotone change of scale) and every scored
+    * value is BIGINT — p(w2|w1) ≈ (c₁₂+1)·10⁶ div (c₁+V) with V the
+    * language's head-vocabulary size, so the hash compare certifies
+    * the model, the scoring, and the verdicts.
+    *
+    * Scale shape: the LM is q89's ONE partial-agg bigram shuffle;
+    * head counts and V are narrow aggregates OF that table (the q94
+    * sufficient-statistic discipline); scoring joins the per-doc
+    * bigram stream against the vocabulary²-sized model on
+    * (lang, w1, w2) — a hash equi-join — then one doc_id groupBy;
+    * the corpus-mean cut rides a broadcast 1-row scalar (q65's
+    * pattern). The doc bigram stream is RE-DERIVED for the scoring
+    * join rather than checkpointed: it is corpus-sized, and a second
+    * scan beats materializing it (the opposite call from the
+    * model-sized staged tables — size decides). Docs with <2 tokens
+    * have no bigrams: they surface with n_bigrams=0, NULL mean, and
+    * keep=false (nothing to attest fluency), via a left join from
+    * the full documents table.
+    */
+  def q119PerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    def bigrams = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val counted = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val heads = counted.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("cnt")).as("c1"))
+    val vocab = heads.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val p = counted
+      .join(heads, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .select(col("lang"), col("w1"), col("w2"),
+        expr("((cnt + 1) * 1000000) div (c1 + v)").as("p_1e6"))
+    val scored = bigrams
+      .join(p, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_1e6")).as("sum_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_p div n_bigrams").as("mean_p_1e6"))
+    val cut = scored.agg(
+      expr("sum(mean_p_1e6) div count(1)").as("corpus_mean_1e6"))
+    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_p_1e6"), col("corpus_mean_1e6"),
+        coalesce(col("mean_p_1e6") * 2 >= col("corpus_mean_1e6"),
+          lit(false)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 ranking — the retrieval scorer behind corpus search and
     * hard-negative mining. Okapi BM25 with k1=1.2, b=0.75, computed as
     * EXACT BIGINT rational arithmetic end to end: with corpus totals
@@ -1369,10 +1435,38 @@ object Text {
     "q113_bpe_merge" -> (q113BpeMerge _),
     "q114_chi_square" -> (q114ChiSquare _),
     "q116_bpe_train" -> (q116BpeTrain _),
+    "q119_perplexity_filter" -> (q119PerplexityFilter _),
   )
 
   val oracles: Map[String, String] = Map(
     "q116_bpe_train" -> sqlBpeTrain,
+    "q119_perplexity_filter" -> s"""
+      WITH d AS (SELECT doc_id, lang, $sqlWords AS ws FROM documents),
+      bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+             FROM (SELECT doc_id, lang, ws,
+                     unnest(range(1, greatest(len(ws)-1, 0) + 1)) AS i
+                   FROM d WHERE len(ws) >= 2)),
+      counted AS (SELECT lang, w1, w2, COUNT(1) AS cnt
+                  FROM bg GROUP BY lang, w1, w2),
+      heads AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS c1
+                FROM counted GROUP BY lang, w1),
+      vocab AS (SELECT lang, COUNT(1) AS v FROM heads GROUP BY lang),
+      p AS (SELECT lang, w1, w2, ((cnt + 1) * 1000000) // (c1 + v) AS p_1e6
+            FROM counted JOIN heads USING (lang, w1)
+              JOIN vocab USING (lang)),
+      scored AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+          CAST(SUM(p_1e6) AS BIGINT) // CAST(COUNT(1) AS BIGINT)
+            AS mean_p_1e6
+        FROM bg JOIN p USING (lang, w1, w2) GROUP BY doc_id),
+      cut AS (SELECT CAST(SUM(mean_p_1e6) AS BIGINT) // COUNT(1)
+                AS corpus_mean_1e6 FROM scored)
+      SELECT documents.doc_id, documents.lang,
+        COALESCE(n_bigrams, 0) AS n_bigrams, mean_p_1e6,
+        corpus_mean_1e6,
+        COALESCE(mean_p_1e6 * 2 >= corpus_mean_1e6, FALSE) AS keep
+      FROM documents LEFT JOIN scored ON documents.doc_id = scored.doc_id
+        CROSS JOIN cut
+      ORDER BY documents.doc_id""",
     "q114_chi_square" -> """
       WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
       x AS (SELECT event_type,

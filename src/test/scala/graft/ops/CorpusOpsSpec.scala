@@ -51,6 +51,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  // ---- q119 fluency filter: exact replay + planted gibberish ----
+
+  test("q119 equals a plain-Scala bigram-LM replay; gibberish is dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("q119").toString
+    // fluent docs re-use the same bigrams 20× (high conditional p —
+    // enough mass that the smoothed LM separates them from noise);
+    // the gibberish doc's bigrams are all singletons; doc 99 has no
+    // bigram at all
+    val planted = (1L to 20L).map(id =>
+      (id, "the cat sat on the mat", "en")) ++ Seq(
+      (80L, "zq xv qj wk vn bz pq", "en"),
+      (99L, "solo", "en"))
+    planted.map { case (id, t0, l) => (id, t0, l, "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // plain-Scala replay of the add-one-smoothed linear-domain score
+    val bg = planted.flatMap { case (id, t0, l) =>
+      val ts = toks(t0)
+      if (ts.size >= 2) ts.sliding(2).map(p => (id, l, p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val cnt = bg.groupBy { case (_, l, a, b) => (l, a, b) }
+      .view.mapValues(_.size.toLong).toMap
+    val c1 = bg.groupBy { case (_, l, a, _) => (l, a) }
+      .view.mapValues(_.size.toLong).toMap
+    val v = c1.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val scored = bg.groupBy(_._1).view.mapValues { rows =>
+      val ps = rows.map { case (_, l, a, b) =>
+        (cnt((l, a, b)) + 1L) * 1000000L / (c1((l, a)) + v(l)) }
+      (rows.size.toLong, ps.sum / rows.size)
+    }.toMap
+    val corpusMean = scored.values.map(_._2).sum / scored.size
+    val expect = planted.map { case (id, _, l) =>
+      val s0 = scored.get(id)
+      (id, l, s0.map(_._1).getOrElse(0L), s0.map(_._2),
+        corpusMean, s0.exists(_._2 * 2 >= corpusMean))
+    }.sortBy(_._1)
+    val got = Text.q119PerplexityFilter(spark, tmp)
+      .as[(Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().toSeq
+    assert(got === expect)
+    val keep = got.map(r => r._1 -> r._6).toMap
+    // fluent docs pass, the all-singleton gibberish and the
+    // bigram-less doc are dropped
+    assert((1L to 20L).forall(keep), got.toString)
+    assert(!keep(80L) && !keep(99L), got.toString)
+  }
+
   // ---- q95 boilerplate: planted shared segment ----
 
   test("q95 drops exactly the cross-document segments (planted)") {

@@ -1323,6 +1323,46 @@ object Text {
     perRound.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** Tokenizer APPLY — the inference half of q116's training loop:
+    * encode every document with the STAGED merge table (the trained
+    * tokenizer artifact q116 writes), applying the [[BpeRounds]]
+    * merges in training order. Invoking [[q116BpeTrain]] first makes
+    * the query self-contained (its loop runs eagerly and stages
+    * `bpe_merges`; Verify's query order is arbitrary, so a staged
+    * consumer must be able to stage — the q78/q37 discipline); the
+    * merge table is then a MODEL-SIZED driver read (10 rows) folded
+    * into ten chained [[bpeMergeStep]] column expressions — so the
+    * encode itself is ONE codegen'd zero-shuffle map pass over the
+    * corpus, which is the whole point of a trained tokenizer at
+    * 100 TB: training is a staged asset, application is
+    * embarrassingly parallel. Output: per-doc token count after
+    * encoding and the 60-bit digest of the encoded bytes, so the
+    * hash-compare certifies every merge application byte-for-byte.
+    * The oracle replays the ten merges FROM THE STAGED TABLE (it
+    * never retrains — scalar subqueries per round, coalesced to an
+    * impossible space-bearing token so a degenerate corpus that
+    * exhausted its pairs early no-ops identically in both engines).
+    */
+  def q121BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    q116BpeTrain(s, dir) // eager loop: trains + stages bpe_merges
+    val merges = s.read.parquet(s"$work/bpe_merges")
+      .orderBy(col("round"))
+      .select(col("w1"), col("w2")).collect()
+    val init = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+    val encoded = merges.foldLeft(init) { (df, r) =>
+      df.withColumn("norm",
+        bpeMergeStep(col("norm"), lit(r.getString(0)), lit(r.getString(1))))
+    }
+    encoded
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).as("n_tokens"),
+        expr("cast(conv(substr(md5(norm), 1, 15), 16, 10) as bigint)")
+          .as("enc_h60"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB 60-bit hash of md5-hex column `m` (Dedup's sqlH60). */
   private val sqlH60m = (1 to 15)
     .foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
@@ -1436,10 +1476,31 @@ object Text {
     "q114_chi_square" -> (q114ChiSquare _),
     "q116_bpe_train" -> (q116BpeTrain _),
     "q119_perplexity_filter" -> (q119PerplexityFilter _),
+    "q121_bpe_encode" -> (q121BpeEncode _),
   )
 
   val oracles: Map[String, String] = Map(
     "q116_bpe_train" -> sqlBpeTrain,
+    // replays the encode over the ENGINE-STAGED merge table (never
+    // retrains); a missing round coalesces to a space-bearing token,
+    // which cannot match in the doubled-separator domain — the same
+    // no-op a skipped fold is on the engine side
+    "q121_bpe_encode" -> {
+      val enc = (1 to BpeRounds).foldLeft("norm") { (acc, r) =>
+        sqlBpeMerge(acc,
+          s"COALESCE((SELECT w1 FROM m WHERE round = $r), 'x x')",
+          s"COALESCE((SELECT w2 FROM m WHERE round = $r), 'x x')")
+      }
+      s"""
+      WITH m AS (SELECT round, w1, w2
+                 FROM '__GRAFT_STAGED__/bpe_merges/*.parquet'),
+      c0 AS (SELECT doc_id, $sqlNorm AS norm FROM documents)
+      SELECT doc_id, len(string_split(e, ' ')) AS n_tokens,
+        $sqlH60m AS enc_h60
+      FROM (SELECT doc_id, e, md5(e) AS m
+            FROM (SELECT doc_id, $enc AS e FROM c0))
+      ORDER BY doc_id"""
+    },
     "q119_perplexity_filter" -> s"""
       WITH d AS (SELECT doc_id, lang, $sqlWords AS ws FROM documents),
       bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2

@@ -264,6 +264,31 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming PQ encode ingest — [[ivfIngestStream]]'s twin for the
+    * compressed index (q93's nightly batch as a stream): vectors
+    * stream in, each micro-batch is encoded by the SAME broadcast-
+    * codebook argmin expression training iterates
+    * (Similarity.pqCodes) — a pure map stage, 4 bytes of code per
+    * (vector, subspace) appended to the staged code table, no state
+    * store, no shuffle. The codebook is an input (training amortizes
+    * across refreshes); exactly-once rides the AvailableNow
+    * checkpoint. PqIngestStreamSpec asserts the streamed code table
+    * equals q93's batch-encoded table row-for-row.
+    */
+  def pqIngestStream(vectors: DataFrame,
+      codebook: Array[Array[Array[Long]]], stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity.pqCodes(batch, codebook)
+          .select(col("vec_id"), col("sub"), col("code"))
+          .write.mode("append").parquet(s"$stagedDir/pq_codes_stream")
+        ()
+      }
+      .start()
+
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

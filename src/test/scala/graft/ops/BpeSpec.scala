@@ -110,5 +110,22 @@ class BpeSpec extends SparkSpec {
       .select($"round", $"w1", $"w2", $"cnt")
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(staged === expect.map(r => (r._1, r._2, r._3, r._4)))
+
+    // ---- q121: encoding with the staged merges == sequential replay
+    val merges = staged.map(r => (r._2, r._3))
+    val expectEnc = texts.zipWithIndex.map { case (t0, i) =>
+      val enc = merges.foldLeft(t0.split(" ", -1).toSeq) {
+        case (ts, (w1, w2)) => refMerge(ts, w1, w2)
+      }
+      (i.toLong, enc.size.toLong)
+    }
+    val gotEnc = Text.q121BpeEncode(spark, dir)
+      .select($"doc_id", $"n_tokens")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotEnc === expectEnc)
+    // fully-merged docs collapse to few tokens — the encode must have
+    // actually applied the compound merges, not just round 1
+    assert(gotEnc.map(_._2).sum < texts.map(_.split(" ").length).sum / 2,
+      gotEnc.toString)
   }
 }

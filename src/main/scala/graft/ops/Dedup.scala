@@ -338,10 +338,17 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct() // a pair can agree on several bands
-      .withColumn("hamming", expr(
-        "aggregate(transform(sequence(1, 64), " +
-          "k -> IF(substr(sa, k, 1) <> substr(sb, k, 1), 1, 0)), " +
-          "0, (a, x) -> a + x)"))
+      // Hamming via two 32-bit halves: conv(bits,2,10) → XOR →
+      // bit_count, all codegen'd — the interpreted 64-lambda HOF
+      // spelling measured 2× slower on the candidate set (the verify
+      // runs per CANDIDATE, so its constant matters; same lesson as
+      // vec_ldot vs the HOF dot product)
+      .withColumn("hamming",
+        expr("bit_count(cast(conv(substr(sa, 1, 32), 2, 10) as bigint)" +
+          " ^ cast(conv(substr(sb, 1, 32), 2, 10) as bigint))" +
+          " + bit_count(cast(conv(substr(sa, 33, 32), 2, 10) as bigint)" +
+          " ^ cast(conv(substr(sb, 33, 32), 2, 10) as bigint))")
+          .cast("long"))
       .where(col("hamming") <= 3)
       .crossJoin(broadcast(hotCount)) // global 1-row scalar
       .select(col("doc_a"), col("doc_b"), col("hamming"),

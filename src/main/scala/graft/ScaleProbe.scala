@@ -41,9 +41,21 @@ object ScaleProbe {
     * byte-identical copies; Some(d) = mutate ~1/d of tokens per copy,
     * deterministic per (word, copy).
     */
+  /** `SPARK_GRAFT_PLANT_BOILERPLATE=1`: after replication, add one
+    * synthetic document PER SOURCE carrying the same 60-word
+    * boilerplate sentence — a shingle block present in every source
+    * (source-df = |sources| ≫ SourceDfCap), the q115 adversarial case
+    * the round-6 verdict asked to probe: without the guard each of its
+    * ~58 shingles joins C(|sources|,2) ways; with it they are dropped
+    * and counted once.
+    */
+  private def plantBoilerplate: Boolean =
+    sys.env.get("SPARK_GRAFT_PLANT_BOILERPLATE").contains("1")
+
   def ensureReplica(spark: SparkSession, src: String, factor: Int,
       perturbDenom: Option[Int], cpus: Int): String = {
-    val tag = perturbDenom.map(d => s"x${factor}p$d").getOrElse(s"x$factor")
+    val tag0 = perturbDenom.map(d => s"x${factor}p$d").getOrElse(s"x$factor")
+    val tag = if (plantBoilerplate) s"${tag0}b" else tag0
     val out = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe/$tag"
     // id offset per copy keeps copies disjoint while preserving every
     // original id (copy 0 is the original table verbatim)
@@ -68,7 +80,20 @@ object ScaleProbe {
                   " ")))
           case _ => withIds
         }
-        perturbed.drop("_k")
+        val withPlant =
+          if (plantBoilerplate && table == "documents") {
+            val sent = (1 to 60).map(i => s"boiler$i").mkString(" ")
+            val planted = spark.read.parquet(s"$src/$table.parquet")
+              .select(col("source")).distinct()
+              .withColumn("doc_id",
+                monotonically_increasing_id() + 900000000L)
+              .withColumn("text", lit(sent))
+              .withColumn("lang", lit("en"))
+              .withColumn("n_chars", length(lit(sent)).cast("long"))
+              .select(perturbed.drop("_k").columns.map(col): _*)
+            perturbed.drop("_k").unionByName(planted)
+          } else perturbed.drop("_k")
+        withPlant
           .repartition(cpus)
           .write.mode("overwrite").parquet(dst)
       }

@@ -39,7 +39,10 @@ class DeterminismSpec extends SparkSpec {
     // q119: integer-division means over partial-agg sums; q120 adds
     // the descent's two ranked-probe surfaces; q121 folds ten staged
     // merges whose election order round 1 already pinned
-    "q119_perplexity_filter", "q120_hier_multiprobe", "q121_bpe_encode")
+    "q119_perplexity_filter", "q120_hier_multiprobe", "q121_bpe_encode",
+    // q122: banded self-join pair emission + distinct — q31's hazard
+    // in Hamming space
+    "q122_simhash_pairs")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

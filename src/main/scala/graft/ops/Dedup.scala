@@ -303,7 +303,12 @@ object Dedup {
     * the bands, and the distance identically, so the hash compare
     * certifies signatures, banding, and verification end-to-end.
     */
-  def q122SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** q122's pair core — (doc_a, doc_b, hamming ≤ 3 pairs, hot-bucket
+    * 1-row count) — shared by the catalog query and
+    * [[stageSimhashPairs]] (q123 consumes the staged form).
+    */
+  private def simhashPairCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(words(col("text")))).as("tok"))
@@ -331,7 +336,7 @@ object Dedup {
     val cold = bands.join(
       occ.where(col("n") <= BandHotCap).select(col("band"), col("bkey")),
       Seq("band", "bkey"), "leftsemi")
-    cold.as("x")
+    val pairs = cold.as("x")
       .join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -350,10 +355,68 @@ object Dedup {
           " ^ cast(conv(substr(sb, 33, 32), 2, 10) as bigint))")
           .cast("long"))
       .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    (pairs, hotCount)
+  }
+
+  def q122SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, hotCount) = simhashPairCore(s, dir)
+    pairs
       .crossJoin(broadcast(hotCount)) // global 1-row scalar
       .select(col("doc_a"), col("doc_b"), col("hamming"),
         col("hot_buckets"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Stage q122's verified pairs — the Hamming-space near-dup asset
+    * q123's agreement report consumes.
+    */
+  def stageSimhashPairs(s: SparkSession, dir: String,
+      workDir: String): String = {
+    val p = s"$workDir/sh_pairs"
+    simhashPairCore(s, dir)._1.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** Dedup-signal AGREEMENT MATRIX — the method-diligence table a
+    * corpus team reads before trusting any one dedup signal: every
+    * candidate near-dup pair flagged by exact hashing (q30's
+    * norm-digest families), MinHash-verified Jaccard ≥ 0.8 (q31,
+    * staged), or SimHash Hamming ≤ 3 (q122, staged), bucketed by
+    * WHICH of the three signals caught it — 2³ possible rows, each
+    * with its pair count. Exact pairs are definitionally Jaccard-1
+    * and Hamming-0, so (T,F,·)/(T,·,F) rows diagnose banding or
+    * hot-bucket suppression; (F,T,F) vs (F,F,T) shows each
+    * approximate signal's private recall. Three full-outer joins on
+    * the pair key over two staged tables plus the in-plan exact
+    * families (hash-family self-join — families are tiny by
+    * construction); output is the 8-row matrix, so the whole report
+    * is model-sized after one pair-keyed shuffle. The oracle replays
+    * the same joins over the same staged parquet.
+    */
+  def q123DedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    val work = stageRoot(dir)
+    stagePairs(s, dir, work)
+    stageSimhashPairs(s, dir, work)
+    val mh = s.read.parquet(s"$work/pairs")
+      .select(col("doc_a"), col("doc_b"), lit(true).as("mh"))
+    val sh = s.read.parquet(s"$work/sh_pairs")
+      .select(col("doc_a"), col("doc_b"), lit(true).as("sh"))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+    val ex = d.as("x")
+      .join(d.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(true).as("ex"))
+    ex.join(mh, Seq("doc_a", "doc_b"), "full")
+      .join(sh, Seq("doc_a", "doc_b"), "full")
+      .select(coalesce(col("ex"), lit(false)).as("exact"),
+        coalesce(col("mh"), lit(false)).as("minhash"),
+        coalesce(col("sh"), lit(false)).as("simhash"))
+      .groupBy(col("exact"), col("minhash"), col("simhash"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("exact"), col("minhash"), col("simhash"))
   }
 
   /** df-capped inverted-index exact n-gram Jaccard: shingles in more than
@@ -826,6 +889,7 @@ object Dedup {
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
     "q122_simhash_pairs" -> (q122SimhashPairs _),
+    "q123_dedup_agreement" -> (q123DedupAgreement _),
     "q33_jaccard_pairs" -> (q33JaccardPairs _),
     "q35_dedup_clusters" -> (q35DedupClusters _),
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
@@ -1008,6 +1072,31 @@ object Dedup {
       SELECT doc_id,
         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    // replays the matrix over the TWO engine-staged pair tables +
+    // in-SQL exact families — the oracle never re-runs minhash/simhash
+    "q123_dedup_agreement" -> s"""
+      WITH mh AS (SELECT doc_a, doc_b
+                  FROM '__GRAFT_STAGED__/pairs/*.parquet'),
+      sh AS (SELECT doc_a, doc_b
+             FROM '__GRAFT_STAGED__/sh_pairs/*.parquet'),
+      d AS (SELECT doc_id, md5(norm) AS h
+            FROM (SELECT doc_id, $sqlNorm AS norm FROM documents)),
+      ex AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM d x JOIN d y ON x.h = y.h AND x.doc_id < y.doc_id),
+      u AS (SELECT doc_a, doc_b FROM ex
+            UNION SELECT doc_a, doc_b FROM mh
+            UNION SELECT doc_a, doc_b FROM sh),
+      f AS (SELECT
+          EXISTS(SELECT 1 FROM ex WHERE ex.doc_a = u.doc_a
+                   AND ex.doc_b = u.doc_b) AS exact,
+          EXISTS(SELECT 1 FROM mh WHERE mh.doc_a = u.doc_a
+                   AND mh.doc_b = u.doc_b) AS minhash,
+          EXISTS(SELECT 1 FROM sh WHERE sh.doc_a = u.doc_a
+                   AND sh.doc_b = u.doc_b) AS simhash
+        FROM u)
+      SELECT exact, minhash, simhash, COUNT(1) AS n_pairs
+      FROM f GROUP BY exact, minhash, simhash
+      ORDER BY exact, minhash, simhash""",
     "q122_simhash_pairs" -> s"""
       WITH norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
       toks AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM norm),

@@ -81,6 +81,26 @@ class SimhashPairsSpec extends SparkSpec {
     assert(!gotPairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("q123: exact-dup pairs are caught by BOTH approximate signals") {
+    val d = java.nio.file.Files.createTempDirectory("graft-q123").toString
+    // a 3-deep exact-dup family (C(3,2)=3 pairs, all three signals)
+    // plus two unrelated docs (no signal)
+    val fam = (1 to 100).map(i => s"t$i").mkString(" ")
+    (Seq((1L, fam), (2L, fam), (3L, fam),
+      (8L, (500 to 560).map(i => s"a$i").mkString(" ")),
+      (9L, (700 to 760).map(i => s"b$i").mkString(" "))))
+      .map { case (id, t0) => (id, t0, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = Dedup.q123DedupAgreement(spark, d)
+      .as[(Boolean, Boolean, Boolean, Long)].collect().toSeq
+    // every exact pair must be flagged by minhash (J=1) AND simhash
+    // (identical signature, Hamming 0): no (T,F,·) or (T,·,F) row
+    assert(!m.exists(r => r._1 && !(r._2 && r._3)), m.toString)
+    assert(m.find(r => r._1 && r._2 && r._3).map(_._4).contains(3L),
+      m.toString)
+  }
+
   test("hot band buckets are suppressed and reported, not joined") {
     val text = (1 to 50).map(i => s"h$i").mkString(" ")
     val docs = (1L to 60L).map(id => (id, text))

@@ -41,11 +41,17 @@ object HierBench {
     // warm: parquet footers + codegen of the scaled-vector scan
     spark.read.parquet(s"$replica/embeddings.parquet").limit(1).collect()
 
+    if (kFlat != 30)
+      println(s"HIERBENCH WARNING capacity differs: flat k=$kFlat vs hier 30" +
+        " — equal-capacity comparison only holds at factor 30")
     time("flat_train") {
       Similarity.trainCodebook(spark, replica, kFlat)._2.count()
     }
+    // iters = 5 matches the flat arm's level-2 round count, so the
+    // comparison isolates expression-width k, not round count
     time("hier_train") {
-      Similarity.trainHier(spark, replica, k1 = 10, k2 = 3)._3.count()
+      Similarity.trainHier(spark, replica, k1 = 10, k2 = 3, iters = 5)
+        ._3.count()
     }
     spark.stop()
   }

@@ -302,6 +302,14 @@ object Dedup {
     * bounded at any corpus size. Both engines spell the signature,
     * the bands, and the distance identically, so the hash compare
     * certifies signatures, banding, and verification end-to-end.
+    *
+    * Known report-shape limit (shared with q115's scalar): the
+    * diagnostic rides the pair rows, so a corpus whose ONLY near-dup
+    * structure sits in over-cap buckets yields an empty report — the
+    * suppression happened but is not visible here. The audit trail
+    * for that case is q123's agreement matrix (minhash still reports
+    * the pairs) and the staged occupancy the cap reads; asserted as
+    * the 60-identical-docs case in SimhashPairsSpec.
     */
   /** q122's pair core — (doc_a, doc_b, hamming ≤ 3 pairs, hot-bucket
     * 1-row count) — shared by the catalog query and
@@ -904,7 +912,11 @@ object Dedup {
   // ---- oracle SQL ----
 
   /** DuckDB parse of the first 15 md5 hex digits into a BIGINT. */
-  private val sqlH60 = (1 to 15)
+  /** DuckDB 60-bit BIGINT from the first 15 hex digits of an md5-hex
+    * column named `m` — shared with Text's q116/q121 oracles (one
+    * definition: the hash discipline can't silently diverge).
+    */
+  private[ops] val sqlH60 = (1 to 15)
     .foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
       s"($acc * 16 + (strpos('0123456789abcdef', substr(m, $k, 1)) - 1))"
     }

@@ -1363,11 +1363,9 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB 60-bit hash of md5-hex column `m` (Dedup's sqlH60). */
-  private val sqlH60m = (1 to 15)
-    .foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
-      s"($acc * 16 + (strpos('0123456789abcdef', substr(m, $k, 1)) - 1))"
-    }
+  /** DuckDB 60-bit hash of md5-hex column `m` — Dedup's sqlH60, one
+    * shared definition. */
+  private def sqlH60m = Dedup.sqlH60
 
   /** q116's oracle: the ENTIRE train unrolled — one (election, merge,
     * stats) CTE triple per round, c0 → c[[BpeRounds]], each round

@@ -243,11 +243,15 @@ object EventStreams {
     * (the centroids are an input, not a per-batch cost), each
     * micro-batch is a pure map stage — no shuffle, no state store —
     * and the index stays a directly queryable parquet table that q78's
-    * search consumes unchanged. Exactly-once rides the checkpoint
-    * (a drained AvailableNow re-run appends nothing); zero-norm
-    * vectors are unassignable and sit out, exactly as in training.
-    * IvfIngestStreamSpec asserts the streamed index equals q81's
-    * batch-ingested index row-for-row over ≥3 micro-batches.
+    * search consumes unchanged. Effectively-once by CONTENT, not by
+    * offset alone: foreachBatch is at-least-once (a batch retried
+    * after a completed write but before the offset commit would
+    * re-append), so each batch anti-joins the staged table on vec_id
+    * before appending — [[dedupIngest]]'s discipline — making any
+    * replay a no-op; a drained AvailableNow re-run appends nothing.
+    * Zero-norm vectors are unassignable and sit out, exactly as in
+    * training. IvfIngestStreamSpec asserts the streamed index equals
+    * q81's batch-ingested index row-for-row over ≥3 micro-batches.
     */
   def ivfIngestStream(vectors: DataFrame,
       centroids: Array[Array[Double]], stagedDir: String,
@@ -256,10 +260,19 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.where(col("nrm") > 0)
+        val s = batch.sparkSession
+        val path = s"$stagedDir/cells_stream"
+        val assigned = batch.where(col("nrm") > 0)
           .select(col("vec_id"),
             graft.ops.Similarity.cellAssignment(centroids).as("cluster"))
-          .write.mode("append").parquet(s"$stagedDir/cells_stream")
+        val fresh =
+          if (new java.io.File(path).exists)
+            assigned.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        // evaluate the anti-join fully BEFORE the append opens the
+        // same path for writing (read-your-own-writes hazard)
+        fresh.localCheckpoint().write.mode("append").parquet(path)
         ()
       }
       .start()
@@ -271,8 +284,10 @@ object EventStreams {
     * (Similarity.pqCodes) — a pure map stage, 4 bytes of code per
     * (vector, subspace) appended to the staged code table, no state
     * store, no shuffle. The codebook is an input (training amortizes
-    * across refreshes); exactly-once rides the AvailableNow
-    * checkpoint. PqIngestStreamSpec asserts the streamed code table
+    * across refreshes); effectively-once by content via the same
+    * anti-join-before-append as [[ivfIngestStream]] (foreachBatch
+    * alone is at-least-once under a retry between write and offset
+    * commit). PqIngestStreamSpec asserts the streamed code table
     * equals q93's batch-encoded table row-for-row.
     */
   def pqIngestStream(vectors: DataFrame,
@@ -282,9 +297,17 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Similarity.pqCodes(batch, codebook)
+        val s = batch.sparkSession
+        val path = s"$stagedDir/pq_codes_stream"
+        val codes = graft.ops.Similarity.pqCodes(batch, codebook)
           .select(col("vec_id"), col("sub"), col("code"))
-          .write.mode("append").parquet(s"$stagedDir/pq_codes_stream")
+        val fresh =
+          if (new java.io.File(path).exists)
+            codes.join(
+              s.read.parquet(path).select(col("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+          else codes
+        fresh.localCheckpoint().write.mode("append").parquet(path)
         ()
       }
       .start()

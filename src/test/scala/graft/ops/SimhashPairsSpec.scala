@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
 class SimhashPairsSpec extends SparkSpec {
   import spark.implicits._
 
+  // mirrors the engine's words() EXACTLY, including the empty-text
+  // corner: normText("") splits to Seq("") — one empty token — so the
+  // replay must NOT filter empties or it would diverge from the
+  // engine on empty/whitespace-only documents
   private def toks(s0: String): Seq[String] =
     s0.toLowerCase.replaceAll("\\s+", " ").trim
-      .split(" ", -1).toSeq.filter(_.nonEmpty)
+      .split(" ", -1).toSeq
 
   /** Plain-Scala 64-bit simhash of q122's exact construction. */
   private def simhash(text: String): String = {

@@ -67,5 +67,19 @@ class IvfIngestStreamSpec extends SparkSpec {
     drain()
     val again = spark.read.parquet(s"$staged/cells_stream").count()
     assert(again === streamed.size.toLong)
+
+    // at-least-once redelivery: the SAME rows through a FRESH
+    // checkpoint (the offset log forgets them, as after a crash
+    // between write and commit) must also be a no-op — the
+    // anti-join-by-content, not the checkpoint, carries idempotence
+    val ckpt2 =
+      java.nio.file.Files.createTempDirectory("ivf-stream-ckpt2").toString
+    val src2 = MemoryStream[(Long, Seq[Long], Double)]
+    src2.addData(newRows: _*)
+    EventStreams.ivfIngestStream(
+      src2.toDF().toDF("vec_id", "v", "nrm"), centroids, staged, ckpt2)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$staged/cells_stream").count()
+      === streamed.size.toLong)
   }
 }

@@ -59,5 +59,17 @@ class PqIngestStreamSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(s"$staged/pq_codes_stream").count()
       === streamed.size.toLong)
+
+    // at-least-once redelivery: same rows, FRESH checkpoint — the
+    // anti-join by content must no-op the replay
+    val ckpt2 =
+      java.nio.file.Files.createTempDirectory("pq-stream-ckpt2").toString
+    val src2 = MemoryStream[(Long, Seq[Long])]
+    src2.addData(newRows: _*)
+    EventStreams.pqIngestStream(
+      src2.toDF().toDF("vec_id", "v"), codebook, staged, ckpt2)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$staged/pq_codes_stream").count()
+      === streamed.size.toLong)
   }
 }

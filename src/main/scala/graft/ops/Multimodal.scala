@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -150,6 +151,79 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Integer image embedding: channel means + 8-bucket luminance
+    * histogram — the 11-dim feature row [[q124ImageEmbed]] emits.
+    */
+  case class PpmEmbed(doc_id: Long, n_px: Long, r_mean: Long,
+      g_mean: Long, b_mean: Long, hist: Array[Long])
+
+  /** Image FEATURE EXTRACTION + similarity — the bridge from the
+    * multimodal columns to the vector stack, completing
+    * decode → featurize → search: each doc's real P6 payload is
+    * [[Ppm.decode]]d and reduced to an 11-dim INTEGER embedding
+    * (per-channel means + an 8-bucket luminance histogram) in the
+    * same narrow zero-shuffle mapPartitions stage as q80; the
+    * embedding then behaves exactly like the `embeddings` table —
+    * here queries (doc_id < 20) take their exact L2 top-1 neighbor
+    * via the codegen'd `vec_ldot` (d² = |a|² + |b|² − 2a·b, every
+    * value BIGINT), the q40 brute-force shape over a broadcast
+    * 20-row query side. At corpus scale the same feature column
+    * flows into the staged IVF/PQ index family unchanged (it IS an
+    * integer vector) — the brute-force step here is the baseline,
+    * exactly as q40 is for text embeddings. The DuckDB oracle
+    * re-derives features from the construction law (never parses
+    * PPM — q80's discipline) and replays the NN argmin, so the hash
+    * certifies decoder, featurizer, and search together.
+    */
+  def q124ImageEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idot = graft.ops.Similarity.idot _
+    val feats = ppmTable(s, dir).as[PpmRow]
+      .mapPartitions(_.map { r =>
+        val img = Ppm.decode(r.payload)
+        val n = img.width * img.height
+        var rs = 0L; var gs = 0L; var bs = 0L
+        val hist = new Array[Long](8)
+        var p = 0
+        while (p < n) {
+          val rr = img.pixels(3 * p) & 0xff
+          val gg = img.pixels(3 * p + 1) & 0xff
+          val bb = img.pixels(3 * p + 2) & 0xff
+          rs += rr; gs += gg; bs += bb
+          hist(((rr + gg + bb) / 3) / 32) += 1
+          p += 1
+        }
+        PpmEmbed(r.doc_id, n, rs / n, gs / n, bs / n, hist)
+      }).toDF()
+      .localCheckpoint() // query + corpus NN sides both read it
+    val fv = feats.select(col("doc_id"),
+      concat(array(col("r_mean"), col("g_mean"), col("b_mean")),
+        col("hist")).as("f"))
+      .withColumn("n2", idot(col("f"), col("f")))
+    val q = fv.where(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("f").as("qf"),
+        col("n2").as("qn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cand_id"))
+    val nn = broadcast(q)
+      .join(fv.withColumnRenamed("doc_id", "cand_id"),
+        col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (col("qn2") + col("n2")
+          - lit(2L) * idot(col("qf"), col("f"))).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("query_id").as("doc_id"), col("cand_id").as("nn_id"),
+        col("d2").as("nn_d2"))
+    feats
+      .join(nn, Seq("doc_id"), "left")
+      .select((Seq("doc_id", "n_px", "r_mean", "g_mean", "b_mean")
+        .map(col) ++
+        (0 until 8).map(i => element_at(col("hist"), i + 1).as(s"h$i")) ++
+        Seq(col("nn_id"), col("nn_d2"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** One encoded-WAV row (payload = real RIFF/PCM bytes). */
   case class WavRow(doc_id: Long, payload: Array[Byte])
 
@@ -215,6 +289,7 @@ object Multimodal {
     "q62_decode_expr" -> (q62DecodeExpr _),
     "q80_ppm_decode" -> (q80PpmDecode _),
     "q108_wav_decode" -> (q108WavDecode _),
+    "q124_image_embed" -> (q124ImageEmbed _),
   )
 
   /** DuckDB twin of `payload(0) & 0xff`: the first UTF-8 *byte* of the
@@ -244,9 +319,53 @@ object Multimodal {
         hb % 30 AS n_frames
       FROM hdr ORDER BY doc_id"""
 
+  /** q124's oracle: features re-derived from the construction law
+    * (q80's discipline — SQL never parses PPM), NN argmin replayed
+    * over the derived 11-dim feature rows with the exact integer
+    * Σ(aᵢ−bᵢ)² the engine computes via vec_ldot norms.
+    */
+  private val sqlImageEmbed: String = {
+    val histCases = (0 until 8).map(i =>
+      s"CAST(SUM(CASE WHEN ((r + g + b) // 3) // 32 = $i" +
+        s" THEN 1 ELSE 0 END) AS BIGINT) AS h$i").mkString(",\n        ")
+    val featCols = Seq("r_mean", "g_mean", "b_mean") ++
+      (0 until 8).map(i => s"h$i")
+    val d2 = featCols.map(c => s"(a.$c - b.$c) * (a.$c - b.$c)")
+      .mkString(" + ")
+    s"""
+      WITH dims AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+                      CAST(3 + doc_id % 7 AS BIGINT) AS h FROM documents),
+      px AS (SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS p
+             FROM dims),
+      ch AS (SELECT doc_id, n,
+               (doc_id * 31 + 3 * p) % 256 AS r,
+               (doc_id * 31 + 3 * p + 1) % 256 AS g,
+               (doc_id * 31 + 3 * p + 2) % 256 AS b
+             FROM px),
+      f AS (SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+              CAST(SUM(r) // n AS BIGINT) AS r_mean,
+              CAST(SUM(g) // n AS BIGINT) AS g_mean,
+              CAST(SUM(b) // n AS BIGINT) AS b_mean,
+              $histCases
+            FROM ch GROUP BY doc_id, n),
+      d AS (SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+              CAST($d2 AS BIGINT) AS d2
+            FROM f a JOIN f b ON b.doc_id <> a.doc_id
+            WHERE a.doc_id < 20),
+      r AS (SELECT query_id, cand_id, d2, ROW_NUMBER() OVER
+              (PARTITION BY query_id ORDER BY d2, cand_id) AS rk
+            FROM d)
+      SELECT f.doc_id, n_px, r_mean, g_mean, b_mean,
+        ${(0 until 8).map(i => s"h$i").mkString(", ")},
+        r.cand_id AS nn_id, r.d2 AS nn_d2
+      FROM f LEFT JOIN r ON f.doc_id = r.query_id AND r.rk = 1
+      ORDER BY f.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q60_multimodal_decode" -> sqlDecodeOracle,
     "q62_decode_expr" -> sqlDecodeOracle,
+    "q124_image_embed" -> sqlImageEmbed,
     // the oracle re-derives the features from the CONSTRUCTION law (it
     // never parses PPM) — a hash match therefore certifies the Scala
     // encoder and byte-level parser agree on every document

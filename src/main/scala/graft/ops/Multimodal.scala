@@ -224,6 +224,53 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** [[q125ImageResize]]'s output row. */
+  case class PpmResized(doc_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, rhash: Long)
+
+  /** Image RESIZE behind the multimodal boundary — the remaining op of
+    * the decode / feature-extract / resize / frame-sample family:
+    * every doc's real P6 payload is decoded and nearest-neighbor
+    * downsampled to a fixed 4×3 thumbnail (source pixel (tx·w div 4,
+    * ty·h div 3) — the standard floor mapping), in the same narrow
+    * zero-shuffle mapPartitions stage as q80/q124; batch thumbnailing
+    * at 100 TB is exactly this map pass. The resized raster is
+    * certified byte-for-byte WITHOUT shipping it: a deterministic
+    * rolling hash (h ← (h·131 + v) mod 2⁵³, raster order) rides the
+    * output, and the DuckDB oracle recomputes the same fold from the
+    * construction law — so a hash match proves the resample read
+    * exactly the right 36 source bytes of every image. (mod 2⁵³ keeps
+    * h·131 < 2⁶⁰: BIGINT-safe in both engines.)
+    */
+  def q125ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ow, oh) = (4, 3)
+    val M = 1L << 53
+    ppmTable(s, dir).as[PpmRow]
+      .mapPartitions(_.map { r =>
+        val img = Ppm.decode(r.payload)
+        var hsh = 0L
+        var ty = 0
+        while (ty < oh) {
+          val ys = ty * img.height / oh
+          var tx = 0
+          while (tx < ow) {
+            val xs = tx * img.width / ow
+            var c = 0
+            while (c < 3) {
+              val v = img.pixels(3 * (ys * img.width + xs) + c) & 0xff
+              hsh = (hsh * 131 + v) % M
+              c += 1
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        PpmResized(r.doc_id, img.width, img.height, ow, oh, hsh)
+      }).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** One encoded-WAV row (payload = real RIFF/PCM bytes). */
   case class WavRow(doc_id: Long, payload: Array[Byte])
 
@@ -290,6 +337,7 @@ object Multimodal {
     "q80_ppm_decode" -> (q80PpmDecode _),
     "q108_wav_decode" -> (q108WavDecode _),
     "q124_image_embed" -> (q124ImageEmbed _),
+    "q125_image_resize" -> (q125ImageResize _),
   )
 
   /** DuckDB twin of `payload(0) & 0xff`: the first UTF-8 *byte* of the
@@ -366,6 +414,27 @@ object Multimodal {
     "q60_multimodal_decode" -> sqlDecodeOracle,
     "q62_decode_expr" -> sqlDecodeOracle,
     "q124_image_embed" -> sqlImageEmbed,
+    // the resized raster's rolling hash recomputed from the
+    // construction law: k = 0..35 walks the thumbnail in raster order
+    // (ty = k // 12, tx = (k % 12) // 3, c = k % 3), source pixel by
+    // the same floor mapping, value by the law; list_reduce is an
+    // INTEGER fold (the DuckDB string-lambda bug does not apply)
+    "q125_image_resize" -> """
+      WITH dims AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+                      CAST(3 + doc_id % 7 AS BIGINT) AS h FROM documents),
+      r AS (SELECT doc_id, w, h,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT), list_transform(
+                  range(0, 36),
+                  k -> (doc_id * 31
+                    + 3 * (((k // 12) * h // 3) * w + ((k % 12) // 3) * w // 4)
+                    + k % 3) % 256)),
+                (acc, v) -> (acc * 131 + v) % 9007199254740992)
+                AS rhash
+            FROM dims)
+      SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+        4 AS out_w, 3 AS out_h, rhash
+      FROM r ORDER BY doc_id""",
     // the oracle re-derives the features from the CONSTRUCTION law (it
     // never parses PPM) — a hash match therefore certifies the Scala
     // encoder and byte-level parser agree on every document

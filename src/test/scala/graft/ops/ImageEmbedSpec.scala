@@ -60,4 +60,25 @@ class ImageEmbedSpec extends SparkSpec {
     assert(rows.filter(_.getAs[Long]("doc_id") >= 20)
       .forall(r => r.isNullAt(r.fieldIndex("nn_id"))))
   }
+
+  test("q125 resize hash equals the construction-law rolling fold") {
+    val M = 1L << 53
+    def refHash(id: Long): Long = {
+      val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+      var hsh = 0L
+      for (ty <- 0 until 3; tx <- 0 until 4; c <- 0 until 3) {
+        val ys = ty * h / 3; val xs = tx * w / 4
+        val v = ((id * 31 + 3 * (ys * w + xs) + c) % 256).toInt
+        hsh = (hsh * 131 + v) % M
+      }
+      hsh
+    }
+    val got = Multimodal.q125ImageResize(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("rhash") === refHash(id), s"doc $id")
+      assert(r.getAs[Int]("out_w") === 4 && r.getAs[Int]("out_h") === 3)
+    }
+  }
 }

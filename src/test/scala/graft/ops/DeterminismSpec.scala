@@ -42,7 +42,11 @@ class DeterminismSpec extends SparkSpec {
     "q119_perplexity_filter", "q120_hier_multiprobe", "q121_bpe_encode",
     // q122: banded self-join pair emission + distinct — q31's hazard
     // in Hamming space
-    "q122_simhash_pairs")
+    "q122_simhash_pairs",
+    // q123: three full-outer joins over staged pair tables; q124: NN
+    // argmin ties over a non-equi join; q125: mapPartitions codec
+    // order (q80's hazard) + per-row fold
+    "q123_dedup_agreement", "q124_image_embed", "q125_image_resize")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

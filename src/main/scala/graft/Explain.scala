@@ -39,6 +39,8 @@ object Explain {
     "q116_bpe_train", // iterated election: one bigram shuffle + broadcast merge map per round, lineage cut per round
     "q119_perplexity_filter", // LM = one bigram shuffle; scoring = hash equi-join; cut = broadcast scalar
     "q122_simhash_pairs", // banded equi-join in Hamming space, never all-pairs; hot buckets semi-filtered
+    "q123_dedup_agreement", // exact tier = min-id family star (partial-agg rep election, n-1 rows/family); three full-outer pair-key joins, model-sized output
+    "q127_quality_survivors", // staged-cluster equi-join + ONE partial-agg max_by election, no window over the corpus
     "q117_ivfpq_multiprobe", // probes join widens candidates; ADC pricing plan unchanged vs q91
     "q118_ann_ivf_hier", // two-level staged index: search equi-join identical to q78's, key = k1*k2 cell
     "q72_stitch_contigs") // closed-form stitch aggregation

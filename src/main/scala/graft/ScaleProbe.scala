@@ -152,7 +152,9 @@ object ScaleProbe {
       "q116_bpe_train", "q117_ivfpq_multiprobe", "q118_ann_ivf_hier",
       "q119_perplexity_filter", "q120_hier_multiprobe",
       "q121_bpe_encode", "q122_simhash_pairs", "q123_dedup_agreement",
-      "q124_image_embed", "q125_image_resize",
+      "q124_image_embed", "q125_image_resize", "q126_recall_report",
+      "q127_quality_survivors", "q128_bpe_vocab_train",
+      "q129_bpe_token_ids",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

@@ -309,11 +309,37 @@ object Similarity {
     * assignment table IS the index: training runs once (or per refresh),
     * every search after that is an equi-join against this staged table
     * and never re-trains. Returns the staged path.
+    *
+    * Quantizer selection is AUTOMATIC: flat single-codebook Lloyd
+    * ([[trainCodebook]]) while the ~[[CellTarget]]-sized cell count
+    * fits the k ≤ 64 literal-column clamp, the two-level hierarchical
+    * quantizer ([[trainHierCells]] — centroids a broadcast TABLE,
+    * corpus-linear training, measured 2.5× cheaper than flat at equal
+    * capacity in HierBench) above it. The staged table is the
+    * interface: consumers (q78/q79/q82/q92/q99/q106) equi-join on the
+    * cell id and never learn which quantizer produced it, so the
+    * default flip changes the training path only. Below the clamp the
+    * flat form stays — its cells ARE the historical staged tables the
+    * sf0.01/sf0.1 oracles certify.
     */
   def stageCells(s: SparkSession, dir: String, workDir: String): String = {
     val p = s"$workDir/cells"
-    val (_, assigned) =
-      trainCodebook(s, dir, k = adaptiveCellCount(vectorCount(s, dir)))
+    val n = vectorCount(s, dir)
+    val want = (n + CellTarget - 1) / CellTarget
+    val assigned =
+      if (want <= 64) trainCodebook(s, dir, k = adaptiveCellCount(n))._2
+      else {
+        // k1 ~ sqrt(cells) keeps both factors small; each level is
+        // independently bounded by the 64-wide literal/broadcast forms,
+        // so capacity tops out at 64·64 = 4096 cells — k ~ sqrt(n) up
+        // to ~8M vectors per refresh partition, and the cap is a
+        // documented ceiling, not a silent wrap
+        val k1 = math.min(64L,
+          math.ceil(math.sqrt(want.toDouble)).toLong).toInt
+        val k2 = math.min(64L, math.max(2L, (want + k1 - 1) / k1)).toInt
+        trainHierCells(s, dir, k1, k2)
+          .select(col("vec_id"), col("cell").cast("int").as("cluster"))
+      }
     assigned.write.mode("overwrite").parquet(p)
     p
   }
@@ -329,9 +355,11 @@ object Similarity {
     * both). This is what makes the in-cell join's n²/k claim REAL: with
     * k fixed, 10× vectors cost 100×/k — measured as q82's 38.7 s at the
     * 10× probe before this sizing; k ∝ n holds per-cell pair work
-    * linear in n. At true 100 TB a coarse quantizer sizes k ~ √n with a
-    * hierarchical codebook; the clamp documents the single-codebook
-    * validity range rather than pretending past it.
+    * linear in n. Flat below the clamp, hierarchical above it:
+    * [[stageCells]] routes corpora whose target cell count exceeds 64
+    * through the two-level quantizer (k1·k2 cells, broadcast-table
+    * centroids), so the clamp bounds the flat codebook's validity
+    * range, not the engine's.
     */
   def adaptiveCellCount(n: Long): Int =
     math.min(64L, math.max(4L, (n + CellTarget - 1) / CellTarget)).toInt
@@ -1337,8 +1365,89 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** ANN RECALL REPORT — the measured recall@k curve a user tunes
+    * nprobe/k1/k2 against, generalizing q106's per-query `correct`
+    * flag to the whole ANN family: every staged-index search (q78
+    * 1-probe IVF, q79 2-probe, q91 own-cell IVF-PQ, q117 2-probe
+    * IVF-PQ, q120 hierarchical tree-descent) is run over the REAL
+    * embeddings table, its top-5 staged, and scored against the
+    * exact brute-force top-5 (q40's plan at the shared query set).
+    * recall@1 = fraction of queries whose true nearest neighbor is
+    * the method's rank-1; recall@5 = matched fraction of the true
+    * top-5 lists. Planted-geometry specs (IvfMultiProbeSpec etc.)
+    * prove the recall MECHANISM; this reports the NUMBERS on the
+    * actual corpus.
+    *
+    * Scale shape: the five searches are the already-certified staged
+    * equi-joins; ground truth broadcasts the model-sized query set
+    * against the corpus ONCE (the documented brute-force baseline);
+    * scoring is a pair-keyed join between two staged top-5 tables —
+    * |queries|·5 rows each, model-sized at any corpus size. The
+    * oracle replays the scoring joins over the same staged parquet
+    * (q106's replay discipline): it never re-runs a search.
+    */
+  def q126RecallReport(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      ("ivf_1probe", q78AnnIvfTrained _),
+      ("ivf_2probe", q79AnnIvfMultiprobe _),
+      ("ivfpq_1probe", q91IvfPq _),
+      ("ivfpq_2probe", q117IvfPqMultiprobe _),
+      ("hier_2probe", q120HierMultiprobe _))
+    methods.map { case (m, f) =>
+      // EAGER localCheckpoint per method: each search lazily reads the
+      // staged tables its own run wrote, and the NEXT method's staging
+      // overwrites them (q79's stageIvfIndex replaces q78's cells) —
+      // materialize each result while its staged inputs still exist
+      f(s, dir).select(lit(m).as("method"), col("query_id"),
+        col("rank"), col("neighbor_id")).localCheckpoint()
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/recall/results")
+    val iv = scaledVectors(s, dir).where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$work/recall/truth")
+    val truth = s.read.parquet(s"$work/recall/truth")
+    val results = s.read.parquet(s"$work/recall/results")
+    val totals = truth.agg(count(lit(1)).as("t_rows"),
+      countDistinct(col("query_id")).as("nq"))
+    val matched = truth.as("t")
+      .join(results.as("r"),
+        col("t.query_id") === col("r.query_id") &&
+          col("t.neighbor_id") === col("r.neighbor_id"))
+      .select(col("r.method").as("method"), col("t.rank").as("t_rank"),
+        col("r.rank").as("r_rank"))
+    val agg = matched.groupBy(col("method"))
+      .agg(count(lit(1)).as("hits5"),
+        sum(when(col("t_rank") === 1 && col("r_rank") === 1, 1L)
+          .otherwise(0L)).as("hits1"))
+    // start from the staged method list so a method with zero matches
+    // still reports a (0.0, 0.0) row instead of vanishing
+    results.select(col("method")).distinct()
+      .join(agg, Seq("method"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("method"), col("nq").as("n_queries"),
+        (coalesce(col("hits1"), lit(0L)).cast("double") /
+          col("nq").cast("double")).as("recall_at_1"),
+        (coalesce(col("hits5"), lit(0L)).cast("double") /
+          col("t_rows").cast("double")).as("recall_at_5"))
+      .orderBy(col("method"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_knn_classify" -> (q106KnnClassify _),
+    "q126_recall_report" -> (q126RecallReport _),
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_lsh" -> (q41AnnLsh _),
@@ -1386,6 +1495,31 @@ object Similarity {
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // recall scoring replayed over the two ENGINE-STAGED top-5 tables
+    // (method results + brute-force truth) — the oracle never re-runs
+    // a search, exactly q106's staged-replay discipline
+    "q126_recall_report" -> s"""
+      WITH t AS (SELECT query_id, "rank" AS t_rank, neighbor_id
+                 FROM '__GRAFT_STAGED__/recall/truth/*.parquet'),
+      r AS (SELECT method, query_id, "rank" AS r_rank, neighbor_id
+            FROM '__GRAFT_STAGED__/recall/results/*.parquet'),
+      tot AS (SELECT COUNT(1) AS t_rows,
+                COUNT(DISTINCT query_id) AS nq FROM t),
+      m AS (SELECT r.method, t.t_rank, r.r_rank
+            FROM t JOIN r ON t.query_id = r.query_id
+              AND t.neighbor_id = r.neighbor_id),
+      agg AS (SELECT method, COUNT(1) AS hits5,
+                SUM(CASE WHEN t_rank = 1 AND r_rank = 1
+                    THEN 1 ELSE 0 END) AS hits1
+              FROM m GROUP BY method)
+      SELECT md.method, nq AS n_queries,
+        CAST(COALESCE(hits1, 0) AS DOUBLE) / CAST(nq AS DOUBLE)
+          AS recall_at_1,
+        CAST(COALESCE(hits5, 0) AS DOUBLE) / CAST(t_rows AS DOUBLE)
+          AS recall_at_5
+      FROM (SELECT DISTINCT method FROM r) md
+      LEFT JOIN agg USING (method) CROSS JOIN tot
+      ORDER BY method""",
     // top-5 in-cell search + majority vote replayed over the
     // ENGINE-STAGED cells — q78's oracle family with the neighbor
     // label carried through, then the two deterministic elections

@@ -59,6 +59,22 @@ object Text {
 
   private def sqlList(xs: Seq[String]) = xs.mkString("['", "', '", "']")
 
+  /** DuckDB derivation of q51's quality score — (doc_id, quality) over
+    * `documents`, the exact expression tree of the q51 oracle. Shared
+    * with Dedup's q127 oracle so the quality-aware survivor election
+    * replays the same formula it elects on.
+    */
+  private[ops] def sqlQuality: String = s"""
+      SELECT doc_id,
+        ((0.4 * (CAST(len(list_intersect(list_distinct(ws),
+            ${sqlList(enStop)})) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+          + 0.3 * (CAST(length(regexp_replace(norm, '[^a-z]', '', 'g'))
+            AS DOUBLE) / CAST(length(norm) AS DOUBLE)))
+          + 0.3 * least(1.0, CAST(len(ws) AS DOUBLE) / 100.0))
+          AS quality
+      FROM (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws
+            FROM documents)"""
+
   /** Language ID by stopword-list hit counts (n-gram heuristic,
     * SURVEY-absent north-star op). Runs entirely on the word array — no
     * explode, no shuffle beyond the final sort; at 100 TB this is a pure
@@ -1314,8 +1330,14 @@ object Text {
         .localCheckpoint()
       cur
         .agg(sum(size(split(col("norm"), " "))).as("tokens_after"),
-          expr("bit_xor(cast(conv(substr(md5(norm), 1, 15), 16, 10)" +
-            " as bigint))").as("corpus_xor"))
+          // DOC-KEYED hash: fingerprint md5(doc_id ':' norm), not
+          // md5(norm) — identical texts under different ids XOR to
+          // distinct values, so a corruption confined to an even-sized
+          // exact-dup family (the dup-heavy corpus norm) cannot cancel
+          // itself out of the fingerprint
+          expr("bit_xor(cast(conv(substr(md5(concat(cast(doc_id as " +
+            "string), ':', norm)), 1, 15), 16, 10) as bigint))")
+            .as("corpus_xor"))
         .crossJoin(broadcast(staged))
         .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"),
           col("tokens_after"), col("corpus_xor"))
@@ -1363,6 +1385,144 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** New vocabulary entries a [[q128BpeVocabTrain]] run may mint before
+    * stopping: the target vocab size is MEASURED base vocab + this
+    * budget — the standard BPE formulation (vocab = base symbols +
+    * n_merges) with the corpus-measured distinct-token count standing
+    * in for the base symbol table, so the stop adapts to any corpus
+    * instead of hard-coding an absolute vocab size. Small enough that
+    * the driver corpora stop mid-loop (each merge usually mints
+    * exactly one new distinct token), so the early-stop path runs in
+    * the correctness gate itself, not only in specs.
+    */
+  val BpeVocabBudget = 6
+
+  /** BPE training TO A VOCAB TARGET — [[q116BpeTrain]]'s loop with the
+    * production stopping rule: measure the base vocabulary (distinct
+    * tokens of the normalized corpus), train rounds until the measured
+    * post-merge vocabulary reaches base + [[BpeVocabBudget]] (or the
+    * [[BpeRounds]] cap, or pair exhaustion), and emit one row per
+    * EXECUTED round — the engine genuinely stops training, it does not
+    * train ten rounds and filter. Each round stages its election to
+    * `bpe_merges_vocab` (its own artifact — q121/q129 keep consuming
+    * q116's fixed-round table) and reports the election plus three
+    * corpus posteriors: token count, measured vocab size, and the
+    * doc-keyed XOR fingerprint. Vocab is MEASURED (countDistinct), not
+    * assumed +1/round, so the w1/w2-fully-consumed corner (a merge
+    * that removes a token from the vocabulary) moves the stop exactly
+    * as it moves the real vocab.
+    *
+    * Per-round cost adds ONE vocabulary-sized distinct-count to
+    * q116's shape; the per-round driver read is one stats row +
+    * one election row, both model-sized. The oracle unrolls all
+    * [[BpeRounds]] rounds (it cannot early-return) and keeps rows up
+    * to the first vocab-target hit — same rows, independently
+    * re-trained.
+    */
+  def q128BpeVocabTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = Dedup.stageRoot(dir)
+    var cur = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .localCheckpoint()
+    def vocabOf(df: DataFrame): Long = df
+      .select(explode(split(col("norm"), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val target = vocabOf(cur) + BpeVocabBudget
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long, Long)]
+    var stopped = false
+    for (r <- 1 to BpeRounds if !stopped) {
+      val best = cur
+        .select(split(col("norm"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"),
+          col("ws"))
+        .select(element_at(col("ws"), col("i")).as("w1"),
+          element_at(col("ws"), col("i") + 1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
+      best.write.mode(if (r == 1) "overwrite" else "append")
+        .parquet(s"$work/bpe_merges_vocab")
+      val staged = s.read.parquet(s"$work/bpe_merges_vocab")
+        .where(col("round") === r)
+        .select(col("w1"), col("w2"), col("cnt")).collect()
+      if (staged.isEmpty) stopped = true // pair exhaustion
+      else {
+        val (w1, w2, cnt) = (staged(0).getString(0),
+          staged(0).getString(1), staged(0).getLong(2))
+        cur = cur
+          .select(col("doc_id"),
+            bpeMergeStep(col("norm"), lit(w1), lit(w2)).as("norm"))
+          .localCheckpoint()
+        val st = cur
+          .agg(sum(size(split(col("norm"), " "))).as("ta"),
+            expr("bit_xor(cast(conv(substr(md5(concat(cast(doc_id as " +
+              "string), ':', norm)), 1, 15), 16, 10) as bigint))")
+              .as("cx"))
+          .head()
+        val vocab = vocabOf(cur)
+        out += ((r, w1, w2, cnt, st.getLong(0), vocab, st.getLong(1)))
+        if (vocab >= target) stopped = true
+      }
+    }
+    out.toSeq
+      .toDF("round", "w1", "w2", "cnt", "tokens_after", "vocab_size",
+        "corpus_xor")
+      .orderBy(col("round"))
+  }
+
+  /** Token-ID emission — the LAST step of the tokenizer pipeline, the
+    * artifact an actual training run consumes: encode every document
+    * with q116's staged merge table (q121's one codegen'd map pass),
+    * then map each encoded token to its id in q96's frequency-ranked
+    * vocabulary (staged; OOV → id 0 — merged tokens and sub-min-count
+    * words both land there by construction, exactly as a frozen vocab
+    * treats them at serving time). Output per doc: token count, OOV
+    * count, and the 60-bit digest of the comma-joined id SEQUENCE in
+    * position order, so the hash-compare certifies every id at every
+    * position without shipping |tokens| rows through the report.
+    *
+    * Scale shape: the vocab is model-sized and BROADCAST into the
+    * token join; the only corpus-sized shuffle is the groupBy(doc_id)
+    * that reassembles the id sequence — the same one-token-explode
+    * budget as q55/q94. The oracle re-encodes from the staged merges
+    * and replays the id join against the staged vocab.
+    */
+  def q129BpeTokenIds(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    q116BpeTrain(s, dir) // eager: stages bpe_merges
+    q96VocabBuild(s, dir).select(col("token_id"), col("token"))
+      .write.mode("overwrite").parquet(s"$work/vocab")
+    val merges = s.read.parquet(s"$work/bpe_merges")
+      .orderBy(col("round"))
+      .select(col("w1"), col("w2")).collect()
+    val init = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+    val encoded = merges.foldLeft(init) { (df, r) =>
+      df.withColumn("norm",
+        bpeMergeStep(col("norm"), lit(r.getString(0)), lit(r.getString(1))))
+    }
+    val vocab = s.read.parquet(s"$work/vocab")
+    encoded
+      .select(col("doc_id"),
+        posexplode(split(col("norm"), " ")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), col("tok") === col("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sort_array(collect_list(struct(col("pos"), col("tid"))))
+          .as("ps"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("cast(conv(substr(md5(array_join(transform(ps, " +
+          "p -> cast(p.tid as string)), ',')), 1, 15), 16, 10) " +
+          "as bigint)").as("ids_h60"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB 60-bit hash of md5-hex column `m` — Dedup's sqlH60, one
     * shared definition. */
   private def sqlH60m = Dedup.sqlH60
@@ -1391,7 +1551,9 @@ object Text {
                 CAST(SUM(len(string_split(norm, ' '))) AS BIGINT)
                   AS tokens_after,
                 BIT_XOR($sqlH60m) AS corpus_xor
-              FROM (SELECT norm, md5(norm) AS m FROM c$r)
+              FROM (SELECT norm,
+                      md5(CAST(doc_id AS VARCHAR) || ':' || norm) AS m
+                    FROM c$r)
                 CROSS JOIN b$r b
               GROUP BY b.w1, b.w2, b.cnt)"""
     }.mkString(",\n      ")
@@ -1401,6 +1563,53 @@ object Text {
       ${(1 to BpeRounds).map(r => s"SELECT * FROM s$r")
         .mkString("\n      UNION ALL ")}
       ORDER BY round"""
+  }
+
+  /** q128's oracle: [[sqlBpeTrain]]'s unrolled recurrence with a
+    * measured vocab_size per round and the vocab-target stop applied
+    * as a filter — SQL cannot early-return, so DuckDB trains all
+    * [[BpeRounds]] rounds and keeps rows up to the first round whose
+    * measured vocabulary reaches base + [[BpeVocabBudget]], which is
+    * exactly the row set the engine's genuinely-stopping loop emits.
+    */
+  private def sqlBpeVocabTrain: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""b$r AS (SELECT w1, w2, COUNT(1) AS cnt FROM (
+             SELECT ws[i] AS w1, ws[i+1] AS w2
+             FROM (SELECT ws, unnest(range(1, greatest(len(ws)-1, 0) + 1))
+                     AS i
+                   FROM (SELECT string_split(norm, ' ') AS ws FROM $prev)
+                   WHERE len(ws) >= 2))
+           GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+      c$r AS (SELECT doc_id, ${sqlBpeMerge("norm", "w1", "w2")} AS norm
+              FROM $prev CROSS JOIN b$r),
+      s$r AS (SELECT $r AS round, b.w1, b.w2, b.cnt,
+                CAST(SUM(len(string_split(norm, ' '))) AS BIGINT)
+                  AS tokens_after,
+                (SELECT COUNT(DISTINCT t) FROM
+                  (SELECT unnest(string_split(norm, ' ')) AS t
+                   FROM c$r)) AS vocab_size,
+                BIT_XOR($sqlH60m) AS corpus_xor
+              FROM (SELECT norm,
+                      md5(CAST(doc_id AS VARCHAR) || ':' || norm) AS m
+                    FROM c$r)
+                CROSS JOIN b$r b
+              GROUP BY b.w1, b.w2, b.cnt)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH c0 AS (SELECT doc_id, $sqlNorm AS norm FROM documents),
+      $rounds,
+      v0 AS (SELECT COUNT(DISTINCT t) AS v FROM
+              (SELECT unnest(string_split(norm, ' ')) AS t FROM c0)),
+      u AS (${(1 to BpeRounds).map(r => s"SELECT * FROM s$r")
+        .mkString("\n        UNION ALL ")})
+      SELECT round, w1, w2, cnt, tokens_after, vocab_size, corpus_xor
+      FROM (SELECT u.*,
+              MIN(CASE WHEN vocab_size >= v + $BpeVocabBudget
+                  THEN round END) OVER () AS sr
+            FROM u CROSS JOIN v0)
+      WHERE round <= COALESCE(sr, $BpeRounds) ORDER BY round"""
   }
 
   /** Chi-square independence test — the A/B-analysis primitive: the
@@ -1475,10 +1684,46 @@ object Text {
     "q116_bpe_train" -> (q116BpeTrain _),
     "q119_perplexity_filter" -> (q119PerplexityFilter _),
     "q121_bpe_encode" -> (q121BpeEncode _),
+    "q128_bpe_vocab_train" -> (q128BpeVocabTrain _),
+    "q129_bpe_token_ids" -> (q129BpeTokenIds _),
   )
 
   val oracles: Map[String, String] = Map(
     "q116_bpe_train" -> sqlBpeTrain,
+    // the vocab-target train: all rounds unrolled (SQL cannot early-
+    // return), rows kept up to the first measured-vocab target hit —
+    // the same rows the engine's genuinely-stopping loop emits
+    "q128_bpe_vocab_train" -> sqlBpeVocabTrain,
+    // re-encodes from the ENGINE-STAGED merges, ids from the ENGINE-
+    // STAGED vocab — OOV (merged tokens, sub-min-count words) is 0
+    "q129_bpe_token_ids" -> {
+      val enc = (1 to BpeRounds).foldLeft("norm") { (acc, r) =>
+        sqlBpeMerge(acc,
+          s"COALESCE((SELECT w1 FROM m WHERE round = $r), 'x x')",
+          s"COALESCE((SELECT w2 FROM m WHERE round = $r), 'x x')")
+      }
+      s"""
+      WITH m AS (SELECT round, w1, w2
+                 FROM '__GRAFT_STAGED__/bpe_merges/*.parquet'),
+      v AS (SELECT token_id, token
+            FROM '__GRAFT_STAGED__/vocab/*.parquet'),
+      c0 AS (SELECT doc_id, $sqlNorm AS norm FROM documents),
+      e AS (SELECT doc_id, string_split($enc, ' ') AS ws FROM c0),
+      toks AS (SELECT doc_id, i, ws[i] AS tok
+               FROM (SELECT doc_id, ws,
+                       unnest(range(1, len(ws) + 1)) AS i
+                     FROM e)),
+      ids AS (SELECT doc_id, i, COALESCE(v.token_id, 0) AS tid
+              FROM toks LEFT JOIN v ON toks.tok = v.token),
+      per AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS seq
+              FROM ids GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_oov, $sqlH60m AS ids_h60
+      FROM (SELECT doc_id, n_tokens, n_oov, md5(seq) AS m FROM per)
+      ORDER BY doc_id"""
+    },
     // replays the encode over the ENGINE-STAGED merge table (never
     // retrains); a missing round coalesces to a space-bearing token,
     // which cannot match in the doubled-separator domain — the same

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StreamingQuery, Trigger}
@@ -202,6 +202,17 @@ object EventStreams {
     * parquet, not the state store: a restart resumes from the digest
     * table + checkpoint, and the table is directly queryable.
     */
+  /** Storage-agnostic existence probe for a staged table: goes through
+    * the Hadoop FileSystem resolved from the path itself, so the
+    * anti-join guard engages on HDFS/S3 exactly as on local disk — a
+    * java.io.File probe would silently report "absent" on any remote
+    * filesystem and re-append every batch.
+    */
+  private def stagedExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def dedupIngest(docs: DataFrame, stagedDir: String,
       checkpoint: String): StreamingQuery = {
     import org.apache.spark.sql.DataFrame
@@ -217,7 +228,7 @@ object EventStreams {
           .agg(min(col("doc_id")).as("doc_id"))
         val path = s"$stagedDir/corpus_digests"
         val existing =
-          if (new java.io.File(path).exists) s.read.parquet(path)
+          if (stagedExists(s, path)) s.read.parquet(path)
           else s.emptyDataFrame.select(lit("").as("norm_hash"),
             lit(0L).as("doc_id")).limit(0)
         digests
@@ -246,9 +257,11 @@ object EventStreams {
     * search consumes unchanged. Effectively-once by CONTENT, not by
     * offset alone: foreachBatch is at-least-once (a batch retried
     * after a completed write but before the offset commit would
-    * re-append), so each batch anti-joins the staged table on vec_id
-    * before appending — [[dedupIngest]]'s discipline — making any
-    * replay a no-op; a drained AvailableNow re-run appends nothing.
+    * re-append), so each batch drops in-batch vec_id duplicates (an
+    * at-least-once source can redeliver a row WITHIN one batch too)
+    * and anti-joins the staged table on vec_id before appending —
+    * [[dedupIngest]]'s discipline — making any replay a no-op; a
+    * drained AvailableNow re-run appends nothing.
     * Zero-norm vectors are unassignable and sit out, exactly as in
     * training. IvfIngestStreamSpec asserts the streamed index equals
     * q81's batch-ingested index row-for-row over ≥3 micro-batches.
@@ -263,10 +276,11 @@ object EventStreams {
         val s = batch.sparkSession
         val path = s"$stagedDir/cells_stream"
         val assigned = batch.where(col("nrm") > 0)
+          .dropDuplicates("vec_id")
           .select(col("vec_id"),
             graft.ops.Similarity.cellAssignment(centroids).as("cluster"))
         val fresh =
-          if (new java.io.File(path).exists)
+          if (stagedExists(s, path))
             assigned.join(s.read.parquet(path).select(col("vec_id")),
               Seq("vec_id"), "left_anti")
           else assigned
@@ -284,11 +298,12 @@ object EventStreams {
     * (Similarity.pqCodes) — a pure map stage, 4 bytes of code per
     * (vector, subspace) appended to the staged code table, no state
     * store, no shuffle. The codebook is an input (training amortizes
-    * across refreshes); effectively-once by content via the same
-    * anti-join-before-append as [[ivfIngestStream]] (foreachBatch
-    * alone is at-least-once under a retry between write and offset
-    * commit). PqIngestStreamSpec asserts the streamed code table
-    * equals q93's batch-encoded table row-for-row.
+    * across refreshes); effectively-once by content via in-batch
+    * vec_id dedup plus the same anti-join-before-append as
+    * [[ivfIngestStream]] (foreachBatch alone is at-least-once under a
+    * retry between write and offset commit). PqIngestStreamSpec
+    * asserts the streamed code table equals q93's batch-encoded table
+    * row-for-row.
     */
   def pqIngestStream(vectors: DataFrame,
       codebook: Array[Array[Array[Long]]], stagedDir: String,
@@ -299,10 +314,11 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val path = s"$stagedDir/pq_codes_stream"
-        val codes = graft.ops.Similarity.pqCodes(batch, codebook)
+        val codes = graft.ops.Similarity
+          .pqCodes(batch.dropDuplicates("vec_id"), codebook)
           .select(col("vec_id"), col("sub"), col("code"))
         val fresh =
-          if (new java.io.File(path).exists)
+          if (stagedExists(s, path))
             codes.join(
               s.read.parquet(path).select(col("vec_id")).distinct(),
               Seq("vec_id"), "left_anti")

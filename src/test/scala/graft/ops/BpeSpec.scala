@@ -128,4 +128,97 @@ class BpeSpec extends SparkSpec {
     assert(gotEnc.map(_._2).sum < texts.map(_.split(" ").length).sum / 2,
       gotEnc.toString)
   }
+
+  test("q128 genuinely stops at the measured vocab target") {
+    // layered corpus engineered so every round mints +1 vocab: round r
+    // elects (xr, yr) with count 20-r+1 (all counts distinct — fully
+    // deterministic), and one "xr z"/"yr z" keeper doc per pair keeps
+    // both source tokens alive standalone, so the merge adds its
+    // compound without consuming either source. v0 = 15 tokens
+    // (x1..x7, y1..y7, z), target = v0 + BpeVocabBudget = 21, hit
+    // after round 6 — the loop must stop there, 4 rounds early.
+    val texts = (1 to 7).flatMap { r =>
+      Seq.fill(21 - r)(s"x$r y$r") ++ Seq(s"x$r z", s"y$r z")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vocab").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = Text.q128BpeVocabTrain(spark, dir)
+      .select($"round", $"w1", $"w2", $"cnt", $"vocab_size")
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(got.size === 6, got.toString)
+    for ((r, i) <- got.zipWithIndex) {
+      assert(r._1 === i + 1)
+      assert(r._2 === s"x${i + 1}" && r._3 === s"y${i + 1}", r.toString)
+      assert(r._4 === (20 - i).toLong)
+      assert(r._5 === (15 + i + 1).toLong) // +1 vocab per round
+    }
+    assert(got.dropRight(1).forall(_._5 < 21L))
+    assert(got.last._5 >= 21L)
+    // the staged artifact holds exactly the executed rounds
+    val staged = spark.read
+      .parquet(s"${Dedup.stageRoot(dir)}/bpe_merges_vocab")
+      .select($"round").as[Int].collect().toSeq.sorted
+    assert(staged === (1 to 6))
+  }
+
+  test("q128 stops on pair exhaustion, not just the vocab target") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_exh").toString
+    Seq((1L, "x y", "en", "src0"), (2L, "x y", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Text.q128BpeVocabTrain(spark, dir)
+      .select($"round", $"w1", $"w2")
+      .as[(Int, String, String)].collect().toSeq
+    // round 1 merges the only pair; round 2 finds nothing and stops
+    assert(got === Seq((1, "x", "y")))
+  }
+
+  test("q129 token ids equal a plain-Scala encode + vocab-join replay") {
+    // "q" appears 5 times but only ever as a whole single-token
+    // document: no pair ever contains it, so no merge round can
+    // consume it, and its count clears the vocab cutoff — the
+    // guaranteed in-vocab survivor (everything in the multi-token
+    // docs is either merged into an OOV compound or too rare)
+    val texts = Seq(
+      "a b c d a b c d a b c d",
+      "a b c d a b c d",
+      "a b x a b y") ++ Seq.fill(5)("q")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_ids").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = Text.q129BpeTokenIds(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+    // replay: train (shared reference trainer), encode, then id-map
+    // against q96's vocab law — rank by (count DESC, token ASC) over
+    // pre-merge whitespace words with count >= 5; OOV (including every
+    // minted compound) is 0
+    val merges = refTrain(texts.map(_.split(" ", -1).toSeq), Text.BpeRounds)
+      .map(r => (r._2, r._3))
+    val wordCounts = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = wordCounts.filter(_._2 >= 5).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1).toLong }.toMap
+    val expect = texts.zipWithIndex.map { case (t0, i) =>
+      val enc = merges.foldLeft(t0.split(" ", -1).toSeq) {
+        case (ts, (w1, w2)) => refMerge(ts, w1, w2)
+      }
+      val ids = enc.map(tok => vocab.getOrElse(tok, 0L))
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (i.toLong, enc.size.toLong, ids.count(_ == 0L).toLong,
+        java.lang.Long.parseLong(md5hex.substring(0, 15), 16))
+    }
+    assert(got === expect)
+    // the corpus must exercise BOTH sides: some known ids, some OOV
+    assert(got.map(_._3).sum > 0, "no OOV tokens exercised")
+    assert(got.exists(r => r._3 < r._2), "no in-vocab tokens exercised")
+  }
 }

@@ -101,8 +101,54 @@ class SimhashPairsSpec extends SparkSpec {
     // every exact pair must be flagged by minhash (J=1) AND simhash
     // (identical signature, Hamming 0): no (T,F,·) or (T,·,F) row
     assert(!m.exists(r => r._1 && !(r._2 && r._3)), m.toString)
-    assert(m.find(r => r._1 && r._2 && r._3).map(_._4).contains(3L),
+    // min-id star representation: the 3-deep family contributes the
+    // 2 pairs (1,2),(1,3) to the exact tier; the third family pair
+    // (2,3) is still caught by both approximate signals and lands in
+    // the (F,T,T) row — the documented shape of the representation
+    assert(m.find(r => r._1 && r._2 && r._3).map(_._4).contains(2L),
       m.toString)
+    assert(m.find(r => !r._1 && r._2 && r._3).map(_._4).contains(1L),
+      m.toString)
+  }
+
+  test("q123: exact-tier fan-out is linear in family size, not quadratic") {
+    val d = java.nio.file.Files.createTempDirectory("graft-q123hot").toString
+    // a 60-deep byte-identical family: the old digest self-join would
+    // materialize C(60,2) = 1770 exact rows; the min-id star emits 59.
+    // SimHash's BandHotCap (50) suppresses the family's band buckets,
+    // so the matrix must show the exact pairs as (T,T,F) — the very
+    // hot-bucket-suppression diagnostic the docstring advertises
+    val text = (1 to 80).map(i => s"f$i").mkString(" ")
+    ((1L to 60L).map(id => (id, text)) :+ (99L, "lonely unrelated doc"))
+      .map { case (id, t0) => (id, t0, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = Dedup.q123DedupAgreement(spark, d)
+      .as[(Boolean, Boolean, Boolean, Long)].collect().toSeq
+    val exactTotal = m.filter(_._1).map(_._4).sum
+    assert(exactTotal === 59L, s"exact tier emitted $exactTotal pairs: $m")
+    assert(m.find(r => r._1 && r._2 && !r._3).map(_._4).contains(59L),
+      m.toString)
+  }
+
+  test("engine hot_buckets scalar is reported alongside surviving pairs") {
+    // a hot 60-deep family (suppressed) PLUS an unrelated surviving
+    // near-dup pair: the pair row carries the engine-side hot_buckets
+    // column, so the scalar itself is asserted against the replay —
+    // the shape the -1 sentinel in run() can't cover when no pair
+    // survives
+    val famText = (1 to 50).map(i => s"h$i").mkString(" ")
+    val base = (1 to 100).map(i => s"p$i").mkString(" ")
+    val oneOff = ((1 to 99).map(i => s"p$i") :+ "qqq").mkString(" ")
+    val docs = (1L to 60L).map(id => (id, famText)) ++
+      Seq((101L, base), (102L, oneOff))
+    val (expectPairs, expectHot) = replay(docs)
+    val (gotPairs, gotHot) = run(docs)
+    assert(expectPairs.nonEmpty && expectHot === 4L)
+    assert(gotPairs === expectPairs)
+    assert(gotHot === expectHot)
+    // no family member survives into any pair
+    assert(!gotPairs.exists(p => p._1 <= 60L || p._2 <= 60L))
   }
 
   test("hot band buckets are suppressed and reported, not joined") {

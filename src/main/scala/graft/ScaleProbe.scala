@@ -154,7 +154,7 @@ object ScaleProbe {
       "q121_bpe_encode", "q122_simhash_pairs", "q123_dedup_agreement",
       "q124_image_embed", "q125_image_resize", "q126_recall_report",
       "q127_quality_survivors", "q128_bpe_vocab_train",
-      "q129_bpe_token_ids",
+      "q129_bpe_token_ids", "q130_ivfpq_rerank",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

@@ -937,6 +937,89 @@ object Similarity {
     adcRank(cand, lut, topK = 5)
   }
 
+  /** ADC shortlist width for the exact re-rank: the re-ranked
+    * candidate pool is |queries|·this — model-sized at any corpus
+    * size, which is what makes the exact final mile free.
+    */
+  val RerankShortlist = 20
+
+  /** Exact-cosine re-rank of a model-sized (query_id, neighbor_id)
+    * shortlist — the final mile of the production ANN layout: ADC
+    * pricing is squared L2 in QUANTIZED space (cheap, 4 code bytes per
+    * candidate, but it inherits both the metric gap and the
+    * quantization error), so the last step re-scores only the
+    * shortlist with the engine's true similarity (q40's exact integer
+    * dot / norms) and re-orders. Cost: the shortlist BROADCASTS into
+    * two equi-joins against the vector table (neighbor fetch, query
+    * fetch) — |Q|·[[RerankShortlist]] exact dots total, zero corpus
+    * shuffle, so the plan stays scale-safe while recall jumps to
+    * "shortlist recall" (the measured gap in q126: ADC-ranked top-5 at
+    * 0.05 recall@1 vs 0.70 for uncompressed IVF on the same cells).
+    */
+  private def rerankExact(s: SparkSession, dir: String,
+      shortlist: DataFrame, topK: Int): DataFrame = {
+    val iv = scaledVectors(s, dir)
+    val q = iv.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(shortlist.select(col("query_id"), col("neighbor_id")))
+      .join(iv, col("vec_id") === col("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multi-probe IVF-PQ with EXACT RE-RANK — q117's staged search with
+    * the standard last step a production deployment adds: ADC prices
+    * every candidate (compressed, never touching a vector), the top
+    * [[RerankShortlist]] per query form the shortlist, and only those
+    * rows are re-scored with the exact integer-dot cosine and
+    * re-ranked to the final top-5. q126's measured curve is WHY this
+    * query exists: pure ADC ranking bottoms out at 0.05 recall@1 on
+    * the real embeddings (4×16-dim subspaces is aggressive
+    * quantization), while the same candidate stream re-ranked exactly
+    * recovers everything the shortlist contains. The corpus-side scan
+    * is unchanged from q117 (4-byte codes); the exact work is
+    * |Q|·[[RerankShortlist]] dots — model-sized at 100 TB. The DuckDB
+    * oracle replays the identical joins (shortlist included) over the
+    * four engine-staged tables.
+    */
+  def q130IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageIvfIndex(s, dir, work)
+    stagePq(s, dir, work)
+    val cells = s.read.parquet(s"$work/cells")
+    val probes = s.read.parquet(s"$work/probes")
+    val cb = s.read.parquet(s"$work/pq_codebook")
+    val codes = s.read.parquet(s"$work/pq_codes")
+    val lut = adcLutFor(
+      scaledVectors(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")), cb)
+    val cand = probes.join(cells, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+    rerankExact(s, dir, adcRank(cand, lut, topK = RerankShortlist),
+      topK = 5)
+  }
+
+  /** Spec-facing in-memory form of [[q130IvfPqRerank]] — ivfPqSearch's
+    * shortlist re-ranked exactly, with the spec's own corpus and
+    * geometry knobs.
+    */
+  def ivfPqRerankSearch(s: SparkSession, dir: String, nprobe: Int,
+      k: Int = 4, iters: Int = 5, topK: Int = 5,
+      maxQueryId: Long = 20L): DataFrame =
+    rerankExact(s, dir,
+      ivfPqSearch(s, dir, nprobe, k, iters, RerankShortlist, maxQueryId),
+      topK)
+
   // ---- hierarchical (two-level) coarse quantizer ----
 
   /** Sub-cells per super-cell for the two-level quantizer. Total cell
@@ -1369,7 +1452,8 @@ object Similarity {
     * nprobe/k1/k2 against, generalizing q106's per-query `correct`
     * flag to the whole ANN family: every staged-index search (q78
     * 1-probe IVF, q79 2-probe, q91 own-cell IVF-PQ, q117 2-probe
-    * IVF-PQ, q120 hierarchical tree-descent) is run over the REAL
+    * IVF-PQ, q130 re-ranked IVF-PQ, q120 hierarchical tree-descent)
+    * is run over the REAL
     * embeddings table, its top-5 staged, and scored against the
     * exact brute-force top-5 (q40's plan at the shared query set).
     * recall@1 = fraction of queries whose true nearest neighbor is
@@ -1393,6 +1477,7 @@ object Similarity {
       ("ivf_2probe", q79AnnIvfMultiprobe _),
       ("ivfpq_1probe", q91IvfPq _),
       ("ivfpq_2probe", q117IvfPqMultiprobe _),
+      ("ivfpq_rerank_2probe", q130IvfPqRerank _),
       ("hier_2probe", q120HierMultiprobe _))
     methods.map { case (m, f) =>
       // EAGER localCheckpoint per method: each search lazily reads the
@@ -1460,6 +1545,7 @@ object Similarity {
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
+    "q130_ivfpq_rerank" -> (q130IvfPqRerank _),
     "q118_ann_ivf_hier" -> (q118AnnIvfHier _),
     "q120_hier_multiprobe" -> (q120HierMultiprobe _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
@@ -1661,6 +1747,53 @@ object Similarity {
         FROM d)
       SELECT query_id, rank, neighbor_id, adc_dist
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q117's staged replay + the exact-cosine re-rank of the ADC
+    // shortlist (top-20 per query): the oracle re-scores the SAME
+    // shortlist rows with the same exact integer dot / norms
+    "q130_ivfpq_rerank" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      ql AS (SELECT query_id,
+          CAST((g - 1) // 16 AS INT) AS sub,
+          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+        FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
+                generate_subscripts(v, 1) AS g
+              FROM iv WHERE vec_id < 20)),
+      lut AS (SELECT query_id, sub, code,
+          CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
+        FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
+      cand AS (SELECT p.query_id, t.vec_id, c.sub, c.code
+        FROM probes p JOIN cells t ON p.cluster = t.cluster
+          JOIN codes c ON c.vec_id = t.vec_id
+        WHERE t.vec_id <> p.query_id),
+      d AS (SELECT cand.query_id, cand.vec_id,
+          CAST(SUM(pd) AS BIGINT) AS adc_dist
+        FROM cand JOIN lut ON lut.query_id = cand.query_id
+          AND lut.sub = cand.sub AND lut.code = cand.code
+        GROUP BY cand.query_id, cand.vec_id),
+      sl AS (SELECT query_id, vec_id AS neighbor_id
+        FROM (SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, vec_id) AS arank
+              FROM d)
+        WHERE arank <= 20),
+      x AS (SELECT sl.query_id, sl.neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)
+            AS cosine
+        FROM sl JOIN iv q ON q.vec_id = sl.query_id
+          JOIN iv n ON n.vec_id = sl.neighbor_id),
+      rr AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM x)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
     "q34_embedding_top_pairs" -> s"""
       WITH $sqlScaled
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

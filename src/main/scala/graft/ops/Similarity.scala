@@ -329,19 +329,26 @@ object Similarity {
     val assigned =
       if (want <= 64) trainCodebook(s, dir, k = adaptiveCellCount(n))._2
       else {
-        // k1 ~ sqrt(cells) keeps both factors small; each level is
-        // independently bounded by the 64-wide literal/broadcast forms,
-        // so capacity tops out at 64·64 = 4096 cells — k ~ sqrt(n) up
-        // to ~8M vectors per refresh partition, and the cap is a
-        // documented ceiling, not a silent wrap
-        val k1 = math.min(64L,
-          math.ceil(math.sqrt(want.toDouble)).toLong).toInt
-        val k2 = math.min(64L, math.max(2L, (want + k1 - 1) / k1)).toInt
+        val (k1, k2) = hierFactors(want)
         trainHierCells(s, dir, k1, k2)
           .select(col("vec_id"), col("cell").cast("int").as("cluster"))
       }
     assigned.write.mode("overwrite").parquet(p)
     p
+  }
+
+  /** (k1, k2) sizing for the two-level quantizer when the target cell
+    * count exceeds the flat clamp: k1 ~ sqrt(cells) keeps both factors
+    * small; each level is independently bounded by the 64-wide
+    * literal/broadcast forms, so capacity tops out at 64·64 = 4096
+    * cells — k ~ sqrt(n) up to ~8M vectors per refresh partition, and
+    * the cap is a documented ceiling, not a silent wrap.
+    */
+  private def hierFactors(want: Long): (Int, Int) = {
+    val k1 = math.min(64L,
+      math.ceil(math.sqrt(want.toDouble)).toLong).toInt
+    val k2 = math.min(64L, math.max(2L, (want + k1 - 1) / k1)).toInt
+    (k1, k2)
   }
 
   private def vectorCount(s: SparkSession, dir: String): Long =
@@ -443,19 +450,46 @@ object Similarity {
     * selection depends on the trained model (like the assignments), so
     * it stages; the SEARCH over staged probes+cells is pure relational
     * algebra the oracle replays.
+    *
+    * Same automatic quantizer selection as [[stageCells]]: flat Lloyd
+    * below the k ≤ 64 clamp (the historical form every sf0.01/sf0.1
+    * oracle certifies), the two-level hierarchical quantizer above it
+    * — with probe selection by TREE DESCENT ([[hierProbes]]: k1 +
+    * nprobe·k2 scores per query, never k1·k2). Consumers (q79, q117,
+    * q130) read only the staged (cells, probes) pair and cannot tell
+    * which quantizer produced it. Measured at the 70× probe (140k
+    * vectors): flat-path q79 was 292.7 s, dominated by k=64
+    * literal-expression Lloyd; the hier path trains the same corpus
+    * in ~44 s (q78's shared stageCells run).
     */
   def stageIvfIndex(s: SparkSession, dir: String, workDir: String,
       nprobe: Int = 2, maxQueryId: Long = 20L): Unit = {
-    val (centroids, assigned) =
-      trainCodebook(s, dir, k = adaptiveCellCount(vectorCount(s, dir)))
-    assigned.write.mode("overwrite").parquet(s"$workDir/cells")
-    val queries = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
-      .where(col("vec_id") < maxQueryId)
-      .select(col("vec_id"), col("v"), col("nrm"))
-    ivfProbes(queries, centroids, nprobe)
-      .select(col("query_id"), col("cluster"))
-      .write.mode("overwrite").parquet(s"$workDir/probes")
+    val n = vectorCount(s, dir)
+    val want = (n + CellTarget - 1) / CellTarget
+    if (want <= 64) {
+      val (centroids, assigned) =
+        trainCodebook(s, dir, k = adaptiveCellCount(n))
+      assigned.write.mode("overwrite").parquet(s"$workDir/cells")
+      val queries = scaledVectors(s, dir)
+        .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
+        .where(col("vec_id") < maxQueryId)
+        .select(col("vec_id"), col("v"), col("nrm"))
+      ivfProbes(queries, centroids, nprobe)
+        .select(col("query_id"), col("cluster"))
+        .write.mode("overwrite").parquet(s"$workDir/probes")
+    } else {
+      val (k1, k2) = hierFactors(want)
+      val (c1, cents, asg) = trainHier(s, dir, k1, k2)
+      asg.select(col("vec_id"), col("cell").cast("int").as("cluster"))
+        .write.mode("overwrite").parquet(s"$workDir/cells")
+      val queries = scaledVectors(s, dir)
+        .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
+        .where(col("vec_id") < maxQueryId)
+        .select(col("vec_id"), col("v"), col("nrm"))
+      hierProbes(queries, c1, cents, k2, nprobe)
+        .select(col("query_id"), col("cell").cast("int").as("cluster"))
+        .write.mode("overwrite").parquet(s"$workDir/probes")
+    }
   }
 
   /** Trained-IVF ANN — q42 with the `label` stand-in replaced by REAL

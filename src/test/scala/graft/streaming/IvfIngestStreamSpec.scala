@@ -82,4 +82,35 @@ class IvfIngestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$staged/cells_stream").count()
       === streamed.size.toLong)
   }
+
+  test("in-batch redelivery: a vec_id duplicated WITHIN one micro-batch appends once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val staged =
+      java.nio.file.Files.createTempDirectory("ivf-dupb").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("ivf-dupb-ckpt").toString
+    val isNew = col("vec_id") % 10 === 9
+    val ivAll = Similarity.scaledVectors(spark, dir)
+      .where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val (centroids, _) =
+      Similarity.trainCodebookOn(ivAll.where(!isNew), k = 4, iters = 5)
+    val newRows = ivAll.where(isNew)
+      .as[(Long, Seq[Long], Double)].collect().toSeq.sortBy(_._1)
+    // an at-least-once source redelivering INSIDE one batch: every
+    // row arrives 3 times in the same micro-batch — the staged-table
+    // anti-join can't see these (nothing is staged yet), so only the
+    // in-batch dropDuplicates stands between this and 3× rows
+    val src = MemoryStream[(Long, Seq[Long], Double)]
+    src.addData(newRows ++ newRows ++ newRows: _*)
+    EventStreams.ivfIngestStream(
+      src.toDF().toDF("vec_id", "v", "nrm"), centroids, staged, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$staged/cells_stream")
+    assert(got.count() === newRows.size.toLong, "one row per vec_id")
+    assert(got.groupBy(col("vec_id")).count()
+      .where(col("count") > 1).count() === 0L)
+  }
 }

@@ -72,4 +72,31 @@ class PqIngestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$staged/pq_codes_stream").count()
       === streamed.size.toLong)
   }
+
+  test("in-batch redelivery: a vec_id duplicated WITHIN one micro-batch encodes once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val staged =
+      java.nio.file.Files.createTempDirectory("pq-dupb").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("pq-dupb-ckpt").toString
+    val isNew = col("vec_id") % 10 === 9
+    val ivAll = Similarity.scaledVectors(spark, dir)
+      .select(col("vec_id"), col("v")).localCheckpoint()
+    val (codebook, _) = Similarity.trainPq(ivAll.where(!isNew))
+    val newRows = ivAll.where(isNew)
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    // 3 copies of every row in ONE batch: nothing is staged yet, so
+    // the anti-join is blind — in-batch dedup must carry it alone
+    val src = MemoryStream[(Long, Seq[Long])]
+    src.addData(newRows ++ newRows ++ newRows: _*)
+    EventStreams.pqIngestStream(
+      src.toDF().toDF("vec_id", "v"), codebook, staged, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$staged/pq_codes_stream")
+    assert(got.count()
+      === newRows.size.toLong * Similarity.PqSubspaces)
+    assert(got.groupBy(col("vec_id"), col("sub")).count()
+      .where(col("count") > 1).count() === 0L)
+  }
 }

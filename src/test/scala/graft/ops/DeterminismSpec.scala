@@ -46,7 +46,16 @@ class DeterminismSpec extends SparkSpec {
     // q123: three full-outer joins over staged pair tables; q124: NN
     // argmin ties over a non-equi join; q125: mapPartitions codec
     // order (q80's hazard) + per-row fold
-    "q123_dedup_agreement", "q124_image_embed", "q125_image_resize")
+    "q123_dedup_agreement", "q124_image_embed", "q125_image_resize",
+    // round-8 surfaces: q126 cross-joins five searches' staged top-5s
+    // (each with its own rank ties) against the brute-force truth;
+    // q127's max_by election ties on (quality, -doc_id); q128 stacks
+    // q116's election hazard with a countDistinct stop decision; q129
+    // reassembles position-ordered id sequences from an exploded
+    // shuffle; q130 re-ranks an ADC shortlist whose own rank ties
+    // decide membership
+    "q126_recall_report", "q127_quality_survivors",
+    "q128_bpe_vocab_train", "q129_bpe_token_ids", "q130_ivfpq_rerank")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -1482,6 +1482,53 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Nearest-centroid (Rocchio) classification — the centroid-model
+    * counterpart of q106's kNN, and the classifier a 100 TB labeling
+    * pipeline actually ships (scoring cost is |labels| dots per row,
+    * not a neighbor search). Train on the 80 % split (vec_id % 5 ≠ 0):
+    * per-label centroid components are EXACT integer sums of the
+    * 2^16-scaled vectors collapsed by the canonical mergeable partial
+    * aggregation (64 longs per label survive the shuffle, map-side
+    * combine does the rest), then ONE IEEE division + floor per
+    * component — bit-identical in Spark and DuckDB. Classify the
+    * held-out 20 % by max integer-exact cosine against the
+    * |labels|-row broadcast centroid table; ties break to the lowest
+    * label, degenerate (zero-norm) scores sort below every real one.
+    *
+    * Scale shape: training shuffles |labels|·64 longs regardless of
+    * corpus size; scoring is a broadcast nested-loop over a
+    * model-sized (|labels| = schema-fixed, NOT corpus-growing) table
+    * followed by a partial-agg `max_by` groupBy — the shuffle carries
+    * one row per test vector. Nothing quadratic, nothing driver-side.
+    */
+  def q131CentroidClassify(s: SparkSession, dir: String): DataFrame = {
+    val iv = scaledVectors(s, dir)
+    val sums = (1 to 64).map(i => sum(element_at(col("v"), i)).as(s"s$i"))
+    val cent = iv.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      .groupBy(col("label").as("c_label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("c_label"),
+        array((1 to 64).map(i =>
+          floor(col(s"s$i").cast("double") / col("n")).cast("long")): _*)
+          .as("cv"))
+      .withColumn("cnrm", sqrt(idot(col("cv"), col("cv")).cast("double")))
+    iv.where(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("label").as("true_label"), col("v"),
+        col("nrm"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("true_label"), col("c_label"),
+        cosine(idot(col("v"), col("cv")), col("nrm"), col("cnrm"))
+          .as("score"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(max_by(struct(col("c_label"), col("score")),
+        struct(coalesce(col("score"), lit(-2.0)), -col("c_label")))
+        .as("best"))
+      .select(col("vec_id"), col("true_label"),
+        col("best.c_label").as("pred_label"),
+        col("best.score").as("score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ANN RECALL REPORT — the measured recall@k curve a user tunes
     * nprobe/k1/k2 against, generalizing q106's per-query `correct`
     * flag to the whole ANN family: every staged-index search (q78
@@ -1566,6 +1613,7 @@ object Similarity {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_knn_classify" -> (q106KnnClassify _),
+    "q131_centroid_classify" -> (q131CentroidClassify _),
     "q126_recall_report" -> (q126RecallReport _),
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
@@ -1828,6 +1876,37 @@ object Similarity {
         FROM x)
       SELECT query_id, rank, neighbor_id, cosine
       FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
+    // exact replay: centroid training (per-dim HUGEINT-safe sums,
+    // one IEEE division + floor per component) and scoring are both
+    // integer-exact, so the hash-compare certifies the full model
+    "q131_centroid_classify" -> s"""
+      WITH $sqlScaled,
+      tr AS (SELECT * FROM iv WHERE vec_id % 5 <> 0),
+      sums AS (SELECT label AS c_label, t.i AS dim, SUM(v[t.i]) AS s,
+          COUNT(1) AS n
+        FROM tr CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+      cent AS (SELECT c_label,
+          list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+            ORDER BY dim) AS cv
+        FROM sums GROUP BY c_label),
+      centn AS (SELECT c_label, cv,
+          sqrt(list_sum(list_transform(cv, x -> CAST(x * x AS DOUBLE))))
+            AS cnrm
+        FROM cent),
+      te AS (SELECT vec_id, label AS true_label, v, nrm
+        FROM iv WHERE vec_id % 5 = 0),
+      sc AS (SELECT vec_id, true_label, c_label,
+          CASE WHEN nrm * cnrm > 0 THEN
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(v[i] * cv[i] AS DOUBLE))) / (nrm * cnrm)
+          END AS score
+        FROM te CROSS JOIN centn),
+      r AS (SELECT vec_id, true_label, c_label, score,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY coalesce(score, -2.0) DESC, c_label) AS rk
+        FROM sc)
+      SELECT vec_id, true_label, c_label AS pred_label, score
+      FROM r WHERE rk = 1 ORDER BY vec_id""",
     "q34_embedding_top_pairs" -> s"""
       WITH $sqlScaled
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

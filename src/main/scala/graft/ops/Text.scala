@@ -235,6 +235,44 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic weighted sampling without replacement, per source —
+    * q56's stratified sampler picks by fixed per-language rates; this
+    * one picks by per-document WEIGHT (n_chars here, standing in for
+    * any quality/importance score): the integer-priority variant of
+    * Efraimidis–Spirakis bottom-k, `priority = floor(h / w)` with h a
+    * uniform md5-derived 60-bit key. Doubling a document's weight
+    * halves its expected priority, so heavier docs win the per-source
+    * bottom-k proportionally more often — and everything is EXACT
+    * BIGINT arithmetic (no ln/pow, whose libm bits differ across
+    * engines), so the DuckDB twin hash-matches the sample, not just
+    * its size. Zero-weight docs clamp to w = 1 rather than dividing
+    * by zero.
+    *
+    * Scale shape: one md5 + one integer division per row (map), one
+    * per-source window for the bottom-k. At 100 TB the window's sort
+    * is per-source-partition; a skewed giant source can ride q38's
+    * salting (sample per (source, salt) at k, re-elect k of the ≤
+    * salts·k finalists) — the priorities make the two-level election
+    * exact, which is the point of sampling by a KEY instead of a
+    * stateful reservoir.
+    */
+  def q132WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("weight"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(concat('ws:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+      .withColumn("priority", expr("h div weight"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("weight"),
+        col("priority"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Fixed-length sequence packing — the chunking step that turns
     * variable-length documents into training windows: 64-token chunks
     * on a 56-token stride (8-token overlap), every start kept so no
@@ -1651,6 +1689,7 @@ object Text {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stratified_sample" -> (q56StratifiedSample _),
+    "q132_weighted_sample" -> (q132WeightedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
     "q68_corpus_prep" -> (q68CorpusPrep _),
     "q69_length_filter" -> (q69LengthFilter _),
@@ -2171,6 +2210,24 @@ object Text {
       SELECT doc_id, lang, bucket FROM b
       WHERE bucket < $rateCase
       ORDER BY doc_id"""
+    },
+    "q132_weighted_sample" -> {
+      val m = "md5('ws:' || CAST(doc_id AS VARCHAR))"
+      val h60 = (1 to 15).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+        s"($acc * 16 + (strpos('0123456789abcdef', substr($m, $k, 1)) - 1))"
+      }
+      s"""
+      WITH d AS (SELECT doc_id, source, greatest(n_chars, 1) AS weight,
+          $h60 AS h
+        FROM documents),
+      p AS (SELECT source, doc_id, weight, h // weight AS priority
+        FROM d),
+      rk AS (SELECT source, doc_id, weight, priority,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY priority, doc_id) AS rank
+        FROM p)
+      SELECT source, rank, doc_id, weight, priority
+      FROM rk WHERE rank <= 5 ORDER BY source, rank"""
     },
     "q58_sequence_pack" -> s"""
       WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),

@@ -1611,9 +1611,78 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** Matryoshka (prefix-dimension) recall table — the tuning curve for
+    * DIMENSION truncation, complementing q126's nprobe curve: score
+    * every query against the corpus using only the first d ∈ {8, 16,
+    * 32, 64} components (what an MRL-trained embedding ships at lower
+    * storage tiers), and report recall@1/@5 of each prefix against the
+    * full-dim exact top-5. A user picks the cheapest d whose recall
+    * clears their bar — at 100 TB, d=16 vs d=64 is a 4× cut in both
+    * index bytes and dot-product FLOPs on every query.
+    *
+    * Plan shape: the model-sized query set broadcasts against the
+    * corpus ONCE (the already-guarded brute baseline); each pair row
+    * then explodes into 4 prefix rows whose dots are exact-integer
+    * prefix sums — so all four curves ride a single corpus scan
+    * instead of four. Ranking is a per-(dims, query) window over
+    * |queries|·n·4 rows; scoring joins two model-sized top-5 tables.
+    * The oracle re-derives everything from the raw table with list
+    * slices — fully self-contained, no staged state.
+    */
+  def q133MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val iv = scaledVectors(s, dir).where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"))
+      .localCheckpoint() // query + corpus sides both read it (q31 note)
+    val q = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("dims"), col("query_id"))
+      .orderBy(coalesce(col("cos"), lit(-2.0)).desc, col("neighbor_id"))
+    val ranked = broadcast(q)
+      .join(iv, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("v"), explode(array(dims.map(lit): _*)).as("dims"))
+      .withColumn("qp", slice(col("qv"), lit(1), col("dims")))
+      .withColumn("vp", slice(col("v"), lit(1), col("dims")))
+      .select(col("query_id"), col("neighbor_id"), col("dims"),
+        idot(col("qp"), col("vp")).as("dot"),
+        idot(col("qp"), col("qp")).as("qq"),
+        idot(col("vp"), col("vp")).as("vv"))
+      .select(col("query_id"), col("neighbor_id"), col("dims"),
+        // the guard multiplies in DOUBLE: qq·vv ~ 2^80 overflows a long
+        when(col("qq").cast("double") * col("vv").cast("double") > 0,
+          col("dot").cast("double") /
+          (sqrt(col("qq").cast("double")) * sqrt(col("vv").cast("double"))))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("dims"), col("query_id"), col("rank"), col("neighbor_id"))
+      .localCheckpoint() // truth slice + per-d slices both read it
+    val truth = ranked.where(col("dims") === 64)
+      .select(col("query_id"), col("rank").as("t_rank"), col("neighbor_id"))
+    val totals = truth.agg(count(lit(1)).as("t_rows"),
+      countDistinct(col("query_id")).as("nq"))
+    val agg = truth.join(ranked,
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("hits5"),
+        sum(when(col("t_rank") === 1 && col("rank") === 1, 1L)
+          .otherwise(0L)).as("hits1"))
+    ranked.select(col("dims")).distinct()
+      .join(agg, Seq("dims"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("dims"), col("nq").as("n_queries"),
+        (coalesce(col("hits1"), lit(0L)).cast("double") /
+          col("nq").cast("double")).as("recall_at_1"),
+        (coalesce(col("hits5"), lit(0L)).cast("double") /
+          col("t_rows").cast("double")).as("recall_at_5"))
+      .orderBy(col("dims"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_knn_classify" -> (q106KnnClassify _),
     "q131_centroid_classify" -> (q131CentroidClassify _),
+    "q133_matryoshka_recall" -> (q133MatryoshkaRecall _),
     "q126_recall_report" -> (q126RecallReport _),
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
@@ -1907,6 +1976,50 @@ object Similarity {
         FROM sc)
       SELECT vec_id, true_label, c_label AS pred_label, score
       FROM r WHERE rk = 1 ORDER BY vec_id""",
+    // fully self-contained replay: prefix dots are exact-integer sums
+    // (≤ 64 · 2^34 ≪ 2^53, order-free), so ranks and recalls are
+    // bit-identical without any staged state
+    "q133_matryoshka_recall" -> s"""
+      WITH $sqlScaled,
+      pv AS (SELECT vec_id, v FROM iv WHERE nrm > 0),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM pv
+        WHERE vec_id < 20),
+      dms AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+      pr AS (SELECT query_id, p.vec_id AS neighbor_id, dims,
+          list_sum(list_transform(range(1, dims + 1),
+            i -> CAST(qv[i] * v[i] AS DOUBLE))) AS dot,
+          list_sum(list_transform(range(1, dims + 1),
+            i -> CAST(qv[i] * qv[i] AS DOUBLE))) AS qq,
+          list_sum(list_transform(range(1, dims + 1),
+            i -> CAST(v[i] * v[i] AS DOUBLE))) AS vv
+        FROM q, pv p, dms WHERE p.vec_id <> query_id),
+      sc AS (SELECT query_id, neighbor_id, dims,
+          CASE WHEN qq * vv > 0
+            THEN dot / (sqrt(qq) * sqrt(vv)) END AS cos
+        FROM pr),
+      rk AS (SELECT dims, query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY dims, query_id
+            ORDER BY coalesce(cos, -2.0) DESC, neighbor_id) AS rank
+        FROM sc),
+      top AS (SELECT dims, query_id, rank, neighbor_id
+        FROM rk WHERE rank <= 5),
+      t AS (SELECT query_id, rank AS t_rank, neighbor_id
+        FROM top WHERE dims = 64),
+      tot AS (SELECT COUNT(1) AS t_rows,
+          COUNT(DISTINCT query_id) AS nq FROM t),
+      agg AS (SELECT dims, COUNT(1) AS hits5,
+          SUM(CASE WHEN t_rank = 1 AND rank = 1
+              THEN 1 ELSE 0 END) AS hits1
+        FROM t JOIN top USING (query_id, neighbor_id)
+        GROUP BY dims)
+      SELECT dd.dims, nq AS n_queries,
+        CAST(COALESCE(hits1, 0) AS DOUBLE) / CAST(nq AS DOUBLE)
+          AS recall_at_1,
+        CAST(COALESCE(hits5, 0) AS DOUBLE) / CAST(t_rows AS DOUBLE)
+          AS recall_at_5
+      FROM (SELECT DISTINCT dims FROM top) dd
+      LEFT JOIN agg USING (dims) CROSS JOIN tot
+      ORDER BY dd.dims""",
     "q34_embedding_top_pairs" -> s"""
       WITH $sqlScaled
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

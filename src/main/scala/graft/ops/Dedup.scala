@@ -200,6 +200,50 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Df ceiling for [[q134ShingleNovelty]]'s boilerplate column: a
+    * shingle in more than this many docs is chrome, counted per doc in
+    * `n_boilerplate` — same absolute-cap discipline as [[SourceDfCap]],
+    * though here no join fans out either way (df is a partial-agg
+    * groupBy and the join back is 1:1 per (doc, shingle) row).
+    */
+  val NoveltyDfCap = 10
+
+  /** Per-document novelty scoring — the data-value signal a training
+    * mix weights by (and q132's sampler can consume): for each doc,
+    * the fraction of its distinct word-3-gram shingles that appear in
+    * NO other document (df = 1), plus how many are corpus chrome
+    * (df > [[NoveltyDfCap]]). High-novelty docs carry content the
+    * model sees nowhere else; near-zero novelty flags near-dups and
+    * template pages q31/q122 then resolve pairwise.
+    *
+    * Scale shape: no pair join at all — one shingle explode, one
+    * partial-agg df groupBy, one equi-join back on the 8-byte hash
+    * (1:1 per shingle row, fan-out-free regardless of df skew), one
+    * per-doc partial agg. Linear in total shingles at any corpus
+    * size; the doc left-join keeps shingle-less docs in the report
+    * with NULL novelty instead of dropping them.
+    */
+  def q134ShingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    // read by the df groupBy AND the join back (q31's eager discipline)
+    val sh = hashedShingles(s, dir).localCheckpoint()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = sh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("df") > NoveltyDfCap, 1L).otherwise(0L))
+          .as("n_boilerplate"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"))
+      .withColumn("novelty", when(col("n_shingles") > 0,
+        col("n_unique").cast("double") / col("n_shingles").cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash (16 universal-hash perms) → LSH (4 bands × 4 rows) →
     * exact-Jaccard verification of candidates at 0.8.
     */
@@ -950,6 +994,7 @@ object Dedup {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_source_overlap" -> (q115SourceOverlap _),
+    "q134_shingle_novelty" -> (q134ShingleNovelty _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
@@ -1034,6 +1079,24 @@ object Dedup {
                    FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
+    "q134_shingle_novelty" -> s"""
+      WITH $sqlHashedShingles,
+      df AS (SELECT h, COUNT(1) AS df FROM sh GROUP BY h),
+      per AS (SELECT doc_id, COUNT(1) AS n_shingles,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unique,
+          CAST(SUM(CASE WHEN df > $NoveltyDfCap THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boilerplate
+        FROM sh JOIN df USING (h) GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(n_shingles, 0) AS n_shingles,
+        COALESCE(n_unique, 0) AS n_unique,
+        COALESCE(n_boilerplate, 0) AS n_boilerplate,
+        CASE WHEN COALESCE(n_shingles, 0) > 0
+          THEN CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        END AS novelty
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY doc_id""",
     "q115_source_overlap" -> s"""
       WITH w AS (SELECT source, $sqlWords AS ws FROM documents),
       shs AS (SELECT source, unnest($sqlShingles) AS s FROM w),

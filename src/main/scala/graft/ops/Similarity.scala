@@ -1679,10 +1679,94 @@ object Similarity {
       .orderBy(col("dims"))
   }
 
+  /** Index compaction / refresh report — the operational counterpart
+    * of q81/ivfIngestStream: assign-only ingest is cheap but the index
+    * degrades (new vectors quantize against STALE centroids, cells
+    * skew), so a production deployment periodically retrains and needs
+    * the before/after evidence that the refresh paid for itself. This
+    * query builds both states — `before` = centroids trained on the
+    * 90 % historical corpus with the 10 % "streamed" tail assigned-only
+    * (exactly q81's ingest shape), `after` = a full retrain — stages
+    * all four tables (cells + long-form scaled centroids per phase),
+    * and reports per phase: cell count, vector count, largest cell,
+    * skew (largest / mean cell size), and the index-quality headline
+    * avg ‖v − centroid‖² (EXACT integer squared distance on the
+    * 2^16-scaled components, one IEEE division at the end), plus the
+    * global count of vectors whose assignment moved.
+    *
+    * Scale shape: both trainings are the already-certified Lloyd
+    * forms; the report itself is cells ⋈ corpus (hash equi-join) ⋈
+    * broadcast centroid table, then partial-agg groupBys — the report
+    * adds nothing super-linear. The per-phase sq-dist total is an
+    * exact BIGINT sum (fits to ~2^21 vectors per refresh partition at
+    * worst-case 2^42 per-vector distance; beyond that, sum per cell
+    * first — the groupBy already does — and the report's single
+    * division is the only double). The oracle replays the REPORT from
+    * the engine-staged tables (q126's discipline): the trainings are
+    * certified by q78/q118's own oracles, this one certifies the
+    * refresh accounting.
+    */
+  def q135IndexCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = Dedup.stageRoot(dir)
+    val isNew = col("vec_id") % 10 === 9
+    val ivAll = scaledVectors(s, dir).where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint() // old split, new split, and both reports read it
+    val (cOld, oldCells) =
+      trainCodebookOn(ivAll.where(!isNew), k = 4, iters = 5)
+    oldCells.union(ivAll.where(isNew)
+        .select(col("vec_id"), cellAssignment(cOld).as("cluster")))
+      .write.mode("overwrite").parquet(s"$work/compact/cells_before")
+    val (cNew, newCells) = trainCodebookOn(ivAll, k = 4, iters = 5)
+    newCells.write.mode("overwrite").parquet(s"$work/compact/cells_after")
+    def centDf(cs: Array[Array[Double]]) =
+      cs.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (x, d) =>
+          (i, d + 1, math.floor(x * 65536.0).toLong)
+        }
+      }.toSeq.toDF("cluster", "dim", "c")
+    centDf(cOld).coalesce(1).write.mode("overwrite")
+      .parquet(s"$work/compact/cent_before")
+    centDf(cNew).coalesce(1).write.mode("overwrite")
+      .parquet(s"$work/compact/cent_after")
+    // the report reads ONLY the staged tables — the oracle's surface
+    def phase(name: String): DataFrame = {
+      val cells = s.read.parquet(s"$work/compact/cells_$name")
+      val cv = s.read.parquet(s"$work/compact/cent_$name")
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      cells.join(ivAll.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(cv), "cluster")
+        .select(col("cluster"),
+          (idot(col("v"), col("v")) - lit(2L) * idot(col("v"), col("cv")) +
+            idot(col("cv"), col("cv"))).as("sqd"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("csize"), sum(col("sqd")).as("ssq"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("csize")).as("n_vectors"),
+          max(col("csize")).as("largest_cell"), sum(col("ssq")).as("tot"))
+        .select(lit(name).as("phase"), col("n_cells"), col("n_vectors"),
+          col("largest_cell"),
+          (col("largest_cell").cast("double") * col("n_cells").cast("double") /
+            col("n_vectors").cast("double")).as("skew"),
+          (col("tot").cast("double") / col("n_vectors").cast("double"))
+            .as("avg_sq_dist"))
+    }
+    val moved = s.read.parquet(s"$work/compact/cells_before").as("b")
+      .join(s.read.parquet(s"$work/compact/cells_after").as("a"), "vec_id")
+      .agg(sum(when(col("b.cluster") =!= col("a.cluster"), 1L).otherwise(0L))
+        .as("n_moved"))
+    phase("before").unionByName(phase("after"))
+      .crossJoin(broadcast(moved)) // global 1-row scalar
+      .orderBy(col("phase"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_knn_classify" -> (q106KnnClassify _),
     "q131_centroid_classify" -> (q131CentroidClassify _),
     "q133_matryoshka_recall" -> (q133MatryoshkaRecall _),
+    "q135_index_compaction" -> (q135IndexCompaction _),
     "q126_recall_report" -> (q126RecallReport _),
     "q34_embedding_top_pairs" -> (q34EmbeddingTopPairs _),
     "q40_cosine_topk" -> (q40CosineTopK _),
@@ -2020,6 +2104,51 @@ object Similarity {
       FROM (SELECT DISTINCT dims FROM top) dd
       LEFT JOIN agg USING (dims) CROSS JOIN tot
       ORDER BY dd.dims""",
+    // refresh-accounting replay over the four ENGINE-STAGED tables
+    // (cells + scaled centroids per phase) — exact integer sq-dists,
+    // one division per reported double; the trainings themselves are
+    // certified by q78/q118's oracles
+    "q135_index_compaction" -> s"""
+      WITH $sqlScaled,
+      ivc AS (SELECT vec_id, v FROM iv WHERE nrm > 0),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/compact/cells_before/*.parquet'),
+      ca AS (SELECT * FROM '__GRAFT_STAGED__/compact/cells_after/*.parquet'),
+      vb AS (SELECT cluster, list(c ORDER BY dim) AS cv
+        FROM '__GRAFT_STAGED__/compact/cent_before/*.parquet'
+        GROUP BY cluster),
+      va AS (SELECT cluster, list(c ORDER BY dim) AS cv
+        FROM '__GRAFT_STAGED__/compact/cent_after/*.parquet'
+        GROUP BY cluster),
+      db AS (SELECT cb.cluster,
+          list_sum(list_transform(range(1, 65),
+            i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS sqd
+        FROM cb JOIN ivc USING (vec_id) JOIN vb USING (cluster)),
+      da AS (SELECT ca.cluster,
+          list_sum(list_transform(range(1, 65),
+            i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS sqd
+        FROM ca JOIN ivc USING (vec_id) JOIN va USING (cluster)),
+      pb AS (SELECT cluster, COUNT(1) AS csize,
+          CAST(SUM(sqd) AS BIGINT) AS ssq FROM db GROUP BY cluster),
+      pa AS (SELECT cluster, COUNT(1) AS csize,
+          CAST(SUM(sqd) AS BIGINT) AS ssq FROM da GROUP BY cluster),
+      rb AS (SELECT 'before' AS phase, COUNT(1) AS n_cells,
+          CAST(SUM(csize) AS BIGINT) AS n_vectors,
+          MAX(csize) AS largest_cell,
+          CAST(SUM(ssq) AS BIGINT) AS tot FROM pb),
+      ra AS (SELECT 'after' AS phase, COUNT(1) AS n_cells,
+          CAST(SUM(csize) AS BIGINT) AS n_vectors,
+          MAX(csize) AS largest_cell,
+          CAST(SUM(ssq) AS BIGINT) AS tot FROM pa),
+      mv AS (SELECT CAST(SUM(CASE WHEN b.cluster <> a.cluster
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM cb b JOIN ca a USING (vec_id))
+      SELECT phase, n_cells, n_vectors, largest_cell,
+        CAST(largest_cell AS DOUBLE) * CAST(n_cells AS DOUBLE)
+          / CAST(n_vectors AS DOUBLE) AS skew,
+        CAST(tot AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS avg_sq_dist,
+        n_moved
+      FROM (SELECT * FROM rb UNION ALL SELECT * FROM ra)
+      CROSS JOIN mv ORDER BY phase""",
     "q34_embedding_top_pairs" -> s"""
       WITH $sqlScaled
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -302,16 +302,16 @@ object Relational {
     * forward — a single shuffle on user_id, no O(n²) inequality join.
     * Same-timestamp ties order clicks before purchases in both engines.
     *
-    * `ts` is epoch-nanos BIGINT on the Spark side (Verify's nanosAsLong
-    * config) but DuckDB truncates the parquet TIMESTAMP(NANOS) column to
-    * microseconds, so both sides work in (floor) microseconds — `ts div
-    * 1000` here, `epoch_us(ts)` in the oracle. Ordering by (ts_us, kind)
+    * `ts` rides as epoch-micros BIGINT via the schema-adaptive
+    * [[Tables.eventsTsUs]] (BIGINT-nanos and TIMESTAMP_NTZ testdata both
+    * land on the same `ts_us`; `epoch_us(ts)` in the DuckDB oracle
+    * matches either way). Ordering by (ts_us, kind)
     * is outcome-deterministic: clicks tied on ts_us carry the same
     * click_us value, and purchases tied on ts_us see the same click
     * frame.
     */
   def q24AsOfJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val e = eventsTsUs(s, dir)
     val clicks = e.where(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
         lit(null).cast("long").as("event_id"), col("ts_us").as("click_us"))

@@ -165,8 +165,8 @@ object Text {
     * streaming twin lives in [[graft.streaming.Sessionize]].
     */
   def q54Sessionize(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+    val e = eventsTsUs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
         col("value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val gapUs = lit(10L * 60 * 1000 * 1000)
@@ -347,9 +347,9 @@ object Text {
     * epoch-micros BIGINTs (the q54 parity rule).
     */
   def q67ClickAttribution(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    val e = eventsTsUs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+        col("ts_us"), col("value"))
     val clicks = e.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts_us").as("click_us"))
@@ -455,8 +455,8 @@ object Text {
     * map-side and combines before it moves.
     */
   def q77HoppingWindow(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("tsm"),
+    val e = eventsTsUs(s, dir)
+      .select(timestamp_micros(col("ts_us")).as("tsm"),
         col("event_type"), col("value"))
     e.groupBy(window(col("tsm"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
@@ -933,9 +933,9 @@ object Text {
     * single-shuffle CDC pass.
     */
   def q98Scd2Compaction(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    val e = eventsTsUs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        col("ts_us"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val runs = e
@@ -1015,9 +1015,8 @@ object Text {
     * the user never viewed, identically in both engines.
     */
   def q102Funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+    val e = eventsTsUs(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
     val w = Window.partitionBy(col("user_id"))
     e.withColumn("t_view",
         min(when(col("event_type") === "view", col("ts_us"))).over(w))
@@ -1054,9 +1053,9 @@ object Text {
     * rows, not events).
     */
   def q105Retention(s: SparkSession, dir: String): DataFrame = {
-    val act = t(s, dir, "events")
+    val act = eventsTsUs(s, dir)
       .select(col("user_id"),
-        expr("(ts div 1000) div 86400000000").as("day"))
+        expr("ts_us div 86400000000").as("day"))
       .distinct()
       .withColumn("cohort_day",
         min(col("day")).over(Window.partitionBy(col("user_id"))))
@@ -1119,9 +1118,8 @@ object Text {
     // event_id equi-joins: linear at any density.
     val W = 86400000000L // 24 h in µs
     val dec = "decimal(28,6)"
-    val ev = t(s, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"),
+    val ev = eventsTsUs(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
         when(col("event_id") % 997 === 0, col("value") * 20.0)
           .otherwise(col("value")).as("value"))
     val data = ev.select(col("event_type"), col("ts_us"), col("event_id"),
@@ -1175,9 +1173,9 @@ object Text {
     * activity (inner join of the two counters).
     */
   def q109RollingActive(s: SparkSession, dir: String): DataFrame = {
-    val act = t(s, dir, "events")
+    val act = eventsTsUs(s, dir)
       .select(col("user_id"),
-        expr("(ts div 1000) div 86400000000").as("day"))
+        expr("ts_us div 86400000000").as("day"))
       .distinct()
     val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = act
@@ -1201,9 +1199,9 @@ object Text {
     * 25 rows, not the stream. Exact-long counts, one IEEE divide.
     */
   def q111Transitions(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    val e = eventsTsUs(s, dir)
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"), col("event_id"))
+        col("ts_us"), col("event_id"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val counted = e

@@ -46,9 +46,8 @@ class AnalyticsOpsSpec extends SparkSpec {
     // sf0.01: the sf0.001 stream carries ~7 events/type/frame and
     // max |z| = (n−1)/√n < 3 — nothing is flaggable at that scale
     val dir = "/root/testdata/sf0.01"
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"),
-        $"value")
+    val events = graft.ops.Tables.eventsTsUs(spark, dir)
+      .select($"event_id", $"event_type", $"ts_us", $"value")
       .as[(Long, String, Long, Double)].collect().toSeq
       .map { case (id, tpe, ts, v) =>
         (id, tpe, ts, if (id % 997 == 0) v * 20.0 else v)
@@ -76,8 +75,8 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("q109 equals a plain-Scala DAU/WAU replay") {
-    val act = spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))
+    val act = graft.ops.Tables.eventsTsUs(spark, dir)
+      .select($"user_id", expr("ts_us div 86400000000").as("day"))
       .as[(Long, Long)].collect().toSeq.distinct
     val dau = act.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val wau = act.flatMap { case (u, d) => (0 to 6).map(o => (u, d + o)) }
@@ -105,9 +104,8 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("q111 equals a plain-Scala transition-matrix replay") {
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"),
-        $"event_id")
+    val events = graft.ops.Tables.eventsTsUs(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us", $"event_id")
       .as[(Long, String, Long, Long)].collect().toSeq
     val pairs = events.groupBy(_._1).values.flatMap { es =>
       es.sortBy(e => (e._3, e._4)).map(_._2).sliding(2).collect {
@@ -187,8 +185,8 @@ class AnalyticsOpsSpec extends SparkSpec {
     val got = Text.q107Anomaly(spark, tmp)
       .as[(Long, String, Long, Double, Long, Double)].collect().toSeq
     // naive spelling, test-only (the 61 s form — fine on 2k rows)
-    val e = spark.read.parquet(s"$tmp/events.parquet")
-      .select($"event_id", $"event_type", expr("ts div 1000").as("ts_us"),
+    val e = graft.ops.Tables.eventsTsUs(spark, tmp)
+      .select($"event_id", $"event_type", $"ts_us",
         when($"event_id" % 997 === 0, $"value" * 20.0)
           .otherwise($"value").as("value"))
     val w = W.partitionBy($"event_type").orderBy($"ts_us")
@@ -210,8 +208,8 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("q105 equals a plain-Scala cohort-retention replay") {
-    val act = spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))
+    val act = graft.ops.Tables.eventsTsUs(spark, dir)
+      .select($"user_id", expr("ts_us div 86400000000").as("day"))
       .as[(Long, Long)].collect().toSeq.distinct
     val cohort = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val cells = act.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }

@@ -150,8 +150,8 @@ class RankFunnelSpec extends SparkSpec {
   // ---- q102: exact funnel replay ----
 
   test("q102 equals a plain-Scala ordered-funnel replay") {
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"))
+    val events = graft.ops.Tables.eventsTsUs(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us")
       .as[(Long, String, Long)].collect().toSeq
     val expect = events.groupBy(_._1).toSeq.map { case (u, es) =>
       def first(tpe: String, atOrAfter: Option[Long]): Option[Long] =

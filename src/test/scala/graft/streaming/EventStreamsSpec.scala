@@ -120,20 +120,18 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("streaming session_window over the real events table equals the batch sessionize") {
-    import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
-    // ts arrives as BIGINT epoch-nanos (nanosAsLong); rebuild a timestamp
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // stream schema = whatever the file ships (BIGINT nanos or
+    // TIMESTAMP_NTZ); Tables.tsUs adapts, rebuild a TIMESTAMP from it
+    val sch = spark.read.parquet(s"$dir/events.parquet").schema
     // readStream wants a directory; stage the single parquet file into one
     val staged = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val stream = spark.readStream.schema(sch).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(sch).parquet(staged.toString)
+    val stream = raw
+      .withColumn("ts", timestamp_micros(graft.ops.Tables.tsUs(raw)))
     val q = EventStreams.sessionCounts(stream, gap = "10 minutes")
       .writeStream.format("memory").queryName("real_sessions")
       .outputMode("complete").start()
@@ -155,9 +153,8 @@ class EventStreamsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     // the ordering contract: per-user event-time order across batches —
     // a global (ts, event_id) sort delivers it; split into 3 batches
-    val ordered = spark.read.parquet(s"$dir/events.parquet")
-      .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"),
-        $"event_id")
+    val ordered = graft.ops.Tables.eventsTsUs(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us", $"event_id")
       .as[(Long, String, Long, Long)].collect().toSeq
       .sortBy { case (_, _, tsUs, eid) => (tsUs, eid) }
     val src = MemoryStream[(Long, String, Long, Long)]
@@ -364,18 +361,15 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("streaming hopping windows over the real events table equal the batch q77") {
-    import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val sch = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = java.nio.file.Files.createTempDirectory("events-hop")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    val stream = spark.readStream.schema(sch).parquet(staged.toString)
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(sch).parquet(staged.toString)
+    val stream = raw
+      .withColumn("tsm", timestamp_micros(graft.ops.Tables.tsUs(raw)))
     val q = stream
       .groupBy(window($"tsm", "1 hour", "30 minutes"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
@@ -426,20 +420,17 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("stream-stream attribution pairs over the real events table equal the batch join") {
-    import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val sch = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = java.nio.file.Files.createTempDirectory("events-attr")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
     def typed(df: org.apache.spark.sql.DataFrame, t: String) =
       df.where($"event_type" === t)
-    val stream = spark.readStream.schema(sch).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(sch).parquet(staged.toString)
+    val stream = raw
+      .withColumn("ts", timestamp_micros(graft.ops.Tables.tsUs(raw)))
     val q = EventStreams
       .attributionPairs(typed(stream, "click"), typed(stream, "purchase"))
       .writeStream.format("memory").queryName("real_attr")
@@ -450,8 +441,8 @@ class EventStreamsSpec extends SparkSpec {
       .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
     // batch twin: the same code path over the batch-loaded table (its
     // latest-click argmax is the oracle-checked q67_click_attribution)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.ops.Tables.eventsTsUs(spark, dir)
+      .withColumn("ts", timestamp_micros($"ts_us"))
     val batch = EventStreams
       .attributionPairs(typed(ev, "click"), typed(ev, "purchase"))
       .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet

@@ -155,6 +155,9 @@ object ScaleProbe {
       "q124_image_embed", "q125_image_resize", "q126_recall_report",
       "q127_quality_survivors", "q128_bpe_vocab_train",
       "q129_bpe_token_ids", "q130_ivfpq_rerank",
+      "q131_centroid_classify", "q132_weighted_sample",
+      "q133_matryoshka_recall", "q134_shingle_novelty",
+      "q135_index_compaction", "q136_hier_pq_rerank",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

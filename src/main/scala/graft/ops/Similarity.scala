@@ -486,7 +486,14 @@ object Similarity {
         .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
         .select(col("vec_id"), col("v"), col("nrm"))
-      hierProbes(queries, c1, cents, k2, nprobe)
+      // VOLUME-MATCHED probing: the two-level index has k1·k2 cells —
+      // k2× finer than the flat index — so nprobe CELLS would scan a
+      // k2× smaller corpus fraction than the flat route and recall
+      // drops (measured: 0.35 recall@1 vs flat 2-probe's 0.70, round-8
+      // SCALING). Probing nprobe·k2 cells restores the same probed
+      // volume as nprobe flat probes; descent cost stays
+      // k1 + (nprobe·k2)·k2 scores per query — model-sized.
+      hierProbes(queries, c1, cents, k2, nprobe * k2)
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
         .write.mode("overwrite").parquet(s"$workDir/probes")
     }
@@ -1025,7 +1032,19 @@ object Similarity {
     * oracle replays the identical joins (shortlist included) over the
     * four engine-staged tables.
     */
-  def q130IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+  def q130IvfPqRerank(s: SparkSession, dir: String): DataFrame =
+    ivfPqRerankStaged(s, dir, RerankShortlist)
+
+  /** [[q130IvfPqRerank]] with the shortlist width exposed — the tuning
+    * knob q126's measured curve names as the remaining recall gap
+    * (shortlist recall: everything the exact re-rank can recover must
+    * already be IN the ADC top-`shortlist`). Cost scales linearly:
+    * |Q|·shortlist exact dots, still model-sized at any corpus size.
+    * The width-sweep numbers live in SCALING.md's rerank table.
+    */
+  def ivfPqRerankStaged(s: SparkSession, dir: String,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= 5, s"shortlist must cover the final top-5")
     val work = Dedup.stageRoot(dir)
     stageIvfIndex(s, dir, work)
     stagePq(s, dir, work)
@@ -1037,6 +1056,43 @@ object Similarity {
       scaledVectors(s, dir).where(col("vec_id") < 20)
         .select(col("vec_id"), col("v")), cb)
     val cand = probes.join(cells, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+    rerankExact(s, dir, adcRank(cand, lut, topK = shortlist), topK = 5)
+  }
+
+  /** HIER + PQ + EXACT RE-RANK — the composition a real 100 TB index
+    * actually ships, assembled ENTIRELY from staged assets that three
+    * other queries already certify separately: the two-level coarse
+    * quantizer's cells and volume-matched tree-descent probes
+    * ([[stageHierIndex]], q118/q120), the PQ codebook + 4-byte codes
+    * ([[stagePq]], q90–q93), and q130's ADC-shortlist → exact-re-rank
+    * final mile. Candidates come from the k1·k2-cell partition (probes
+    * ⋈ cells, an equi-join on the cell id), are PRICED compressed (the
+    * corpus side touches only codes — never a vector), and only the
+    * ADC top-[[RerankShortlist]] per query are re-scored exactly.
+    *
+    * Scale shape: every stage is the already-audited one — descent is
+    * k1 + O(k2²) scores per query, the candidate cut is an equi-join,
+    * pricing is a broadcast-LUT join over 4-byte codes, and the exact
+    * work is |Q|·shortlist dots. Nothing new is introduced by the
+    * composition: that is the claim, and HierPqRerankSpec plants a
+    * two-level geometry where pure ADC ranks a decoy first and the
+    * exact re-rank must recover the true neighbor at rank 1. The
+    * DuckDB oracle replays the full chain over the four staged tables.
+    */
+  def q136HierPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageHierIndex(s, dir, work)
+    stagePq(s, dir, work)
+    val cells = s.read.parquet(s"$work/cells_hier")
+    val probes = s.read.parquet(s"$work/probes_hier")
+    val cb = s.read.parquet(s"$work/pq_codebook")
+    val codes = s.read.parquet(s"$work/pq_codes")
+    val lut = adcLutFor(
+      scaledVectors(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")), cb)
+    val cand = probes.join(cells, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))
     rerankExact(s, dir, adcRank(cand, lut, topK = RerankShortlist),
@@ -1188,11 +1244,15 @@ object Similarity {
     * scale: scoring all k1·k2 sub-centroids per query would be the
     * flat quantizer's cost all over again (and the reason real IVF
     * trees descend); instead each query scores the k1 level-1
-    * centroids ([[ivfProbes]], unchanged), keeps its 2 nearest
-    * supers, scores ONLY those supers' sub-rows from the broadcast
-    * centroid table (≤ 2·k2 rows per query), and keeps the 2 nearest
-    * (super, sub) cells overall — k1 + 2·k2 scores per query instead
-    * of k1·k2. The probe list and the assignments both stage; the
+    * centroids ([[ivfProbes]], unchanged), keeps its nearest supers,
+    * scores ONLY those supers' sub-rows from the broadcast centroid
+    * table, and keeps the 2·k2 nearest (super, sub) cells overall —
+    * the VOLUME-MATCHED width: 2·k2 cells of the k2×-finer partition
+    * probe the same corpus fraction as 2 flat probes, so recall does
+    * not silently drop when the hier quantizer engages (round-8
+    * measured exactly that drop at width 2: 0.35 recall@1 vs flat
+    * 2-probe's 0.70). Still k1 + O(k2²) scores per query, never
+    * k1·k2. The probe list and the assignments both stage; the
     * search is q79's equi-join over them, and the oracle replays it.
     * HierMultiprobeSpec plants the sub-cell boundary case: a query
     * whose true nearest quantized into the SIBLING sub-cell — 1-probe
@@ -1242,8 +1302,15 @@ object Similarity {
     searchCells(probes, iv, topK)
   }
 
-  def q120HierMultiprobe(s: SparkSession, dir: String): DataFrame = {
-    val work = Dedup.stageRoot(dir)
+  /** Stage the two-level index UNCONDITIONALLY (the forced-hier form
+    * q120/q136 certify below the production clamp): `cells_hier`
+    * (vec_id, cell over k1·k2 learned cells) and the tree-descent
+    * probe list `probes_hier` (query_id, cell) at the VOLUME-MATCHED
+    * width — 2·k2 cells of the k2×-finer partition = the same probed
+    * corpus fraction as 2 flat probes (see the stageIvfIndex hier
+    * branch for the measured recall rationale).
+    */
+  def stageHierIndex(s: SparkSession, dir: String, work: String): Unit = {
     val k2 = HierSubCells
     val (c1, cents, asg) =
       trainHier(s, dir, adaptiveCellCount(vectorCount(s, dir)))
@@ -1253,8 +1320,13 @@ object Similarity {
         "vec_id")
       .where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
-    hierProbes(queries, c1, cents, k2, nprobe = 2)
+    hierProbes(queries, c1, cents, k2, nprobe = 2 * k2)
       .write.mode("overwrite").parquet(s"$work/probes_hier")
+  }
+
+  def q120HierMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageHierIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(s"$work/cells_hier"), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
@@ -1781,6 +1853,7 @@ object Similarity {
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
     "q130_ivfpq_rerank" -> (q130IvfPqRerank _),
+    "q136_hier_pq_rerank" -> (q136HierPqRerank _),
     "q118_ann_ivf_hier" -> (q118AnnIvfHier _),
     "q120_hier_multiprobe" -> (q120HierMultiprobe _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
@@ -2017,6 +2090,52 @@ object Similarity {
                   ORDER BY adc_dist, vec_id) AS arank
               FROM d)
         WHERE arank <= 20),
+      x AS (SELECT sl.query_id, sl.neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)
+            AS cosine
+        FROM sl JOIN iv q ON q.vec_id = sl.query_id
+          JOIN iv n ON n.vec_id = sl.neighbor_id),
+      rr AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM x)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q130's replay chain verbatim, but candidates cut by the STAGED
+    // two-level index (cells_hier/probes_hier) instead of the flat one
+    "q136_hier_pq_rerank" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cell
+                FROM '__GRAFT_STAGED__/cells_hier/*.parquet'),
+      probes AS (SELECT query_id, cell
+                 FROM '__GRAFT_STAGED__/probes_hier/*.parquet'),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      ql AS (SELECT query_id,
+          CAST((g - 1) // 16 AS INT) AS sub,
+          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+        FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
+                generate_subscripts(v, 1) AS g
+              FROM iv WHERE vec_id < 20)),
+      lut AS (SELECT query_id, sub, code,
+          CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
+        FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
+      cand AS (SELECT p.query_id, t.vec_id, c.sub, c.code
+        FROM probes p JOIN cells t ON p.cell = t.cell
+          JOIN codes c ON c.vec_id = t.vec_id
+        WHERE t.vec_id <> p.query_id),
+      d AS (SELECT cand.query_id, cand.vec_id,
+          CAST(SUM(pd) AS BIGINT) AS adc_dist
+        FROM cand JOIN lut ON lut.query_id = cand.query_id
+          AND lut.sub = cand.sub AND lut.code = cand.code
+        GROUP BY cand.query_id, cand.vec_id),
+      sl AS (SELECT query_id, vec_id AS neighbor_id
+        FROM (SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, vec_id) AS arank
+              FROM d)
+        WHERE arank <= $RerankShortlist),
       x AS (SELECT sl.query_id, sl.neighbor_id,
           list_sum(list_transform(range(1, 65),
             i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)

@@ -55,7 +55,15 @@ class DeterminismSpec extends SparkSpec {
     // shuffle; q130 re-ranks an ADC shortlist whose own rank ties
     // decide membership
     "q126_recall_report", "q127_quality_survivors",
-    "q128_bpe_vocab_train", "q129_bpe_token_ids", "q130_ivfpq_rerank")
+    "q128_bpe_vocab_train", "q129_bpe_token_ids", "q130_ivfpq_rerank",
+    // round-9 surfaces: q131's per-label centroid election + argmax
+    // classify ties; q132's weighted bottom-k rides md5-keyed rank
+    // ties; q133 ranks four prefix-dim curves with per-(dims, query)
+    // windows; q134's df groupBy + 1:1 join-back must not depend on
+    // shingle arrival order; q135 compares two full index epochs
+    "q131_centroid_classify", "q132_weighted_sample",
+    "q133_matryoshka_recall", "q134_shingle_novelty",
+    "q135_index_compaction")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

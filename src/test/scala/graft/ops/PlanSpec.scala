@@ -240,6 +240,39 @@ class PlanSpec extends SparkSpec {
     val r = Relational.q28ApproxDistinct(spark, dir).head()
     assert(r.getBoolean(1) && r.getBoolean(3), r.toString)
   }
+
+  test("q131 scores against a BROADCAST centroid table and elects by partial agg") {
+    // the centroid model is |labels| rows — it must ride a broadcast
+    // nested-loop against the test split, never a shuffled join; the
+    // per-vector argmax must be a partial-aggregated max_by (one row
+    // per test vector crosses the shuffle), not a window over the
+    // |test|·|labels| score stream
+    val p = plan("q131_centroid_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("max_by")), p.take(1500))
+  }
+
+  test("q134 novelty never plans a pair join — df rides a 1:1 hash join back") {
+    // the whole point of the df-count spelling: novelty is linear in
+    // total shingles. A shingle-keyed SELF-join (h = h between two
+    // shingle streams with doc_id on both sides) or any nested-loop
+    // reappearing here means someone reverted to pairwise overlap —
+    // the q115 shape without its SourceDfCap guard
+    val p = plan("q134_shingle_novelty")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    val pairJoin = p.linesIterator
+      .filter(l => l.contains("Join") &&
+        "doc_id#\\d+L? < doc_id#\\d+L?".r.findFirstIn(l).isDefined).toSeq
+    assert(pairJoin.isEmpty, pairJoin.mkString("\n"))
+    // the df side enters as a partial-agg count, proving the groupBy
+    // spelling survived
+    assert(p.contains("partial_count") || p.contains("count(1)"),
+      p.take(1500))
+  }
 }
 
 /** Helper giving specs access to executed plans of catalog queries. */

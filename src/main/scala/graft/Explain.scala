@@ -43,6 +43,16 @@ object Explain {
     "q127_quality_survivors", // staged-cluster equi-join + ONE partial-agg max_by election, no window over the corpus
     "q117_ivfpq_multiprobe", // probes join widens candidates; ADC pricing plan unchanged vs q91
     "q118_ann_ivf_hier", // two-level staged index: search equi-join identical to q78's, key = k1*k2 cell
+    "q126_recall_report", // scoring = pair-keyed join of two staged model-sized top-5 tables
+    "q128_bpe_vocab_train", // vocab-target training: per-round bigram shuffle + broadcast merges, early stop
+    "q129_bpe_token_ids", // one token-explode shuffle + broadcast staged-vocab join
+    "q130_ivfpq_rerank", // ADC shortlist broadcast into two equi-joins; corpus side stays 4-byte codes
+    "q131_centroid_classify", // broadcast |labels|-row model + partial-agg max_by election
+    "q132_weighted_sample", // per-source bottom-k window over integer priorities, one shuffle
+    "q133_matryoshka_recall", // four prefix curves ride ONE broadcast corpus scan
+    "q134_shingle_novelty", // df groupBy + 1:1 hash join back — NO pair join
+    "q135_index_compaction", // two staged epochs; report joins model-sized
+    "q136_hier_pq_rerank", // hier probes->cells equi-join + PQ ADC + broadcast shortlist re-rank
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

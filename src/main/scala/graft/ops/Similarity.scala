@@ -1615,7 +1615,7 @@ object Similarity {
     * prove the recall MECHANISM; this reports the NUMBERS on the
     * actual corpus.
     *
-    * Scale shape: the five searches are the already-certified staged
+    * Scale shape: the searches are the already-certified staged
     * equi-joins; ground truth broadcasts the model-sized query set
     * against the corpus ONCE (the documented brute-force baseline);
     * scoring is a pair-keyed join between two staged top-5 tables —
@@ -1631,7 +1631,8 @@ object Similarity {
       ("ivfpq_1probe", q91IvfPq _),
       ("ivfpq_2probe", q117IvfPqMultiprobe _),
       ("ivfpq_rerank_2probe", q130IvfPqRerank _),
-      ("hier_2probe", q120HierMultiprobe _))
+      ("hier_2probe", q120HierMultiprobe _),
+      ("hier_pq_rerank", q136HierPqRerank _))
     methods.map { case (m, f) =>
       // EAGER localCheckpoint per method: each search lazily reads the
       // staged tables its own run wrote, and the NEXT method's staging
@@ -1656,6 +1657,21 @@ object Similarity {
       .where(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .write.mode("overwrite").parquet(s"$work/recall/truth")
+    recallReportStaged(s, work)
+  }
+
+  /** PRODUCTION ENTRY for the recall report: the scoring joins over
+    * ALREADY-STAGED `$work/recall/{results, truth}` tables — no
+    * search re-runs, no brute-force truth recompute.
+    * [[q126RecallReport]] is the self-contained Verify form (it
+    * re-runs every staged search and re-derives the truth each call
+    * so the oracle can replay from scratch — ~20 s at sf0.1); an
+    * operational deployment refreshes `results` only when an index
+    * re-stages and `truth` only when the query set changes, then
+    * calls THIS — two model-sized joins. The staged-input timing row
+    * in SCALING.md measures the difference.
+    */
+  def recallReportStaged(s: SparkSession, work: String): DataFrame = {
     val truth = s.read.parquet(s"$work/recall/truth")
     val results = s.read.parquet(s"$work/recall/results")
     val totals = truth.agg(count(lit(1)).as("t_rows"),

@@ -351,6 +351,36 @@ object Similarity {
     (k1, k2)
   }
 
+  /** (k1, k2) for a FORCED two-level index (q118/q120/q136): the
+    * production `hierFactors` sizing above the flat clamp — BOTH
+    * levels stay ≤ ~√want, so the super-level Lloyd never regrows the
+    * k = 64 literal-expression training the clamp exists to avoid
+    * (measured 262.7 s at the 70× probe when q136 still sized the
+    * super level by adaptiveCellCount) — and the historical
+    * adaptiveCellCount × HierSubCells below it (every sf0.01/sf0.1
+    * staged table and oracle byte-identical).
+    */
+  def hierSizing(n: Long): (Int, Int) = {
+    val want = (n + CellTarget - 1) / CellTarget
+    if (want > 64) hierFactors(want)
+    else (adaptiveCellCount(n), HierSubCells)
+  }
+
+  /** Tree-descent probe width that scans the same corpus FRACTION as
+    * `nprobe` probes of the FLAT default (adaptiveCellCount cells):
+    * ceil(totalCells · nprobe / flatCells), never below nprobe. Where
+    * the two-level partition is k2× finer than flat (below the clamp)
+    * this is exactly nprobe·k2 — the width that took the q126
+    * hier_2probe row from 0.35 to 0.90 recall@1; where hierFactors
+    * sizes the partition at ≈ the unclamped flat cell count (above
+    * the clamp) it stays ≈ nprobe, so candidate cost does not silently
+    * grow k2× (measured: q130 at the 70× probe was 106.7 s with the
+    * naive nprobe·k2 width vs 42.3 s in round 8).
+    */
+  def volumeMatchedWidth(totalCells: Long, n: Long, nprobe: Int): Int =
+    math.max(nprobe, math.ceil(
+      totalCells.toDouble * nprobe / adaptiveCellCount(n)).toInt)
+
   private def vectorCount(s: SparkSession, dir: String): Long =
     t(s, dir, "embeddings").count()
 
@@ -486,14 +516,13 @@ object Similarity {
         .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
         .select(col("vec_id"), col("v"), col("nrm"))
-      // VOLUME-MATCHED probing: the two-level index has k1·k2 cells —
-      // k2× finer than the flat index — so nprobe CELLS would scan a
-      // k2× smaller corpus fraction than the flat route and recall
-      // drops (measured: 0.35 recall@1 vs flat 2-probe's 0.70, round-8
-      // SCALING). Probing nprobe·k2 cells restores the same probed
-      // volume as nprobe flat probes; descent cost stays
-      // k1 + (nprobe·k2)·k2 scores per query — model-sized.
-      hierProbes(queries, c1, cents, k2, nprobe * k2)
+      // VOLUME-MATCHED probing (see [[volumeMatchedWidth]]): scan the
+      // same corpus fraction as nprobe flat-default probes. With
+      // hierFactors sizing (k1·k2 ≈ want ≈ the unclamped flat cell
+      // count vs the clamped flat 64) this stays close to nprobe —
+      // never a silent k2× candidate blow-up.
+      hierProbes(queries, c1, cents, k2,
+          volumeMatchedWidth(k1.toLong * k2, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
         .write.mode("overwrite").parquet(s"$workDir/probes")
     }
@@ -1246,13 +1275,17 @@ object Similarity {
     * trees descend); instead each query scores the k1 level-1
     * centroids ([[ivfProbes]], unchanged), keeps its nearest supers,
     * scores ONLY those supers' sub-rows from the broadcast centroid
-    * table, and keeps the 2·k2 nearest (super, sub) cells overall —
-    * the VOLUME-MATCHED width: 2·k2 cells of the k2×-finer partition
-    * probe the same corpus fraction as 2 flat probes, so recall does
-    * not silently drop when the hier quantizer engages (round-8
-    * measured exactly that drop at width 2: 0.35 recall@1 vs flat
-    * 2-probe's 0.70). Still k1 + O(k2²) scores per query, never
-    * k1·k2. The probe list and the assignments both stage; the
+    * table, and keeps the [[volumeMatchedWidth]] nearest (super, sub)
+    * cells overall — the width that probes the same corpus FRACTION
+    * as the flat default's nprobe probes, so recall does not silently
+    * drop when the partition is finer (round-8 measured exactly that
+    * drop at raw width 2 on the k2×-finer forced-hier index: 0.35
+    * recall@1 vs flat 2-probe's 0.70; width 2·k2 restored 0.90) and
+    * candidate cost does not silently grow where it is not (above the
+    * clamp hierFactors already sizes cells ≈ the unclamped flat
+    * count, so the width stays ≈ nprobe). Still k1 + O(k2·width)
+    * scores per query, never k1·k2 for selection. The probe list and
+    * the assignments both stage; the
     * search is q79's equi-join over them, and the oracle replays it.
     * HierMultiprobeSpec plants the sub-cell boundary case: a query
     * whose true nearest quantized into the SIBLING sub-cell — 1-probe
@@ -1304,23 +1337,25 @@ object Similarity {
 
   /** Stage the two-level index UNCONDITIONALLY (the forced-hier form
     * q120/q136 certify below the production clamp): `cells_hier`
-    * (vec_id, cell over k1·k2 learned cells) and the tree-descent
-    * probe list `probes_hier` (query_id, cell) at the VOLUME-MATCHED
-    * width — 2·k2 cells of the k2×-finer partition = the same probed
-    * corpus fraction as 2 flat probes (see the stageIvfIndex hier
-    * branch for the measured recall rationale).
+    * (vec_id, cell over k1·k2 learned cells, [[hierSizing]]) and the
+    * tree-descent probe list `probes_hier` (query_id, cell) at the
+    * [[volumeMatchedWidth]] — the same probed corpus fraction as 2
+    * flat-default probes (2·k2 cells below the clamp: the 0.35 → 0.90
+    * recall@1 fix; ≈ 2 cells above it, where the partition is not
+    * finer than the unclamped flat).
     */
   def stageHierIndex(s: SparkSession, dir: String, work: String): Unit = {
-    val k2 = HierSubCells
-    val (c1, cents, asg) =
-      trainHier(s, dir, adaptiveCellCount(vectorCount(s, dir)))
+    val n = vectorCount(s, dir)
+    val (k1, k2) = hierSizing(n)
+    val (c1, cents, asg) = trainHier(s, dir, k1, k2)
     asg.write.mode("overwrite").parquet(s"$work/cells_hier")
     val queries = scaledVectors(s, dir)
       .join(s.read.parquet(s"$work/cells_hier").select(col("vec_id")),
         "vec_id")
       .where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
-    hierProbes(queries, c1, cents, k2, nprobe = 2 * k2)
+    hierProbes(queries, c1, cents, k2,
+        volumeMatchedWidth(k1.toLong * k2, n, nprobe = 2))
       .write.mode("overwrite").parquet(s"$work/probes_hier")
   }
 
@@ -1353,7 +1388,8 @@ object Similarity {
     */
   def q118AnnIvfHier(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    trainHierCells(s, dir, adaptiveCellCount(vectorCount(s, dir)))
+    val (k1, k2) = hierSizing(vectorCount(s, dir))
+    trainHierCells(s, dir, k1, k2)
       .write.mode("overwrite").parquet(s"$work/cells_hier")
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(s"$work/cells_hier"), "vec_id")
@@ -1605,7 +1641,8 @@ object Similarity {
     * nprobe/k1/k2 against, generalizing q106's per-query `correct`
     * flag to the whole ANN family: every staged-index search (q78
     * 1-probe IVF, q79 2-probe, q91 own-cell IVF-PQ, q117 2-probe
-    * IVF-PQ, q130 re-ranked IVF-PQ, q120 hierarchical tree-descent)
+    * IVF-PQ, q130 re-ranked IVF-PQ, q120 volume-matched hierarchical
+    * tree-descent, q136 hier+PQ+re-rank composition)
     * is run over the REAL
     * embeddings table, its top-5 staged, and scored against the
     * exact brute-force top-5 (q40's plan at the shared query set).

@@ -63,7 +63,10 @@ class DeterminismSpec extends SparkSpec {
     // shingle arrival order; q135 compares two full index epochs
     "q131_centroid_classify", "q132_weighted_sample",
     "q133_matryoshka_recall", "q134_shingle_novelty",
-    "q135_index_compaction")
+    "q135_index_compaction",
+    // q136: ADC shortlist rank ties decide membership through the
+    // hier candidate cut, then exact-cosine re-rank ties
+    "q136_hier_pq_rerank")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

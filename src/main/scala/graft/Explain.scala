@@ -53,6 +53,7 @@ object Explain {
     "q134_shingle_novelty", // df groupBy + 1:1 hash join back — NO pair join
     "q135_index_compaction", // two staged epochs; report joins model-sized
     "q136_hier_pq_rerank", // hier probes->cells equi-join + PQ ADC + broadcast shortlist re-rank
+    "q137_rerank_width_report", // one ADC pass, three prefix re-ranks, staged-table scoring joins
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -158,6 +158,7 @@ object ScaleProbe {
       "q131_centroid_classify", "q132_weighted_sample",
       "q133_matryoshka_recall", "q134_shingle_novelty",
       "q135_index_compaction", "q136_hier_pq_rerank",
+      "q137_rerank_width_report",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

@@ -1128,6 +1128,93 @@ object Similarity {
       topK = 5)
   }
 
+  /** Shortlist widths the tuning report measures — the knob SCALING's
+    * sweep names as the rerank route's remaining recall bound.
+    */
+  val RerankWidths = Seq(20, 50, 100)
+
+  /** SHORTLIST-WIDTH TUNING REPORT — q126's recall methodology turned
+    * on q130's one knob: the staged IVF-PQ candidate stream is ADC-
+    * priced ONCE at the widest width, each narrower shortlist is that
+    * ranking's prefix (so three curves cost one candidate join), each
+    * prefix is exactly re-ranked to top-5, and all three results are
+    * scored against the exact brute-force truth. recall@5 is monotone
+    * in the width by construction (a wider shortlist's exact top-5
+    * can only gain truth members — anything that displaces a truth
+    * member outranks it exactly and is itself truth), which
+    * WidthReportSpec pins; the production read is "the knee of this
+    * table is the width to ship" (measured at sf0.01: recall@5 0.31 /
+    * 0.51 / 0.62 at 20/50/100 against uncompressed 2-probe's 0.69).
+    *
+    * Scale shape: one ADC pricing pass (broadcast LUT over 4-byte
+    * codes), |Q|·max-width exact dots for all three re-ranks
+    * together, scoring joins over model-sized staged top-5 tables.
+    * The DuckDB oracle replays the scoring over the staged
+    * results/truth parquet — it never re-runs a search.
+    */
+  def q137RerankWidthReport(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageIvfIndex(s, dir, work)
+    stagePq(s, dir, work)
+    val cells = s.read.parquet(s"$work/cells")
+    val probes = s.read.parquet(s"$work/probes")
+    val cb = s.read.parquet(s"$work/pq_codebook")
+    val codes = s.read.parquet(s"$work/pq_codes")
+    val lut = adcLutFor(
+      scaledVectors(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")), cb)
+    val cand = probes.join(cells, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+    // widest ranking once; narrower shortlists are its rank-prefixes
+    val widest = adcRank(cand, lut, topK = RerankWidths.max)
+      .localCheckpoint()
+    RerankWidths.map { wd =>
+      rerankExact(s, dir, widest.where(col("rank") <= wd), topK = 5)
+        .select(lit(wd).as("shortlist_width"), col("query_id"),
+          col("rank"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/wreport/results")
+    val iv = scaledVectors(s, dir).where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$work/wreport/truth")
+    val truth = s.read.parquet(s"$work/wreport/truth")
+    val results = s.read.parquet(s"$work/wreport/results")
+    val totals = truth.agg(count(lit(1)).as("t_rows"),
+      countDistinct(col("query_id")).as("nq"))
+    val matched = truth.as("t")
+      .join(results.as("r"),
+        col("t.query_id") === col("r.query_id") &&
+          col("t.neighbor_id") === col("r.neighbor_id"))
+      .select(col("r.shortlist_width").as("shortlist_width"),
+        col("t.rank").as("t_rank"), col("r.rank").as("r_rank"))
+    val agg = matched.groupBy(col("shortlist_width"))
+      .agg(count(lit(1)).as("hits5"),
+        sum(when(col("t_rank") === 1 && col("r_rank") === 1, 1L)
+          .otherwise(0L)).as("hits1"))
+    results.select(col("shortlist_width")).distinct()
+      .join(agg, Seq("shortlist_width"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("shortlist_width"), col("nq").as("n_queries"),
+        (coalesce(col("hits1"), lit(0L)).cast("double") /
+          col("nq").cast("double")).as("recall_at_1"),
+        (coalesce(col("hits5"), lit(0L)).cast("double") /
+          col("t_rows").cast("double")).as("recall_at_5"))
+      .orderBy(col("shortlist_width"))
+  }
+
   /** Spec-facing in-memory form of [[q130IvfPqRerank]] — ivfPqSearch's
     * shortlist re-ranked exactly, with the spec's own corpus and
     * geometry knobs.
@@ -1907,6 +1994,7 @@ object Similarity {
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
     "q130_ivfpq_rerank" -> (q130IvfPqRerank _),
     "q136_hier_pq_rerank" -> (q136HierPqRerank _),
+    "q137_rerank_width_report" -> (q137RerankWidthReport _),
     "q118_ann_ivf_hier" -> (q118AnnIvfHier _),
     "q120_hier_multiprobe" -> (q120HierMultiprobe _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
@@ -2155,6 +2243,31 @@ object Similarity {
         FROM x)
       SELECT query_id, rank, neighbor_id, cosine
       FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q126's scoring-replay pattern over the width report's staged
+    // results/truth — the oracle never re-runs a search
+    "q137_rerank_width_report" -> s"""
+      WITH t AS (SELECT query_id, "rank" AS t_rank, neighbor_id
+                 FROM '__GRAFT_STAGED__/wreport/truth/*.parquet'),
+      r AS (SELECT shortlist_width, query_id, "rank" AS r_rank,
+              neighbor_id
+            FROM '__GRAFT_STAGED__/wreport/results/*.parquet'),
+      tot AS (SELECT COUNT(1) AS t_rows,
+                COUNT(DISTINCT query_id) AS nq FROM t),
+      m AS (SELECT r.shortlist_width, t.t_rank, r.r_rank
+            FROM t JOIN r ON t.query_id = r.query_id
+              AND t.neighbor_id = r.neighbor_id),
+      agg AS (SELECT shortlist_width, COUNT(1) AS hits5,
+                SUM(CASE WHEN t_rank = 1 AND r_rank = 1
+                    THEN 1 ELSE 0 END) AS hits1
+              FROM m GROUP BY shortlist_width)
+      SELECT wd.shortlist_width, nq AS n_queries,
+        CAST(COALESCE(hits1, 0) AS DOUBLE) / CAST(nq AS DOUBLE)
+          AS recall_at_1,
+        CAST(COALESCE(hits5, 0) AS DOUBLE) / CAST(t_rows AS DOUBLE)
+          AS recall_at_5
+      FROM (SELECT DISTINCT shortlist_width FROM r) wd
+      LEFT JOIN agg USING (shortlist_width) CROSS JOIN tot
+      ORDER BY shortlist_width""",
     // q130's replay chain verbatim, but candidates cut by the STAGED
     // two-level index (cells_hier/probes_hier) instead of the flat one
     "q136_hier_pq_rerank" -> s"""

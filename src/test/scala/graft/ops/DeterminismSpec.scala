@@ -65,8 +65,9 @@ class DeterminismSpec extends SparkSpec {
     "q133_matryoshka_recall", "q134_shingle_novelty",
     "q135_index_compaction",
     // q136: ADC shortlist rank ties decide membership through the
-    // hier candidate cut, then exact-cosine re-rank ties
-    "q136_hier_pq_rerank")
+    // hier candidate cut, then exact-cosine re-rank ties; q137 stacks
+    // three prefix-shortlist re-ranks on one ADC ranking
+    "q136_hier_pq_rerank", "q137_rerank_width_report")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

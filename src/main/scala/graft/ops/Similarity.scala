@@ -1254,6 +1254,21 @@ object Similarity {
     * rows per vector), then one partial-agg max of (cos, −sub) — ties
     * to the lowest sub id, exactly [[cellAssignment]]'s policy.
     */
+  /** Two-level cell assignment of a (vec_id, v, nrm) frame under an
+    * ALREADY-TRAINED model (level-1 literal centroids + the
+    * model-sized level-2 broadcast table) — the pure map stage
+    * [[graft.streaming.EventStreams.hierIngestStream]] shares with
+    * trainHier's own final assignment: super-cell by the broadcast
+    * literal argmax (zero shuffle), sub-cell by one INPUT-local
+    * partial-agg argmax against the broadcast table. The corpus is
+    * never touched; cost is linear in the input frame.
+    */
+  def assignHierCells(vecs: DataFrame, c1: Array[Array[Double]],
+      cents: DataFrame, k2: Int): DataFrame =
+    hierAssign(vecs.withColumn("cluster", cellAssignment(c1)), cents)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * k2 + col("sub")).as("cell"))
+
   private def hierAssign(ivs: DataFrame, cents: DataFrame): DataFrame =
     ivs.join(broadcast(cents), Seq("cluster"))
       .select(col("vec_id"), col("cluster"),

@@ -291,6 +291,41 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the TWO-LEVEL index — [[ivfIngestStream]]'s
+    * twin for the hierarchical quantizer (the stageCells production
+    * default above the flat clamp): micro-batches super-assign
+    * through the same broadcast literal argmax and sub-assign against
+    * the broadcast model-sized level-2 centroid table
+    * ([[graft.ops.Similarity.assignHierCells]] — one BATCH-local
+    * partial-agg argmax; the corpus is never touched, no state
+    * store), appending (vec_id, cell) to the staged hier cell table
+    * with the same anti-join-by-content effectively-once discipline.
+    * HierIngestStreamSpec asserts streamed == the trained model's own
+    * batch assignment row-for-row, plus drained-re-run and
+    * fresh-checkpoint-redelivery idempotence.
+    */
+  def hierIngestStream(vectors: DataFrame, c1: Array[Array[Double]],
+      cents: DataFrame, k2: Int, stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/cells_hier_stream"
+        val assigned = graft.ops.Similarity.assignHierCells(
+          batch.where(col("nrm") > 0).dropDuplicates("vec_id"),
+          c1, cents, k2)
+        val fresh =
+          if (stagedExists(s, path))
+            assigned.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming PQ encode ingest — [[ivfIngestStream]]'s twin for the
     * compressed index (q93's nightly batch as a stream): vectors
     * stream in, each micro-batch is encoded by the SAME broadcast-

@@ -69,6 +69,11 @@ object Bench {
     val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    // the full line above can exceed the driver's tail capture (observed:
+    // BENCH_r09 recorded rc=0 but "parsed": null because the head of the
+    // line was truncated away) — repeat the headline numbers as a short
+    // FINAL line so any tail window carries a parseable total
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -427,6 +427,7 @@ object Dedup {
       workDir: String): String = {
     val p = s"$workDir/sh_pairs"
     simhashPairCore(s, dir)._1.write.mode("overwrite").parquet(p)
+    Staged.mark(workDir, "sh_pairs")
     p
   }
 
@@ -461,6 +462,29 @@ object Dedup {
     val work = stageRoot(dir)
     stagePairs(s, dir, work)
     stageSimhashPairs(s, dir, work)
+    dedupAgreementStaged(s, dir, work)
+  }
+
+  /** q138 — [[dedupAgreementStaged]] as a FIRST-CLASS catalog row: the
+    * production staged-input entry, oracle-certified every round
+    * against q123's replay SQL, but consuming pair assets an earlier
+    * query in the SAME run staged instead of re-deriving them.
+    * Staging happens only when no query of this run has staged the
+    * asset yet (the [[Staged]] run-scoped guard — a stage root left
+    * in /tmp by a PREVIOUS round may hold content a code change
+    * since made stale, so cross-run assets are never trusted); on a
+    * warm run the query is exactly the model-sized matrix joins —
+    * SCALING.md's 15× staged-vs-self-contained row is the measured
+    * difference, and StagedEntriesSpec pins both result-equivalence
+    * to q123 and that a warm run never re-stages. Staging is
+    * deterministic (no RNG anywhere — DeterminismSpec), so whichever
+    * of q123/q138 runs first, the staged content the oracle replays
+    * is identical.
+    */
+  def q138DedupAgreementStaged(s: SparkSession, dir: String): DataFrame = {
+    val work = stageRoot(dir)
+    if (!Staged.isFresh(work, "pairs")) stagePairs(s, dir, work)
+    if (!Staged.isFresh(work, "sh_pairs")) stageSimhashPairs(s, dir, work)
     dedupAgreementStaged(s, dir, work)
   }
 
@@ -735,6 +759,7 @@ object Dedup {
   def stagePairs(s: SparkSession, dir: String, workDir: String): String = {
     val p = s"$workDir/pairs"
     q31MinhashPairs(s, dir).write.mode("overwrite").parquet(p)
+    Staged.mark(workDir, "pairs")
     p
   }
 
@@ -1014,6 +1039,7 @@ object Dedup {
     "q32_simhash" -> (q32Simhash _),
     "q122_simhash_pairs" -> (q122SimhashPairs _),
     "q123_dedup_agreement" -> (q123DedupAgreement _),
+    "q138_dedup_agreement_staged" -> (q138DedupAgreementStaged _),
     "q33_jaccard_pairs" -> (q33JaccardPairs _),
     "q35_dedup_clusters" -> (q35DedupClusters _),
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
@@ -1091,6 +1117,37 @@ object Dedup {
                       WHERE e.b <> r.a),
       clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
                    FROM reach GROUP BY a)"""
+
+  /** q123's replay SQL, shared verbatim by q138's staged-input entry:
+    * the matrix over the TWO engine-staged pair tables + in-SQL exact
+    * families — the oracle never re-runs minhash/simhash.
+    */
+  private def sqlDedupAgreement: String = s"""
+      WITH mh AS (SELECT doc_a, doc_b
+                  FROM '__GRAFT_STAGED__/pairs/*.parquet'),
+      sh AS (SELECT doc_a, doc_b
+             FROM '__GRAFT_STAGED__/sh_pairs/*.parquet'),
+      d AS (SELECT doc_id, md5(norm) AS h
+            FROM (SELECT doc_id, $sqlNorm AS norm FROM documents)),
+      fams AS (SELECT h, MIN(doc_id) AS rep FROM d
+               GROUP BY h HAVING COUNT(1) > 1),
+      ex AS (SELECT f.rep AS doc_a, x.doc_id AS doc_b
+             FROM d x JOIN fams f ON x.h = f.h
+             WHERE x.doc_id <> f.rep),
+      u AS (SELECT doc_a, doc_b FROM ex
+            UNION SELECT doc_a, doc_b FROM mh
+            UNION SELECT doc_a, doc_b FROM sh),
+      f AS (SELECT
+          EXISTS(SELECT 1 FROM ex WHERE ex.doc_a = u.doc_a
+                   AND ex.doc_b = u.doc_b) AS exact,
+          EXISTS(SELECT 1 FROM mh WHERE mh.doc_a = u.doc_a
+                   AND mh.doc_b = u.doc_b) AS minhash,
+          EXISTS(SELECT 1 FROM sh WHERE sh.doc_a = u.doc_a
+                   AND sh.doc_b = u.doc_b) AS simhash
+        FROM u)
+      SELECT exact, minhash, simhash, COUNT(1) AS n_pairs
+      FROM f GROUP BY exact, minhash, simhash
+      ORDER BY exact, minhash, simhash"""
 
   val oracles: Map[String, String] = Map(
     "q134_shingle_novelty" -> s"""
@@ -1240,32 +1297,11 @@ object Dedup {
       FROM votes GROUP BY doc_id ORDER BY doc_id""",
     // replays the matrix over the TWO engine-staged pair tables +
     // in-SQL exact families — the oracle never re-runs minhash/simhash
-    "q123_dedup_agreement" -> s"""
-      WITH mh AS (SELECT doc_a, doc_b
-                  FROM '__GRAFT_STAGED__/pairs/*.parquet'),
-      sh AS (SELECT doc_a, doc_b
-             FROM '__GRAFT_STAGED__/sh_pairs/*.parquet'),
-      d AS (SELECT doc_id, md5(norm) AS h
-            FROM (SELECT doc_id, $sqlNorm AS norm FROM documents)),
-      fams AS (SELECT h, MIN(doc_id) AS rep FROM d
-               GROUP BY h HAVING COUNT(1) > 1),
-      ex AS (SELECT f.rep AS doc_a, x.doc_id AS doc_b
-             FROM d x JOIN fams f ON x.h = f.h
-             WHERE x.doc_id <> f.rep),
-      u AS (SELECT doc_a, doc_b FROM ex
-            UNION SELECT doc_a, doc_b FROM mh
-            UNION SELECT doc_a, doc_b FROM sh),
-      f AS (SELECT
-          EXISTS(SELECT 1 FROM ex WHERE ex.doc_a = u.doc_a
-                   AND ex.doc_b = u.doc_b) AS exact,
-          EXISTS(SELECT 1 FROM mh WHERE mh.doc_a = u.doc_a
-                   AND mh.doc_b = u.doc_b) AS minhash,
-          EXISTS(SELECT 1 FROM sh WHERE sh.doc_a = u.doc_a
-                   AND sh.doc_b = u.doc_b) AS simhash
-        FROM u)
-      SELECT exact, minhash, simhash, COUNT(1) AS n_pairs
-      FROM f GROUP BY exact, minhash, simhash
-      ORDER BY exact, minhash, simhash""",
+    "q123_dedup_agreement" -> sqlDedupAgreement,
+    // q138 consumes the SAME staged pair tables (staging is
+    // deterministic, so whichever entry staged them the content is
+    // identical) — the replay SQL is q123's verbatim
+    "q138_dedup_agreement_staged" -> sqlDedupAgreement,
     "q122_simhash_pairs" -> s"""
       WITH norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
       toks AS (SELECT doc_id, unnest(list_distinct(ws)) AS tok FROM norm),

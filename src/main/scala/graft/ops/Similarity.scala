@@ -46,7 +46,7 @@ object Similarity {
     * change and a degenerate embedding (a failed encoder emits them)
     * can't kill a 100 TB scoring job (PipelineSpec degenerate test).
     */
-  private def cosine(dot: Column, n1: Column, n2: Column): Column =
+  def cosine(dot: Column, n1: Column, n2: Column): Column =
     when(n1 * n2 > 0, dot.cast("double") / (n1 * n2))
 
   private val sqlScaled = """
@@ -461,7 +461,7 @@ object Similarity {
     * one cell, so multi-probe needs no dedup. The physical shape never
     * changes with nprobe: still one hash-partitioned equi-join.
     */
-  private def searchCells(probes: DataFrame, iv: DataFrame,
+  def searchCells(probes: DataFrame, iv: DataFrame,
       topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -1185,13 +1185,27 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageHierIndex(s, dir, work)
     stagePq(s, dir, work)
+    hierPqSearchOn(s, dir, work,
+      scaledVectors(s, dir).where(col("vec_id") < 20),
+      s.read.parquet(s"$work/probes_hier"))
+  }
+
+  /** q136's search chain for an ARBITRARY query frame (vec_id, v[,
+    * nrm]) and probe list (query_id, cell) over the staged
+    * (cells_hier, pq_codebook, pq_codes) assets: candidates =
+    * probes ⋈ cells ⋈ codes, broadcast-LUT ADC pricing, ADC
+    * top-[[RerankShortlist]] shortlist, exact re-rank to top-5.
+    * Shared by the batch q136 entry and the streaming search server
+    * ([[graft.streaming.EventStreams.hierPqSearchStream]]) — the
+    * stream==batch guarantee holds BECAUSE both run this one code
+    * path over the same staged assets.
+    */
+  def hierPqSearchOn(s: SparkSession, dir: String, work: String,
+      queries: DataFrame, probes: DataFrame): DataFrame = {
     val cells = s.read.parquet(s"$work/cells_hier")
-    val probes = s.read.parquet(s"$work/probes_hier")
     val cb = s.read.parquet(s"$work/pq_codebook")
     val codes = s.read.parquet(s"$work/pq_codes")
-    val lut = adcLutFor(
-      scaledVectors(s, dir).where(col("vec_id") < 20)
-        .select(col("vec_id"), col("v")), cb)
+    val lut = adcLutFor(queries.select(col("vec_id"), col("v")), cb)
     val cand = probes.join(cells, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))

@@ -363,6 +363,54 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ANN SERVING — the query half of the index lifecycle,
+    * closing the loop the ingest matrix (exact-dedup / IVF / hier /
+    * PQ) opened: micro-batches of QUERY vectors are answered from the
+    * staged hier+PQ assets via exactly q136's search chain
+    * ([[graft.ops.Similarity.hierPqSearchOn]] — the same code path
+    * the batch entry runs, which is what makes streamed == batch a
+    * mechanism rather than a test hope). Per batch: tree-descent
+    * probes at the given volume-matched width (k1 literal scores +
+    * broadcast-table sub scores — no shuffle), candidate equi-join
+    * against the staged cells, broadcast-LUT ADC over 4-byte codes,
+    * exact re-rank of the model-sized shortlist. Results append to
+    * `$work/search_results_stream` — no state store; the INDEX is the
+    * state and it lives in parquet, refreshed independently by the
+    * ingest streams. Effectively-once per query id by the ingest
+    * discipline (anti-join on already-answered query_ids before
+    * append): a batch retry, a drained re-run, or a re-submitted
+    * query id all append nothing. At 100 TB the per-batch cost is
+    * |batch| model-sized probe selections plus one equi-join against
+    * the probed slice of the code table — the corpus is never
+    * scanned. HierPqSearchStreamSpec pins streamed == batch q136
+    * row-for-row on the real embeddings.
+    */
+  def hierPqSearchStream(queries: DataFrame, dir: String, work: String,
+      c1: Array[Array[Double]], cents: DataFrame, k2: Int, width: Int,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$work/search_results_stream"
+        val q = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+          .localCheckpoint() // probes + LUT + re-rank all read it
+        val probes =
+          graft.ops.Similarity.hierProbes(q, c1, cents, k2, width)
+        val res = graft.ops.Similarity.hierPqSearchOn(s, dir, work, q,
+          probes)
+        val fresh =
+          if (stagedExists(s, path))
+            res.join(
+              s.read.parquet(path).select(col("query_id")).distinct(),
+              Seq("query_id"), "left_anti")
+          else res
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

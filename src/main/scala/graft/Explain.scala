@@ -54,6 +54,11 @@ object Explain {
     "q135_index_compaction", // two staged epochs; report joins model-sized
     "q136_hier_pq_rerank", // hier probes->cells equi-join + PQ ADC + broadcast shortlist re-rank
     "q137_rerank_width_report", // one ADC pass, three prefix re-ranks, staged-table scoring joins
+    "q138_dedup_agreement_staged", // staged-input production entry: matrix joins only, no pair re-derivation
+    "q139_recall_report_staged", // staged-input production entry: two model-sized scoring joins
+    "q140_semantic_decon_staged", // staged-input production entry: in-cell screen over warm cells
+    "q141_ann_ivf_hier3", // three-level staged index: search equi-join STILL q78's, key = k1*k2*k3 leaf
+    "q142_hier3_multiprobe", // beam-descent probes->cells equi-join at the volume-matched width
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

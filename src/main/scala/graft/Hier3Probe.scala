@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * stage/descend/search machinery at >4096 cells, not a
   * discriminative recall curve (that is the sf0.01 table).
   *
+  * `SPARK_GRAFT_EMB_PERTURB=1` switches to SPREAD replication: every
+  * non-zero copy's components get a deterministic ±20% multiplicative
+  * jitter keyed by (new vec_id, dim) — no RNG — so the corpus holds
+  * 8.4M genuinely DISTINCT positions (each base vector fans into a
+  * ±20% ball) instead of 2000 distinct positions with 4200
+  * byte-exact twins each. Byte-identical mode caps OCCUPIED cells at
+  * the distinct-position count (a quantizer cannot split identical
+  * points); the spread mode is the occupancy evidence — the trained
+  * index must genuinely fill >4096 leaves. Copy 0 stays verbatim, so
+  * the 20 query vectors are the original embeddings in both modes.
+  *
   * Run: `sbt 'runMain graft.Hier3Probe [factor]'` (default 4200).
   */
 object Hier3Probe {
@@ -23,16 +34,25 @@ object Hier3Probe {
     val factor = args.headOption.map(_.toInt).getOrElse(4200)
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val perturb = sys.env.get("SPARK_GRAFT_EMB_PERTURB").contains("1")
     val spark = ScaleProbe.session(cpus)
     import spark.implicits._
 
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe/e$factor"
+    val tag = if (perturb) s"e${factor}p" else s"e$factor"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe/$tag"
     val dst = s"$dir/embeddings.parquet"
     if (!new java.io.File(dst).exists()) {
-      spark.read.parquet(s"$src/embeddings.parquet")
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
         .withColumn("_k", explode(sequence(lit(0), lit(factor - 1))))
         .withColumn("vec_id", $"vec_id" + $"_k" * 10000000L)
-        .drop("_k")
+      val spread =
+        if (perturb) base.withColumn("embedding",
+          when($"_k" === 0, $"embedding").otherwise(expr(
+            """transform(embedding, (x, i) -> CAST(x * (1.0 +
+              |(CAST(pmod(xxhash64(vec_id, i), 401) AS DOUBLE) - 200.0)
+              |/ 1000.0) AS FLOAT))""".stripMargin)))
+        else base
+      spread.drop("_k")
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(dst)
     }

@@ -59,6 +59,7 @@ object Explain {
     "q140_semantic_decon_staged", // staged-input production entry: in-cell screen over warm cells
     "q141_ann_ivf_hier3", // three-level staged index: search equi-join STILL q78's, key = k1*k2*k3 leaf
     "q142_hier3_multiprobe", // beam-descent probes->cells equi-join at the volume-matched width
+    "q143_sharded_ann", // scatter-gather over shard-disjoint cell ids: same equi-join, gather = the top-k window
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -158,7 +158,8 @@ object ScaleProbe {
       "q131_centroid_classify", "q132_weighted_sample",
       "q133_matryoshka_recall", "q134_shingle_novelty",
       "q135_index_compaction", "q136_hier_pq_rerank",
-      "q137_rerank_width_report",
+      "q137_rerank_width_report", "q141_ann_ivf_hier3",
+      "q142_hier3_multiprobe", "q143_sharded_ann",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

@@ -535,7 +535,9 @@ object Similarity {
     * below the k ≤ 64 clamp (the historical form every sf0.01/sf0.1
     * oracle certifies), the two-level hierarchical quantizer above it
     * — with probe selection by TREE DESCENT ([[hierProbes]]: k1 +
-    * nprobe·k2 scores per query, never k1·k2). Consumers (q79, q117,
+    * O(k2·width) scores per query; at volume-matched widths ≥ k1 the
+    * bound degenerates to k1 + k1·k2, still far below scoring the
+    * corpus). Consumers (q79, q117,
     * q130) read only the staged (cells, probes) pair and cannot tell
     * which quantizer produced it. Measured at the 70× probe (140k
     * vectors): flat-path q79 was 292.7 s, dominated by k=64
@@ -1738,6 +1740,144 @@ object Similarity {
     searchCells(probes, iv, topK = 5)
   }
 
+  /** Shard count for the SHARDED index (q143). Four shards exercise
+    * every cross-shard path on the test corpora; production would set
+    * this to ceil(corpusVectors / perShardCapacity) — e.g. a
+    * 10¹⁰-vector corpus over the three-level 537M/shard ceiling is
+    * ~20 shards, the layout the [[hierFactors3]] scaladoc points to.
+    */
+  val NumShards = 4
+
+  /** Train `shards` INDEPENDENT partition-local coarse quantizers —
+    * the capacity dimension ORTHOGONAL to quantizer depth: depth
+    * multiplies cells per index (64 → 4096 → 262,144), sharding
+    * multiplies indexes. The shard key is `pmod(vec_id, shards)` (any
+    * stable hash works; modulo keeps the oracle replay trivial), and
+    * the per-shard training is ONE [[trainSubCells]] pass with the
+    * shard id as the parent key — the same depth-agnostic broadcast-
+    * table Lloyd the hierarchical levels ride, so all shards train in
+    * the SAME corpus-wide jobs (no per-shard driver loop) yet no
+    * centroid, seed, or Lloyd mean ever mixes shards: seeding windows
+    * partition by parent, updates group by (parent, sub). That makes
+    * refresh OPERATIONALLY independent — retraining one shard cannot
+    * move any other shard's assignments (ShardedAnnSpec pins this
+    * byte-for-byte) — which is the property that lets a 100 TB index
+    * refresh incrementally, one bounded shard at a time, instead of
+    * as a monolithic retrain. Returns (centroid table (cluster=shard,
+    * sub, cv, cnrm), assignments (vec_id, cell = shard·kShard + sub)).
+    */
+  def trainShardedCells(s: SparkSession, dir: String,
+      shards: Int = NumShards, iters: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val n = vectorCount(s, dir)
+    val kS = adaptiveCellCount((n + shards - 1) / shards)
+    val ivs = scaledVectors(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("cluster", pmod(col("vec_id"), lit(shards)).cast("int"))
+      .localCheckpoint() // seeding + Lloyd + final assign all scan it
+    val cents = trainSubCells(ivs, kS, iters)
+    val asg = hierAssign(ivs, cents)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * kS + col("sub")).as("cell"))
+    (cents, asg)
+  }
+
+  /** Scatter-gather probe list over the sharded index: every query
+    * scores the model-sized (shards·kShard)-row centroid table once
+    * (broadcast — the corpus side is never touched) and keeps the
+    * `nprobe` nearest cells PER SHARD. Probing every shard is the
+    * scatter-gather tax: a query's true neighbor lives in whichever
+    * shard its OWN id hashed to, so no shard may be skipped
+    * (ShardedAnnSpec plants a neighbor in a foreign shard and pins
+    * that own-shard-only probing misses it). Candidate cost per query
+    * is nprobe·shards·(n/(shards·kShard)) ≈ nprobe·shards·CellTarget
+    * rows — linear in the shard count and independent of n, the
+    * standard price of independently-refreshable serving shards.
+    * Output (query_id, cell).
+    */
+  def shardProbes(queries: DataFrame, cents: DataFrame, kShard: Int,
+      nprobe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("query_id"), col("cluster"))
+      .orderBy(col("cos").desc_nulls_last, col("sub"))
+    queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cluster"), col("sub"),
+        when(col("cnrm") > 0,
+          idot(col("qv"), col("cv")).cast("double")
+            / (col("qn") * col("cnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wp))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"),
+        (col("cluster").cast("long") * kShard + col("sub")).as("cell"))
+  }
+
+  /** Sharded-index cell assignment of a (vec_id, v, nrm) frame under
+    * an ALREADY-TRAINED model (the model-sized shard-keyed centroid
+    * table) — the pure map stage
+    * [[graft.streaming.EventStreams.shardIngestStream]] shares with
+    * trainShardedCells' own final assignment: shard by the pmod key,
+    * sub-cell by one INPUT-local partial-agg argmax against the
+    * broadcast table. The corpus is never touched; cost is linear in
+    * the input frame — and because assignment only ever consults the
+    * input vector's OWN shard's centroids, a retrain of any other
+    * shard cannot move it (the independence ShardedAnnSpec pins).
+    */
+  def assignShardCells(vecs: DataFrame, cents: DataFrame, shards: Int,
+      kShard: Int): DataFrame =
+    hierAssign(vecs.withColumn("cluster",
+        pmod(col("vec_id"), lit(shards)).cast("int")), cents)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * kShard + col("sub")).as("cell"))
+
+  /** Stage the sharded index: `cells_shard` (vec_id, cell over
+    * shards·kShard learned cells, shard-disjoint id ranges) and the
+    * scatter-gather probe list `probes_shard` (query_id, cell) at
+    * nprobe=2 per shard.
+    */
+  def stageShardedIndex(s: SparkSession, dir: String,
+      work: String): Unit = {
+    val n = vectorCount(s, dir)
+    val kS = adaptiveCellCount((n + NumShards - 1) / NumShards)
+    val (cents, asg) = trainShardedCells(s, dir)
+    asg.write.mode("overwrite").parquet(s"$work/cells_shard")
+    val queries = scaledVectors(s, dir).where(col("vec_id") < 20)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    shardProbes(queries, cents, kS, nprobe = 2)
+      .write.mode("overwrite").parquet(s"$work/probes_shard")
+    Staged.mark(work, "cells_shard", "probes_shard")
+  }
+
+  /** Scatter-gather ANN over SHARDED partition-local indexes — the
+    * capacity dimension above a single refresh partition's ceiling
+    * (537M vectors for the three-level quantizer): S independent
+    * per-shard quantizers ([[trainShardedCells]]), queries probe
+    * nprobe cells in EVERY shard ([[shardProbes]]), and the gather is
+    * [[searchCells]] unchanged — per-shard candidates union through
+    * the same cell equi-join because cell ids are shard-disjoint, and
+    * the global top-k window IS the gather merge. The search plan
+    * still does not know the index became sharded: the staged
+    * (cells, probes) pair is the interface, exactly as it is for the
+    * flat, two-level, and three-level quantizers, and the oracle
+    * replays the join chain end-to-end over the staged tables.
+    */
+  def q143ShardedAnn(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    stageShardedIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells_shard"), "vec_id")
+      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
+        col("nrm"))
+    val probes = s.read.parquet(s"$work/probes_shard")
+      .withColumnRenamed("cell", "cluster")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
+  }
+
   /** Trained-IVF ANN through the TWO-LEVEL staged index — q78 with the
     * single-codebook clamp removed: [[trainHierCells]] stages (vec_id,
     * cell) where cell ranges over k1·k2 ~ up to 4096 learned cells,
@@ -2318,6 +2458,7 @@ object Similarity {
     "q120_hier_multiprobe" -> (q120HierMultiprobe _),
     "q141_ann_ivf_hier3" -> (q141AnnIvfHier3 _),
     "q142_hier3_multiprobe" -> (q142Hier3Multiprobe _),
+    "q143_sharded_ann" -> (q143ShardedAnn _),
     "q92_semantic_dedup" -> (q92SemanticDedup _),
     "q93_pq_ingest" -> (q93PqIngest _),
     "q99_semantic_decon" -> (q99SemanticDecon _),
@@ -2939,6 +3080,30 @@ object Similarity {
         FROM civ a JOIN civ b
           ON a.cell = b.cell AND b.vec_id <> a.vec_id
         WHERE a.vec_id < 20),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the scatter-gather replay over the SHARDED staged index: the
+    // probe ⋈ cells ⋈ corpus chain is byte-identical to q142's — the
+    // staged (cells, probes) pair hides the shard dimension exactly as
+    // it hides quantizer depth
+    "q143_sharded_ann" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cell
+                FROM '__GRAFT_STAGED__/cells_shard/*.parquet'),
+      probes AS (SELECT query_id, cell
+                 FROM '__GRAFT_STAGED__/probes_shard/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cell, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qv AS (SELECT p.query_id, p.cell, iv.v, iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cell = b.cell AND b.vec_id <> a.query_id),
       ranked AS (SELECT *, ROW_NUMBER() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)

@@ -326,6 +326,42 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the SHARDED index — [[hierIngestStream]]'s
+    * twin for the scatter-gather shard layout (q143): micro-batches
+    * shard by the pmod key and sub-assign against the broadcast
+    * model-sized shard-keyed centroid table
+    * ([[graft.ops.Similarity.assignShardCells]] — one BATCH-local
+    * partial-agg argmax; the corpus is never touched, no state
+    * store), appending (vec_id, cell) to the staged shard cell table
+    * with the same anti-join-by-content effectively-once discipline.
+    * Because an incoming vector consults only its OWN shard's
+    * centroids, concurrent per-shard refreshes and this ingest never
+    * interfere — the operational point of sharding.
+    * ShardIngestStreamSpec asserts streamed == the trained model's
+    * own batch assignment row-for-row.
+    */
+  def shardIngestStream(vectors: DataFrame, cents: DataFrame,
+      shards: Int, kShard: Int, stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/cells_shard_stream"
+        val assigned = graft.ops.Similarity.assignShardCells(
+          batch.where(col("nrm") > 0).dropDuplicates("vec_id"),
+          cents, shards, kShard)
+        val fresh =
+          if (stagedExists(s, path))
+            assigned.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming PQ encode ingest — [[ivfIngestStream]]'s twin for the
     * compressed index (q93's nightly batch as a stream): vectors
     * stream in, each micro-batch is encoded by the SAME broadcast-

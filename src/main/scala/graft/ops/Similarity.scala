@@ -2187,8 +2187,8 @@ object Similarity {
     * flag to the whole ANN family: every staged-index search (q78
     * 1-probe IVF, q79 2-probe, q91 own-cell IVF-PQ, q117 2-probe
     * IVF-PQ, q130 re-ranked IVF-PQ, q120 volume-matched hierarchical
-    * tree-descent, q136 hier+PQ+re-rank composition)
-    * is run over the REAL
+    * tree-descent, q136 hier+PQ+re-rank composition, q143 sharded
+    * scatter-gather) is run over the REAL
     * embeddings table, its top-5 staged, and scored against the
     * exact brute-force top-5 (q40's plan at the shared query set).
     * recall@1 = fraction of queries whose true nearest neighbor is
@@ -2214,7 +2214,8 @@ object Similarity {
       ("ivfpq_2probe", q117IvfPqMultiprobe _),
       ("ivfpq_rerank_2probe", q130IvfPqRerank _),
       ("hier_2probe", q120HierMultiprobe _),
-      ("hier_pq_rerank", q136HierPqRerank _))
+      ("hier_pq_rerank", q136HierPqRerank _),
+      ("sharded_2probe", q143ShardedAnn _))
     methods.map { case (m, f) =>
       // EAGER localCheckpoint per method: each search lazily reads the
       // staged tables its own run wrote, and the NEXT method's staging

@@ -255,6 +255,20 @@ class PlanSpec extends SparkSpec {
         l.contains("HashAggregate") && l.contains("max_by")), p.take(1500))
   }
 
+  test("q143 sharded search gathers through a hash equi-join, never a corpus nested-loop") {
+    // the scatter half (queries x model-sized shard-centroid table) is
+    // allowed to be a broadcast nested-loop — but that runs at STAGE
+    // time inside stageShardedIndex. The search plan q143 returns must
+    // be the same cell-keyed hash equi-join every other staged index
+    // uses: a CartesianProduct or a nested-loop against the CORPUS here
+    // would mean the gather degenerated to all-pairs
+    val p = plan("q143_sharded_ann")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("cluster")), p.take(1500))
+  }
+
   test("q134 novelty never plans a pair join — df rides a 1:1 hash join back") {
     // the whole point of the df-count spelling: novelty is linear in
     // total shingles. A shingle-keyed SELF-join (h = h between two

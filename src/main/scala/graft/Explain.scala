@@ -60,6 +60,9 @@ object Explain {
     "q141_ann_ivf_hier3", // three-level staged index: search equi-join STILL q78's, key = k1*k2*k3 leaf
     "q142_hier3_multiprobe", // beam-descent probes->cells equi-join at the volume-matched width
     "q143_sharded_ann", // scatter-gather over shard-disjoint cell ids: same equi-join, gather = the top-k window
+    "q144_tombstone_ann", // q79's staged search + broadcast LEFT-ANTI tombstone mask on both sides
+    "q145_filtered_ann", // label folded into the candidate hash-join KEY, never a post-filter
+    "q146_hybrid_rrf", // staged ANN equi-join + broadcast shingle semi-join, integer-exact RRF fuse of two model-sized lists
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

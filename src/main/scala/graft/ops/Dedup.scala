@@ -46,7 +46,7 @@ object Dedup {
     * inline `words(text)` would re-run lower/regexp/split per element
     * (measured 24× slower at sf0.1).
     */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private[ops] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh"))
@@ -1064,7 +1064,7 @@ object Dedup {
       s"($acc * 16 + (strpos('0123456789abcdef', substr(m, $k, 1)) - 1))"
     }
 
-  private val sqlHashedShingles =
+  private[ops] val sqlHashedShingles =
     s"""norm AS (SELECT doc_id, $sqlWords AS ws FROM documents),
       shs AS (SELECT doc_id, unnest(list_distinct($sqlShingles)) AS s FROM norm),
       shm AS (SELECT doc_id, md5(s) AS m FROM shs),

@@ -2069,6 +2069,183 @@ object Similarity {
     semanticDeconOn(s, dir, work)
   }
 
+  /** Ensure the shared (cells, probes) IVF index is staged by THIS run
+    * — the guard every production serving entry (q144/q145/q146) uses
+    * so the expensive training is paid at most once per run and never
+    * by the serving query itself on a warm run (q139/q140 discipline).
+    */
+  private def ensureIvfIndex(s: SparkSession, dir: String,
+      work: String): Unit =
+    if (!Staged.isFresh(work, "cells") || !Staged.isFresh(work, "probes"))
+      stageIvfIndex(s, dir, work)
+
+  /** Tombstoned vec_ids — the rows a delete feed removed since the
+    * last index REFRESH. Deterministic stand-in for the feed:
+    * vec_id % 7 = 3 (~14% of the corpus). Staged as a run asset so
+    * the oracle replays the exact same delete set; in production this
+    * table is the delete log the compaction report (q135) folds into
+    * the next refresh.
+    */
+  def stageDeletes(s: SparkSession, dir: String, workDir: String): Unit = {
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .where(col("vec_id") % 7 === 3)
+      .write.mode("overwrite").parquet(s"$workDir/deletes")
+    Staged.mark(workDir, "deletes")
+  }
+
+  /** q144 — DELETE-aware ANN search: the serving-time half of index
+    * deletion. Vector indexes are refreshed in bulk (retraining per
+    * delete would be absurd at 100 TB), so between refreshes deleted
+    * rows still sit in the staged cells and must be masked AT SEARCH
+    * TIME; q135's compaction report is the other half (when to fold
+    * tombstones into a real refresh). The mask is a broadcast
+    * left-anti join on both sides of q79's staged multi-probe search:
+    * corpus candidates (a deleted vector must never be served) and
+    * queries (a deleted vector no longer queries). Ranks are assigned
+    * AFTER the mask, so under-the-shortlist neighbors surface — the
+    * semantics that distinguish tombstone search from post-filtering
+    * a stale result list (TombstoneAnnSpec pins exactly that row).
+    *
+    * Scale shape: the delete DELTA between refreshes is model-sized
+    * relative to the corpus (14% here is deliberately hostile), and
+    * it rides a broadcast anti-join — a map-side probe against a
+    * broadcast hash set, no extra shuffle on top of q79's one
+    * equi-join. The index assets are consumed via the [[Staged]]
+    * guard: a warm run pays two anti-joins and the search, never the
+    * training.
+    */
+  def q144TombstoneAnn(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+    val deletes = s.read.parquet(s"$work/deletes")
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(broadcast(deletes.withColumnRenamed("vec_id", "query_id")),
+        Seq("query_id"), "left_anti")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
+  }
+
+  /** q145 — metadata-FILTERED ANN search: top-5 same-`label` neighbors
+    * through the staged multi-probe index. The filter is an extra
+    * EQUI-condition on the candidate join (cluster AND label), so
+    * Catalyst folds it into the hash-join key — candidates that fail
+    * the predicate are never scored, which is the difference between
+    * filtered search and post-filtering a top-k list (the latter
+    * silently returns < k or the wrong k; FilteredAnnSpec pins a
+    * planted case where the unfiltered top-5 contains zero same-label
+    * rows). With 10 labels the filter keeps ~10% of each probed cell,
+    * so some queries legitimately return fewer than 5 rows — the
+    * honest answer, not a recall bug.
+    *
+    * Scale shape: identical to q79 — one hash equi-join (now on a
+    * compound key) + one per-query window. At selective filters the
+    * candidate set SHRINKS; the knob to restore recall is the probe
+    * width (volumeMatchedWidth), not a plan change.
+    */
+  def q145FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("label"), col("cluster"), col("v"),
+        col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("label").as("qlabel"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(iv, Seq("cluster"))
+      .where(col("label") === col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank-fusion constants (q146). K = 60 is the standard
+    * RRF damping (Cormack et al.); L = lcm(61..65) makes every
+    * contribution L/(K+r) an EXACT BIGINT for ranks 1–5, so the fused
+    * score is integer arithmetic end-to-end and the oracle hash-compare
+    * is rounding-trivial (the q94 BM25 exact-rational discipline).
+    */
+  val RrfK = 60
+  val RrfL = 495593280L
+
+  /** q146 — HYBRID retrieval: vector ANN ∪ lexical overlap, fused by
+    * reciprocal-rank fusion. The vector list is q79's staged
+    * multi-probe top-5; the lexical list is the q57-shaped shingle
+    * screen promoted to a ranker — the 20 query docs' hashed word-
+    * 3-gram shingles BROADCAST against the corpus shingle scan, shared-
+    * shingle count per (query, doc), top-5 by (overlap desc, doc_id).
+    * RRF then scores each candidate Σ L/(K+rank) over the lists that
+    * retrieved it (integer-exact, see [[RrfL]]) and keeps the top-5 —
+    * the standard way to marry embedding recall with lexical precision
+    * when curating retrieval/training corpora, and it composes two
+    * paths this engine already serves from staged assets.
+    *
+    * Scale shape: the vector route is q79's equi-join; the lexical
+    * route is a broadcast semi-join + partial-agg count (q57's shape
+    * — the query shingle set is small and fixed); the fusion is a
+    * full-outer join of two |Q|·5 model-sized lists. Nothing beyond
+    * the two candidate generators touches the corpus.
+    */
+  def q146HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val vec = searchCells(probes, iv, topK = 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    val sh = Dedup.hashedShingles(s, dir)
+    val qsh = sh.where(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("h"))
+    val lw = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_overlap").desc, col("doc_id"))
+    val lex = sh.join(broadcast(qsh), "h")
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("lrank", row_number().over(lw))
+      .where(col("lrank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("lrank"))
+    val fw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    vec.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"$RrfL div ($RrfK + vrank)"), lit(0L)) +
+          coalesce(expr(s"$RrfL div ($RrfK + lrank)"), lit(0L)))
+          .as("rrf_score"),
+        col("vrank"), col("lrank"))
+      .withColumn("rank", row_number().over(fw))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("vrank"), col("lrank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q139 — [[recallReportStaged]] as the PRODUCTION catalog entry:
     * two model-sized scoring joins over the staged results/truth
     * tables (170× cheaper than q126's self-contained re-run of all
@@ -2465,6 +2642,9 @@ object Similarity {
     "q99_semantic_decon" -> (q99SemanticDecon _),
     "q139_recall_report_staged" -> (q139RecallReportStaged _),
     "q140_semantic_decon_staged" -> (q140SemanticDeconStaged _),
+    "q144_tombstone_ann" -> (q144TombstoneAnn _),
+    "q145_filtered_ann" -> (q145FilteredAnn _),
+    "q146_hybrid_rrf" -> (q146HybridRrf _),
   )
 
   private def sqlAdc(codes: String, cb: String): String = s"""
@@ -2546,6 +2726,102 @@ object Similarity {
       ORDER BY method"""
 
   val oracles: Map[String, String] = Map(
+    // q79's staged replay with the tombstone anti-join on both sides:
+    // deleted vectors neither serve nor query, ranks assigned after
+    // the mask (under-the-shortlist neighbors surface)
+    "q144_tombstone_ann" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      dels AS (SELECT vec_id FROM '__GRAFT_STAGED__/deletes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id
+              WHERE iv.vec_id NOT IN (SELECT vec_id FROM dels)),
+      qv AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id
+             WHERE p.query_id NOT IN (SELECT vec_id FROM dels)),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q79's staged replay with the label carried through both sides
+    // and the same-label equi-condition on the candidate join
+    "q145_filtered_ann" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      civ AS (SELECT iv.vec_id, iv.label, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qv AS (SELECT p.query_id, iv.label AS qlabel, p.cluster, iv.v,
+               iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id, b.label,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cluster = b.cluster AND b.label = a.qlabel
+            AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, label, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // vector list = q79's staged replay; lexical list = the q57
+    // shingle screen as a ranker; fusion = integer-exact RRF
+    // (L div (K+rank), L = lcm(61..65) — see RrfL)
+    "q146_hybrid_rrf" -> s"""
+      WITH $sqlScaled,
+      ${Dedup.sqlHashedShingles},
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qvp AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+              FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      vscored AS (
+        SELECT a.query_id, b.vec_id AS doc_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qvp a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      vec AS (SELECT query_id, doc_id, vrank FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, doc_id) AS vrank
+           FROM vscored)
+        WHERE vrank <= 5),
+      qsh AS (SELECT doc_id AS query_id, h FROM sh WHERE doc_id < 20),
+      lov AS (SELECT q.query_id, sh.doc_id, COUNT(1) AS n_overlap
+              FROM sh JOIN qsh q USING (h)
+              WHERE sh.doc_id <> q.query_id
+              GROUP BY q.query_id, sh.doc_id),
+      lex AS (SELECT query_id, doc_id, lrank FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY n_overlap DESC, doc_id) AS lrank
+           FROM lov)
+        WHERE lrank <= 5),
+      fused AS (SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+          COALESCE(v.doc_id, l.doc_id) AS doc_id,
+          COALESCE($RrfL // (60 + v.vrank), 0)
+            + COALESCE($RrfL // (60 + l.lrank), 0) AS rrf_score,
+          v.vrank, l.lrank
+        FROM vec v FULL OUTER JOIN lex l
+          ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf_score, vrank, lrank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q126_recall_report" -> sqlRecallReport,
     "q139_recall_report_staged" -> sqlRecallReport,
     // top-5 in-cell search + majority vote replayed over the

@@ -362,6 +362,41 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming DELETE-feed ingest — the tombstone half of the index
+    * lifecycle (q144's serving-time mask is the consumer): delete
+    * events stream in as bare vec_ids and append to the staged
+    * tombstone table that every delete-aware search anti-joins. A
+    * delete needs NO model at all — no assignment, no codebook — so
+    * each micro-batch is a pure projection; the only discipline is
+    * the same effectively-once-by-content append as
+    * [[ivfIngestStream]] (in-batch dedup + anti-join against the
+    * staged table), which also makes deleting an already-deleted id
+    * a no-op — delete feeds are rife with redelivery. The index
+    * itself is never touched: at 100 TB a delete costs one row in a
+    * model-sized side table until q135's compaction report says the
+    * accumulated tombstone fraction justifies a refresh.
+    * TombstoneStreamSpec asserts the streamed tombstone table drives
+    * q144's masked search to the exact batch result.
+    */
+  def deleteIngestStream(deletes: DataFrame, stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/deletes_stream"
+        val ids = batch.select(col("vec_id")).dropDuplicates("vec_id")
+        val fresh =
+          if (stagedExists(s, path))
+            ids.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else ids
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming PQ encode ingest — [[ivfIngestStream]]'s twin for the
     * compressed index (q93's nightly batch as a stream): vectors
     * stream in, each micro-batch is encoded by the SAME broadcast-

@@ -67,7 +67,13 @@ class DeterminismSpec extends SparkSpec {
     // q136: ADC shortlist rank ties decide membership through the
     // hier candidate cut, then exact-cosine re-rank ties; q137 stacks
     // three prefix-shortlist re-ranks on one ADC ranking
-    "q136_hier_pq_rerank", "q137_rerank_width_report")
+    "q136_hier_pq_rerank", "q137_rerank_width_report",
+    // round-10 serving surfaces: q144 re-ranks after the tombstone
+    // anti-join (mask order must not depend on partitioning); q145's
+    // compound-key join + dense re-rank; q146 fuses two independently
+    // ranked lists through a full-outer join — rank ties on BOTH
+    // sides decide fused membership
+    "q144_tombstone_ann", "q145_filtered_ann", "q146_hybrid_rrf")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -269,6 +269,37 @@ class PlanSpec extends SparkSpec {
       l.contains("Join") && l.contains("cluster")), p.take(1500))
   }
 
+  test("q144 masks tombstones with BROADCAST anti-joins; q145 folds the label into the join key") {
+    // the delete delta is model-sized: a shuffled anti-join here would
+    // re-partition the corpus to exclude a handful of ids
+    val p144 = plan("q144_tombstone_ann")
+    assert(p144.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      p144.take(1500))
+    assert(!p144.contains("SortMergeJoin") ||
+      !p144.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      "tombstone mask fell back to a shuffled anti-join")
+    // the filter is part of the hash-join KEY (cluster AND label):
+    // candidates failing it are never scored — not a post-join Filter
+    // on a wider candidate set
+    val p145 = plan("q145_filtered_ann")
+    assert(p145.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("cluster") && l.contains("label")),
+      p145.take(1500))
+    assert(!p145.contains("CartesianProduct")
+      && !p145.contains("BroadcastNestedLoopJoin"), p145.take(800))
+  }
+
+  test("q146 broadcasts the query shingle set; fusion joins stay model-sized hash joins") {
+    val p = plan("q146_hybrid_rrf")
+    // the lexical route is q57's shape: the 20-query shingle set rides
+    // a broadcast, never a shuffled self-join of the corpus shingles
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q134 novelty never plans a pair join — df rides a 1:1 hash join back") {
     // the whole point of the df-count spelling: novelty is linear in
     // total shingles. A shingle-keyed SELF-join (h = h between two

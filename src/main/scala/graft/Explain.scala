@@ -63,6 +63,7 @@ object Explain {
     "q144_tombstone_ann", // q79's staged search + broadcast LEFT-ANTI tombstone mask on both sides
     "q145_filtered_ann", // label folded into the candidate hash-join KEY, never a post-filter
     "q146_hybrid_rrf", // staged ANN equi-join + broadcast shingle semi-join, integer-exact RRF fuse of two model-sized lists
+    "q147_mmr_diversify", // staged top-20 + |Q|*pool^2 sim table; 5 greedy window+join rounds, all model-sized
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -1865,17 +1865,29 @@ object Similarity {
   def q143ShardedAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     stageShardedIndex(s, dir, work)
-    val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_shard"), "vec_id")
-      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
-        col("nrm"))
     val probes = s.read.parquet(s"$work/probes_shard")
       .withColumnRenamed("cell", "cluster")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
         col("v").as("qv"), col("nrm").as("qn"))
-    searchCells(probes, iv, topK = 5)
+    shardedSearchOn(s, dir, work, probes)
+  }
+
+  /** The sharded gather, given a ready probe frame (query_id, cluster,
+    * qv, qn): staged shard cells + the unchanged [[searchCells]]
+    * top-k window. One shared code path for the batch entry (q143,
+    * staged probes) and the streaming serving twin
+    * ([[graft.streaming.EventStreams.shardedSearchStream]], per-batch
+    * probes) — streamed == batch is mechanism, not hope.
+    */
+  def shardedSearchOn(s: SparkSession, dir: String, work: String,
+      probes: DataFrame, topK: Int = 5): DataFrame = {
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells_shard"), "vec_id")
+      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
+        col("nrm"))
+    searchCells(probes, iv, topK)
   }
 
   /** Trained-IVF ANN through the TWO-LEVEL staged index — q78 with the
@@ -2176,6 +2188,97 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("label"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MMR constants (q147): pool = the staged-search shortlist width
+    * fed to the greedy selection, K = results kept per query, λ = the
+    * standard relevance/diversity trade-off (Carbonell & Goldstein
+    * 1998). Doubles are safe across engines here for the same reason
+    * cosine is: every score is built from the bit-identical cosine by
+    * literal double multiplies, so the greedy argmax compares the
+    * same doubles in Spark and DuckDB.
+    */
+  val MmrPool = 20
+  val MmrK = 5
+  val MmrLambda = 0.7
+
+  /** q147 — MMR (maximal-marginal-relevance) DIVERSIFIED re-rank of
+    * the staged ANN shortlist: serving-time result diversification,
+    * the operator that keeps a duplicate-heavy corpus from answering
+    * every query with five copies of the same document. Candidates
+    * are q79's staged multi-probe search widened to [[MmrPool]];
+    * greedy selection then picks [[MmrK]] results, each step taking
+    * argmax of λ·rel − (1−λ)·maxsim where maxsim is the candidate's
+    * highest cosine to anything already selected — step 1 degenerates
+    * to the plain top-1, later steps penalize redundancy. Ties break
+    * (score desc, neighbor_id asc); row_number makes each step
+    * deterministic, so the oracle (which replays candidates, the
+    * pairwise-sim table, and all [[MmrK]] unrolled greedy stages from
+    * the staged index) hash-matches.
+    *
+    * Scale shape: everything after the candidate search is
+    * model-sized — the pairwise-sim table is |Q|·pool² rows, the
+    * greedy loop is [[MmrK]] window+join rounds over |Q|·pool rows
+    * (driver-side LOOP, never driver-side DATA: each round is a
+    * set-based plan over all queries at once, localCheckpoint'd so
+    * lineage stays bounded). The corpus is touched exactly as much
+    * as q79 touches it.
+    */
+  def q147MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cands = searchCells(probes, iv, topK = MmrPool)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("cosine").as("rel"))
+      .localCheckpoint() // the sims self-join + every greedy round read it
+    val cv = cands.join(
+      scaledVectors(s, dir).select(col("vec_id").as("cand"), col("v"),
+        col("nrm")), "cand")
+    val sims = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.cand") =!= col("b.cand"))
+      .select(col("a.query_id").as("query_id"), col("a.cand").as("ca"),
+        col("b.cand").as("cb"),
+        cosine(idot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm"))
+          .as("sim"))
+      .localCheckpoint() // read once per greedy round
+    var remaining = cands.withColumn("maxsim", lit(0.0))
+    var selected: Option[DataFrame] = None
+    for (step <- 1 to MmrK) {
+      val scored = remaining.withColumn("score",
+        lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("maxsim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand"))
+      val win = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("query_id"), col("cand"), col("rel"), col("score"))
+        .localCheckpoint()
+      val tagged = win.withColumn("step", lit(step))
+      selected = Some(selected.map(_.union(tagged)).getOrElse(tagged))
+      remaining = remaining
+        .join(win.select(col("query_id"), col("cand").as("sel")),
+          "query_id")
+        .where(col("cand") =!= col("sel"))
+        .join(sims.select(col("query_id"), col("ca").as("cand"),
+            col("cb").as("sel"), col("sim")),
+          Seq("query_id", "cand", "sel"), "left")
+        .select(col("query_id"), col("cand"), col("rel"),
+          greatest(col("maxsim"), coalesce(col("sim"), lit(0.0)))
+            .as("maxsim"))
+        .localCheckpoint() // bound the 5-round lineage
+    }
+    selected.get
+      .select(col("query_id"), col("step"), col("cand").as("neighbor_id"),
+        col("rel"), col("score").as("mmr_score"))
+      .orderBy(col("query_id"), col("step"))
   }
 
   /** Reciprocal-rank-fusion constants (q146). K = 60 is the standard
@@ -2645,7 +2748,67 @@ object Similarity {
     "q144_tombstone_ann" -> (q144TombstoneAnn _),
     "q145_filtered_ann" -> (q145FilteredAnn _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
+    "q147_mmr_diversify" -> (q147MmrDiversify _),
   )
+
+  /** q147's replay SQL, generated from the same [[MmrPool]]/[[MmrK]]/
+    * [[MmrLambda]] constants the engine uses (the greedy selection
+    * unrolls to [[MmrK]] CTE stages — no recursion, k is a design
+    * constant). The λ and 1−λ literals are interpolated from the SAME
+    * Scala doubles the Spark plan multiplies by, so both engines
+    * compare bit-identical scores.
+    */
+  private def sqlMmr: String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val oneMinus = s"CAST(${1 - MmrLambda} AS DOUBLE)"
+    val greedy = (1 to MmrK).map { i =>
+      s"""
+      s$i AS (SELECT query_id, cand, rel, maxsim,
+          $lam * rel - $oneMinus * maxsim AS score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY $lam * rel - $oneMinus * maxsim DESC, cand) AS rk
+        FROM r${i - 1}),
+      w$i AS (SELECT query_id, cand, rel, score FROM s$i WHERE rk = 1),
+      r$i AS (SELECT r.query_id, r.cand, r.rel,
+          GREATEST(r.maxsim, COALESCE(sm.sim, CAST(0 AS DOUBLE)))
+            AS maxsim
+        FROM r${i - 1} r JOIN w$i w ON r.query_id = w.query_id
+        LEFT JOIN sims sm ON sm.query_id = r.query_id
+          AND sm.ca = r.cand AND sm.cb = w.cand
+        WHERE r.cand <> w.cand)"""
+    }.mkString(",")
+    val steps = (1 to MmrK)
+      .map(i => s"SELECT query_id, $i AS step, cand, rel, score FROM w$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qvp AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+              FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      scored0 AS (SELECT a.query_id, b.vec_id AS cand,
+          $sqlDot / (a.nrm * b.nrm) AS rel
+        FROM qvp a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      cand AS (SELECT query_id, cand, rel FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, cand) AS rk FROM scored0)
+        WHERE rk <= $MmrPool),
+      cv AS (SELECT c.query_id, c.cand, c.rel, iv.v, iv.nrm
+             FROM cand c JOIN iv ON iv.vec_id = c.cand),
+      sims AS (SELECT a.query_id, a.cand AS ca, b.cand AS cb,
+          $sqlDot / (a.nrm * b.nrm) AS sim
+        FROM cv a JOIN cv b
+          ON a.query_id = b.query_id AND a.cand <> b.cand),
+      r0 AS (SELECT query_id, cand, rel, CAST(0 AS DOUBLE) AS maxsim
+             FROM cand),$greedy
+      SELECT query_id, step, cand AS neighbor_id, rel, score AS mmr_score
+      FROM ($steps) ORDER BY query_id, step"""
+  }
 
   private def sqlAdc(codes: String, cb: String): String = s"""
       WITH iv AS (SELECT vec_id,
@@ -2726,6 +2889,7 @@ object Similarity {
       ORDER BY method"""
 
   val oracles: Map[String, String] = Map(
+    "q147_mmr_diversify" -> sqlMmr,
     // q79's staged replay with the tombstone anti-join on both sides:
     // deleted vectors neither serve nor query, ranks assigned after
     // the mask (under-the-shortlist neighbors surface)

@@ -482,6 +482,53 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SHARDED serving — [[hierPqSearchStream]]'s twin for
+    * the scatter-gather layout (q143's query half): micro-batches of
+    * query vectors probe nprobe cells in EVERY shard from the
+    * broadcast model-sized centroid table
+    * ([[graft.ops.Similarity.shardProbes]] — no shuffle, the corpus
+    * is never touched by probe selection) and gather through the
+    * SAME staged-cells equi-join + top-k window the batch entry runs
+    * ([[graft.ops.Similarity.shardedSearchOn]] is one shared code
+    * path). Because serving consults only the staged cells and the
+    * broadcast centroids, it composes with the layout's operational
+    * point: any single shard can retrain concurrently without moving
+    * the other shards' assignments, and in-flight queries see a
+    * coherent index the moment the staged table swaps. Results
+    * append-only, effectively-once per query id by the ingest
+    * anti-join discipline. ShardedSearchStreamSpec pins streamed ==
+    * batch q143 row-for-row on the real embeddings.
+    */
+  def shardedSearchStream(queries: DataFrame, dir: String, work: String,
+      cents: DataFrame, kShard: Int, nprobe: Int,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$work/shard_results_stream"
+        val q = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+          .localCheckpoint() // probe selection + gather both read it
+        val probes = graft.ops.Similarity
+          .shardProbes(q, cents, kShard, nprobe)
+          .withColumnRenamed("cell", "cluster")
+          .join(q.withColumnRenamed("vec_id", "query_id"), "query_id")
+          .select(col("query_id"), col("cluster"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val res = graft.ops.Similarity.shardedSearchOn(s, dir, work,
+          probes)
+        val fresh =
+          if (stagedExists(s, path))
+            res.join(
+              s.read.parquet(path).select(col("query_id")).distinct(),
+              Seq("query_id"), "left_anti")
+          else res
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   case class UserRollup(user_id: Long, n_events: Long, total_value: Double,
       last_ts: Timestamp)
 

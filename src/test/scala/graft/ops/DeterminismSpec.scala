@@ -73,7 +73,11 @@ class DeterminismSpec extends SparkSpec {
     // compound-key join + dense re-rank; q146 fuses two independently
     // ranked lists through a full-outer join — rank ties on BOTH
     // sides decide fused membership
-    "q144_tombstone_ann", "q145_filtered_ann", "q146_hybrid_rrf")
+    "q144_tombstone_ann", "q145_filtered_ann", "q146_hybrid_rrf",
+    // q147: five greedy rounds each electing a per-query argmax over
+    // double scores — any partition-order dependence in the window or
+    // the maxsim update compounds across rounds
+    "q147_mmr_diversify")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -64,6 +64,8 @@ object Explain {
     "q145_filtered_ann", // label folded into the candidate hash-join KEY, never a post-filter
     "q146_hybrid_rrf", // staged ANN equi-join + broadcast shingle semi-join, integer-exact RRF fuse of two model-sized lists
     "q147_mmr_diversify", // staged top-20 + |Q|*pool^2 sim table; 5 greedy window+join rounds, all model-sized
+    "q148_ingest_dedup_staged", // batch-only text derivation; corpus side = two staged-parquet equi-join probes
+    "q149_source_capped_ann", // staged pool + 1:1 source join; the per-source cap is TWO stacked windows, no iteration
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

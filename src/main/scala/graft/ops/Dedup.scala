@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
@@ -949,19 +949,11 @@ object Dedup {
     // checkpoint pins every consumer to one ExistingRDD scan
     // (plan-asserted in PlanSpec).
     val sh = hashedShingles(s, dir).localCheckpoint()
-    val minAggs = hashAB.zipWithIndex.map { case ((a, b), k) =>
-      min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
-    }
     val sigN = sh.groupBy(col("doc_id"))
-      .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("n")): _*)
+      .agg(minhashAggs.head,
+        (minhashAggs.tail :+ count(lit(1)).as("n")): _*)
       .localCheckpoint()
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bkey"))
-    }
-    val bands = sigN
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bands = bandRowsOf(sigN)
     val cand = bands.where(isNew).as("x")
       .join(bands.where(!isNew).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -978,6 +970,117 @@ object Dedup {
     val near = inter
       .join(sizes.select(col("doc_id").as("na"), col("n").as("na_n")), "na")
       .join(sizes.select(col("doc_id").as("ca"), col("n").as("ca_n")), "ca")
+      .where(j >= 0.8)
+      .groupBy(col("na").as("doc_id"))
+      .agg(min(col("ca")).as("near_id"))
+    t(s, dir, "documents").where(isNew).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("novel").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The 16 minhash partial-agg columns m0..m15 (shared by q48's
+    * inline derivation and the staged signature archive).
+    */
+  private def minhashAggs: Seq[Column] =
+    hashAB.zipWithIndex.map { case ((a, b), k) =>
+      min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
+    }
+
+  /** LSH band rows (doc_id, band, bkey) of a signature frame carrying
+    * m0..m15 — the 4×4 banding every minhash consumer shares.
+    */
+  private def bandRowsOf(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)
+          .as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+  }
+
+  /** Stage the corpus-side DEDUP ARCHIVE — the asset a 100 TB ingest
+    * pipeline keeps between nightly batches so the corpus is never
+    * re-normalized, re-hashed, or re-minhashed per batch: the
+    * normalized-text hash table (exact tier), the hashed shingle
+    * table (Jaccard verification), and the 16-perm minhash signature
+    * table (LSH banding). All three are linear in the corpus — they
+    * are the index, not a model — and in production they grow by
+    * APPEND as batches are admitted (q81's ingest discipline); here
+    * the corpus split (doc_id % 10 ≠ 9) stands in for the archive's
+    * current state, exactly as in q48.
+    */
+  def stageDedupArchive(s: SparkSession, dir: String,
+      work: String): Unit = {
+    val isNew = col("doc_id") % 10 === 9
+    t(s, dir, "documents").where(!isNew)
+      .select(col("doc_id"), md5(normText(col("text"))).as("nh"))
+      .write.mode("overwrite").parquet(s"$work/corpus_nh")
+    val csh = hashedShingles(s, dir).where(!isNew).localCheckpoint()
+    csh.write.mode("overwrite").parquet(s"$work/corpus_sh")
+    csh.groupBy(col("doc_id"))
+      .agg(minhashAggs.head,
+        (minhashAggs.tail :+ count(lit(1)).as("n")): _*)
+      .write.mode("overwrite").parquet(s"$work/corpus_sig")
+    Staged.mark(work, "corpus_nh", "corpus_sh", "corpus_sig")
+  }
+
+  /** q148 — q48's incremental-ingest dedup as the PRODUCTION
+    * staged-input entry: the nightly batch (doc_id % 10 = 9) is the
+    * ONLY side that pays text normalization, shingle hashing, and
+    * minhash signatures; the corpus side is read from the staged
+    * [[stageDedupArchive]] tables. Same two tiers as q48 — exact
+    * (normalized-hash equi-join), near (one-sided band join → exact
+    * Jaccard ≥ 0.8 verification) — same output, byte-for-byte
+    * (StagedEntriesSpec pins the equivalence and that a warm run
+    * never re-stages the archive). This is the economics q48's
+    * scaladoc promises at 100 TB, made a certified catalog row: per
+    * batch the corpus contributes two equi-join probes of staged
+    * parquet, never a recompute pass.
+    */
+  def q148IngestDedupStaged(s: SparkSession, dir: String): DataFrame = {
+    val work = stageRoot(dir)
+    if (!Staged.isFresh(work, "corpus_nh") ||
+        !Staged.isFresh(work, "corpus_sh") ||
+        !Staged.isFresh(work, "corpus_sig"))
+      stageDedupArchive(s, dir, work)
+    val isNew = col("doc_id") % 10 === 9
+    val nhN = t(s, dir, "documents").where(isNew)
+      .select(col("doc_id"), md5(normText(col("text"))).as("nh"))
+    val exact = nhN.as("n")
+      .join(s.read.parquet(s"$work/corpus_nh").as("c"),
+        col("n.nh") === col("c.nh"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("exact_id"))
+    val shN = hashedShingles(s, dir).where(isNew).localCheckpoint()
+    val sigB = shN.groupBy(col("doc_id"))
+      .agg(minhashAggs.head,
+        (minhashAggs.tail :+ count(lit(1)).as("n")): _*)
+      .localCheckpoint() // bands + sizes both read it
+    val cSig = s.read.parquet(s"$work/corpus_sig")
+    val cand = bandRowsOf(sigB).as("x")
+      .join(bandRowsOf(cSig).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("na"), col("y.doc_id").as("ca"))
+      .distinct()
+    val inter = cand
+      .join(shN.select(col("doc_id").as("na"), col("h")), "na")
+      .join(s.read.parquet(s"$work/corpus_sh")
+        .select(col("doc_id").as("ca"), col("h")), Seq("ca", "h"))
+      .groupBy(col("na"), col("ca"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("na_n") + col("ca_n") - col("inter")).cast("double")
+    val near = inter
+      .join(sigB.select(col("doc_id").as("na"), col("n").as("na_n")), "na")
+      .join(cSig.select(col("doc_id").as("ca"), col("n").as("ca_n")), "ca")
       .where(j >= 0.8)
       .groupBy(col("na").as("doc_id"))
       .agg(min(col("ca")).as("near_id"))
@@ -1045,6 +1148,7 @@ object Dedup {
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
     "q37_staged_survivors" -> (q37StagedSurvivors _),
     "q48_incremental_ingest" -> (q48IncrementalIngest _),
+    "q148_ingest_dedup_staged" -> (q148IngestDedupStaged _),
     "q57_decontaminate" -> (q57Decontaminate _),
     "q59_bloom_decontaminate" -> (q59BloomDecontaminate _),
     "q85_dup_spans" -> (q85DupSpans _),
@@ -1073,10 +1177,11 @@ object Dedup {
   private val sqlSig = hashAB.zipWithIndex
     .map { case ((a, b), k) => s"min(($a * (h % $P) + $b) % $P) AS m$k" }
     .mkString(", ")
-  private val sqlBandRows = (0 until 4).map { b =>
+  private def sqlBandRowsOn(src: String): String = (0 until 4).map { b =>
     val key = (0 until 4).map(r => s"m${4 * b + r}").mkString(" || '|' || ")
-    s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    s"SELECT doc_id, $b AS band, $key AS bkey FROM $src"
   }.mkString(" UNION ALL ")
+  private val sqlBandRows = sqlBandRowsOn("sig")
 
   private def sqlScoredTail(thr: String) = s"""
       sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id)
@@ -1407,6 +1512,49 @@ object Dedup {
     // the Bloom prefilter is answer-preserving (no false negatives +
     // exact verify join), so the oracle is q57's verbatim
     "q59_bloom_decontaminate" -> sqlDecontaminate,
+    // q48's replay with the CORPUS side read from the engine-staged
+    // dedup archive (nh / shingles / signatures) — only the nightly
+    // batch is re-derived from text, which is the entry's claim
+    "q148_ingest_dedup_staged" -> s"""
+      WITH $sqlHashedShingles,
+      sigb AS (SELECT doc_id, $sqlSig, COUNT(1) AS n FROM sh
+               WHERE doc_id % 10 = 9 GROUP BY doc_id),
+      bandsb AS (${sqlBandRowsOn("sigb")}),
+      cnh AS (SELECT doc_id, nh
+              FROM '__GRAFT_STAGED__/corpus_nh/*.parquet'),
+      csh AS (SELECT doc_id, h
+              FROM '__GRAFT_STAGED__/corpus_sh/*.parquet'),
+      csig AS (SELECT * FROM '__GRAFT_STAGED__/corpus_sig/*.parquet'),
+      bandsc AS (${sqlBandRowsOn("csig")}),
+      hxn AS (SELECT doc_id, md5($sqlNorm) AS nh FROM documents
+              WHERE doc_id % 10 = 9),
+      exact AS (SELECT n.doc_id, MIN(c.doc_id) AS exact_id
+                FROM hxn n JOIN cnh c ON n.nh = c.nh
+                GROUP BY n.doc_id),
+      cand AS (SELECT DISTINCT x.doc_id AS na, y.doc_id AS ca
+               FROM bandsb x JOIN bandsc y
+                 ON x.band = y.band AND x.bkey = y.bkey),
+      inter AS (SELECT na, ca, COUNT(1) AS i
+                FROM cand
+                JOIN sh a ON a.doc_id = na
+                JOIN csh b ON b.doc_id = ca AND b.h = a.h
+                GROUP BY na, ca),
+      near AS (SELECT na AS doc_id, MIN(ca) AS near_id
+               FROM inter
+               JOIN sigb sa ON na = sa.doc_id
+               JOIN csig sb ON ca = sb.doc_id
+               WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+               GROUP BY na)
+      SELECT d.doc_id,
+        CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+             WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+             ELSE 'novel' END AS status,
+        COALESCE(e.exact_id, nr.near_id) AS match_id
+      FROM documents d
+      LEFT JOIN exact e ON d.doc_id = e.doc_id
+      LEFT JOIN near nr ON d.doc_id = nr.doc_id
+      WHERE d.doc_id % 10 = 9
+      ORDER BY d.doc_id""",
   )
 
   private lazy val sqlDecontaminate = s"""

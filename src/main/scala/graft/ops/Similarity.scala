@@ -2281,6 +2281,52 @@ object Similarity {
       .orderBy(col("query_id"), col("step"))
   }
 
+  /** q149 — SOURCE-CAPPED ANN search: top-5 under "at most
+    * [[SourceCap]] results per source", the federation/diversity
+    * constraint every production search API grows (without it one
+    * over-represented crawl source fills every shortlist). Greedy
+    * selection under a per-group cap has a closed relational form: a
+    * source's 3rd-best candidate can never be selected before its
+    * top-2, and the cap binds after 2 — so the selectable set is
+    * exactly the per-(query, source) top-[[SourceCap]] window, and
+    * the answer is the global top-5 window over that capped set. Two
+    * window functions, no iteration — materially different from
+    * post-filtering the plain top-5, which under-delivers whenever
+    * one source dominates it (ServingAnnSpec pins such a query).
+    * Sources come from the documents table (doc_id aligns with
+    * vec_id), so the join is a 1:1 hash join on the candidate set —
+    * model-sized, after the same staged candidate search q147 uses.
+    */
+  val SourceCap = 2
+
+  def q149SourceCappedAnn(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cands = searchCells(probes, iv, topK = MmrPool)
+      .join(t(s, dir, "documents")
+        .select(col("doc_id").as("neighbor_id"), col("source")),
+        "neighbor_id")
+    val ws = Window.partitionBy(col("query_id"), col("source"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val wg = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= SourceCap)
+      .withColumn("rank", row_number().over(wg))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("source"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Reciprocal-rank-fusion constants (q146). K = 60 is the standard
     * RRF damping (Cormack et al.); L = lcm(61..65) makes every
     * contribution L/(K+r) an EXACT BIGINT for ranks 1–5, so the fused
@@ -2749,6 +2795,7 @@ object Similarity {
     "q145_filtered_ann" -> (q145FilteredAnn _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
+    "q149_source_capped_ann" -> (q149SourceCappedAnn _),
   )
 
   /** q147's replay SQL, generated from the same [[MmrPool]]/[[MmrK]]/
@@ -2890,6 +2937,38 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q147_mmr_diversify" -> sqlMmr,
+    // q79's staged replay widened to the q147 pool, sources joined
+    // from documents, then the closed two-window form of greedy
+    // selection under the per-source cap
+    "q149_source_capped_ann" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qvp AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+              FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      scored AS (SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qvp a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      pool AS (SELECT query_id, neighbor_id, cosine FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+        WHERE rk <= $MmrPool),
+      src AS (SELECT p.query_id, p.neighbor_id, d.source, p.cosine
+              FROM pool p JOIN documents d ON d.doc_id = p.neighbor_id),
+      capped AS (SELECT query_id, neighbor_id, source, cosine FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, source
+             ORDER BY cosine DESC, neighbor_id) AS srank FROM src)
+        WHERE srank <= $SourceCap),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM capped)
+      SELECT query_id, rank, neighbor_id, source, cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // q79's staged replay with the tombstone anti-join on both sides:
     // deleted vectors neither serve nor query, ranks assigned after
     // the mask (under-the-shortlist neighbors surface)

@@ -77,7 +77,14 @@ class DeterminismSpec extends SparkSpec {
     // q147: five greedy rounds each electing a per-query argmax over
     // double scores — any partition-order dependence in the window or
     // the maxsim update compounds across rounds
-    "q147_mmr_diversify")
+    "q147_mmr_diversify",
+    // q148: q48's band-join candidate emission + min-elections, with
+    // the corpus side arriving from staged parquet instead of the
+    // shuffle that produced it
+    "q148_ingest_dedup_staged",
+    // q149: two stacked windows (per-source cap, then global top-5)
+    // over the staged-search pool — cap membership rides rank ties
+    "q149_source_capped_ann")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

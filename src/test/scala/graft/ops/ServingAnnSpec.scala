@@ -78,6 +78,79 @@ class ServingAnnSpec extends SparkSpec {
       "filtered search never out-delivered the post-filtered baseline")
   }
 
+  test("q149: the cap holds on the real table; slack queries serve the plain top-5 unchanged") {
+    val base = baseline()
+    val sourceOf = graft.ops.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val (mc, mp) = (mtime("cells"), mtime("probes"))
+    val got = Similarity.q149SourceCappedAnn(spark, dir)
+      .select("query_id", "rank", "neighbor_id", "source")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    assert(mtime("cells") === mc && mtime("probes") === mp,
+      "q149 re-staged a warm index")
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted === (1 to rs.size).toList, s"ranks $q")
+      rs.groupBy(_._4).foreach { case (src, ss) =>
+        assert(ss.size <= Similarity.SourceCap,
+          s"query $q served ${ss.size} results from source $src")
+      }
+    }
+    // consistency with the uncapped baseline where the cap is slack:
+    // a query whose plain top-5 already respects the cap must be
+    // served that exact top-5
+    val gotSets = got.groupBy(_._1)
+      .map { case (q, rs) => (q, rs.map(_._3).toSet) }
+    base.filter { case (_, ns) =>
+      ns.groupBy(sourceOf).values.forall(_.size <= Similarity.SourceCap)
+    }.foreach { case (q, ns) =>
+      assert(gotSets.getOrElse(q, Set.empty) === ns, s"query $q")
+    }
+  }
+
+  /** Planted source-dominance geometry: five near-identical top hits
+    * all from source "A", runners-up from "B" and "C". The plain
+    * top-5 is all-A; the cap must serve A's top-2 and dig past the
+    * plain top-5 for B's pair and C's best — the row a post-filter of
+    * the stale list could never produce.
+    */
+  test("q149 planted: the cap digs past an all-one-source top-5") {
+    val d = java.nio.file.Files.createTempDirectory("graft-srccap").toString
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val heavy = (0 until 5).map(i =>
+      ((20 + i).toLong, vec(0 -> 1.0f, 63 -> (0.001f * (i + 1))), 0))
+    val bs = (0 until 2).map(i =>
+      ((30 + i).toLong, vec(0 -> 1.0f, 8 -> (0.2f + 0.001f * i)), 0))
+    val cs = Seq((32L, vec(0 -> 1.0f, 8 -> 0.5f), 0))
+    val fillers = (0 until 12).map(i =>
+      ((40 + i).toLong, vec(16 + 8 * (i % 2) -> 1.0f,
+        62 -> (0.001f * (i + 1))), 0))
+    (heavy ++ bs ++ cs ++ fillers :+ ((5L, vec(0 -> 1.0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    (heavy.map(_._1 -> "A") ++ bs.map(_._1 -> "B") ++ cs.map(_._1 -> "C")
+      ++ fillers.map(_._1 -> "F") :+ (5L -> "Q"))
+      .toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val plain = Similarity.q79AnnIvfMultiprobe(spark, d)
+      .where($"query_id" === 5L)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(plain === (20L to 24L).toSet,
+      s"fixture drift: plain top-5 should be the all-A block, got $plain")
+    val capped = Similarity.q149SourceCappedAnn(spark, d)
+      .where($"query_id" === 5L)
+      .select("rank", "neighbor_id", "source")
+      .as[(Int, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(capped.map(_._3).groupBy(identity)
+      .forall(_._2.size <= Similarity.SourceCap), capped.toString)
+    assert(capped.count(_._3 == "A") === 2, capped.toString)
+    assert(capped.map(_._2).toSet
+      === Set(20L, 21L, 30L, 31L, 32L), capped.toString)
+  }
+
   test("q146: RRF fusion is integer-exact, self-consistent, and genuinely two-source") {
     Similarity.q79AnnIvfMultiprobe(spark, dir).collect()
     val (mc, mp) = (mtime("cells"), mtime("probes"))

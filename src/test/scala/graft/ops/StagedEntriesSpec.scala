@@ -29,6 +29,19 @@ class StagedEntriesSpec extends SparkSpec {
       "q138 re-staged a warm pair table")
   }
 
+  test("q148 equals q48 and a warm run never re-stages the dedup archive") {
+    val self = Dedup.q48IncrementalIngest(spark, dir).collect().toSeq
+    val staged0 = Dedup.q148IngestDedupStaged(spark, dir).collect().toSeq
+    assert(staged0 === self)
+    // second (warm) run: archive untouched
+    val (mn, ms, mg) =
+      (mtime("corpus_nh"), mtime("corpus_sh"), mtime("corpus_sig"))
+    val staged1 = Dedup.q148IngestDedupStaged(spark, dir).collect().toSeq
+    assert(staged1 === self)
+    assert(mtime("corpus_nh") === mn && mtime("corpus_sh") === ms &&
+      mtime("corpus_sig") === mg, "q148 re-staged a warm archive")
+  }
+
   test("q140 equals q99 and a warm run never re-stages the cells") {
     val self = Similarity.q99SemanticDecon(spark, dir).collect().toSeq
     val mc = mtime("cells")

@@ -66,6 +66,7 @@ object Explain {
     "q147_mmr_diversify", // staged top-20 + |Q|*pool^2 sim table; 5 greedy window+join rounds, all model-sized
     "q148_ingest_dedup_staged", // batch-only text derivation; corpus side = two staged-parquet equi-join probes
     "q149_source_capped_ann", // staged pool + 1:1 source join; the per-source cap is TWO stacked windows, no iteration
+    "q150_corpus_drift", // two corpus scans -> partial-agg groupBys + hash semi/anti joins; |languages|-row report
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

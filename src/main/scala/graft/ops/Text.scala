@@ -1685,7 +1685,74 @@ object Text {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** q150 — corpus DRIFT report, the epoch-over-epoch health monitor
+    * a continuously-refreshed training corpus needs: per language,
+    * compare the standing corpus (doc_id % 10 ≠ 9, the q48/q148
+    * convention) against the incoming batch on the four signals that
+    * catch a broken upstream feed before it trains — volume
+    * (doc counts), length drift (mean whitespace tokens), duplication
+    * (fraction of batch docs whose normalized hash already exists in
+    * the corpus — the q30/q48 exact tier as a RATE), and vocabulary
+    * novelty (fraction of the batch's distinct words unseen in the
+    * corpus's vocabulary for that language — a spike means encoding
+    * corruption or a domain shift). All ratios divide exact integer
+    * aggregates once, in IEEE double, so the oracle hash-matches.
+    *
+    * Scale shape: two corpus scans (one for doc-level stats, one
+    * word explode for vocabulary), partial-agg groupBys, a semi-join
+    * on the hash and an anti-join on (lang, word) — no window over
+    * the corpus, no pair joins; the report itself is |languages|
+    * rows.
+    */
+  def q150CorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 9
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"), isNew.as("is_new"),
+        size(split(col("norm"), " ")).as("ntok"), md5(col("norm")).as("nh"))
+      .localCheckpoint() // counts + both dup-tier sides read it
+    val counts = base.groupBy(col("lang")).agg(
+      count(when(!col("is_new"), lit(1))).as("corpus_docs"),
+      count(when(col("is_new"), lit(1))).as("batch_docs"),
+      sum(when(!col("is_new"), col("ntok")).otherwise(lit(0))).as("ctok"),
+      sum(when(col("is_new"), col("ntok")).otherwise(lit(0))).as("btok"))
+    val dup = base.where(col("is_new"))
+      .join(base.where(!col("is_new")).select(col("nh")).distinct(),
+        Seq("nh"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("dup_docs"))
+    val lw = t(s, dir, "documents")
+      .select(col("lang"), isNew.as("is_new"),
+        explode(words(col("text"))).as("w"))
+      .distinct()
+      .localCheckpoint() // three consumers (bw twice, cw)
+    val bw = lw.where(col("is_new")).select(col("lang"), col("w"))
+    val cw = lw.where(!col("is_new")).select(col("lang"), col("w"))
+    val newWords = bw.join(cw, Seq("lang", "w"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("new_words"))
+    val batchWords = bw.groupBy(col("lang"))
+      .agg(count(lit(1)).as("batch_words"))
+    counts
+      .join(dup, Seq("lang"), "left")
+      .join(newWords, Seq("lang"), "left")
+      .join(batchWords, Seq("lang"), "left")
+      .select(col("lang"), col("corpus_docs"), col("batch_docs"),
+        when(col("corpus_docs") > 0,
+          col("ctok").cast("double") / col("corpus_docs").cast("double"))
+          .as("corpus_mean_tokens"),
+        when(col("batch_docs") > 0,
+          col("btok").cast("double") / col("batch_docs").cast("double"))
+          .as("batch_mean_tokens"),
+        when(col("batch_docs") > 0,
+          coalesce(col("dup_docs"), lit(0L)).cast("double")
+            / col("batch_docs").cast("double")).as("exact_dup_rate"),
+        when(coalesce(col("batch_words"), lit(0L)) > 0,
+          coalesce(col("new_words"), lit(0L)).cast("double")
+            / col("batch_words").cast("double")).as("new_word_rate"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_corpus_drift" -> (q150CorpusDrift _),
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q132_weighted_sample" -> (q132WeightedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -1726,6 +1793,50 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    // every ratio divides exact integer aggregates once (sums CAST to
+    // BIGINT — DuckDB SUM(int) is HUGEINT); NULL means an empty
+    // denominator in BOTH engines
+    "q150_corpus_drift" -> s"""
+      WITH d AS (SELECT doc_id, lang, $sqlNorm AS norm, $sqlWords AS ws,
+                   (doc_id % 10 = 9) AS is_new FROM documents),
+      base AS (SELECT doc_id, lang, is_new, len(ws) AS ntok,
+                 md5(norm) AS nh FROM d),
+      counts AS (SELECT lang,
+          COUNT(CASE WHEN NOT is_new THEN 1 END) AS corpus_docs,
+          COUNT(CASE WHEN is_new THEN 1 END) AS batch_docs,
+          CAST(SUM(CASE WHEN NOT is_new THEN ntok ELSE 0 END) AS BIGINT)
+            AS ctok,
+          CAST(SUM(CASE WHEN is_new THEN ntok ELSE 0 END) AS BIGINT)
+            AS btok
+        FROM base GROUP BY lang),
+      dup AS (SELECT lang, COUNT(1) AS dup_docs FROM base b
+              WHERE is_new AND EXISTS (SELECT 1 FROM base c
+                WHERE NOT c.is_new AND c.nh = b.nh)
+              GROUP BY lang),
+      lw AS (SELECT DISTINCT lang, is_new, unnest(ws) AS w FROM d),
+      bw AS (SELECT lang, w FROM lw WHERE is_new),
+      cw AS (SELECT lang, w FROM lw WHERE NOT is_new),
+      nww AS (SELECT lang, COUNT(1) AS new_words FROM bw
+              WHERE NOT EXISTS (SELECT 1 FROM cw
+                WHERE cw.lang = bw.lang AND cw.w = bw.w)
+              GROUP BY lang),
+      bwc AS (SELECT lang, COUNT(1) AS batch_words FROM bw GROUP BY lang)
+      SELECT c.lang, corpus_docs, batch_docs,
+        CASE WHEN corpus_docs > 0 THEN
+          CAST(ctok AS DOUBLE) / CAST(corpus_docs AS DOUBLE) END
+          AS corpus_mean_tokens,
+        CASE WHEN batch_docs > 0 THEN
+          CAST(btok AS DOUBLE) / CAST(batch_docs AS DOUBLE) END
+          AS batch_mean_tokens,
+        CASE WHEN batch_docs > 0 THEN
+          CAST(COALESCE(dup_docs, 0) AS DOUBLE)
+            / CAST(batch_docs AS DOUBLE) END AS exact_dup_rate,
+        CASE WHEN COALESCE(batch_words, 0) > 0 THEN
+          CAST(COALESCE(new_words, 0) AS DOUBLE)
+            / CAST(batch_words AS DOUBLE) END AS new_word_rate
+      FROM counts c LEFT JOIN dup USING (lang)
+      LEFT JOIN nww USING (lang) LEFT JOIN bwc USING (lang)
+      ORDER BY lang""",
     "q116_bpe_train" -> sqlBpeTrain,
     // the vocab-target train: all rounds unrolled (SQL cannot early-
     // return), rows kept up to the first measured-vocab target hit —

@@ -84,7 +84,10 @@ class DeterminismSpec extends SparkSpec {
     "q148_ingest_dedup_staged",
     // q149: two stacked windows (per-source cap, then global top-5)
     // over the staged-search pool — cap membership rides rank ties
-    "q149_source_capped_ann")
+    "q149_source_capped_ann",
+    // q150: four aggregate families (counts, sums, semi-join rate,
+    // anti-join rate) meeting in one report row per language
+    "q150_corpus_drift")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -1751,6 +1751,76 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** Stage the drift BASELINE — the corpus-side aggregates the
+    * streaming monitor compares every micro-batch against: per-lang
+    * doc/token counts and the distinct (lang, word) vocabulary. The
+    * exact-dup side reuses the q148 archive's `corpus_nh` (one
+    * archive, two consumers). Like the dedup archive, these grow by
+    * append as batches are admitted; the corpus split stands in for
+    * the current state.
+    */
+  def stageDriftBaseline(s: SparkSession, dir: String,
+      work: String): Unit = {
+    val isNew = col("doc_id") % 10 === 9
+    t(s, dir, "documents").where(!isNew)
+      .select(col("lang"),
+        size(split(normText(col("text")), " ")).as("ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("corpus_docs"), sum(col("ntok")).as("ctok"))
+      .write.mode("overwrite").parquet(s"$work/corpus_stats")
+    t(s, dir, "documents").where(!isNew)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$work/corpus_vocab")
+    Staged.mark(work, "corpus_stats", "corpus_vocab")
+  }
+
+  /** q150's batch-side signals for ONE batch of (doc_id, lang, text)
+    * rows, computed against the STAGED baseline (corpus_nh from the
+    * q148 archive, corpus_vocab from [[stageDriftBaseline]]) — the
+    * kernel [[graft.streaming.EventStreams.driftMonitorStream]] runs
+    * per micro-batch. Identical arithmetic to q150's batch columns
+    * (DriftStreamSpec pins the equality on the full batch split), so
+    * the monitor's alerts mean the same thing as the batch report's.
+    */
+  def driftSignalsOn(s: SparkSession, work: String,
+      batch: DataFrame): DataFrame = {
+    val b = batch
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
+      .localCheckpoint() // stats + vocabulary both read it
+    val stats = b.select(col("lang"),
+      size(split(col("norm"), " ")).as("ntok"), md5(col("norm")).as("nh"))
+    val counts = stats.groupBy(col("lang")).agg(
+      count(lit(1)).as("batch_docs"), sum(col("ntok")).as("btok"))
+    val dup = stats
+      .join(s.read.parquet(s"$work/corpus_nh").select(col("nh")).distinct(),
+        Seq("nh"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("dup_docs"))
+    val bw = b.select(col("lang"),
+        explode(split(col("norm"), " ")).as("w")).distinct()
+      .localCheckpoint() // anti-join + denominator both read it
+    val newWords = bw
+      .join(s.read.parquet(s"$work/corpus_vocab"), Seq("lang", "w"),
+        "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("new_words"))
+    val batchWords = bw.groupBy(col("lang"))
+      .agg(count(lit(1)).as("batch_words"))
+    counts
+      .join(dup, Seq("lang"), "left")
+      .join(newWords, Seq("lang"), "left")
+      .join(batchWords, Seq("lang"), "left")
+      .select(col("lang"), col("batch_docs"),
+        when(col("batch_docs") > 0,
+          col("btok").cast("double") / col("batch_docs").cast("double"))
+          .as("batch_mean_tokens"),
+        when(col("batch_docs") > 0,
+          coalesce(col("dup_docs"), lit(0L)).cast("double")
+            / col("batch_docs").cast("double")).as("exact_dup_rate"),
+        when(coalesce(col("batch_words"), lit(0L)) > 0,
+          coalesce(col("new_words"), lit(0L)).cast("double")
+            / col("batch_words").cast("double")).as("new_word_rate"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_corpus_drift" -> (q150CorpusDrift _),
     "q56_stratified_sample" -> (q56StratifiedSample _),

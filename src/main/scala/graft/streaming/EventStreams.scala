@@ -397,6 +397,45 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming corpus-drift MONITOR — q150's stream twin: each
+    * micro-batch of incoming documents is scored against the STAGED
+    * corpus baselines (per-lang stats + vocabulary from
+    * [[graft.ops.Text.stageDriftBaseline]]; the exact-dup probe
+    * reuses the q148 archive's `corpus_nh`), appending one row per
+    * (batch, lang) to the drift log — the feed-health dashboard a
+    * continuously-ingesting pipeline watches: a dup-rate or
+    * vocabulary-novelty spike in a single micro-batch flags a broken
+    * upstream before it trains. Per batch the corpus contributes two
+    * staged-parquet probe joins (hash semi-join, vocab anti-join) —
+    * never a corpus scan. Signals are PER BATCH, not cumulative
+    * (that is the monitor semantics; q150 is the cumulative report),
+    * and DriftStreamSpec pins that a single micro-batch carrying the
+    * whole batch split reproduces q150's batch columns exactly.
+    * Idempotence keys on the batch id: a replayed or redelivered
+    * batch appends nothing.
+    */
+  def driftMonitorStream(docs: DataFrame, work: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val path = s"$work/drift_stream"
+        val report = graft.ops.Text
+          .driftSignalsOn(s, work, batch.dropDuplicates("doc_id"))
+          .withColumn("batch_id", lit(batchId))
+        val fresh =
+          if (stagedExists(s, path))
+            report.join(
+              s.read.parquet(path).select(col("batch_id")).distinct(),
+              Seq("batch_id"), "left_anti")
+          else report
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming PQ encode ingest — [[ivfIngestStream]]'s twin for the
     * compressed index (q93's nightly batch as a stream): vectors
     * stream in, each micro-batch is encoded by the SAME broadcast-

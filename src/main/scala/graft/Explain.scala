@@ -67,6 +67,7 @@ object Explain {
     "q148_ingest_dedup_staged", // batch-only text derivation; corpus side = two staged-parquet equi-join probes
     "q149_source_capped_ann", // staged pool + 1:1 source join; the per-source cap is TWO stacked windows, no iteration
     "q150_corpus_drift", // two corpus scans -> partial-agg groupBys + hash semi/anti joins; |languages|-row report
+    "q151_serving_stack", // mask (broadcast anti) -> cap (two windows) -> MMR (greedy rounds); corpus cost = q79's one equi-join
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

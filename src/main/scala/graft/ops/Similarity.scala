@@ -2242,7 +2242,19 @@ object Similarity {
     val cv = cands.join(
       scaledVectors(s, dir).select(col("vec_id").as("cand"), col("v"),
         col("nrm")), "cand")
-    val sims = cv.as("a").join(cv.as("b"),
+    val sims = candidateSims(cv)
+    mmrGreedy(cands, sims)
+      .select(col("query_id"), col("step"), col("cand").as("neighbor_id"),
+        col("rel"), col("score").as("mmr_score"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  /** Pairwise cosine among each query's candidates: `cv` carries
+    * (query_id, cand, v, nrm); output (query_id, ca, cb, sim) for
+    * every ordered pair ca ≠ cb — |Q|·pool² rows, model-sized.
+    */
+  private def candidateSims(cv: DataFrame): DataFrame =
+    cv.as("a").join(cv.as("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.cand") =!= col("b.cand"))
       .select(col("a.query_id").as("query_id"), col("a.cand").as("ca"),
@@ -2250,6 +2262,15 @@ object Similarity {
         cosine(idot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm"))
           .as("sim"))
       .localCheckpoint() // read once per greedy round
+
+  /** The [[MmrK]]-round greedy MMR selection over a candidate frame
+    * (query_id, cand, rel) and its pairwise-sim table — a driver-side
+    * LOOP over set-based model-sized plans (see q147's scaladoc).
+    * Shared verbatim by q147 and the q151 serving stack, exactly as
+    * [[searchCells]] is shared by every probe strategy. Output
+    * (query_id, step, cand, rel, score).
+    */
+  private def mmrGreedy(cands: DataFrame, sims: DataFrame): DataFrame = {
     var remaining = cands.withColumn("maxsim", lit(0.0))
     var selected: Option[DataFrame] = None
     for (step <- 1 to MmrK) {
@@ -2276,8 +2297,61 @@ object Similarity {
         .localCheckpoint() // bound the 5-round lineage
     }
     selected.get
+  }
+
+  /** q151 — the full SERVING STACK as one certified composition, the
+    * query a production vector-search endpoint actually answers:
+    * staged multi-probe candidates → TOMBSTONE mask (q144's broadcast
+    * anti-joins, deleted ids neither serve nor query) → SOURCE cap
+    * (q149's closed two-window form over the masked pool) → MMR
+    * diversification (q147's greedy over the capped survivors, sims
+    * computed among exactly those survivors). Like q136 on the index
+    * side, nothing here is new — the composition IS the claim, and
+    * the oracle replays the entire chain (mask, cap windows, K
+    * unrolled greedy stages) over the staged cells/probes/deletes.
+    *
+    * Scale shape: the mask is a broadcast anti-join on the candidate
+    * stream, the cap and the greedy rounds are model-sized — the
+    * corpus cost is exactly q79's one equi-join, whatever quantizer
+    * staged the index.
+    */
+  def q151ServingStack(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+    val deletes = s.read.parquet(s"$work/deletes")
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(broadcast(deletes.withColumnRenamed("vec_id", "query_id")),
+        Seq("query_id"), "left_anti")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val ws = Window.partitionBy(col("query_id"), col("source"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val capped = searchCells(probes, iv, topK = MmrPool)
+      .join(t(s, dir, "documents")
+        .select(col("doc_id").as("neighbor_id"), col("source")),
+        "neighbor_id")
+      .withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= SourceCap)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("source"), col("cosine").as("rel"))
+      .localCheckpoint() // sims + greedy rounds + source join-back
+    val cv = capped.join(
+      scaledVectors(s, dir).select(col("vec_id").as("cand"), col("v"),
+        col("nrm")), "cand")
+      .select(col("query_id"), col("cand"), col("v"), col("nrm"))
+    mmrGreedy(capped.select(col("query_id"), col("cand"), col("rel")),
+        candidateSims(cv))
+      .join(capped.select(col("query_id"), col("cand"), col("source")),
+        Seq("query_id", "cand"))
       .select(col("query_id"), col("step"), col("cand").as("neighbor_id"),
-        col("rel"), col("score").as("mmr_score"))
+        col("source"), col("rel"), col("score").as("mmr_score"))
       .orderBy(col("query_id"), col("step"))
   }
 
@@ -2796,7 +2870,54 @@ object Similarity {
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
     "q149_source_capped_ann" -> (q149SourceCappedAnn _),
+    "q151_serving_stack" -> (q151ServingStack _),
   )
+
+  /** q151's replay SQL: q144's tombstone mask + q149's cap windows +
+    * the shared greedy stages, all over the staged cells/probes/
+    * deletes — the whole serving chain in one certified statement.
+    */
+  private def sqlServingStack: String = s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      dels AS (SELECT vec_id FROM '__GRAFT_STAGED__/deletes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id
+              WHERE iv.vec_id NOT IN (SELECT vec_id FROM dels)),
+      qvp AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+              FROM probes p JOIN iv ON iv.vec_id = p.query_id
+              WHERE p.query_id NOT IN (SELECT vec_id FROM dels)),
+      scored0 AS (SELECT a.query_id, b.vec_id AS cand,
+          $sqlDot / (a.nrm * b.nrm) AS rel
+        FROM qvp a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      pool AS (SELECT query_id, cand, rel FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, cand) AS rk FROM scored0)
+        WHERE rk <= $MmrPool),
+      cappd AS (SELECT query_id, cand, source, rel FROM
+          (SELECT p.query_id, p.cand, d.source, p.rel,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id, d.source
+               ORDER BY p.rel DESC, p.cand) AS srank
+           FROM pool p JOIN documents d ON d.doc_id = p.cand)
+        WHERE srank <= $SourceCap),
+      cand AS (SELECT query_id, cand, rel FROM cappd),
+      cv AS (SELECT c.query_id, c.cand, iv.v, iv.nrm
+             FROM cand c JOIN iv ON iv.vec_id = c.cand),
+      sims AS (SELECT a.query_id, a.cand AS ca, b.cand AS cb,
+          $sqlDot / (a.nrm * b.nrm) AS sim
+        FROM cv a JOIN cv b
+          ON a.query_id = b.query_id AND a.cand <> b.cand),
+      r0 AS (SELECT query_id, cand, rel, CAST(0 AS DOUBLE) AS maxsim
+             FROM cand),$sqlGreedyCtes
+      SELECT s.query_id, s.step, s.cand AS neighbor_id, cp.source,
+        s.rel, s.score AS mmr_score
+      FROM ($sqlGreedySteps) s JOIN cappd cp
+        ON cp.query_id = s.query_id AND cp.cand = s.cand
+      ORDER BY s.query_id, s.step"""
 
   /** q147's replay SQL, generated from the same [[MmrPool]]/[[MmrK]]/
     * [[MmrLambda]] constants the engine uses (the greedy selection
@@ -2805,10 +2926,15 @@ object Similarity {
     * Scala doubles the Spark plan multiplies by, so both engines
     * compare bit-identical scores.
     */
-  private def sqlMmr: String = {
+  /** The K unrolled greedy-selection CTE stages (s1/w1/r1 … sK/wK/rK)
+    * over base CTEs named `r0` (query_id, cand, rel, maxsim) and
+    * `sims` (query_id, ca, cb, sim) — shared verbatim by the q147 and
+    * q151 oracles, exactly as [[mmrGreedy]] is shared by the plans.
+    */
+  private lazy val sqlGreedyCtes: String = {
     val lam = s"CAST($MmrLambda AS DOUBLE)"
     val oneMinus = s"CAST(${1 - MmrLambda} AS DOUBLE)"
-    val greedy = (1 to MmrK).map { i =>
+    (1 to MmrK).map { i =>
       s"""
       s$i AS (SELECT query_id, cand, rel, maxsim,
           $lam * rel - $oneMinus * maxsim AS score,
@@ -2824,9 +2950,15 @@ object Similarity {
           AND sm.ca = r.cand AND sm.cb = w.cand
         WHERE r.cand <> w.cand)"""
     }.mkString(",")
-    val steps = (1 to MmrK)
-      .map(i => s"SELECT query_id, $i AS step, cand, rel, score FROM w$i")
-      .mkString(" UNION ALL ")
+  }
+
+  private lazy val sqlGreedySteps: String = (1 to MmrK)
+    .map(i => s"SELECT query_id, $i AS step, cand, rel, score FROM w$i")
+    .mkString(" UNION ALL ")
+
+  private def sqlMmr: String = {
+    val greedy = sqlGreedyCtes
+    val steps = sqlGreedySteps
     s"""
       WITH $sqlScaled,
       cells AS (SELECT vec_id, cluster
@@ -2937,6 +3069,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q147_mmr_diversify" -> sqlMmr,
+    "q151_serving_stack" -> sqlServingStack,
     // q79's staged replay widened to the q147 pool, sources joined
     // from documents, then the closed two-window form of greedy
     // selection under the per-source cap

@@ -87,7 +87,10 @@ class DeterminismSpec extends SparkSpec {
     "q149_source_capped_ann",
     // q150: four aggregate families (counts, sums, semi-join rate,
     // anti-join rate) meeting in one report row per language
-    "q150_corpus_drift")
+    "q150_corpus_drift",
+    // q151: every serving hazard stacked — anti-join mask, cap
+    // windows, then five greedy rounds
+    "q151_serving_stack")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -151,6 +151,30 @@ class ServingAnnSpec extends SparkSpec {
       === Set(20L, 21L, 30L, 31L, 32L), capped.toString)
   }
 
+  test("q151: the full stack honors every constraint at once — mask, cap, diversify") {
+    Similarity.q79AnnIvfMultiprobe(spark, dir).collect() // warm index
+    val (mc, mp) = (mtime("cells"), mtime("probes"))
+    val got = Similarity.q151ServingStack(spark, dir)
+      .select("query_id", "step", "neighbor_id", "source", "rel")
+      .as[(Long, Int, Long, String, Double)].collect().toSeq
+    assert(mtime("cells") === mc && mtime("probes") === mp,
+      "q151 re-staged a warm index")
+    assert(got.forall { case (q, _, n, _, _) =>
+      q % 7 != 3 && n % 7 != 3 && n != q },
+      "a tombstoned or self row was served")
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted === (1 to rs.size).toList, s"steps $q")
+      assert(rs.map(_._3).distinct.size === rs.size, s"dup in $q")
+      rs.groupBy(_._4).foreach { case (src, ss) =>
+        assert(ss.size <= Similarity.SourceCap, s"$q over-serves $src")
+      }
+      // greedy step 1 is the pure-relevance argmax of the capped
+      // pool, so no later step may out-rel it
+      val step1 = rs.minBy(_._2)
+      assert(rs.forall(_._5 <= step1._5), s"step 1 not top-rel in $q")
+    }
+  }
+
   test("q146: RRF fusion is integer-exact, self-consistent, and genuinely two-source") {
     Similarity.q79AnnIvfMultiprobe(spark, dir).collect()
     val (mc, mp) = (mtime("cells"), mtime("probes"))

@@ -73,7 +73,13 @@ object Bench {
     // BENCH_r09 recorded rc=0 but "parsed": null because the head of the
     // line was truncated away) — repeat the headline numbers as a short
     // FINAL line so any tail window carries a parseable total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}"""
+    println(summary)
+    // stdout tails can truncate (BENCH_r09/r10 recorded "parsed": null);
+    // a side-file gives the driver a deterministic source for the total
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+    catch { case _: Throwable => } // a read-only cwd must not fail the bench
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

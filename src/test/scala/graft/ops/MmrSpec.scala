@@ -72,20 +72,21 @@ class MmrSpec extends SparkSpec {
     val plainTop1 = Similarity.q79AnnIvfMultiprobe(spark, real)
       .where($"rank" === 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
-    val pool = Similarity.q79AnnIvfMultiprobe(spark, real)
-      .select("query_id", "neighbor_id").as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (q, rs) => (q, rs.map(_._2).toSet) }
     val mmr = Similarity.q147MmrDiversify(spark, real)
       .select("query_id", "step", "neighbor_id")
       .as[(Long, Int, Long)].collect().toSeq
     val firsts = mmr.filter(_._2 == 1).map(t => (t._1, t._3)).toMap
     assert(firsts === plainTop1)
-    // every selected id came from the same staged search (pool is the
-    // top-20 superset of the plain top-5; checking against top-5
-    // membership only for step 1 — later steps may dig deeper, which
-    // is the point — but never outside the candidate generator)
-    val top20 = Similarity.q147MmrDiversify(spark, real).count()
-    assert(top20 === mmr.size.toLong)
+    // every selected id came from the entry's OWN candidate generator
+    // (the top-MmrPool pool; later steps may dig below the plain top-5
+    // — that is the point — but never outside the pool)
+    val pool = Similarity.mmrCandidatePool(spark, real)
+      .select("query_id", "cand").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, rs) => (q, rs.map(_._2).toSet) }
+    mmr.foreach { case (q, step, id) =>
+      assert(pool.getOrElse(q, Set.empty).contains(id),
+        s"query $q step $step selected $id outside the candidate pool")
+    }
     mmr.groupBy(_._1).foreach { case (q, rs) =>
       assert(rs.map(_._3).distinct.size === rs.size, s"dup in query $q")
     }

@@ -177,15 +177,22 @@ class ServingAnnSpec extends SparkSpec {
 
   test("q146: RRF fusion is integer-exact, self-consistent, and genuinely two-source") {
     Similarity.q79AnnIvfMultiprobe(spark, dir).collect()
-    val (mc, mp) = (mtime("cells"), mtime("probes"))
+    Similarity.q146HybridRrf(spark, dir).collect() // warm lexical archive
+    val (mc, mp, ms) =
+      (mtime("cells"), mtime("probes"), mtime("corpus_sh"))
     val got = Similarity.q146HybridRrf(spark, dir)
       .select("query_id", "rank", "doc_id", "rrf_score", "vrank", "lrank")
       .as[(Long, Int, Long, Long, Option[Int], Option[Int])]
       .collect().toSeq
     assert(mtime("cells") === mc && mtime("probes") === mp,
       "q146 re-staged a warm index")
+    // the round-10 `weak`: the lexical ranker must serve from the
+    // staged q148 shingle archive, never re-derive corpus shingles
+    assert(mtime("corpus_sh") === ms,
+      "q146 re-derived corpus shingles on a warm run")
     val L = Similarity.RrfL
-    def contrib(r: Option[Int]): Long = r.map(r => L / (60L + r)).getOrElse(0L)
+    val K = Similarity.RrfK.toLong
+    def contrib(r: Option[Int]): Long = r.map(r => L / (K + r)).getOrElse(0L)
     // the fused score is exactly the sum of the exact per-list
     // contributions — recomputable from the output row alone
     assert(got.forall { case (_, _, _, s, vr, lr) =>

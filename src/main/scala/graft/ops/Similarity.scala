@@ -2172,6 +2172,72 @@ object Similarity {
     searchCells(probes, iv, topK = 5)
   }
 
+  /** Execute the tombstone COMPACTION q135's report recommends: fold
+    * the accumulated delete feed into the staged index by rebuilding
+    * the cell assignment from SURVIVORS (one broadcast anti-join —
+    * assign-only compaction: centroids are kept, memberships drop;
+    * q135 is the report that says when drift justifies a full RETRAIN
+    * instead) and truncating the consumed feed (`deletes_compacted`
+    * is written empty — in production the new assignment and the
+    * truncated feed swap in atomically as one refresh). After
+    * compaction a masked search needs no mask: the tombstones are
+    * gone from the index itself, which is the whole point —
+    * serving-time anti-joins (q144) are the BETWEEN-refresh shape,
+    * this operator is the refresh.
+    */
+  def stageCompactedIndex(s: SparkSession, dir: String,
+      work: String): Unit = {
+    ensureIvfIndex(s, dir, work)
+    if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+    val deletes = s.read.parquet(s"$work/deletes")
+    s.read.parquet(s"$work/cells")
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$work/cells_compact")
+    // truncate the consumed feed — to a NEW path: the un-truncated
+    // `deletes` stays staged for q144/q151/q152's oracle replays
+    // (within one run the staged catalog is append-only; production
+    // swaps, a Verify/Bench run layers)
+    deletes.limit(0).repartition(1)
+      .write.mode("overwrite").parquet(s"$work/deletes_compacted")
+    Staged.mark(work, "cells_compact", "deletes_compacted")
+  }
+
+  /** q154 — search over the COMPACTED index ([[stageCompactedIndex]]):
+    * q79's staged multi-probe equi-join against `cells_compact`, with
+    * NO delete mask — compaction consumed the feed. A tombstoned
+    * vector no longer queries either: its probe rows drop by a
+    * left-semi join against the compacted assignment (it has no row
+    * there to exist by). CompactionSpec pins the lifecycle identity
+    * this row certifies: q154's output == q144's masked output
+    * row-for-row (compaction and serving-time masking are the same
+    * function, executed at refresh time vs query time), the compacted
+    * assignment is exactly cells ∖ deletes, and the truncated feed is
+    * empty.
+    *
+    * Scale shape: the rebuild is one broadcast anti-join writing a
+    * linear assignment table (the refresh cost q135's report weighs
+    * against the serving-time mask cost); the search afterwards is
+    * q79's unchanged — and cheaper than q144's by the two anti-joins
+    * it no longer needs.
+    */
+  def q154CompactedSearch(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    if (!Staged.isFresh(work, "cells_compact"))
+      stageCompactedIndex(s, dir, work)
+    val cc = s.read.parquet(s"$work/cells_compact")
+    val iv = scaledVectors(s, dir)
+      .join(cc, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(s"$work/probes")
+      .join(cc.select(col("vec_id").as("query_id")),
+        Seq("query_id"), "left_semi")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
+  }
+
   /** q152 — q144's tombstone-masked serving over the FORCED
     * THREE-level index: the round-10 serving rows (q144–q151) were
     * oracle-certified over the flat sf0.01 cells only ("serving is
@@ -3015,6 +3081,7 @@ object Similarity {
     "q145_filtered_ann" -> (q145FilteredAnn _),
     "q152_tombstone_hier3" -> (q152TombstoneHier3 _),
     "q153_compressed_serving" -> (q153CompressedServing _),
+    "q154_compacted_search" -> (q154CompactedSearch _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
     "q149_source_capped_ann" -> (q149SourceCappedAnn _),
@@ -3266,6 +3333,30 @@ object Similarity {
       qv AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
              FROM probes p JOIN iv ON iv.vec_id = p.query_id
              WHERE p.query_id NOT IN (SELECT vec_id FROM dels)),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q79's staged replay over the ENGINE-COMPACTED assignment — no
+    // delete mask anywhere in the statement: the compaction consumed
+    // the feed, and a tombstoned query has no row to exist by
+    "q154_compacted_search" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells_compact/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qv AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id
+             WHERE p.query_id IN (SELECT vec_id FROM cells)),
       scored AS (
         SELECT a.query_id, b.vec_id AS neighbor_id,
           $sqlDot / (a.nrm * b.nrm) AS cosine

@@ -1364,6 +1364,26 @@ object Similarity {
       .select(col("vec_id"),
         (col("cluster").cast("long") * k2 + col("sub")).as("cell"))
 
+  /** Full THREE-level descent assignment of fresh (vec_id, v, nrm)
+    * rows — [[assignHierCells]] one level deeper, reproducing
+    * [[trainHier3]]'s own assignment exactly: level 1+2 via the same
+    * literal-argmax + broadcast-table argmax, then the level-2 cell
+    * keys one more broadcast-table argmax against the level-3
+    * centroids. All model tables are broadcast; the input is touched
+    * twice, never shuffled on a corpus key — the shape the streaming
+    * ingest twin needs per micro-batch.
+    */
+  def assignHier3Cells(vecs: DataFrame, c1: Array[Array[Double]],
+      cents2: DataFrame, cents3: DataFrame, k2: Int,
+      k3: Int): DataFrame = {
+    val lvl2 = assignHierCells(vecs, c1, cents2, k2)
+      .select(col("vec_id"), col("cell").as("cluster"))
+    hierAssign(vecs.select(col("vec_id"), col("v"), col("nrm"))
+        .join(lvl2, "vec_id"), cents3)
+      .select(col("vec_id"),
+        (col("cluster") * k3 + col("sub")).as("cell"))
+  }
+
   private def hierAssign(ivs: DataFrame, cents: DataFrame): DataFrame =
     ivs.join(broadcast(cents), Seq("cluster"))
       .select(col("vec_id"), col("cluster"),

@@ -326,6 +326,42 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the THREE-level index — [[hierIngestStream]]
+    * one level deeper, completing the ingest matrix at the depth the
+    * production router auto-selects above 4096 cells: each micro-batch
+    * descends super → mid → leaf through
+    * [[graft.ops.Similarity.assignHier3Cells]] (the literal level-1
+    * argmax plus two broadcast model-sized table argmaxes — the same
+    * function [[graft.ops.Similarity.trainHier3]] assigns with, so
+    * streamed == batch is mechanism), appending (vec_id, cell) with
+    * the same anti-join-by-content effectively-once discipline as
+    * every sibling ingest. No state store; the corpus is never
+    * touched. Hier3IngestStreamSpec asserts streamed == the trained
+    * model's own batch assignment row-for-row plus both idempotence
+    * modes.
+    */
+  def hier3IngestStream(vectors: DataFrame, c1: Array[Array[Double]],
+      cents2: DataFrame, cents3: DataFrame, k2: Int, k3: Int,
+      stagedDir: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/cells_hier3_stream"
+        val assigned = graft.ops.Similarity.assignHier3Cells(
+          batch.where(col("nrm") > 0).dropDuplicates("vec_id"),
+          c1, cents2, cents3, k2, k3)
+        val fresh =
+          if (stagedExists(s, path))
+            assigned.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming ingest into the SHARDED index — [[hierIngestStream]]'s
     * twin for the scatter-gather shard layout (q143): micro-batches
     * shard by the pmod key and sub-assign against the broadcast

@@ -1753,9 +1753,14 @@ object Text {
 
   /** Stage the drift BASELINE — the corpus-side aggregates the
     * streaming monitor compares every micro-batch against: per-lang
-    * doc/token counts and the distinct (lang, word) vocabulary. The
-    * exact-dup side reuses the q148 archive's `corpus_nh` (one
-    * archive, two consumers). Like the dedup archive, these grow by
+    * doc/token counts, the distinct (lang, word) vocabulary, and the
+    * normalized-hash table for the exact-dup probe. The nh table is
+    * byte-identical to the q148 archive's `corpus_nh` (one asset, two
+    * stagers), so it is written only when no query of the run has
+    * staged it yet — a monitor deployment that stages ONLY the drift
+    * baseline must not fail on its first micro-batch (round-10
+    * advisor), and one that runs after the dedup archive must not
+    * re-derive the corpus. Like the dedup archive, these grow by
     * append as batches are admitted; the corpus split stands in for
     * the current state.
     */
@@ -1772,16 +1777,27 @@ object Text {
       .select(col("lang"), explode(words(col("text"))).as("w"))
       .distinct()
       .write.mode("overwrite").parquet(s"$work/corpus_vocab")
+    if (!Staged.isFresh(work, "corpus_nh")) {
+      t(s, dir, "documents").where(!isNew)
+        .select(col("doc_id"), md5(normText(col("text"))).as("nh"))
+        .write.mode("overwrite").parquet(s"$work/corpus_nh")
+      Staged.mark(work, "corpus_nh")
+    }
     Staged.mark(work, "corpus_stats", "corpus_vocab")
   }
 
   /** q150's batch-side signals for ONE batch of (doc_id, lang, text)
-    * rows, computed against the STAGED baseline (corpus_nh from the
-    * q148 archive, corpus_vocab from [[stageDriftBaseline]]) — the
-    * kernel [[graft.streaming.EventStreams.driftMonitorStream]] runs
-    * per micro-batch. Identical arithmetic to q150's batch columns
-    * (DriftStreamSpec pins the equality on the full batch split), so
-    * the monitor's alerts mean the same thing as the batch report's.
+    * rows, computed against the STAGED baseline ([[stageDriftBaseline]]
+    * stages all three tables: corpus_stats for the per-lang mean-token
+    * reference, corpus_vocab for novelty, corpus_nh — shared with the
+    * q148 archive — for the exact-dup probe) — the kernel
+    * [[graft.streaming.EventStreams.driftMonitorStream]] runs per
+    * micro-batch. The report carries `corpus_mean_tokens` next to
+    * `batch_mean_tokens` so a length-drift alert is one row-local
+    * comparison, exactly as in q150. Identical arithmetic to q150's
+    * columns (DriftStreamSpec pins the equality on the full batch
+    * split), so the monitor's alerts mean the same thing as the batch
+    * report's.
     */
   def driftSignalsOn(s: SparkSession, work: String,
       batch: DataFrame): DataFrame = {
@@ -1809,7 +1825,11 @@ object Text {
       .join(dup, Seq("lang"), "left")
       .join(newWords, Seq("lang"), "left")
       .join(batchWords, Seq("lang"), "left")
+      .join(s.read.parquet(s"$work/corpus_stats"), Seq("lang"), "left")
       .select(col("lang"), col("batch_docs"),
+        when(col("corpus_docs") > 0,
+          col("ctok").cast("double") / col("corpus_docs").cast("double"))
+          .as("corpus_mean_tokens"),
         when(col("batch_docs") > 0,
           col("btok").cast("double") / col("batch_docs").cast("double"))
           .as("batch_mean_tokens"),

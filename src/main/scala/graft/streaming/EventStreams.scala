@@ -447,8 +447,16 @@ object EventStreams {
     * (that is the monitor semantics; q150 is the cumulative report),
     * and DriftStreamSpec pins that a single micro-batch carrying the
     * whole batch split reproduces q150's batch columns exactly.
-    * Idempotence keys on the batch id: a replayed or redelivered
-    * batch appends nothing.
+    * Idempotence keys on a CONTENT-derived batch signature (the
+    * xxhash64-XOR over the batch's distinct doc ids — order-
+    * independent, overflow-free under ANSI), not the engine
+    * batch id: batch ids restart at 0 through a fresh checkpoint, so
+    * id-keying would silently drop genuinely NEW micro-batches whose
+    * ids collide with logged ones — the exact feed-health data a
+    * monitor exists to surface (round-10 advisor). A replayed or
+    * redelivered batch (same content) appends nothing through ANY
+    * checkpoint; new content always lands. The engine batch id is
+    * still carried as an observability column.
     */
   def driftMonitorStream(docs: DataFrame, work: String,
       checkpoint: String): StreamingQuery =
@@ -458,14 +466,17 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val path = s"$work/drift_stream"
-        val report = graft.ops.Text
-          .driftSignalsOn(s, work, batch.dropDuplicates("doc_id"))
+        val b = batch.dropDuplicates("doc_id").localCheckpoint()
+        val sig = b.agg(coalesce(bit_xor(xxhash64(col("doc_id"))), lit(0L))
+          .as("batch_sig"))
+        val report = graft.ops.Text.driftSignalsOn(s, work, b)
+          .crossJoin(broadcast(sig)) // 1-row scalar
           .withColumn("batch_id", lit(batchId))
         val fresh =
           if (stagedExists(s, path))
             report.join(
-              s.read.parquet(path).select(col("batch_id")).distinct(),
-              Seq("batch_id"), "left_anti")
+              s.read.parquet(path).select(col("batch_sig")).distinct(),
+              Seq("batch_sig"), "left_anti")
           else report
         fresh.localCheckpoint().write.mode("append").parquet(path)
         ()

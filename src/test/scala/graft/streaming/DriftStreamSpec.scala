@@ -33,9 +33,10 @@ class DriftStreamSpec extends SparkSpec {
   }
 
   private def batchRows() = Text.q150CorpusDrift(spark, dir)
-    .select("lang", "batch_docs", "batch_mean_tokens",
-      "exact_dup_rate", "new_word_rate")
-    .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+    .select("lang", "batch_docs", "corpus_mean_tokens",
+      "batch_mean_tokens", "exact_dup_rate", "new_word_rate")
+    .as[(String, Long, Option[Double], Option[Double], Option[Double],
+      Option[Double])]
     .collect().toSet
 
   test("one micro-batch carrying the whole split reproduces q150's batch columns") {
@@ -51,10 +52,13 @@ class DriftStreamSpec extends SparkSpec {
       src.toDF().toDF("doc_id", "lang", "text"), work,
       java.nio.file.Files.createTempDirectory("drift-ckpt").toString)
       .awaitTermination()
+    // the monitor's columns now include the corpus-side mean-token
+    // reference, so a length-drift alert is one row-local comparison
     val streamed = spark.read.parquet(s"$work/drift_stream")
-      .select("lang", "batch_docs", "batch_mean_tokens",
-        "exact_dup_rate", "new_word_rate")
-      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .select("lang", "batch_docs", "corpus_mean_tokens",
+        "batch_mean_tokens", "exact_dup_rate", "new_word_rate")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])]
       .collect().toSet
     assert(streamed === batchRows())
   }
@@ -86,14 +90,32 @@ class DriftStreamSpec extends SparkSpec {
     // drained re-run: no-op
     drain(ckpt, src)
     assert(spark.read.parquet(s"$work/drift_stream").count() === n)
-    // same chunking through a FRESH checkpoint: batch ids repeat from
-    // 0, the anti-join drops them
-    val src2 = MemoryStream[(Long, String, String)]
+    // redelivery of each original batch through a FRESH checkpoint:
+    // batch ids restart at 0, but idempotence keys on CONTENT — every
+    // redelivered batch matches a logged signature and appends nothing
     docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+      val src2 = MemoryStream[(Long, String, String)]
       src2.addData(chunk: _*)
       drain(java.nio.file.Files
         .createTempDirectory("drift-ckpt4").toString, src2)
     }
     assert(spark.read.parquet(s"$work/drift_stream").count() === n)
+    // genuinely NEW content whose batch id collides with a logged one
+    // (fresh checkpoint -> id 0) must still land — the round-10
+    // advisor's finding: id-keying silently masked new feed data
+    val id0Before = spark.read.parquet(s"$work/drift_stream")
+      .where($"batch_id" === 0L).count()
+    val extra = graft.ops.Tables.t(spark, dir, "documents")
+      .where($"doc_id" % 10 === 1)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1).take(20)
+    val src3 = MemoryStream[(Long, String, String)]
+    src3.addData(extra: _*)
+    drain(java.nio.file.Files
+      .createTempDirectory("drift-ckpt5").toString, src3)
+    val after = spark.read.parquet(s"$work/drift_stream")
+    assert(after.count() > n, "a new batch with a colliding id was dropped")
+    assert(after.where($"batch_id" === 0L).count() > id0Before,
+      "the new rows should carry the colliding batch id 0")
   }
 }

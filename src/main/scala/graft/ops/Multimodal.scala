@@ -8,13 +8,17 @@ import Tables._
 /** Multimodal-column plumbing: media as opaque `BINARY` payloads with a
   * typed metadata struct, and a partition-batched "decode" stage.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic stand-in: it consumes the payload bytes
-  * and emits fake-but-stable features (dimensions from byte length,
-  * frame count from the header byte). Everything around it — the binary
-  * schema, the typed row shape, the `mapPartitions` batch boundary the
-  * real decoder (libjpeg/ffmpeg per executor) would plug into, and the
-  * deterministic output contract — is real and oracle-checked.
+  * The container ships no native codec libraries, so [[decodeStub]] is
+  * a clearly-marked deterministic stand-in for formats that genuinely
+  * need one (JPEG's DCT entropy coders, video): it consumes the payload
+  * bytes and emits fake-but-stable features. Formats a pure-JVM parser
+  * can decode honestly ARE decoded for real behind the same boundary:
+  * binary PPM ([[Ppm]], q80), RIFF/WAV ([[Wav]], q108), and PNG
+  * ([[Png]], q155 — Inflater + the five scanline filters). Everything
+  * around the stub — the binary schema, the typed row shape, the
+  * `mapPartitions` batch boundary a real libjpeg/ffmpeg decoder would
+  * plug into, and the deterministic output contract — is real and
+  * oracle-checked.
   *
   * Scale note: decode is a narrow map stage — no shuffle; payload bytes
   * stream through one partition at a time, so executor memory bounds the
@@ -330,7 +334,62 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One encoded-PNG row (payload = a genuine PNG byte stream). */
+  case class PngRow(doc_id: Long, payload: Array[Byte])
+
+  /** Features a real PNG decoder recovers from the raster. */
+  case class PngFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, pix_sum: Long)
+
+  /** Deterministic real-PNG media table: per doc, a genuine
+    * signature/IHDR/IDAT/IEND byte stream whose geometry and raster
+    * are pure functions of doc_id (width 4+id%11, height 3+id%5,
+    * pixel byte j = (id·17+j) mod 256) and whose scanline FILTER
+    * TYPE varies per row ((id+y) mod 5) — so across any 5 consecutive
+    * doc_ids every PNG filter (None/Sub/Up/Average/Paeth) is both
+    * applied by the encoder and undone by the decoder. Same
+    * construction-law discipline as [[ppmTable]]: no RNG, no
+    * fixtures; both engines derive the expected features from the
+    * law.
+    */
+  def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 11).toInt
+        val h = 3 + (id % 5).toInt
+        val px = Array.tabulate(3 * w * h)(j => ((id * 17 + j) % 256).toByte)
+        PngRow(id,
+          Png.encode(Png.Image(w, h, px), y => ((id + y) % 5).toInt))
+      }).toDF()
+  }
+
+  /** q155 — REAL PNG decode behind the multimodal boundary, retiring
+    * the last stubbed image format: [[Png.decode]] walks the chunk
+    * grammar (CRC-checked), inflates IDAT through
+    * `java.util.zip.Inflater`, and inverts all five scanline filters
+    * byte-by-byte. The emitted features (dimensions, pixel-byte sum)
+    * must round-trip the construction law, and the DuckDB oracle
+    * recomputes them FROM that law (it never parses PNG — q80's
+    * discipline), so a hash match certifies encoder, deflate/inflate,
+    * and every filter's inverse agree on every document. Same scale
+    * shape as q80: two narrow mapPartitions stages, zero shuffle.
+    */
+  def q155PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).as[PngRow]
+      .mapPartitions(_.map { r =>
+        val img = Png.decode(r.payload)
+        var sum = 0L
+        img.pixels.foreach(b => sum += (b & 0xff))
+        PngFeatures(r.doc_id, img.width, img.height,
+          img.width * img.height, sum)
+      }).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_png_decode" -> (q155PngDecode _),
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_frame_sample" -> (q61FrameSample _),
     "q62_decode_expr" -> (q62DecodeExpr _),
@@ -435,6 +494,19 @@ object Multimodal {
       SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
         4 AS out_w, 3 AS out_h, rhash
       FROM r ORDER BY doc_id""",
+    // construction-law recompute (q80's discipline — the oracle never
+    // parses PNG, inflates zlib, or inverts a filter): a hash match
+    // certifies the encoder, Deflater/Inflater round-trip, and all
+    // five scanline-filter inverses agree on every document
+    "q155_png_decode" -> """
+      SELECT doc_id,
+        CAST(4 + doc_id % 11 AS INT) AS width,
+        CAST(3 + doc_id % 5 AS INT) AS height,
+        CAST((4 + doc_id % 11) * (3 + doc_id % 5) AS INT) AS n_pixels,
+        CAST(list_sum(list_transform(
+          range(0, 3 * (4 + doc_id % 11) * (3 + doc_id % 5)),
+          j -> (doc_id * 17 + j) % 256)) AS BIGINT) AS pix_sum
+      FROM documents ORDER BY doc_id""",
     // the oracle re-derives the features from the CONSTRUCTION law (it
     // never parses PPM) — a hash match therefore certifies the Scala
     // encoder and byte-level parser agree on every document

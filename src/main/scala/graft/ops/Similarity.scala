@@ -544,6 +544,15 @@ object Similarity {
     * literal-expression Lloyd; the hier path trains the same corpus
     * in ~44 s (q78's shared stageCells run).
     */
+  /** The widened probe count the under-fill ESCALATION ladder re-probes
+    * at (q156): 4× the serving default — one refresh emits BOTH widths
+    * from the same training (probe selection is query-side and
+    * model-priced, so the second list costs nothing corpus-shaped),
+    * and a query whose constrained pool comes up thinner than K
+    * re-searches at this width instead of under-delivering.
+    */
+  val EscalationProbes = 8
+
   def stageIvfIndex(s: SparkSession, dir: String, workDir: String,
       nprobe: Int = 2, maxQueryId: Long = 20L): Unit = {
     val n = vectorCount(s, dir)
@@ -559,6 +568,10 @@ object Similarity {
       ivfProbes(queries, centroids, nprobe)
         .select(col("query_id"), col("cluster"))
         .write.mode("overwrite").parquet(s"$workDir/probes")
+      ivfProbes(queries, centroids,
+          math.min(EscalationProbes, centroids.length))
+        .select(col("query_id"), col("cluster"))
+        .write.mode("overwrite").parquet(s"$workDir/probes_wide")
     } else if (want <= Hier2MaxCells) {
       val (k1, k2) = hierFactors(want)
       val (c1, cents, asg) = trainHier(s, dir, k1, k2)
@@ -577,6 +590,10 @@ object Similarity {
           volumeMatchedWidth(k1.toLong * k2, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
         .write.mode("overwrite").parquet(s"$workDir/probes")
+      hierProbes(queries, c1, cents, k2,
+          volumeMatchedWidth(k1.toLong * k2, n, EscalationProbes))
+        .select(col("query_id"), col("cell").cast("int").as("cluster"))
+        .write.mode("overwrite").parquet(s"$workDir/probes_wide")
     } else {
       // above the two-level 4096-cell ceiling: three levels, same
       // staged interface — consumers still read (cells, probes) and
@@ -593,8 +610,12 @@ object Similarity {
           volumeMatchedWidth(k1.toLong * k2 * k3, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
         .write.mode("overwrite").parquet(s"$workDir/probes")
+      hier3Probes(queries, c1, cents2, cents3, k2, k3,
+          volumeMatchedWidth(k1.toLong * k2 * k3, n, EscalationProbes))
+        .select(col("query_id"), col("cell").cast("int").as("cluster"))
+        .write.mode("overwrite").parquet(s"$workDir/probes_wide")
     }
-    Staged.mark(workDir, "cells", "probes")
+    Staged.mark(workDir, "cells", "probes", "probes_wide")
   }
 
   /** Trained-IVF ANN — q42 with the `label` stand-in replaced by REAL
@@ -2135,7 +2156,8 @@ object Similarity {
     */
   private def ensureIvfIndex(s: SparkSession, dir: String,
       work: String): Unit =
-    if (!Staged.isFresh(work, "cells") || !Staged.isFresh(work, "probes"))
+    if (!Staged.isFresh(work, "cells") || !Staged.isFresh(work, "probes") ||
+        !Staged.isFresh(work, "probes_wide"))
       stageIvfIndex(s, dir, work)
 
   /** Tombstoned vec_ids — the rows a delete feed removed since the
@@ -2319,15 +2341,18 @@ object Similarity {
   def q145FilteredAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
-    val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
-      .select(col("vec_id"), col("label"), col("cluster"), col("v"),
-        col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
-      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
-        "query_id")
-      .select(col("query_id"), col("label").as("qlabel"), col("cluster"),
-        col("v").as("qv"), col("nrm").as("qn"))
+    labelFilteredTopK(stagedFilterProbes(s, dir, work, "probes"),
+        stagedLabeledCorpus(s, dir, work), topK = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q145's candidate-join + window core for arbitrary frames: `probes`
+    * carries (query_id, qlabel, cluster, qv, qn), `iv` the labeled
+    * corpus (vec_id, label, cluster, v, nrm). Shared by q145, the
+    * escalation ladder (q156), and the planted-geometry specs.
+    */
+  def labelFilteredTopK(probes: DataFrame, iv: DataFrame,
+      topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(iv, Seq("cluster"))
@@ -2338,9 +2363,81 @@ object Similarity {
         cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("label"), col("cosine"))
+  }
+
+  private def stagedLabeledCorpus(s: SparkSession, dir: String,
+      work: String): DataFrame =
+    scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .select(col("vec_id"), col("label"), col("cluster"), col("v"),
+        col("nrm"))
+
+  private def stagedFilterProbes(s: SparkSession, dir: String,
+      work: String, name: String): DataFrame =
+    s.read.parquet(s"$work/$name")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("label").as("qlabel"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+
+  /** The under-fill ESCALATION ladder over arbitrary narrow/wide probe
+    * frames: run the constrained search at the serving width; queries
+    * whose pool came up thinner than K (including zero-row queries —
+    * the universe is the narrow probe list's query set) re-search at
+    * the wide width; everyone else keeps their narrow answer
+    * untouched. Output carries `escalated` so the serving tier can
+    * meter how often the ladder fires (the q135-style signal that the
+    * default width is mis-tuned). Driver-side branching never touches
+    * data: deficiency is a model-sized aggregate, the re-search is the
+    * same equi-join restricted by a broadcast semi-join.
+    */
+  def escalateFiltered(probesNarrow: DataFrame, probesWide: DataFrame,
+      iv: DataFrame, topK: Int): DataFrame = {
+    val base = labelFilteredTopK(probesNarrow, iv, topK)
+      .localCheckpoint() // the deficiency agg + the keep side read it
+    val satisfied = base.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= topK)
+      .select(col("query_id"))
+    val deficient = probesNarrow.select(col("query_id")).distinct()
+      .join(satisfied, Seq("query_id"), "left_anti")
+    val wide = labelFilteredTopK(
+      probesWide.join(broadcast(deficient), Seq("query_id"), "left_semi"),
+      iv, topK)
+    base.join(broadcast(deficient), Seq("query_id"), "left_anti")
+      .withColumn("escalated", lit(false))
+      .unionByName(wide.withColumn("escalated", lit(true)))
+  }
+
+  /** q156 — metadata-filtered serving with UNDER-FILL ESCALATION:
+    * q145 is the honest thin-pool case (a selective filter keeps
+    * ~1/|labels| of each probed cell, so some queries legitimately
+    * return fewer than 5 rows at the serving width); this entry is
+    * the production answer — before under-delivering, re-search the
+    * deficient queries at [[EscalationProbes]] (the staged
+    * `probes_wide` list the refresh emits from the SAME training —
+    * the volumeMatchedWidth knob executed, round 10's watch item (a)).
+    * Queries already serving K rows never re-search and keep their
+    * narrow-width answer byte-for-byte. The oracle replays both
+    * widths and the deficiency branch over the staged tables;
+    * EscalationSpec plants a thin-pool geometry that fills to K on
+    * escalation.
+    *
+    * Scale shape: the narrow pass is q145's; the deficiency test is a
+    * model-sized aggregate; the wide pass repeats the equi-join ONLY
+    * for deficient queries (broadcast semi-join on the probe list) at
+    * 4× probed cells — cost proportional to (deficient fraction) ×
+    * (wide width), the bounded rare-path a serving SLA wants.
+    */
+  def q156EscalatedFiltered(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    escalateFiltered(
+      stagedFilterProbes(s, dir, work, "probes"),
+      stagedFilterProbes(s, dir, work, "probes_wide"),
+      stagedLabeledCorpus(s, dir, work), topK = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -3102,6 +3199,7 @@ object Similarity {
     "q152_tombstone_hier3" -> (q152TombstoneHier3 _),
     "q153_compressed_serving" -> (q153CompressedServing _),
     "q154_compacted_search" -> (q154CompactedSearch _),
+    "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
     "q149_source_capped_ann" -> (q149SourceCappedAnn _),
@@ -3363,6 +3461,57 @@ object Similarity {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q145's replay at BOTH staged widths plus the deficiency branch:
+    // narrow answers kept verbatim for satisfied queries, deficient
+    // ones (count < 5, zero-row queries included) re-searched over the
+    // staged probes_wide list
+    "q156_escalated_filtered" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      pn AS (SELECT query_id, cluster
+             FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      pw AS (SELECT query_id, cluster
+             FROM '__GRAFT_STAGED__/probes_wide/*.parquet'),
+      civ AS (SELECT iv.vec_id, iv.label, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qn AS (SELECT p.query_id, iv.label AS qlabel, p.cluster, iv.v,
+               iv.nrm
+             FROM pn p JOIN iv ON iv.vec_id = p.query_id),
+      base AS (SELECT * FROM
+          (SELECT a.query_id, b.vec_id AS neighbor_id, b.label,
+             $sqlDot / (a.nrm * b.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.query_id
+               ORDER BY $sqlDot / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+           FROM qn a JOIN civ b
+             ON a.cluster = b.cluster AND b.label = a.qlabel
+               AND b.vec_id <> a.query_id)
+        WHERE rank <= 5),
+      sat AS (SELECT query_id FROM base
+              GROUP BY query_id HAVING COUNT(1) >= 5),
+      defq AS (SELECT DISTINCT query_id FROM pn
+               WHERE query_id NOT IN (SELECT query_id FROM sat)),
+      qw AS (SELECT p.query_id, iv.label AS qlabel, p.cluster, iv.v,
+               iv.nrm
+             FROM pw p JOIN iv ON iv.vec_id = p.query_id
+             WHERE p.query_id IN (SELECT query_id FROM defq)),
+      wide AS (SELECT * FROM
+          (SELECT a.query_id, b.vec_id AS neighbor_id, b.label,
+             $sqlDot / (a.nrm * b.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.query_id
+               ORDER BY $sqlDot / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+           FROM qw a JOIN civ b
+             ON a.cluster = b.cluster AND b.label = a.qlabel
+               AND b.vec_id <> a.query_id)
+        WHERE rank <= 5)
+      SELECT query_id, rank, neighbor_id, label, cosine,
+        FALSE AS escalated
+      FROM base WHERE query_id NOT IN (SELECT query_id FROM defq)
+      UNION ALL
+      SELECT query_id, rank, neighbor_id, label, cosine,
+        TRUE AS escalated
+      FROM wide
+      ORDER BY query_id, rank""",
     // q79's staged replay over the ENGINE-COMPACTED assignment — no
     // delete mask anywhere in the statement: the compaction consumed
     // the feed, and a tombstoned query has no row to exist by

@@ -163,7 +163,9 @@ object ScaleProbe {
       "q144_tombstone_ann", "q145_filtered_ann", "q146_hybrid_rrf",
       "q147_mmr_diversify", "q148_ingest_dedup_staged",
       "q149_source_capped_ann", "q150_corpus_drift",
-      "q151_serving_stack",
+      "q151_serving_stack", "q152_tombstone_hier3",
+      "q153_compressed_serving", "q154_compacted_search",
+      "q155_png_decode", "q156_escalated_filtered",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

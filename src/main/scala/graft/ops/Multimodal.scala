@@ -388,8 +388,80 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One encoded-JPEG row (payload = a genuine JFIF byte stream). */
+  case class JpegRow(doc_id: Long, payload: Array[Byte])
+
+  /** Features a real JPEG decoder recovers from the decoded raster. */
+  case class JpegFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, pix_sum: Long, top_left: Int)
+
+  /** Deterministic real-JPEG media table: per doc, a genuine baseline
+    * JFIF stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex K tables, 4:4:4)
+    * whose geometry and content are pure functions of doc_id: width
+    * 8·(2+id%4), height 8·(1+id%3), and each 8×8 block a CONSTANT gray
+    * value c(id,bx,by) = 2·((id·31+bx·7+by·13) mod 120)+8. Constant
+    * even-valued blocks make the lossy pipeline exactly invertible —
+    * Y = c and Cb = Cr = 128 land exactly under the JFIF matrices, the
+    * forward DCT concentrates everything in DC = 8·(c−128) which the
+    * Annex-K luma quantizer (q₀₀ = 16) divides exactly for even c, and
+    * the DC-only inverse DCT reproduces c — so the oracle can derive
+    * the expected raster from the law while the byte stream still
+    * exercises real DPCM DC Huffman coding (block-to-block DC jumps
+    * span many magnitude categories), EOB coding, byte stuffing and
+    * the full marker grammar. Lossy fidelity on NON-constant content
+    * is certified separately by JpegSpec against the JDK's own
+    * independent ImageIO decoder.
+    */
+  def jpegTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 * (2 + (id % 4).toInt)
+        val h = 8 * (1 + (id % 3).toInt)
+        val px = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val c = (2 * ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 120) + 8).toByte
+            px((y * w + x) * 3) = c; px((y * w + x) * 3 + 1) = c
+            px((y * w + x) * 3 + 2) = c
+            x += 1
+          }
+          y += 1
+        }
+        JpegRow(id, Jpeg.encode(Jpeg.Image(w, h, px)))
+      }).toDF()
+  }
+
+  /** q157 — REAL JPEG decode behind the multimodal boundary: the
+    * dominant web-corpus image format, decoded by [[Jpeg.decode]]'s
+    * full baseline pipeline (marker grammar, canonical Huffman DC/AC
+    * decode with byte unstuffing, dequantize, 8×8 inverse DCT, YCbCr→
+    * RGB). The DuckDB oracle recomputes the features FROM the
+    * construction law (it never parses JPEG — q80/q155's discipline),
+    * so a hash match certifies that the encoder, both Huffman coders,
+    * the quantizer round-trip and the IDCT agree on every document.
+    * Same scale shape as q80/q155: two narrow mapPartitions stages,
+    * zero shuffle — at 100 TB this is an embarrassingly parallel map
+    * whose cost is pure per-blob CPU.
+    */
+  def q157JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jpegTable(s, dir).as[JpegRow]
+      .mapPartitions(_.map { r =>
+        val img = Jpeg.decode(r.payload)
+        var sum = 0L
+        img.pixels.foreach(b => sum += (b & 0xff))
+        JpegFeatures(r.doc_id, img.width, img.height,
+          img.width * img.height, sum, img.pixels(0) & 0xff)
+      }).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_png_decode" -> (q155PngDecode _),
+    "q157_jpeg_decode" -> (q157JpegDecode _),
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_frame_sample" -> (q61FrameSample _),
     "q62_decode_expr" -> (q62DecodeExpr _),
@@ -507,6 +579,27 @@ object Multimodal {
           range(0, 3 * (4 + doc_id % 11) * (3 + doc_id % 5)),
           j -> (doc_id * 17 + j) % 256)) AS BIGINT) AS pix_sum
       FROM documents ORDER BY doc_id""",
+    // construction-law recompute (q80's discipline — the oracle never
+    // parses JPEG, decodes Huffman, or runs an IDCT): per doc the
+    // 8×8-block grid's constant values are re-derived and summed; the
+    // top-left pixel pins positional correctness, not just totals
+    "q157_jpeg_decode" -> """
+      WITH dims AS (SELECT doc_id, 2 + doc_id % 4 AS nbx,
+                      1 + doc_id % 3 AS nby FROM documents),
+      bx AS (SELECT doc_id, nbx, nby, unnest(range(0, nbx)) AS bx
+             FROM dims),
+      blocks AS (SELECT doc_id, nbx, nby, bx,
+                   unnest(range(0, nby)) AS by FROM bx),
+      cvals AS (SELECT doc_id, nbx, nby,
+                  2 * ((doc_id * 31 + bx * 7 + by * 13) % 120) + 8 AS c
+                FROM blocks)
+      SELECT doc_id,
+        CAST(MAX(nbx) * 8 AS INT) AS width,
+        CAST(MAX(nby) * 8 AS INT) AS height,
+        CAST(MAX(nbx) * MAX(nby) * 64 AS INT) AS n_pixels,
+        CAST(3 * 64 * SUM(c) AS BIGINT) AS pix_sum,
+        CAST(2 * ((doc_id * 31) % 120) + 8 AS INT) AS top_left
+      FROM cvals GROUP BY doc_id ORDER BY doc_id""",
     // the oracle re-derives the features from the CONSTRUCTION law (it
     // never parses PPM) — a hash match therefore certifies the Scala
     // encoder and byte-level parser agree on every document

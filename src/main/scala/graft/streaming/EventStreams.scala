@@ -433,6 +433,60 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming COMPACTION — the refresh half of the delete lifecycle
+    * ([[deleteIngestStream]] is the accumulate half, q154/
+    * [[graft.ops.Similarity.stageCompactedIndex]] the batch form):
+    * each micro-batch of delete ids is folded INTO the index itself —
+    * the compacted assignment loses the batch's rows and the consumed
+    * feed logs them — so a search over `cells_compact_stream` needs no
+    * serving-time mask at any point between micro-batches. Correctness
+    * rides the anti-join algebra (A ∖ D₁) ∖ D₂ = A ∖ (D₁ ∪ D₂): per-
+    * batch folding commutes with one batch compaction over the union
+    * feed, which is exactly what CompactionStreamSpec pins (streamed
+    * table == batch `cells_compact` row-for-row, under in-batch
+    * redelivery AND a full fresh-checkpoint replay). Idempotence is
+    * content-keyed on the consumed-feed log (the anti-join against the
+    * log drops redelivered ids before they cost an index rewrite), the
+    * same discipline as every sibling ingest.
+    *
+    * Scale shape: per batch, one broadcast anti-join (delta-sized)
+    * over the current assignment plus a rewrite of that linear table —
+    * the honest refresh cost. Production paces this trigger by q135's
+    * compaction report (rewrite when the tombstone fraction justifies
+    * it) rather than per-batch; the fold itself is identical at any
+    * pacing, which is what the algebraic identity certifies.
+    */
+  def compactionStream(deletes: DataFrame, cellsPath: String,
+      stagedDir: String, checkpoint: String): StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val feed = s"$stagedDir/deletes_compacted_stream"
+        val idx = s"$stagedDir/cells_compact_stream"
+        val ids = batch.select(col("vec_id")).dropDuplicates("vec_id")
+        val fresh =
+          (if (stagedExists(s, feed))
+            ids.join(s.read.parquet(feed).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else ids).localCheckpoint()
+        if (fresh.isEmpty) () // pure redelivery: skip the index rewrite
+        else {
+          val base =
+            if (stagedExists(s, idx)) s.read.parquet(idx)
+            else s.read.parquet(cellsPath)
+          // materialize BEFORE overwriting the path being read
+          val next = base
+            .join(broadcast(fresh), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+          next.write.mode("overwrite").parquet(idx)
+          fresh.write.mode("append").parquet(feed)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming corpus-drift MONITOR — q150's stream twin: each
     * micro-batch of incoming documents is scored against the STAGED
     * corpus baselines (per-lang stats + vocabulary from

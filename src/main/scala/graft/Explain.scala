@@ -68,6 +68,11 @@ object Explain {
     "q149_source_capped_ann", // staged pool + 1:1 source join; the per-source cap is TWO stacked windows, no iteration
     "q150_corpus_drift", // two corpus scans -> partial-agg groupBys + hash semi/anti joins; |languages|-row report
     "q151_serving_stack", // mask (broadcast anti) -> cap (two windows) -> MMR (greedy rounds); corpus cost = q79's one equi-join
+    "q152_tombstone_hier3", // q144's mask plan verbatim over the three-level staged tables: depth changes nothing
+    "q153_compressed_serving", // mask+filter bind BEFORE ADC pricing: anti-joins on the staged cells, label in the candidate key
+    "q154_compacted_search", // post-compaction: q79's search with NO mask; tombstoned queries drop by left-semi
+    "q156_escalated_filtered", // deficiency aggregate -> broadcast semi-join routes ONLY thin queries to the staged wide probes
+    "q157_jpeg_decode", // two narrow mapPartitions stages, zero shuffle: pure per-blob CPU
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

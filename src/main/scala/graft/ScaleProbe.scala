@@ -165,7 +165,7 @@ object ScaleProbe {
       "q149_source_capped_ann", "q150_corpus_drift",
       "q151_serving_stack", "q152_tombstone_hier3",
       "q153_compressed_serving", "q154_compacted_search",
-      "q155_png_decode", "q156_escalated_filtered",
+      "q155_png_decode", "q156_escalated_filtered", "q157_jpeg_decode",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",
@@ -184,16 +184,27 @@ object ScaleProbe {
     // at this size steady-state JIT effects are amortized by the work
     spark.read.parquet(s"$out/documents.parquet").limit(1).collect()
     spark.read.parquet(s"$out/embeddings.parquet").limit(1).collect()
+    // SPARK_GRAFT_REPEAT=2 times each query twice IN ONE JVM: staged
+    // freshness is per-run (Staged's in-memory set), so run 2 is the
+    // genuinely WARM serving cost — run 1 absorbs any index/archive
+    // staging the entry guards on. Only the last run's time is carried
+    // into the JSON total; both are printed.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = probes.map { name =>
-      val t0 = System.nanoTime()
-      val (n, err) =
-        try (SparkEntry.queries(name)(spark, out).count(), None)
-        catch { case e: Throwable =>
-          (-1L, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      println(f"PROBE $name%-22s ${if (err.isEmpty) f"$dt%8.2f s  rows=$n" else s"FAILED $dt%.2f s ${err.get}"}")
+      val runs = (1 to repeat).map { i =>
+        val t0 = System.nanoTime()
+        val (n, err) =
+          try (SparkEntry.queries(name)(spark, out).count(), None)
+          catch { case e: Throwable =>
+            (-1L, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"))
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val tag = if (repeat > 1) s" run$i" else ""
+        println(f"PROBE $name%-22s ${if (err.isEmpty) f"$dt%8.2f s  rows=$n" else s"FAILED $dt%.2f s ${err.get}"}$tag")
+        (dt, n, err)
+      }
+      val (dt, n, err) = runs.last
       (name, dt, n, err)
     }
     val qs = results.map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")

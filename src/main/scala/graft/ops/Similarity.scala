@@ -1930,9 +1930,15 @@ object Similarity {
     * flat, two-level, and three-level quantizers, and the oracle
     * replays the join chain end-to-end over the staged tables.
     */
+  private def ensureShardedIndex(s: SparkSession, dir: String,
+      work: String): Unit =
+    if (!Staged.isFresh(work, "cells_shard") ||
+        !Staged.isFresh(work, "probes_shard"))
+      stageShardedIndex(s, dir, work)
+
   def q143ShardedAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    stageShardedIndex(s, dir, work)
+    ensureShardedIndex(s, dir, work)
     val probes = s.read.parquet(s"$work/probes_shard")
       .withColumnRenamed("cell", "cluster")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
@@ -2488,6 +2494,57 @@ object Similarity {
       adcRank(cand, lut, topK = RerankShortlist), topK = 5)
     // every survivor's label equals its query's label by construction;
     // carry it from the 20-row query side, never a corpus join
+    res.join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label"))), "query_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q158 — q153's compressed+constrained serving chain over the
+    * SHARDED scatter-gather layout: tombstone mask and same-label
+    * filter bound BEFORE ADC pricing, candidates gathered from every
+    * shard's probed cells, exact re-rank of the shortlist. q153
+    * certified that the constraints compose with COMPRESSION (hier
+    * cells); this row certifies they compose with the capacity
+    * LAYOUT — the staged (cells, probes) pair is the interface for
+    * the sharded index exactly as for flat/hier/hier3 (q143's claim),
+    * so the serving chain is byte-identical code over different table
+    * names, and the full matrix {layout} × {compression} ×
+    * {constraints} needs no per-combination operators.
+    * CompressedShardServingSpec pins that the gather is real (served
+    * neighbors come from MORE than the query's own shard) on top of
+    * the mask/filter properties.
+    *
+    * Scale shape: q153's — delta-sized broadcast anti-joins, label in
+    * the candidate hash-join key, ADC over 4-BIGINT code rows,
+    * |Q|·[[RerankShortlist]] exact dots — plus q143's: candidate
+    * volume ∝ nprobe·shards·CellTarget, independent of n, and each
+    * shard's half of the equi-join refreshes independently.
+    */
+  def q158ShardedCompressed(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureShardedIndex(s, dir, work)
+    ensurePq(s, dir, work)
+    if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+    val deletes = s.read.parquet(s"$work/deletes")
+    val iv = scaledVectors(s, dir)
+    val queries = iv.where(col("vec_id") < 20)
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .localCheckpoint() // LUT + probe attach + final label join read it
+    val cells = s.read.parquet(s"$work/cells_shard")
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .join(iv.select(col("vec_id"), col("label")), "vec_id")
+    val lut = adcLutFor(queries.select(col("vec_id"), col("v")),
+      s.read.parquet(s"$work/pq_codebook"))
+    val probes = s.read.parquet(s"$work/probes_shard")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label"))), "query_id")
+    val cand = probes.join(cells, Seq("cell", "label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(s.read.parquet(s"$work/pq_codes"), Seq("vec_id"))
+    val res = rerankExact(s, dir,
+      adcRank(cand, lut, topK = RerankShortlist), topK = 5)
     res.join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("label"))), "query_id")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -3198,6 +3255,7 @@ object Similarity {
     "q145_filtered_ann" -> (q145FilteredAnn _),
     "q152_tombstone_hier3" -> (q152TombstoneHier3 _),
     "q153_compressed_serving" -> (q153CompressedServing _),
+    "q158_sharded_compressed" -> (q158ShardedCompressed _),
     "q154_compacted_search" -> (q154CompactedSearch _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
@@ -3539,6 +3597,60 @@ object Similarity {
     // q136's hier+PQ+re-rank replay with the tombstone mask on both
     // sides and the same-label equi-condition on the candidate join —
     // mask and filter bind BEFORE ADC pricing, exactly as the engine's
+    // q153's replay verbatim over the SHARDED staged tables — the
+    // compressed+constrained chain does not know the layout became
+    // scatter-gather; only the staged table names change
+    "q158_sharded_compressed" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cell
+                FROM '__GRAFT_STAGED__/cells_shard/*.parquet'),
+      probes AS (SELECT query_id, cell
+                 FROM '__GRAFT_STAGED__/probes_shard/*.parquet'),
+      dels AS (SELECT vec_id FROM '__GRAFT_STAGED__/deletes/*.parquet'),
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      ql AS (SELECT query_id,
+          CAST((g - 1) // 16 AS INT) AS sub,
+          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+        FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
+                generate_subscripts(v, 1) AS g
+              FROM iv WHERE vec_id < 20)),
+      lut AS (SELECT query_id, sub, code,
+          CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
+        FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
+      cand AS (SELECT p.query_id, t.vec_id, c.sub, c.code
+        FROM probes p
+          JOIN iv q ON q.vec_id = p.query_id
+          JOIN cells t ON p.cell = t.cell
+          JOIN iv n ON n.vec_id = t.vec_id AND n.label = q.label
+          JOIN codes c ON c.vec_id = t.vec_id
+        WHERE t.vec_id <> p.query_id
+          AND p.query_id NOT IN (SELECT vec_id FROM dels)
+          AND t.vec_id NOT IN (SELECT vec_id FROM dels)),
+      d AS (SELECT cand.query_id, cand.vec_id,
+          CAST(SUM(pd) AS BIGINT) AS adc_dist
+        FROM cand JOIN lut ON lut.query_id = cand.query_id
+          AND lut.sub = cand.sub AND lut.code = cand.code
+        GROUP BY cand.query_id, cand.vec_id),
+      sl AS (SELECT query_id, vec_id AS neighbor_id
+        FROM (SELECT query_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, vec_id) AS arank
+              FROM d)
+        WHERE arank <= $RerankShortlist),
+      x AS (SELECT sl.query_id, sl.neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)
+            AS cosine
+        FROM sl JOIN iv q ON q.vec_id = sl.query_id
+          JOIN iv n ON n.vec_id = sl.neighbor_id),
+      rr AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM x)
+      SELECT rr.query_id, rr.rank, rr.neighbor_id, q.label, rr.cosine
+      FROM rr JOIN iv q ON q.vec_id = rr.query_id
+      WHERE rr.rank <= 5 ORDER BY rr.query_id, rr.rank""",
     "q153_compressed_serving" -> s"""
       WITH $sqlScaled,
       cells AS (SELECT vec_id, cell

@@ -3386,8 +3386,8 @@ object Similarity {
             x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
         FROM embeddings),
       ql AS (SELECT query_id,
-          CAST((g - 1) // 16 AS INT) AS sub,
-          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),
@@ -3610,8 +3610,8 @@ object Similarity {
       cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
       codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
       ql AS (SELECT query_id,
-          CAST((g - 1) // 16 AS INT) AS sub,
-          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),
@@ -3661,8 +3661,8 @@ object Similarity {
       cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
       codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
       ql AS (SELECT query_id,
-          CAST((g - 1) // 16 AS INT) AS sub,
-          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),
@@ -3857,7 +3857,7 @@ object Similarity {
       FROM clusters ORDER BY vec_id""",
     // IVF-PQ composed: the oracle replays cell pruning + ADC over the
     // THREE engine-staged tables (cells, pq_codes, pq_codebook)
-    "q91_ivfpq_search" -> """
+    "q91_ivfpq_search" -> s"""
       WITH iv AS (SELECT vec_id,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
@@ -3867,8 +3867,8 @@ object Similarity {
       cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
       codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
       ql AS (SELECT query_id,
-          CAST((g - 1) // 16 AS INT) AS sub,
-          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),
@@ -3892,7 +3892,7 @@ object Similarity {
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     // q91's replay with the candidate cut widened to the STAGED probe
     // table (nprobe=2) — the oracle reads all FOUR engine-staged tables
-    "q117_ivfpq_multiprobe" -> """
+    "q117_ivfpq_multiprobe" -> s"""
       WITH iv AS (SELECT vec_id,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v
@@ -3904,8 +3904,8 @@ object Similarity {
       cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
       codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
       ql AS (SELECT query_id,
-          CAST((g - 1) // 16 AS INT) AS sub,
-          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),
@@ -3939,8 +3939,8 @@ object Similarity {
       cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
       codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
       ql AS (SELECT query_id,
-          CAST((g - 1) // 16 AS INT) AS sub,
-          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),
@@ -4010,8 +4010,8 @@ object Similarity {
       cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
       codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
       ql AS (SELECT query_id,
-          CAST((g - 1) // 16 AS INT) AS sub,
-          CAST((g - 1) % 16 + 1 AS INT) AS dim, qw
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
         FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
                 generate_subscripts(v, 1) AS g
               FROM iv WHERE vec_id < 20)),

@@ -130,6 +130,17 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff(dec, imageIoDecode(Jpeg.encode(src))) <= 2)
   }
 
+  test("geometry sweep: every width/height residue mod 8 agrees with ImageIO") {
+    // covers 1-pixel dimensions, single-block, and every padding shape
+    for ((w, h) <- Seq((1, 1), (1, 9), (9, 1), (7, 3), (8, 8), (15, 2),
+        (2, 15), (17, 11), (33, 17), (16, 5), (5, 16), (24, 7))) {
+      val bytes = Jpeg.encode(gradient(w, h))
+      val ours = Jpeg.decode(bytes)
+      assert(ours.width === w && ours.height === h, s"geometry ${w}x$h")
+      assert(maxDiff(ours, imageIoDecode(bytes)) <= 2, s"decoders diverged at ${w}x$h")
+    }
+  }
+
   test("restart intervals: DRI + RSTn resync round-trips and matches the no-restart decode") {
     val src = gradient(40, 24)
     val plain = Jpeg.decode(Jpeg.encode(src))

@@ -73,6 +73,8 @@ object Explain {
     "q154_compacted_search", // post-compaction: q79's search with NO mask; tombstoned queries drop by left-semi
     "q156_escalated_filtered", // deficiency aggregate -> broadcast semi-join routes ONLY thin queries to the staged wide probes
     "q157_jpeg_decode", // two narrow mapPartitions stages, zero shuffle: pure per-blob CPU
+    "q158_sharded_compressed", // q153's chain over the sharded staged tables: layout-agnostic by construction
+    "q159_matryoshka_serving", // prefix slice+dot pricing on q79's candidate join, exact full-dim rerank of the shortlist
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -2552,6 +2552,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Serving prefix width for q159 — the q133 Matryoshka curve's
+    * knee: the cheapest prefix tier whose shortlist recall clears the
+    * exact re-rank's needs. At 100 TB, pricing candidates with the
+    * 16-component prefix instead of all 64 is a 4× cut in both the
+    * hot index tier's bytes and the per-candidate dot-product work.
+    */
+  val MatryoshkaServeDim = 16
+
+  /** q159 — Matryoshka-PREFIX serving: execute what the q133 report
+    * recommends (the way q154 executes q135's recommendation). The
+    * staged multi-probe candidates are priced by exact integer dots
+    * over the FIRST [[MatryoshkaServeDim]] components only — the
+    * low-storage tier an MRL-trained embedding ships — the top
+    * [[RerankShortlist]] per query form the shortlist, and the final
+    * top-5 is the exact FULL-dimension re-rank ([[rerankExact]]).
+    * Same two-tier economics as IVF-PQ (q130) with the prefix tier in
+    * place of ADC codes: the cheap pricing never touches a full
+    * vector, the exact tier touches |Q|·shortlist of them. The
+    * pricing is provably TAIL-BLIND — components past the prefix
+    * cannot change the shortlist (MatryoshkaServingSpec plants
+    * exactly that) — which is what makes the prefix tier safe to
+    * store and refresh separately from the full vectors.
+    *
+    * Scale shape: candidates ride q79's staged probes ⋈ cells
+    * equi-join; the prefix slice+dot is a map expression; shortlist =
+    * per-query window; re-rank = two broadcast joins. Zero new
+    * shuffles vs q79, 1/4 the pricing FLOPs and bytes.
+    */
+  def q159MatryoshkaServing(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+    val corpus = iv.select(col("vec_id"), col("v"))
+      .join(s.read.parquet(s"$work/cells"), "vec_id")
+    val probes = s.read.parquet(s"$work/probes")
+      .join(iv.select(col("vec_id").as("query_id"), col("v")),
+        "query_id")
+    val shortlist = matryoshkaShortlist(probes, corpus,
+      MatryoshkaServeDim, RerankShortlist)
+    rerankExact(s, dir, shortlist, topK = 5)
+  }
+
+  /** The prefix-pricing tier of q159, factored so the spec can plant
+    * frames against it: probes = (query_id, cluster, v), corpus =
+    * (vec_id, cluster, v), both carrying FULL vectors; pricing slices
+    * the first `d` components and never reads past them — the
+    * tail-blindness MatryoshkaServingSpec pins by mutating tails.
+    * Output: (query_id, neighbor_id) — the per-query prefix top-width.
+    */
+  def matryoshkaShortlist(probes: DataFrame, corpus: DataFrame,
+      d: Int, width: Int): DataFrame = {
+    val cs = corpus
+      .select(col("vec_id"), col("cluster"),
+        slice(col("v"), 1, d).as("vp"))
+      .withColumn("vpn", sqrt(idot(col("vp"), col("vp")).cast("double")))
+    val qs = probes
+      .select(col("query_id"), col("cluster"),
+        slice(col("v"), 1, d).as("qp"))
+      .withColumn("qpn", sqrt(idot(col("qp"), col("qp")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(coalesce(col("pcos"), lit(-2.0)).desc, col("neighbor_id"))
+    qs.join(cs, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("qpn") * col("vpn") > 0,
+          idot(col("qp"), col("vp")).cast("double")
+            / (col("qpn") * col("vpn"))).as("pcos"))
+      .withColumn("prank", row_number().over(w))
+      .where(col("prank") <= width)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** MMR constants (q147): pool = the staged-search shortlist width
     * fed to the greedy selection, K = results kept per query, λ = the
     * standard relevance/diversity trade-off (Carbonell & Goldstein
@@ -3256,6 +3328,7 @@ object Similarity {
     "q152_tombstone_hier3" -> (q152TombstoneHier3 _),
     "q153_compressed_serving" -> (q153CompressedServing _),
     "q158_sharded_compressed" -> (q158ShardedCompressed _),
+    "q159_matryoshka_serving" -> (q159MatryoshkaServing _),
     "q154_compacted_search" -> (q154CompactedSearch _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
@@ -3930,6 +4003,50 @@ object Similarity {
     // q117's staged replay + the exact-cosine re-rank of the ADC
     // shortlist (top-RerankShortlist per query): the oracle re-scores
     // the SAME shortlist rows with the same exact integer dot / norms
+    // q130's two-tier replay with the Matryoshka prefix in place of
+    // ADC: integer prefix dots over the first MatryoshkaServeDim
+    // components (list slices, q133's arithmetic), shortlist window,
+    // then the identical exact full-dim re-rank blocks
+    "q159_matryoshka_serving" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      pr AS (SELECT p.query_id, t.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, $MatryoshkaServeDim + 1),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) AS dot,
+          list_sum(list_transform(range(1, $MatryoshkaServeDim + 1),
+            i -> CAST(q.v[i] * q.v[i] AS DOUBLE))) AS qq,
+          list_sum(list_transform(range(1, $MatryoshkaServeDim + 1),
+            i -> CAST(n.v[i] * n.v[i] AS DOUBLE))) AS vv
+        FROM probes p JOIN cells t ON p.cluster = t.cluster
+          JOIN iv q ON q.vec_id = p.query_id
+          JOIN iv n ON n.vec_id = t.vec_id
+        WHERE t.vec_id <> p.query_id),
+      sc AS (SELECT query_id, neighbor_id,
+          CASE WHEN qq * vv > 0
+            THEN dot / (sqrt(qq) * sqrt(vv)) END AS pcos
+        FROM pr),
+      sl AS (SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY coalesce(pcos, -2.0) DESC, neighbor_id)
+                  AS prank
+              FROM sc)
+        WHERE prank <= $RerankShortlist),
+      x AS (SELECT sl.query_id, sl.neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)
+            AS cosine
+        FROM sl JOIN iv q ON q.vec_id = sl.query_id
+          JOIN iv n ON n.vec_id = sl.neighbor_id),
+      rr AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM x)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
     "q130_ivfpq_rerank" -> s"""
       WITH $sqlScaled,
       cells AS (SELECT vec_id, cluster

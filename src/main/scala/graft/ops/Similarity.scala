@@ -3073,7 +3073,8 @@ object Similarity {
       ("ivfpq_rerank_2probe", q130IvfPqRerank _),
       ("hier_2probe", q120HierMultiprobe _),
       ("hier_pq_rerank", q136HierPqRerank _),
-      ("sharded_2probe", q143ShardedAnn _))
+      ("sharded_2probe", q143ShardedAnn _),
+      ("matryoshka_rerank_2probe", q159MatryoshkaServing _))
     methods.map { case (m, f) =>
       // EAGER localCheckpoint per method: each search lazily reads the
       // staged tables its own run wrote, and the NEXT method's staging

@@ -256,6 +256,103 @@ object Text {
     * exact, which is the point of sampling by a KEY instead of a
     * stateful reservoir.
     */
+  /** Batch-perceptron epochs for q160, fixed so engine and oracle
+    * unroll the same training. Full-batch perceptron has no online
+    * convergence theorem — the first ~5 epochs oscillate on this
+    * feature space — but the run settles: measured training accuracy
+    * at 17 epochs is 0.978 / 0.994 / 0.987 at sf0.001 / 0.01 / 0.1
+    * against a ~0.50 majority baseline (PerceptronSpec asserts the
+    * margin over baseline on the real table).
+    */
+  val PerceptronEpochs = 17
+
+  /** q160 — a TRAINED linear classifier with exactly-replayable
+    * training: batch perceptron that DISTILLS the q68 quality gate
+    * (q51's score ≥ 0.42 — ratio arithmetic over two regex scans)
+    * into an integer linear scorer, the cheap first-pass filter a
+    * 100 TB pipeline runs before paying for the full gate. Features
+    * are the gate's own signals under the engine's scaled-integer
+    * discipline (‰ stopword ratio, ‰ alpha ratio, saturated length —
+    * all BIGINT, division-guarded for empty docs); the label is the
+    * gate's decision. Each epoch computes every row's margin y·(w·x)
+    * under the current weights, sums y·x over the misclassified rows
+    * (margin ≤ 0) and adds that to w — all in BIGINT, so training is
+    * order-independent and bit-exact across engines (a property
+    * logistic-loss gradient descent cannot give a hash-compared
+    * oracle: float gradient sums depend on partition order and libm
+    * rounding). The oracle unrolls all [[PerceptronEpochs]] epochs as
+    * chained one-row CTEs — TRAINING replay, not just scoring replay.
+    *
+    * Scale shape: per epoch one filter + partial-agg sum collapsing
+    * to a 4-long weight vector (model-sized collect, the Lloyd
+    * discipline); scoring is a map expression. Epochs are a
+    * driver-side loop, never driver-side data — the same shape as
+    * k-means, so 100 TB costs epochs × one corpus scan (and the
+    * scan is one localCheckpointed integer-feature frame, derived
+    * once).
+    */
+  def q160BatchPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " "))
+    val nTok = size(col("ws")).cast("long")
+    val stopHits = size(array_intersect(array_distinct(col("ws")),
+      lit(enStop.toArray))).cast("long")
+    val alphaLen = length(regexp_replace(col("norm"), "[^a-z]", ""))
+      .cast("long")
+    val normLen = length(col("norm")).cast("long")
+    // q51's exact score (shared expression tree) -> the q68 gate label
+    val stopRatio = stopHits.cast("double") / nTok.cast("double")
+    val alphaRatio = when(normLen > 0,
+      alphaLen.cast("double") / normLen.cast("double"))
+    val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    val quality = (lit(0.4) * stopRatio + lit(0.3) * alphaRatio) +
+      lit(0.3) * lenSat
+    val feats = d.select(col("doc_id"),
+        when(quality >= 0.42, 1L).otherwise(-1L).as("y"),
+        stopHits.as("sh"), nTok.as("nt"), alphaLen.as("al"),
+        normLen.as("nl"))
+      .select(col("doc_id"), col("y"), lit(1L).as("x0"),
+        // `div` = integral division, == DuckDB's // on non-negatives
+        expr("(1000 * sh) div nt").as("x1"),
+        when(col("nl") > 0, expr("(1000 * al) div nl")).otherwise(0L)
+          .as("x2"),
+        least(lit(1000L), lit(10L) * col("nt")).as("x3"))
+      .localCheckpoint() // every epoch + the final scoring read it
+    val w = trainPerceptron(feats, PerceptronEpochs)
+    val score = perceptronScore(w)
+    feats.select(col("doc_id"), col("y").cast("int").as("label"),
+        score.as("score"),
+        when(score > 0, 1).otherwise(-1).cast("int").as("pred"))
+      .withColumn("correct", col("pred") === col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def perceptronScore(w: Array[Long]): Column =
+    w.zipWithIndex.map { case (wi, i) => lit(wi) * col(s"x$i") }
+      .reduce(_ + _)
+
+  /** The q160 training loop, factored for the spec's planted frames:
+    * `feats` carries (y ∈ {−1, +1}, x0..x3 BIGINT); each epoch adds
+    * Σ y·x over the rows with margin y·(w·x) ≤ 0. Integer arithmetic
+    * throughout — order-independent, so the trained weights are a
+    * pure function of the input set and the epoch count.
+    */
+  private[ops] def trainPerceptron(feats: DataFrame,
+      epochs: Int): Array[Long] = {
+    var w = Array.fill(4)(0L)
+    for (_ <- 1 to epochs) {
+      val upd = feats.where(col("y") * perceptronScore(w) <= 0)
+        .agg(coalesce(sum(col("y") * col("x0")), lit(0L)).as("u0"),
+          coalesce(sum(col("y") * col("x1")), lit(0L)).as("u1"),
+          coalesce(sum(col("y") * col("x2")), lit(0L)).as("u2"),
+          coalesce(sum(col("y") * col("x3")), lit(0L)).as("u3"))
+        .collect()(0) // model-sized: one 4-long row per epoch
+      w = w.indices.map(i => w(i) + upd.getLong(i)).toArray
+    }
+    w
+  }
+
   def q132WeightedSample(s: SparkSession, dir: String): DataFrame = {
     val k = 5
     val win = Window.partitionBy(col("source"))
@@ -1843,6 +1940,7 @@ object Text {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_corpus_drift" -> (q150CorpusDrift _),
+    "q160_batch_perceptron" -> (q160BatchPerceptron _),
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q132_weighted_sample" -> (q132WeightedSample _),
     "q67_click_attribution" -> (q67ClickAttribution _),
@@ -2463,6 +2561,62 @@ object Text {
              WHEN hits_de >= hits_fr THEN 'de'
              ELSE 'fr' END AS guess
       FROM h ORDER BY doc_id""",
+    // the batch-perceptron TRAINING unrolled: epoch k's weight vector
+    // is a 1-row CTE of scalar subqueries over epoch k-1's, every sum
+    // BIGINT-exact — training replay, not just scoring replay
+    "q160_batch_perceptron" -> {
+      // DuckDB inlines CTE references, so each epoch must reference
+      // its predecessor exactly ONCE (a cross join with the 1-row
+      // weight table) — scalar-subquery chaining would expand the
+      // plan exponentially in the epoch count
+      val pdot = "p.w0 * x0 + p.w1 * x1 + p.w2 * x2 + p.w3 * x3"
+      def epoch(name: String, prev: Option[String]) = prev match {
+        case None =>
+          // w = 0: every margin is 0, the whole corpus updates
+          s"""$name AS (SELECT ${(0 to 3).map(i =>
+            s"CAST(COALESCE(SUM(y * x$i), 0) AS BIGINT) AS w$i")
+              .mkString(", ")}
+          FROM f)"""
+        case Some(e) =>
+          s"""$name AS (SELECT ${(0 to 3).map(i =>
+            s"CAST(MAX(p.w$i) + COALESCE(SUM(CASE WHEN y * ($pdot)" +
+              s" <= 0 THEN y * x$i END), 0) AS BIGINT) AS w$i")
+              .mkString(", ")}
+          FROM f CROSS JOIN $e p)"""
+      }
+      val epochs = (1 to PerceptronEpochs).map(k =>
+        epoch(s"e$k", if (k == 1) None else Some(s"e${k - 1}")))
+        .mkString(",\n      ")
+      val eN = s"e$PerceptronEpochs"
+      s"""
+      WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws
+                 FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(list_intersect(list_distinct(ws),
+            ${sqlList(enStop)})) AS BIGINT) AS sh,
+          CAST(len(ws) AS BIGINT) AS nt,
+          CAST(length(regexp_replace(norm, '[^a-z]', '', 'g'))
+            AS BIGINT) AS al,
+          CAST(length(norm) AS BIGINT) AS nl
+        FROM d),
+      f AS (SELECT doc_id,
+          CASE WHEN ((0.4 * (CAST(sh AS DOUBLE) / CAST(nt AS DOUBLE))
+              + 0.3 * (CASE WHEN nl > 0 THEN CAST(al AS DOUBLE)
+                  / CAST(nl AS DOUBLE) END))
+              + 0.3 * least(1.0, CAST(nt AS DOUBLE) / 100.0)) >= 0.42
+            THEN 1 ELSE -1 END AS y,
+          CAST(1 AS BIGINT) AS x0,
+          (1000 * sh) // nt AS x1,
+          CASE WHEN nl > 0 THEN (1000 * al) // nl ELSE 0 END AS x2,
+          least(1000, 10 * nt) AS x3
+        FROM m),
+      $epochs
+      SELECT doc_id, CAST(y AS INT) AS label,
+        CAST($pdot AS BIGINT) AS score,
+        CAST(CASE WHEN $pdot > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+        (CASE WHEN $pdot > 0 THEN 1 ELSE -1 END) = y AS correct
+      FROM f CROSS JOIN $eN p ORDER BY doc_id"""
+    },
     "q51_quality_score" -> s"""
       WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws FROM documents),
       m AS (SELECT doc_id, len(ws) AS n_tokens,

@@ -2552,16 +2552,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Serving prefix width for q159 — the q133 Matryoshka curve's
-    * knee: the cheapest prefix tier whose shortlist recall clears the
-    * exact re-rank's needs. At 100 TB, pricing candidates with the
-    * 16-component prefix instead of all 64 is a 4× cut in both the
-    * hot index tier's bytes and the per-candidate dot-product work.
+  /** Serving prefix width for q159. The q133 curve shows the 16-dim
+    * prefix's TOP-5 is poor on its own (recall@1 0.0 at sf0.01) —
+    * which is exactly why q159 is a two-tier chain: the prefix only
+    * has to land the true neighbors anywhere in the width-
+    * [[RerankShortlist]] SHORTLIST (a far weaker ask, q137's width
+    * logic), and the exact re-rank recovers the order. Measured in
+    * q126: the composed route scores recall@1 0.60 — parity with
+    * ADC-rerank — at 1/4 the pricing FLOPs/bytes and no codebook
+    * training. At 100 TB that 4× is the hot index tier's size.
     */
   val MatryoshkaServeDim = 16
 
-  /** q159 — Matryoshka-PREFIX serving: execute what the q133 report
-    * recommends (the way q154 executes q135's recommendation). The
+  /** q159 — Matryoshka-PREFIX serving: the tier split the q133 curve
+    * motivates, executed (the way q154 executes q135's
+    * recommendation — see [[MatryoshkaServeDim]] for why the weak
+    * prefix tier is servable only inside this two-tier chain). The
     * staged multi-probe candidates are priced by exact integer dots
     * over the FIRST [[MatryoshkaServeDim]] components only — the
     * low-storage tier an MRL-trained embedding ships — the top

@@ -2589,13 +2589,25 @@ object Similarity {
   def q159MatryoshkaServing(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
+    matryoshkaSearchOn(s, dir, work, s.read.parquet(s"$work/probes"))
+  }
+
+  /** The q159 search given a ready probe frame (query_id, cluster) —
+    * ONE shared code path for the batch entry (staged probes) and the
+    * streaming serving twin ([[graft.streaming.EventStreams
+    * .matryoshkaSearchStream]], per-batch probes), so streamed ==
+    * batch is mechanism: prefix shortlist over the staged cells,
+    * exact full-dim re-rank.
+    */
+  def matryoshkaSearchOn(s: SparkSession, dir: String, work: String,
+      probes: DataFrame): DataFrame = {
     val iv = scaledVectors(s, dir)
     val corpus = iv.select(col("vec_id"), col("v"))
       .join(s.read.parquet(s"$work/cells"), "vec_id")
-    val probes = s.read.parquet(s"$work/probes")
+    val p = probes
       .join(iv.select(col("vec_id").as("query_id"), col("v")),
         "query_id")
-    val shortlist = matryoshkaShortlist(probes, corpus,
+    val shortlist = matryoshkaShortlist(p, corpus,
       MatryoshkaServeDim, RerankShortlist)
     rerankExact(s, dir, shortlist, topK = 5)
   }

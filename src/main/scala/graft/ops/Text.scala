@@ -291,8 +291,15 @@ object Text {
     * scan is one localCheckpointed integer-feature frame, derived
     * once).
     */
-  def q160BatchPerceptron(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** The q160 featurizer + gate label over a (doc_id, text) frame —
+    * ONE shared code path for the batch entry (whole corpus) and the
+    * streaming scoring twin ([[graft.streaming.EventStreams
+    * .perceptronScoreStream]], per micro-batch), so streamed ==
+    * batch scoring is mechanism. Output: (doc_id, y, x0..x3), every
+    * feature BIGINT and division-guarded.
+    */
+  private[graft] def perceptronFeatures(d0: DataFrame): DataFrame = {
+    val d = d0
       .withColumn("norm", normText(col("text")))
       .withColumn("ws", split(col("norm"), " "))
     val nTok = size(col("ws")).cast("long")
@@ -308,7 +315,7 @@ object Text {
     val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
     val quality = (lit(0.4) * stopRatio + lit(0.3) * alphaRatio) +
       lit(0.3) * lenSat
-    val feats = d.select(col("doc_id"),
+    d.select(col("doc_id"),
         when(quality >= 0.42, 1L).otherwise(-1L).as("y"),
         stopHits.as("sh"), nTok.as("nt"), alphaLen.as("al"),
         normLen.as("nl"))
@@ -318,14 +325,42 @@ object Text {
         when(col("nl") > 0, expr("(1000 * al) div nl")).otherwise(0L)
           .as("x2"),
         least(lit(1000L), lit(10L) * col("nt")).as("x3"))
-      .localCheckpoint() // every epoch + the final scoring read it
-    val w = trainPerceptron(feats, PerceptronEpochs)
+  }
+
+  /** Score a feature frame under trained weights — the serving half
+    * shared by q160's final projection and the streaming twin.
+    */
+  private[graft] def perceptronPredictions(feats: DataFrame,
+      w: Array[Long]): DataFrame = {
     val score = perceptronScore(w)
     feats.select(col("doc_id"), col("y").cast("int").as("label"),
         score.as("score"),
         when(score > 0, 1).otherwise(-1).cast("int").as("pred"))
       .withColumn("correct", col("pred") === col("label"))
-      .orderBy(col("doc_id"))
+  }
+
+  def q160BatchPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val feats = perceptronFeatures(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .localCheckpoint() // every epoch + the final scoring read it
+    val w = trainPerceptron(feats, PerceptronEpochs)
+    stagePerceptron(s, dir, w)
+    perceptronPredictions(feats, w).orderBy(col("doc_id"))
+  }
+
+  /** Stage the trained weights as a 1-row parquet — the model asset
+    * the streaming scorer serves from (training amortizes across the
+    * stream's whole lifetime, the ANN index discipline applied to the
+    * classifier).
+    */
+  private def stagePerceptron(s: SparkSession, dir: String,
+      w: Array[Long]): Unit = {
+    import s.implicits._
+    val work = graft.ops.Dedup.stageRoot(dir)
+    Seq((w(0), w(1), w(2), w(3))).toDF("w0", "w1", "w2", "w3")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$work/perceptron_weights")
+    Staged.mark(work, "perceptron_weights")
   }
 
   private def perceptronScore(w: Array[Long]): Column =

@@ -622,6 +622,87 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming QUALITY-GATE scoring — q160's serving half as a stream
+    * consumer: micro-batches of incoming documents are featurized and
+    * scored under the TRAINED staged weights
+    * ([[graft.ops.Text.perceptronFeatures]] /
+    * [[graft.ops.Text.perceptronPredictions]] — the same code path
+    * the batch entry runs, so streamed == batch is mechanism). This
+    * is the distilled gate doing its production job: a cheap integer
+    * first-pass filter on the ingest stream, trained once per refresh
+    * (the ANN-index discipline applied to a classifier — the model is
+    * a 1-row staged parquet, the stream never trains). Per batch the
+    * cost is one map pass over the batch plus a 4-long weight read;
+    * no state store, no shuffle; effectively-once per doc id by the
+    * ingest anti-join discipline. PerceptronStreamSpec pins streamed
+    * == batch q160 row-for-row.
+    */
+  def perceptronScoreStream(docs: DataFrame, work: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$work/gate_scores_stream"
+        val wr = s.read.parquet(s"$work/perceptron_weights")
+          .collect()(0) // model-sized: the 4 trained weights
+        val w = Array(wr.getLong(0), wr.getLong(1), wr.getLong(2),
+          wr.getLong(3))
+        val res = graft.ops.Text.perceptronPredictions(
+          graft.ops.Text.perceptronFeatures(
+            batch.dropDuplicates("doc_id")), w)
+        val fresh =
+          if (stagedExists(s, path))
+            res.join(
+              s.read.parquet(path).select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          else res
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
+  /** Streaming MATRYOSHKA-prefix serving — [[hierPqSearchStream]]'s
+    * twin for q159's two-tier route: micro-batches of query vectors
+    * select their nprobe cells from the broadcast flat centroids
+    * ([[graft.ops.Similarity.ivfProbes]], no shuffle) and answer
+    * through the SAME [[graft.ops.Similarity.matryoshkaSearchOn]]
+    * chain the batch entry runs — prefix-integer shortlist over the
+    * staged cells, exact full-dim re-rank — so streamed == batch is
+    * mechanism. The serving economics are q159's: the per-batch cost
+    * is the probed-cell slice priced at 1/4 FLOPs, the corpus is
+    * never scanned, and the index refreshes independently of the
+    * query stream. Results append-only, effectively-once per query
+    * id. MatryoshkaSearchStreamSpec pins streamed == batch q159
+    * row-for-row on the real embeddings.
+    */
+  def matryoshkaSearchStream(queries: DataFrame, dir: String,
+      work: String, centroids: Array[Array[Double]], nprobe: Int,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$work/matryoshka_results_stream"
+        val q = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+          .localCheckpoint() // probe selection + the search read it
+        val probes = graft.ops.Similarity.ivfProbes(q, centroids, nprobe)
+          .select(col("query_id"), col("cluster"))
+        val res = graft.ops.Similarity
+          .matryoshkaSearchOn(s, dir, work, probes)
+        val fresh =
+          if (stagedExists(s, path))
+            res.join(
+              s.read.parquet(path).select(col("query_id")).distinct(),
+              Seq("query_id"), "left_anti")
+          else res
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming SHARDED serving — [[hierPqSearchStream]]'s twin for
     * the scatter-gather layout (q143's query half): micro-batches of
     * query vectors probe nprobe cells in EVERY shard from the

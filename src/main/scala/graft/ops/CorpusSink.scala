@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Output-layout control for a prepared corpus — the write side of the
@@ -32,4 +32,36 @@ object CorpusSink {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Morton (Z-order) interleave of two small bucket ids: bit i of
+    * `b1` lands at output bit 2i+1, bit i of `b2` at bit 2i, so a
+    * range sort on the key clusters BOTH dimensions at once — the
+    * multi-dimensional answer to [[writePartitioned]]'s one partition
+    * column + one sort column. Pure long arithmetic (shift/mask/add
+    * over disjoint bit positions), so it stays inside whole-stage
+    * codegen and has an exact DuckDB twin (q162's oracle spells the
+    * identical terms). `bits` bounds each input to [0, 2^bits).
+    */
+  def zorderKey(b1: Column, b2: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** Write `df` clustered by a Z-order key: range-repartition on the
+    * key (each output file owns one contiguous key range) and sort
+    * within, so parquet row-group min/max stats prune on EITHER of the
+    * interleaved dimensions — a filter on one dimension touches only
+    * the files whose z-range intersects its bit pattern, never the
+    * whole corpus. At 100 TB this is the layout lever for a corpus
+    * read by both language-sliced and length-sliced consumers;
+    * ZorderSpec measures the locality on a planted grid (a one-lang
+    * scan touches a strict subset of files) and pins the round-trip.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zkey: Column,
+      files: Int = 64): Unit =
+    df.withColumn("zkey", zkey)
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -2327,6 +2327,73 @@ object Similarity {
     searchCells(probes, iv, topK = 5)
   }
 
+  /** Stage the sufficient statistics a BATCH-LINEAR codebook refresh
+    * needs: the trained flat codebook's per-(cluster, dim) integer
+    * component sums and member counts over the CORPUS split, plus the
+    * nightly batch's assignment under that codebook (q81's `vec_id %
+    * 10 === 9` split and [[cellAssignment]] conventions). Staging SUMS
+    * rather than means is the point: a mean can't absorb new members
+    * exactly, the (Σv, n) pair can — so the refresh needs no corpus
+    * pass at all and stays bit-exact (see [[q161CodebookRefresh]]).
+    */
+  def stageCodebookSums(s: SparkSession, dir: String,
+      work: String): Unit = {
+    val isNew = col("vec_id") % 10 === 9
+    val ivAll = scaledVectors(s, dir).where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    val corpus = ivAll.where(!isNew)
+    val (centroids, corpusCells) =
+      trainCodebookOn(corpus, k = 4, iters = 5)
+    corpus.join(corpusCells, "vec_id")
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("sv")).as("csum"), count(lit(1)).as("cn"))
+      .write.mode("overwrite").parquet(s"$work/cb_sums")
+    ivAll.where(isNew)
+      .select(col("vec_id"), cellAssignment(centroids).as("cluster"))
+      .write.mode("overwrite").parquet(s"$work/cb_batch")
+    Staged.mark(work, "cb_sums", "cb_batch")
+  }
+
+  /** q161 — BATCH-LINEAR incremental codebook refresh: fold a nightly
+    * batch into the trained codebook WITHOUT re-reading the corpus.
+    * The staged per-(cluster, dim) integer sufficient statistics
+    * ([[stageCodebookSums]]) absorb the batch's own (Σv, n) by plain
+    * integer addition; the merged centroid
+    * (Σv_corpus + Σv_batch) / (n_corpus + n_batch) is exact integer
+    * arithmetic until ONE final IEEE division — bit-exact against the
+    * DuckDB replay and identical to a frozen-assignment recompute over
+    * corpus ∪ batch (RefreshSpec pins both, plus that a cluster the
+    * batch never touches keeps its centroid to the last bit).
+    *
+    * Scale shape: this is the missing third point on the refresh cost
+    * curve. q81 (assign-only ingest) is O(batch) but never moves
+    * centroids; a full retrain (q141's staging) is O(corpus·iters);
+    * this refresh is O(batch) AND moves every touched centroid to the
+    * true weighted mean — at 100 TB the nightly cost is one scan of
+    * the batch plus a model-sized (k·64-row) staged-table join, and a
+    * later full retrain seeded from the refreshed codebook starts
+    * from the exact running mean. Mini-batch k-means (Sculley, WWW'10)
+    * is the published shape; sums-not-means is what makes it exact.
+    */
+  def q161CodebookRefresh(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    if (!Staged.isFresh(work, "cb_sums")) stageCodebookSums(s, dir, work)
+    val sums = s.read.parquet(s"$work/cb_sums")
+    val batch = scaledVectors(s, dir)
+      .join(s.read.parquet(s"$work/cb_batch"), "vec_id")
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("sv")).as("bsum"), count(lit(1)).as("bn"))
+    sums.join(batch, Seq("cluster", "pos"), "left")
+      .select(col("cluster"), (col("pos") + 1).as("dim"),
+        ((col("csum") + coalesce(col("bsum"), lit(0L))).cast("double") /
+          (col("cn") + coalesce(col("bn"), lit(0L))) / 65536.0)
+          .as("centroid"),
+        (col("cn") + coalesce(col("bn"), lit(0L))).as("n_vectors"))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
   /** q145 — metadata-FILTERED ANN search: top-5 same-`label` neighbors
     * through the staged multi-probe index. The filter is an extra
     * EQUI-condition on the candidate join (cluster AND label), so
@@ -3349,6 +3416,7 @@ object Similarity {
     "q158_sharded_compressed" -> (q158ShardedCompressed _),
     "q159_matryoshka_serving" -> (q159MatryoshkaServing _),
     "q154_compacted_search" -> (q154CompactedSearch _),
+    "q161_codebook_refresh" -> (q161CodebookRefresh _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
@@ -4537,6 +4605,25 @@ object Similarity {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q161_codebook_refresh" -> s"""
+      WITH $sqlScaled,
+      sums AS (SELECT cluster, pos, csum, cn
+               FROM '__GRAFT_STAGED__/cb_sums/*.parquet'),
+      ba AS (SELECT vec_id, cluster
+             FROM '__GRAFT_STAGED__/cb_batch/*.parquet'),
+      bx AS (SELECT ba.cluster, generate_subscripts(iv.v, 1) - 1 AS pos,
+               unnest(iv.v) AS sv
+             FROM iv JOIN ba ON iv.vec_id = ba.vec_id),
+      bs AS (SELECT cluster, pos, CAST(SUM(sv) AS BIGINT) AS bsum,
+               COUNT(1) AS bn
+             FROM bx GROUP BY cluster, pos)
+      SELECT s.cluster, s.pos + 1 AS dim,
+        CAST(s.csum + COALESCE(b.bsum, 0) AS DOUBLE)
+          / (s.cn + COALESCE(b.bn, 0)) / 65536.0 AS centroid,
+        s.cn + COALESCE(b.bn, 0) AS n_vectors
+      FROM sums s LEFT JOIN bs b
+        ON s.cluster = b.cluster AND s.pos = b.pos
+      ORDER BY s.cluster, dim""",
     "q47_label_centroids" -> """
       WITH sv AS (SELECT label,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS v

@@ -1973,7 +1973,38 @@ object Text {
             / col("batch_words").cast("double")).as("new_word_rate"))
   }
 
+  /** q162 — Z-ORDER clustering key over the corpus: interleave a
+    * length bucket (n_chars div 64, capped at 255) with a language
+    * bucket (a deterministic 2-letter fold of `lang`, ascii-based so
+    * the DuckDB twin is byte-identical) into a 16-bit Morton key
+    * ([[CorpusSink.zorderKey]]), plus the zkey div 1024 range bucket a
+    * 64-file layout would assign. This is the KEY computation of the
+    * multi-dimensional layout [[CorpusSink.writeZOrdered]] executes
+    * (ZorderSpec pins the interleave against a plain-Scala reference
+    * and measures the file-pruning locality on a planted grid); the
+    * catalog row hash-certifies the key itself so the layout is
+    * reproducible across engines.
+    *
+    * Scale shape: one narrow projection over pruned columns — no
+    * shuffle, no UDF, all whole-stage-codegen long arithmetic. The
+    * write side it feeds is one range repartition (the shuffle you pay
+    * ONCE at layout time so every later reader prunes instead of
+    * scanning — the canonical 100 TB trade).
+    */
+  def q162ZorderLayout(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        least(lit(255L), expr("n_chars div 64")).as("len_bucket"),
+        ((ascii(substring(col("lang"), 1, 1)) * 31 +
+          ascii(substring(col("lang"), 2, 1))) % 256).cast("long")
+          .as("lang_bucket"))
+      .withColumn("zkey",
+        CorpusSink.zorderKey(col("len_bucket"), col("lang_bucket")))
+      .withColumn("zbucket", expr("zkey div 1024"))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_zorder_layout" -> (q162ZorderLayout _),
     "q150_corpus_drift" -> (q150CorpusDrift _),
     "q160_batch_perceptron" -> (q160BatchPerceptron _),
     "q56_stratified_sample" -> (q56StratifiedSample _),
@@ -2015,7 +2046,25 @@ object Text {
     "q129_bpe_token_ids" -> (q129BpeTokenIds _),
   )
 
+  /** The 16 Morton-interleave terms, spelled identically to
+    * [[CorpusSink.zorderKey]]'s column arithmetic. */
+  private val sqlZorderTerms: String =
+    (0 until 8).map { i =>
+      s"(((len_bucket >> $i) & 1) << ${2 * i + 1})" +
+        s" + (((lang_bucket >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q162_zorder_layout" -> s"""
+      WITH b AS (SELECT doc_id, lang, n_chars,
+          LEAST(255, n_chars // 64) AS len_bucket,
+          (ascii(substring(lang, 1, 1)) * 31
+            + ascii(substring(lang, 2, 1))) % 256 AS lang_bucket
+        FROM documents),
+      z AS (SELECT *, $sqlZorderTerms AS zkey FROM b)
+      SELECT doc_id, lang, n_chars, len_bucket, lang_bucket, zkey,
+        zkey // 1024 AS zbucket
+      FROM z ORDER BY doc_id""",
     // every ratio divides exact integer aggregates once (sums CAST to
     // BIGINT — DuckDB SUM(int) is HUGEINT); NULL means an empty
     // denominator in BOTH engines

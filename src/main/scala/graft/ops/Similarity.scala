@@ -2379,20 +2379,36 @@ object Similarity {
   def q161CodebookRefresh(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     if (!Staged.isFresh(work, "cb_sums")) stageCodebookSums(s, dir, work)
-    val sums = s.read.parquet(s"$work/cb_sums")
-    val batch = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cb_batch"), "vec_id")
+    mergedCodebook(s.read.parquet(s"$work/cb_sums"),
+      batchSumsOf(scaledVectors(s, dir)
+        .join(s.read.parquet(s"$work/cb_batch"), "vec_id")))
+  }
+
+  /** The batch side's per-(cluster, dim) integer sufficient statistics
+    * — one posexplode + partial-aggregated groupBy over rows carrying
+    * (cluster, v). Shared by [[q161CodebookRefresh]] and the streaming
+    * twin's view (EventStreams.streamedCodebookView), so streamed ==
+    * batch is mechanism, not coincidence.
+    */
+  def batchSumsOf(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("sv")).as("bsum"), count(lit(1)).as("bn"))
-    sums.join(batch, Seq("cluster", "pos"), "left")
+
+  /** Fold batch sufficient statistics into the staged corpus sums: the
+    * exact-integer merge behind q161 — BIGINT addition per (cluster,
+    * dim), one IEEE division at the very end. Left join: a cluster the
+    * batch never touches keeps its corpus-only mean bit-for-bit.
+    */
+  def mergedCodebook(sums: DataFrame, batchSums: DataFrame): DataFrame =
+    sums.join(batchSums, Seq("cluster", "pos"), "left")
       .select(col("cluster"), (col("pos") + 1).as("dim"),
         ((col("csum") + coalesce(col("bsum"), lit(0L))).cast("double") /
           (col("cn") + coalesce(col("bn"), lit(0L))) / 65536.0)
           .as("centroid"),
         (col("cn") + coalesce(col("bn"), lit(0L))).as("n_vectors"))
       .orderBy(col("cluster"), col("dim"))
-  }
 
   /** q145 — metadata-FILTERED ANN search: top-5 same-`label` neighbors
     * through the staged multi-probe index. The filter is an extra

@@ -291,6 +291,54 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CODEBOOK REFRESH — q161's batch-linear centroid update
+    * as a stream consumer ([[ivfIngestStream]]'s discipline applied to
+    * the sufficient-statistics log): each micro-batch is assigned to
+    * its nearest trained cell by the shared broadcast-centroid argmax,
+    * and the (vec_id, cluster, v) rows append to a staged vector LOG —
+    * one table, anti-joined by vec_id before every append, so
+    * redelivery (in-batch, drained re-run, or fresh-checkpoint replay)
+    * is a no-op and the log never double-counts a vector into the
+    * sums. The refreshed codebook is a VIEW over the log
+    * ([[streamedCodebookView]]): base corpus sums + the log's own
+    * (Σv, n) through the SAME batchSumsOf/mergedCodebook pair q161
+    * runs, so streamed == batch is mechanism. Appending the log rather
+    * than read-modify-writing a sums table is what makes at-least-once
+    * delivery safe: integer sums are not idempotent under re-addition,
+    * but an anti-joined append is.
+    */
+  def codebookRefreshStream(vectors: DataFrame,
+      centroids: Array[Array[Double]], stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/cb_log"
+        val assigned = batch.where(col("nrm") > 0)
+          .dropDuplicates("vec_id")
+          .select(col("vec_id"), col("v"),
+            graft.ops.Similarity.cellAssignment(centroids).as("cluster"))
+        val fresh =
+          if (stagedExists(s, path))
+            assigned.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
+  /** The stream-refreshed codebook: staged corpus sums merged with the
+    * [[codebookRefreshStream]] log's sufficient statistics through the
+    * same code path as batch q161. */
+  def streamedCodebookView(s: SparkSession, stagedDir: String): DataFrame =
+    graft.ops.Similarity.mergedCodebook(
+      s.read.parquet(s"$stagedDir/cb_sums"),
+      graft.ops.Similarity.batchSumsOf(
+        s.read.parquet(s"$stagedDir/cb_log")))
+
   /** Streaming ingest into the TWO-LEVEL index — [[ivfIngestStream]]'s
     * twin for the hierarchical quantizer (the stageCells production
     * default above the flat clamp): micro-batches super-assign

@@ -75,6 +75,8 @@ object Explain {
     "q157_jpeg_decode", // two narrow mapPartitions stages, zero shuffle: pure per-blob CPU
     "q158_sharded_compressed", // q153's chain over the sharded staged tables: layout-agnostic by construction
     "q159_matryoshka_serving", // prefix slice+dot pricing on q79's candidate join, exact full-dim rerank of the shortlist
+    "q161_codebook_refresh", // batch-linear refresh: batch posexplode partial-agg + model-sized staged join, no corpus scan
+    "q162_zorder_layout", // Morton key: narrow pruned scan, whole-stage-codegen long arithmetic, zero shuffle
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -2402,7 +2402,10 @@ object Similarity {
     * batch never touches keeps its corpus-only mean bit-for-bit.
     */
   def mergedCodebook(sums: DataFrame, batchSums: DataFrame): DataFrame =
-    sums.join(batchSums, Seq("cluster", "pos"), "left")
+    // both sides are model-sized (k·64 rows) but the batch side is a
+    // fresh aggregate with no stats — pin the broadcast rather than
+    // leave a sort-merge join to AQE's runtime correction
+    sums.join(broadcast(batchSums), Seq("cluster", "pos"), "left")
       .select(col("cluster"), (col("pos") + 1).as("dim"),
         ((col("csum") + coalesce(col("bsum"), lit(0L))).cast("double") /
           (col("cn") + coalesce(col("bn"), lit(0L))) / 65536.0)

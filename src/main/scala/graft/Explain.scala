@@ -77,6 +77,9 @@ object Explain {
     "q159_matryoshka_serving", // prefix slice+dot pricing on q79's candidate join, exact full-dim rerank of the shortlist
     "q161_codebook_refresh", // batch-linear refresh: batch posexplode partial-agg + model-sized staged join, no corpus scan
     "q162_zorder_layout", // Morton key: narrow pruned scan, whole-stage-codegen long arithmetic, zero shuffle
+    "q163_cluster_balanced_sample", // staged-assignment equi-join + md5 key + per-cell bottom-k window: linear, key-deterministic
+    "q164_prototype_prune", // two linear passes: partial-agg centroid sums -> broadcast-join cosine scoring + per-cell window
+    "q165_d4_pipeline", // staged-edge CC -> shuffle anti-join on the cells join's own key -> q164's survivor-only scoring
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

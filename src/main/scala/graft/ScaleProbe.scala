@@ -168,7 +168,8 @@ object ScaleProbe {
       "q155_png_decode", "q156_escalated_filtered", "q157_jpeg_decode",
       "q158_sharded_compressed", "q159_matryoshka_serving",
       "q160_batch_perceptron", "q161_codebook_refresh",
-      "q162_zorder_layout",
+      "q162_zorder_layout", "q163_cluster_balanced_sample",
+      "q164_prototype_prune", "q165_d4_pipeline",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

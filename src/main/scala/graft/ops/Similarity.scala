@@ -2053,7 +2053,21 @@ object Similarity {
     */
   def q92SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    stageCells(s, dir, work)
+    if (!Staged.isFresh(work, "sem_pairs")) stageSemPairs(s, dir, work)
+    Dedup.connectedComponents(s.read.parquet(s"$work/sem_pairs"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Stage the in-cell semantic-duplicate edge set (doc_a < doc_b,
+    * cosine ≥ [[SemDedupThreshold]], candidates blocked to trained IVF
+    * cells) as `$work/sem_pairs` — q92's candidate half, [[Staged]]-
+    * guarded so the q165 composition and repeated q92 runs share one
+    * staging (training is deterministic, so a restage is byte-stable).
+    */
+  def stageSemPairs(s: SparkSession, dir: String, work: String): Unit = {
+    if (!Staged.isFresh(work, "cells")) stageCells(s, dir, work)
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(s"$work/cells"), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
@@ -2069,10 +2083,44 @@ object Similarity {
       .where(col("cos") >= SemDedupThreshold)
       .select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(s"$work/sem_pairs")
-    Dedup.connectedComponents(s.read.parquet(s"$work/sem_pairs"))
-      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"),
-        (col("doc_id") === col("cluster_id")).as("is_survivor"))
-      .orderBy(col("vec_id"))
+    Staged.mark(work, "sem_pairs")
+  }
+
+  /** q165 — the D4 curation pipeline END-TO-END (Tirumala et al.,
+    * NeurIPS'23): SemDeDup first (q92 — drop every member of a
+    * semantic-duplicate component except its min-id representative),
+    * then prototype pruning (q164 — Sorscher et al. NeurIPS'22's
+    * self-supervised metric) over what SURVIVED, with the cell
+    * centroids recomputed from the survivors' own sufficient
+    * statistics so the prototype scores describe the deduplicated
+    * corpus, not the one that no longer exists. This is the
+    * embedding-space twin of q68's text-side fusion (dedup → gate →
+    * pack): both halves ship as certified standalone operators, and
+    * the composition reuses their exact code paths
+    * ([[stageSemPairs]] + [[Dedup.connectedComponents]] +
+    * [[prototypePruneOf]]), so the pipeline's correctness is the
+    * operators' correctness plus one anti-join.
+    *
+    * Scale shape: the dup components ride the staged in-cell edge set
+    * (never all-pairs); the non-survivor set is corpus-fraction-sized,
+    * so it is removed by a SHUFFLE anti-join on vec_id — the same key
+    * the cells join already hashes on, so AQE coalesces the two into
+    * one exchange — not a broadcast (a 30%-duplicate web corpus would
+    * not fit a driver). Then q164's two linear passes over the
+    * survivors. Nothing quadratic anywhere in the chain.
+    */
+  def q165D4Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    if (!Staged.isFresh(work, "sem_pairs")) stageSemPairs(s, dir, work)
+    val nonSurvivors =
+      Dedup.connectedComponents(s.read.parquet(s"$work/sem_pairs"))
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id"))
+    prototypePruneOf(
+      scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .join(s.read.parquet(s"$work/cells"), "vec_id")
+        .join(nonSurvivors, Seq("vec_id"), "left_anti"))
   }
 
   /** Decon cut for [[q99SemanticDecon]] — looser than
@@ -2412,6 +2460,142 @@ object Similarity {
           .as("centroid"),
         (col("cn") + coalesce(col("bn"), lit(0L))).as("n_vectors"))
       .orderBy(col("cluster"), col("dim"))
+
+  /** Per-cell sample quota for [[q163ClusterBalancedSample]]. */
+  val ClusterSampleQuota = 8
+
+  /** q163 — CLUSTER-BALANCED corpus sampling: per trained IVF cell,
+    * keep the bottom-[[ClusterSampleQuota]] vectors by a salted
+    * md5-derived 60-bit key — the embedding-space analog of q56's
+    * per-language stratification (balance TOPICS, not metadata), the
+    * diversity-first selection step of cluster-and-sample pipelines
+    * (D4, Tirumala et al., NeurIPS'23: cluster the corpus, then
+    * sample across clusters so no dense topic dominates the training
+    * mix). Deterministic END-TO-END: the key is a pure function of
+    * vec_id (q56/q132's md5 discipline — no RNG, no partition-order
+    * dependence), the staged assignment fixes the cells, and ties
+    * break on vec_id, so the oracle hash-certifies the exact sample,
+    * not just its size.
+    *
+    * Scale shape: one linear equi-join against the staged assignment
+    * table (the index IS the clustering — no new training), one md5 +
+    * integer fold per row, one per-cell window for the bottom-k. The
+    * window sorts within hash-partitioned cells, so a 100 TB corpus
+    * costs a shuffle on cluster id and nothing quadratic; a skewed
+    * giant cell rides q38's salting exactly as q132's scaladoc lays
+    * out (sample per (cell, salt), re-elect from ≤ salts·quota
+    * finalists — exact, because selection is by KEY).
+    */
+  def q163ClusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    clusterSampleElect(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .join(s.read.parquet(s"$work/cells"), "vec_id"))
+  }
+
+  /** The salted md5-derived 60-bit sampling key — a pure function of
+    * vec_id (q56/q132's md5 discipline: no RNG, no partition-order
+    * dependence), so the election is deterministic and idempotent
+    * under any re-evaluation.
+    */
+  def clusterSampleKey: Column = expr(
+    "cast(conv(substr(md5(concat('cb:', cast(vec_id as string))), 1, 15), 16, 10) as bigint)")
+
+  /** Per-cell bottom-[[ClusterSampleQuota]] election by
+    * [[clusterSampleKey]] over rows carrying (cluster, vec_id, label)
+    * — shared by batch [[q163ClusterBalancedSample]] and the streaming
+    * twin's view (EventStreams.streamedClusterSampleView), so streamed
+    * == batch is mechanism. Bottom-k by a TOTAL deterministic order
+    * (key, then vec_id) is an insert-monotone monoid: for any x in
+    * bottomk(S) and any T ⊆ S containing x, fewer than k elements of
+    * T sort before x, so x ∈ bottomk(T) — which is exactly why the
+    * stream may fold micro-batches through intermediate elections
+    * without ever disagreeing with the one-pass batch election.
+    */
+  def clusterSampleElect(assigned: DataFrame,
+      quota: Int = ClusterSampleQuota): DataFrame = {
+    val win = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    assigned
+      .withColumn("h", clusterSampleKey)
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= quota)
+      .select(col("cluster"), col("rank"), col("vec_id"), col("label"),
+        col("h"))
+      .orderBy(col("cluster"), col("rank"))
+  }
+
+  /** Fraction of each cell dropped by [[q164PrototypePrune]] — the
+    * most-prototypical head (closest to the cell centroid).
+    */
+  val PrototypePruneFraction = 0.5
+
+  /** q164 — PROTOTYPE pruning: per trained IVF cell, score every
+    * member by cosine to its own cell centroid and DROP the
+    * most-prototypical [[PrototypePruneFraction]] head, keeping the
+    * hard, informative tail — the self-supervised prototype metric of
+    * Sorscher et al. (NeurIPS'22, "Beyond neural scaling laws"),
+    * which with SemDeDup (q92) composes into D4's full recipe
+    * (Tirumala et al., NeurIPS'23): dedup within clusters, then prune
+    * the prototypical core. q163 balances VOLUME across cells; this
+    * prunes REDUNDANCY within them.
+    *
+    * Hash-certifiable end-to-end: the centroid is recomputed from the
+    * staged assignment as per-(cluster, dim) BIGINT sums (q161's
+    * sufficient-statistics discipline), then re-quantized onto the
+    * same 2^16 grid as the vectors via one floor division — so the
+    * score is [[cosine]] over two exact integer vectors and the
+    * oracle replays it bit-for-bit. Quantizing the centroid is also
+    * what keeps the dot products overflow-safe at ANY cell size: raw
+    * sums grow with |cell| (a 10^9-member cell would push
+    * Σv·Σv past 2^63), the quantized centroid never leaves the
+    * vectors' own [-2^16, 2^16] range.
+    *
+    * Scale shape: two linear passes over the corpus (one partial-agg
+    * groupBy to k·64 sufficient-statistic rows, one broadcast-join
+    * scoring pass), then a per-cell window — shuffle on cluster id
+    * only, nothing quadratic, skewed cells ride q38's salting. The
+    * keep threshold floor(|cell|·p) comes from a count window over
+    * the same partitioning, so no extra shuffle.
+    */
+  def q164PrototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    prototypePruneOf(
+      scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .join(s.read.parquet(s"$work/cells"), "vec_id"))
+  }
+
+  /** The prototype-pruning plan over rows carrying
+    * (vec_id, v, nrm, cluster) — shared by [[q164PrototypePrune]]
+    * (full corpus) and [[q165D4Pipeline]] (SemDeDup survivors), so the
+    * composed pipeline scores through exactly the plan the standalone
+    * operator certifies.
+    */
+  def prototypePruneOf(a: DataFrame): DataFrame = {
+    val cq = a
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("sv")).as("csum"), count(lit(1)).as("cn"))
+      .withColumn("cq",
+        floor(col("csum").cast("double") / col("cn")).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+        x => x.getField("cq")).as("cqv"))
+      .withColumn("cnrm", sqrt(idot(col("cqv"), col("cqv")).cast("double")))
+    val win = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto").desc, col("vec_id"))
+    a.join(broadcast(cq), "cluster")
+      .withColumn("proto",
+        cosine(idot(col("v"), col("cqv")), col("nrm"), col("cnrm")))
+      .withColumn("rank", row_number().over(win))
+      .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .where(col("rank") > floor(col("n_c") * lit(PrototypePruneFraction)))
+      .select(col("cluster"), col("rank"), col("vec_id"), col("proto"))
+      .orderBy(col("cluster"), col("rank"))
+  }
 
   /** q145 — metadata-FILTERED ANN search: top-5 same-`label` neighbors
     * through the staged multi-probe index. The filter is an extra
@@ -3436,6 +3620,9 @@ object Similarity {
     "q159_matryoshka_serving" -> (q159MatryoshkaServing _),
     "q154_compacted_search" -> (q154CompactedSearch _),
     "q161_codebook_refresh" -> (q161CodebookRefresh _),
+    "q163_cluster_balanced_sample" -> (q163ClusterBalancedSample _),
+    "q164_prototype_prune" -> (q164PrototypePrune _),
+    "q165_d4_pipeline" -> (q165D4Pipeline _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
@@ -3585,6 +3772,42 @@ object Similarity {
         FROM d)
       SELECT query_id, rank, neighbor_id, adc_dist
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** The prototype-prune replay tail — integer centroid sums from a
+    * CTE named `a` (vec_id, v, nrm, cluster), the 2^16 re-quantization,
+    * the exact-integer-dot cosine, and the head cut — shared verbatim
+    * by the q164 and q165 oracles, exactly as [[prototypePruneOf]] is
+    * shared by the plans.
+    */
+  private def sqlPrototypePruneTail: String = s"""
+      x AS (SELECT cluster, generate_subscripts(v, 1) - 1 AS pos,
+              unnest(v) AS sv
+            FROM a),
+      s AS (SELECT cluster, pos, CAST(SUM(sv) AS BIGINT) AS csum,
+              COUNT(1) AS cn
+            FROM x GROUP BY cluster, pos),
+      cq AS (SELECT cluster,
+               list(CAST(floor(CAST(csum AS DOUBLE) / cn) AS BIGINT)
+                 ORDER BY pos) AS cqv
+             FROM s GROUP BY cluster),
+      cqn AS (SELECT cluster, cqv,
+                sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(cqv[i] * cqv[i] AS DOUBLE)))) AS cnrm
+              FROM cq),
+      scored AS (SELECT a.cluster, a.vec_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.v[i] * q.cqv[i] AS DOUBLE)))
+            / (a.nrm * q.cnrm) AS proto,
+          COUNT(1) OVER (PARTITION BY a.cluster) AS n_c
+        FROM a JOIN cqn q ON a.cluster = q.cluster),
+      ranked AS (SELECT cluster, vec_id, proto, n_c,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY proto DESC, vec_id) AS rank
+        FROM scored)
+      SELECT cluster, rank, vec_id, proto
+      FROM ranked
+      WHERE rank > floor(n_c * $PrototypePruneFraction)
+      ORDER BY cluster, rank"""
 
   /** q99's replay SQL — the in-cell decon screen over the engine-
     * staged cells; shared verbatim by q140's staged-input entry.
@@ -4624,6 +4847,53 @@ object Similarity {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q163_cluster_balanced_sample" -> {
+      // q132's md5 → 60-bit integer fold, salted 'cb:'
+      val m = "md5('cb:' || CAST(e.vec_id AS VARCHAR))"
+      val h60 = (1 to 15).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+        s"($acc * 16 + (strpos('0123456789abcdef', substr($m, $k, 1)) - 1))"
+      }
+      s"""
+      WITH cells AS (SELECT vec_id, cluster
+                     FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      d AS (SELECT e.vec_id, e.label, c.cluster, $h60 AS h
+            FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id),
+      rk AS (SELECT cluster, vec_id, label, h,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY h, vec_id) AS rank
+        FROM d)
+      SELECT cluster, rank, vec_id, label, h
+      FROM rk WHERE rank <= $ClusterSampleQuota
+      ORDER BY cluster, rank"""
+    },
+    "q164_prototype_prune" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      a AS (SELECT iv.vec_id, iv.v, iv.nrm, c.cluster
+            FROM iv JOIN cells c ON iv.vec_id = c.vec_id
+            WHERE iv.nrm > 0),
+      $sqlPrototypePruneTail""",
+    "q165_d4_pipeline" -> s"""
+      WITH RECURSIVE $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      pairs AS (SELECT doc_a, doc_b
+                FROM '__GRAFT_STAGED__/sem_pairs/*.parquet'),
+      und AS (SELECT doc_a AS ua, doc_b AS ub FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(ua, ub) AS (SELECT ua, ub FROM und
+                      UNION
+                      SELECT r.ua, e.ub FROM reach r JOIN und e
+                        ON r.ub = e.ua
+                      WHERE e.ub <> r.ua),
+      nonsurv AS (SELECT ua AS vec_id FROM reach GROUP BY ua
+                  HAVING ua <> LEAST(ua, MIN(ub))),
+      a AS (SELECT iv.vec_id, iv.v, iv.nrm, c.cluster
+            FROM iv JOIN cells c ON iv.vec_id = c.vec_id
+            WHERE iv.nrm > 0
+              AND iv.vec_id NOT IN (SELECT vec_id FROM nonsurv)),
+      $sqlPrototypePruneTail""",
     "q161_codebook_refresh" -> s"""
       WITH $sqlScaled,
       sums AS (SELECT cluster, pos, csum, cn

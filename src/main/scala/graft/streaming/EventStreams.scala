@@ -339,6 +339,64 @@ object EventStreams {
       graft.ops.Similarity.batchSumsOf(
         s.read.parquet(s"$stagedDir/cb_log")))
 
+  /** Streaming CLUSTER-BALANCED sampling — q163's stream twin: each
+    * micro-batch of vectors is assigned to its nearest trained cell by
+    * the shared broadcast-centroid argmax, then folded into a staged
+    * per-cell bottom-quota sample via the SAME election batch q163
+    * runs (Similarity.clusterSampleElect), so streamed == batch is
+    * mechanism. The state is the current sample itself — a MODEL-SIZED
+    * table (cells × quota rows), never the corpus — because bottom-k
+    * by a total deterministic key order is an insert-monotone monoid:
+    * bottomk(S) = bottomk(bottomk(A) ∪ B) for any split S = A ∪ B, so
+    * folding batches through intermediate elections cannot disagree
+    * with the one-pass batch election (clusterSampleElect's scaladoc
+    * carries the two-line proof). Idempotent under EVERY redelivery
+    * mode without an anti-join: re-offering a row the sample holds is
+    * erased by the vec_id dedup, and re-offering a row the sample
+    * already EVICTED re-loses the same election — every current member
+    * still beats it by key. Insert-only by contract (like every ingest
+    * twin here); deletions ride the tombstone feed + compaction path.
+    * The read-merge-overwrite is safe because the merged election is
+    * localCheckpointed BEFORE the overwrite opens the path (the
+    * read-your-own-writes discipline of [[compactionStream]]).
+    */
+  def clusterSampleStream(vectors: DataFrame,
+      centroids: Array[Array[Double]], stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/sample_stream"
+        val assigned = batch.where(col("nrm") > 0)
+          .dropDuplicates("vec_id")
+          .select(col("vec_id"), col("label"),
+            graft.ops.Similarity.cellAssignment(centroids).as("cluster"))
+        val merged =
+          if (stagedExists(s, path))
+            s.read.parquet(path)
+              .select(col("vec_id"), col("label"), col("cluster"))
+              .unionByName(assigned)
+              .dropDuplicates("vec_id")
+          else assigned
+        graft.ops.Similarity.clusterSampleElect(merged)
+          .select(col("cluster"), col("vec_id"), col("label"))
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(path)
+        ()
+      }
+      .start()
+
+  /** The stream-maintained sample, ranked through the same election
+    * batch q163 runs — (cluster, rank, vec_id, label, h), directly
+    * comparable row-for-row.
+    */
+  def streamedClusterSampleView(s: SparkSession,
+      stagedDir: String): DataFrame =
+    graft.ops.Similarity.clusterSampleElect(
+      s.read.parquet(s"$stagedDir/sample_stream"))
+
   /** Streaming ingest into the TWO-LEVEL index — [[ivfIngestStream]]'s
     * twin for the hierarchical quantizer (the stageCells production
     * default above the flat clamp): micro-batches super-assign

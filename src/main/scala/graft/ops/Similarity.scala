@@ -2375,6 +2375,34 @@ object Similarity {
     searchCells(probes, iv, topK = 5)
   }
 
+  /** q166 — q164's prototype pruning over the FORCED THREE-level
+    * index: the curation family (q163–q165) is oracle-certified over
+    * the flat sf0.01 cells only, so — exactly as q152 did for the
+    * serving family — this entry composes the q141/q142 forcing trick
+    * ([[stageHier3Index]]) with the prototype-prune plan, making
+    * "curation is quantizer-agnostic" an oracle-certified row rather
+    * than an interface argument. The plan is [[prototypePruneOf]]
+    * unchanged — only the staged table name differs (cells_hier3):
+    * the staged assignment is the interface at every depth, for
+    * scoring exactly as for serving. Hier3CurationSpec pins that the
+    * cell space underneath is genuinely hierarchical and that the
+    * kept tail bit-matches a plain-JVM replay over it.
+    *
+    * Scale shape: q164's two linear passes; the only thing depth
+    * changes is the NUMBER of sufficient-statistic rows (cells × 64),
+    * still model-sized at 262k cells (~17M small rows, a broadcast of
+    * quantized centroids only after the per-cluster fold).
+    */
+  def q166PrototypePruneHier3(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureHier3Index(s, dir, work)
+    prototypePruneOf(
+      scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .join(s.read.parquet(s"$work/cells_hier3")
+          .select(col("vec_id"), col("cell").as("cluster")), "vec_id"))
+  }
+
   /** Stage the sufficient statistics a BATCH-LINEAR codebook refresh
     * needs: the trained flat codebook's per-(cluster, dim) integer
     * component sums and member counts over the CORPUS split, plus the
@@ -3623,6 +3651,7 @@ object Similarity {
     "q163_cluster_balanced_sample" -> (q163ClusterBalancedSample _),
     "q164_prototype_prune" -> (q164PrototypePrune _),
     "q165_d4_pipeline" -> (q165D4Pipeline _),
+    "q166_hier3_curation" -> (q166PrototypePruneHier3 _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
@@ -4893,6 +4922,14 @@ object Similarity {
             FROM iv JOIN cells c ON iv.vec_id = c.vec_id
             WHERE iv.nrm > 0
               AND iv.vec_id NOT IN (SELECT vec_id FROM nonsurv)),
+      $sqlPrototypePruneTail""",
+    "q166_hier3_curation" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cell AS cluster
+                FROM '__GRAFT_STAGED__/cells_hier3/*.parquet'),
+      a AS (SELECT iv.vec_id, iv.v, iv.nrm, c.cluster
+            FROM iv JOIN cells c ON iv.vec_id = c.vec_id
+            WHERE iv.nrm > 0),
       $sqlPrototypePruneTail""",
     "q161_codebook_refresh" -> s"""
       WITH $sqlScaled,

@@ -81,6 +81,7 @@ object Explain {
     "q164_prototype_prune", // two linear passes: partial-agg centroid sums -> broadcast-join cosine scoring + per-cell window
     "q165_d4_pipeline", // staged-edge CC -> shuffle anti-join on the cells join's own key -> q164's survivor-only scoring
     "q166_hier3_curation", // q164's plan verbatim over the three-level staged assignment: depth changes nothing
+    "q167_sq8_rerank", // SQ8 pricing: candidates touch codes + one BIGINT, query-side lo/st folds broadcast, exact rerank tail
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -170,7 +170,7 @@ object ScaleProbe {
       "q160_batch_perceptron", "q161_codebook_refresh",
       "q162_zorder_layout", "q163_cluster_balanced_sample",
       "q164_prototype_prune", "q165_d4_pipeline",
-      "q166_hier3_curation",
+      "q166_hier3_curation", "q167_sq8_rerank",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

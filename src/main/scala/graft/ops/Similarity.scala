@@ -1192,6 +1192,144 @@ object Similarity {
     rerankExact(s, dir, adcRank(cand, lut, topK = shortlist), topK = 5)
   }
 
+  /** SQ8 quantization levels per dimension (FAISS `SQ8` layout: one
+    * unsigned byte per component). The reconstruction arithmetic below
+    * works at scale 2·[[Sq8Levels]] = 512 on top of the 2^16 component
+    * scaling so bucket MIDPOINTS are exact integers:
+    * 512·x̂ = 512·lo + (2c+1)·(hi−lo).
+    */
+  val Sq8Levels = 256
+
+  /** Stage the SCALAR-quantized corpus — the second compression layout
+    * a production ANN deployment chooses from (PQ's 4-byte codes trade
+    * recall for the 64× cut; SQ8 keeps one code PER DIMENSION for an
+    * 8× cut with far smaller quantization error and NO codebook join
+    * at query time). Two staged tables:
+    *
+    *   - `sq_params` (dim, lo, hi): per-dimension corpus min/max of
+    *     the 2^16-scaled components — ONE partial-agg pass collapsing
+    *     the corpus to 64 rows (model-sized; the "training" of a
+    *     scalar quantizer is this aggregate and nothing else, which is
+    *     why SQ refreshes are so much cheaper than k-means codebooks).
+    *   - `sq_codes` (vec_id, c, rsq): the encoded corpus — per
+    *     component `c_i = min((v_i − lo_i)·256 div st_i, 255)` (exact
+    *     BIGINT division, identical to DuckDB `//` on the non-negative
+    *     operands the global min guarantees), plus the precomputed
+    *     exact ‖512·x̂‖² so query-time cosine needs no second pass.
+    *
+    * Encoding is a pure map stage (the 64-entry lo/st arrays travel as
+    * literal columns), zero shuffle after the params aggregate. On
+    * disk the 0..255 values bit-pack to ~1 byte each under parquet's
+    * RLE/bit-width encoding; in flight they ride the same
+    * ARRAY<BIGINT> the codegen'd `vec_ldot` kernel consumes.
+    */
+  def stageSq8(s: SparkSession, dir: String, work: String): Unit = {
+    val iv = scaledVectors(s, dir).select(col("vec_id"), col("v"))
+    iv.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/sq_params")
+    val (lo, st) = sq8Params(s, work)
+    sq8Encode(iv, lo, st)
+      .write.mode("overwrite").parquet(s"$work/sq_codes")
+    Staged.mark(work, "sq_params", "sq_codes")
+  }
+
+  /** SQ8 encode of a (vec_id, v) batch against FIXED per-dimension
+    * (lo, step) params — the shared kernel [[stageSq8]] runs over the
+    * corpus and [[graft.streaming.EventStreams.sq8IngestStream]] runs
+    * per micro-batch (shared code path ⇒ streamed == batch is
+    * mechanism). A pure map stage: the 64-entry param arrays travel
+    * as literal columns, ZERO shuffle. Components outside the trained
+    * [lo, hi] range (a stream can carry vectors the params never saw)
+    * clamp to the edge buckets — `greatest(…, 0)` below is the only
+    * addition over the corpus pass, where the global min makes it a
+    * no-op.
+    */
+  def sq8Encode(vectors: DataFrame, lo: Array[Long],
+      st: Array[Long]): DataFrame =
+    vectors.withColumn("lo", typedLit(lo.toSeq))
+      .withColumn("st", typedLit(st.toSeq))
+      .withColumn("c", expr(
+        s"""transform(v, (x, i) -> CASE WHEN st[i] > 0
+           | THEN greatest(least(((x - lo[i]) * $Sq8Levels) div st[i],
+           |                     CAST(${Sq8Levels - 1} AS BIGINT)),
+           |               CAST(0 AS BIGINT))
+           | ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("r", expr(
+        s"transform(c, (ci, i) -> ${2 * Sq8Levels} * lo[i] + (2 * ci + 1) * st[i])"))
+      .select(col("vec_id"), col("c"), idot(col("r"), col("r")).as("rsq"))
+
+  /** The staged per-dimension (lo, step) arrays — 64 rows, a model
+    * collect by construction. */
+  def sq8Params(s: SparkSession, work: String): (Array[Long], Array[Long]) = {
+    val p = s.read.parquet(s"$work/sq_params").orderBy(col("dim")).collect()
+    (p.map(_.getAs[Long]("lo")),
+      p.map(r => r.getAs[Long]("hi") - r.getAs[Long]("lo")))
+  }
+
+  /** [[Staged]]-guarded SQ8 staging ([[ensureIvfIndex]] discipline). */
+  private def ensureSq8(s: SparkSession, dir: String, work: String): Unit =
+    if (!Staged.isFresh(work, "sq_params") ||
+        !Staged.isFresh(work, "sq_codes"))
+      stageSq8(s, dir, work)
+
+  /** q167 — IVF + SQ8 + EXACT RE-RANK: the scalar-quantized serving
+    * chain. Candidates come from the staged multi-probe cells (q79's
+    * cut); each is priced against the QUANTIZED corpus — the key
+    * algebraic move being that the per-candidate cost is ONE codegen'd
+    * integer dot against the raw code bytes, not a decode:
+    *
+    *   ⟨q, 512·x̂⟩ = 512·Σqᵢloᵢ + 2·⟨q·st, c⟩ + Σqᵢstᵢ
+    *
+    * — the lo/st folds are QUERY-side scalars computed once per query
+    * (model-sized), so the corpus-shaped term is exactly
+    * `vec_ldot(q·st, c)` over the stored codes. Approximate cosine
+    * divides by the staged ‖512·x̂‖² norm (one IEEE op on exact
+    * integers — bit-identical in DuckDB); the approx
+    * top-[[RerankShortlist]] then re-ranks exactly (q130's final
+    * mile). Scale shape: the corpus side of the search touches 1-byte
+    * codes + one BIGINT per vector (8× lighter than vectors), no
+    * codebook join (vs PQ's broadcast-LUT equi-join), the quantizer
+    * "trains" in one aggregate pass, and the exact work is
+    * |Q|·shortlist dots. Sq8Spec plants the quantization-error bound
+    * and replays the whole chain bit-for-bit in plain JVM; the DuckDB
+    * oracle replays the identical joins over the four staged tables.
+    */
+  def q167Sq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    ensureSq8(s, dir, work)
+    val cells = s.read.parquet(s"$work/cells")
+    val probes = s.read.parquet(s"$work/probes")
+    val codes = s.read.parquet(s"$work/sq_codes")
+    val (lo, st) = sq8Params(s, work)
+    val q = scaledVectors(s, dir).where(col("vec_id") < 20)
+      .withColumn("lo", typedLit(lo.toSeq))
+      .withColumn("st", typedLit(st.toSeq))
+      .select(col("vec_id").as("query_id"), col("nrm").as("qn"),
+        expr("zip_with(v, st, (x, y) -> x * y)").as("qs"),
+        expr("aggregate(zip_with(v, lo, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)").as("qlo"),
+        expr("aggregate(zip_with(v, st, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)").as("qssum"))
+    val adot = lit(2L * Sq8Levels) * col("qlo") +
+      lit(2L) * idot(col("qs"), col("c")) + col("qssum")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val shortlist = probes.join(cells, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+      .where(col("rsq") > 0)
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(adot, col("qn"), sqrt(col("rsq").cast("double")))
+          .as("acos"))
+      .withColumn("srank", row_number().over(w))
+      .where(col("srank") <= RerankShortlist)
+    rerankExact(s, dir, shortlist, topK = 5)
+  }
+
   /** HIER + PQ + EXACT RE-RANK — the composition a real 100 TB index
     * actually ships, assembled ENTIRELY from staged assets that three
     * other queries already certify separately: the two-level coarse
@@ -3362,7 +3500,8 @@ object Similarity {
     * 1-probe IVF, q79 2-probe, q91 own-cell IVF-PQ, q117 2-probe
     * IVF-PQ, q130 re-ranked IVF-PQ, q120 volume-matched hierarchical
     * tree-descent, q136 hier+PQ+re-rank composition, q143 sharded
-    * scatter-gather) is run over the REAL
+    * scatter-gather, q159 Matryoshka prefix + re-rank, q167 SQ8 +
+    * re-rank) is run over the REAL
     * embeddings table, its top-5 staged, and scored against the
     * exact brute-force top-5 (q40's plan at the shared query set).
     * recall@1 = fraction of queries whose true nearest neighbor is
@@ -3390,7 +3529,8 @@ object Similarity {
       ("hier_2probe", q120HierMultiprobe _),
       ("hier_pq_rerank", q136HierPqRerank _),
       ("sharded_2probe", q143ShardedAnn _),
-      ("matryoshka_rerank_2probe", q159MatryoshkaServing _))
+      ("matryoshka_rerank_2probe", q159MatryoshkaServing _),
+      ("sq8_rerank_2probe", q167Sq8Rerank _))
     methods.map { case (m, f) =>
       // EAGER localCheckpoint per method: each search lazily reads the
       // staged tables its own run wrote, and the NEXT method's staging
@@ -3652,6 +3792,7 @@ object Similarity {
     "q164_prototype_prune" -> (q164PrototypePrune _),
     "q165_d4_pipeline" -> (q165D4Pipeline _),
     "q166_hier3_curation" -> (q166PrototypePruneHier3 _),
+    "q167_sq8_rerank" -> (q167Sq8Rerank _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
@@ -4931,6 +5072,59 @@ object Similarity {
             FROM iv JOIN cells c ON iv.vec_id = c.vec_id
             WHERE iv.nrm > 0),
       $sqlPrototypePruneTail""",
+    // SQ8 serving replay: the query-side lo/st folds, the integer
+    // reconstruction dot against the stored codes, the approx-cosine
+    // shortlist, and q130's exact re-rank tail — all over the four
+    // engine-staged tables
+    "q167_sq8_rerank" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      sp AS (SELECT dim, lo, hi - lo AS st
+             FROM '__GRAFT_STAGED__/sq_params/*.parquet'),
+      codes AS (SELECT vec_id, c, rsq
+                FROM '__GRAFT_STAGED__/sq_codes/*.parquet'),
+      qx AS (SELECT vec_id AS query_id, generate_subscripts(v, 1) AS dim,
+               unnest(v) AS qw
+             FROM iv WHERE vec_id < 20),
+      qa AS (SELECT query_id,
+               list(qw * st ORDER BY dim) AS qs,
+               CAST(SUM(qw * lo) AS BIGINT) AS qlo,
+               CAST(SUM(qw * st) AS BIGINT) AS qssum
+             FROM qx JOIN sp USING (dim) GROUP BY query_id),
+      qn AS (SELECT vec_id AS query_id, nrm AS qn
+             FROM iv WHERE vec_id < 20),
+      scored AS (SELECT p.query_id, t.vec_id AS neighbor_id,
+          CAST(${2 * Sq8Levels} * q.qlo
+              + 2 * list_sum(list_transform(range(1, 65),
+                  i -> q.qs[i] * co.c[i]))
+              + q.qssum AS DOUBLE)
+            / (n.qn * sqrt(CAST(co.rsq AS DOUBLE))) AS acos
+        FROM probes p JOIN cells t USING (cluster)
+          JOIN codes co ON co.vec_id = t.vec_id
+          JOIN qa q ON q.query_id = p.query_id
+          JOIN qn n ON n.query_id = p.query_id
+        WHERE t.vec_id <> p.query_id AND co.rsq > 0),
+      sl AS (SELECT query_id, neighbor_id FROM
+          (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY acos DESC, neighbor_id) AS srank
+           FROM scored)
+        WHERE srank <= $RerankShortlist),
+      x AS (SELECT sl.query_id, sl.neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)
+            AS cosine
+        FROM sl JOIN iv q ON q.vec_id = sl.query_id
+          JOIN iv n ON n.vec_id = sl.neighbor_id),
+      rr AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM x)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
     "q161_codebook_refresh" -> s"""
       WITH $sqlScaled,
       sums AS (SELECT cluster, pos, csum, cn

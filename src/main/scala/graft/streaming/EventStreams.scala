@@ -680,6 +680,43 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SQ8 encode ingest — [[pqIngestStream]]'s twin for the
+    * scalar-quantized layout (q167): vectors stream in, each
+    * micro-batch is encoded by the SAME fixed-param kernel the batch
+    * stager runs ([[graft.ops.Similarity.sq8Encode]] — shared code
+    * path ⇒ streamed == batch is mechanism, and the param arrays are
+    * inputs exactly like the PQ codebook: the per-dim min/max
+    * "training" amortizes across refreshes). Pure map stage per
+    * batch, 64 one-byte codes + one BIGINT norm per vector appended
+    * to the staged code table, no state store, no shuffle.
+    * Out-of-range components (a stream can carry vectors the params
+    * never saw) clamp to the edge buckets inside the shared kernel.
+    * Effectively-once by content: in-batch vec_id dedup plus the
+    * anti-join-before-append. Sq8IngestStreamSpec pins streamed ==
+    * batch-encoded row-for-row plus both redelivery modes.
+    */
+  def sq8IngestStream(vectors: DataFrame, lo: Array[Long],
+      st: Array[Long], stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/sq_codes_stream"
+        val codes = graft.ops.Similarity
+          .sq8Encode(batch.dropDuplicates("vec_id"), lo, st)
+        val fresh =
+          if (stagedExists(s, path))
+            codes.join(
+              s.read.parquet(path).select(col("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+          else codes
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming ANN SERVING — the query half of the index lifecycle,
     * closing the loop the ingest matrix (exact-dedup / IVF / hier /
     * PQ) opened: micro-batches of QUERY vectors are answered from the

@@ -46,7 +46,7 @@ object CcBench {
         Dedup.stagePairs(spark, replica, work)
         println(f"CCBENCH stage_pairs        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
-      spark.read.parquet(s"$work/pairs")
+      spark.read.parquet(graft.ops.Staged.path(work, "pairs"))
     }
     val nEdges = pairs.count()
     val nNodes = pairs.select(explode(array(col("doc_a"), col("doc_b")))

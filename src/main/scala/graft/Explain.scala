@@ -82,6 +82,11 @@ object Explain {
     "q165_d4_pipeline", // staged-edge CC -> shuffle anti-join on the cells join's own key -> q164's survivor-only scoring
     "q166_hier3_curation", // q164's plan verbatim over the three-level staged assignment: depth changes nothing
     "q167_sq8_rerank", // SQ8 pricing: candidates touch codes + one BIGINT, query-side lo/st folds broadcast, exact rerank tail
+    "q168_sq8_constrained", // mask+filter BEFORE SQ8 pricing: delta anti-joins on staged cells, label in the candidate key
+    "q169_sharded_hier_ann", // per-shard tree descent + scatter-gather: same cell equi-join, ids shard-disjoint at depth
+    "q170_video_decode", // AVI demux + per-frame JPEG decode: two narrow mapPartitions stages, zero shuffle
+    "q155_png_decode", // Inflater + per-row filter inversion: narrow map stages, zero shuffle
+    "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

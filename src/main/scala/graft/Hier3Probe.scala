@@ -74,7 +74,7 @@ object Hier3Probe {
     timed("production stageIvfIndex (3-level route)") {
       ops.Similarity.stageIvfIndex(spark, dir, work)
     }
-    val cells = spark.read.parquet(s"$work/cells").localCheckpoint()
+    val cells = spark.read.parquet(graft.ops.Staged.path(work, "cells")).localCheckpoint()
     val nCells = cells.select($"cluster").distinct().count()
     val top = cells.groupBy($"cluster").count()
       .agg(max($"count"), min($"count")).head()
@@ -124,7 +124,7 @@ object Hier3Probe {
     score("own_cell", timed("own-cell search") {
       ops.Similarity.searchCells(ownProbes, civ, 5).localCheckpoint()
     })
-    val descProbes = spark.read.parquet(s"$work/probes")
+    val descProbes = spark.read.parquet(graft.ops.Staged.path(work, "probes"))
       .join(iv.withColumnRenamed("vec_id", "query_id"), "query_id")
       .select($"query_id", $"cluster", $"v".as("qv"), $"nrm".as("qn"))
     score("descent_2probe_vm", timed("volume-matched descent search") {

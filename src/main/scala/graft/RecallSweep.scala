@@ -25,7 +25,7 @@ object RecallSweep {
     // q126 staged the 20-query brute-force truth; score each width
     // against it (same pair-keyed join as the report)
     val work = ops.Dedup.stageRoot(dir)
-    val truth = spark.read.parquet(s"$work/recall/truth")
+    val truth = spark.read.parquet(graft.ops.Staged.path(work, "recall/truth"))
     val tRows = truth.count().toDouble
     val nq = truth.select($"query_id").distinct().count().toDouble
     println("=== q130 shortlist-width sweep (staged IVF-PQ re-rank) ===")

@@ -171,6 +171,8 @@ object ScaleProbe {
       "q162_zorder_layout", "q163_cluster_balanced_sample",
       "q164_prototype_prune", "q165_d4_pipeline",
       "q166_hier3_curation", "q167_sq8_rerank",
+      "q168_sq8_constrained", "q169_sharded_hier_ann",
+      "q170_video_decode",
       // q103/q110/q112 read lineitem/orders, which the replica does
       // not materialize (documents/embeddings/events only)
       "q80_ppm_decode",

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
+import Staged.StagedWriter
 import Text.{normText, shingles3, sqlNorm, sqlQuality, sqlShingles, sqlWords, words}
 
 /** Deduplication operators over `documents` — the standard LLM
@@ -426,8 +427,7 @@ object Dedup {
   def stageSimhashPairs(s: SparkSession, dir: String,
       workDir: String): String = {
     val p = s"$workDir/sh_pairs"
-    simhashPairCore(s, dir)._1.write.mode("overwrite").parquet(p)
-    Staged.mark(workDir, "sh_pairs")
+    simhashPairCore(s, dir)._1.stagePublish(workDir, "sh_pairs")
     p
   }
 
@@ -499,9 +499,9 @@ object Dedup {
     */
   def dedupAgreementStaged(s: SparkSession, dir: String,
       work: String): DataFrame = {
-    val mh = s.read.parquet(s"$work/pairs")
+    val mh = s.read.parquet(Staged.path(work, "pairs"))
       .select(col("doc_a"), col("doc_b"), lit(true).as("mh"))
-    val sh = s.read.parquet(s"$work/sh_pairs")
+    val sh = s.read.parquet(Staged.path(work, "sh_pairs"))
       .select(col("doc_a"), col("doc_b"), lit(true).as("sh"))
     val d = t(s, dir, "documents")
       .select(col("doc_id"), md5(normText(col("text"))).as("h"))
@@ -758,8 +758,7 @@ object Dedup {
     */
   def stagePairs(s: SparkSession, dir: String, workDir: String): String = {
     val p = s"$workDir/pairs"
-    q31MinhashPairs(s, dir).write.mode("overwrite").parquet(p)
-    Staged.mark(workDir, "pairs")
+    q31MinhashPairs(s, dir).stagePublish(workDir, "pairs")
     p
   }
 
@@ -778,27 +777,36 @@ object Dedup {
     */
   def stageClusters(s: SparkSession, workDir: String): String = {
     val p = s"$workDir/clusters"
-    connectedComponentsStar(s.read.parquet(s"$workDir/pairs"))
-      .write.mode("overwrite").parquet(p)
+    connectedComponentsStar(s.read.parquet(Staged.path(workDir, "pairs")))
+      .stagePublish(workDir, "clusters")
     p
   }
 
   /** Stage 3: cluster parquet + corpus ids → surviving corpus. */
   def stageSurvivors(s: SparkSession, dir: String, workDir: String): String = {
     val p = s"$workDir/survivors"
-    survivorsOf(t(s, dir, "documents"), s.read.parquet(s"$workDir/clusters"))
-      .write.mode("overwrite").parquet(p)
+    survivorsOf(t(s, dir, "documents"), s.read.parquet(Staged.path(workDir, "clusters")))
+      .stagePublish(workDir, "survivors")
     p
   }
 
   /** Per-sf staging area. Ephemeral derived data (same category as
     * Spark's own checkpoint/shuffle files), so it lives under the JVM
-    * temp dir, keyed by the source dir so scale factors don't collide.
+    * temp dir, keyed by the source dir AND its content fingerprint
+    * ([[Staged.inputFingerprint]]) — regenerated testdata lands in a
+    * fresh root, so cross-run asset reuse (gated by the build stamp
+    * in each asset's MANIFEST, see [[Staged]]) can never serve
+    * derivations of stale data.
     */
-  def stageRoot(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_staged/$tag"
-  }
+  private val stageRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def stageRoot(dir: String): String =
+    stageRootCache.computeIfAbsent(dir, d => {
+      val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val fp = Staged.inputFingerprint(d)
+      s"${sys.props("java.io.tmpdir")}/graft_staged/$tag-$fp"
+    })
 
   /** The staged pipeline end-to-end as a catalog query: pairs →
     * clusters → survivors each written then CONSUMED FROM PARQUET, and
@@ -814,8 +822,8 @@ object Dedup {
     stagePairs(s, dir, work)
     stageClusters(s, work)
     stageSurvivors(s, dir, work)
-    val clusters = s.read.parquet(s"$work/clusters")
-    s.read.parquet(s"$work/survivors")
+    val clusters = s.read.parquet(Staged.path(work, "clusters"))
+    s.read.parquet(Staged.path(work, "survivors"))
       .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -843,7 +851,7 @@ object Dedup {
     val work = stageRoot(dir)
     stagePairs(s, dir, work)
     stageClusters(s, work)
-    val clusters = s.read.parquet(s"$work/clusters")
+    val clusters = s.read.parquet(Staged.path(work, "clusters"))
     val members = t(s, dir, "documents").select(col("doc_id"))
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
@@ -883,7 +891,7 @@ object Dedup {
     val work = stageRoot(dir)
     stagePairs(s, dir, work)
     stageClusters(s, work)
-    val clusters = s.read.parquet(s"$work/clusters")
+    val clusters = s.read.parquet(Staged.path(work, "clusters"))
       .select(col("doc_id"), col("cluster_id"))
     val bucket = expr(
       "cast(conv(substr(md5(cast(rep as string)), 1, 4), 16, 10) as int) % 100")
@@ -1022,14 +1030,13 @@ object Dedup {
     val isNew = col("doc_id") % 10 === 9
     t(s, dir, "documents").where(!isNew)
       .select(col("doc_id"), md5(normText(col("text"))).as("nh"))
-      .write.mode("overwrite").parquet(s"$work/corpus_nh")
+      .stagePublish(work, "corpus_nh")
     val csh = hashedShingles(s, dir).where(!isNew).localCheckpoint()
-    csh.write.mode("overwrite").parquet(s"$work/corpus_sh")
+    csh.stagePublish(work, "corpus_sh")
     csh.groupBy(col("doc_id"))
       .agg(minhashAggs.head,
         (minhashAggs.tail :+ count(lit(1)).as("n")): _*)
-      .write.mode("overwrite").parquet(s"$work/corpus_sig")
-    Staged.mark(work, "corpus_nh", "corpus_sh", "corpus_sig")
+      .stagePublish(work, "corpus_sig")
   }
 
   /** q148 — q48's incremental-ingest dedup as the PRODUCTION
@@ -1055,7 +1062,7 @@ object Dedup {
     val nhN = t(s, dir, "documents").where(isNew)
       .select(col("doc_id"), md5(normText(col("text"))).as("nh"))
     val exact = nhN.as("n")
-      .join(s.read.parquet(s"$work/corpus_nh").as("c"),
+      .join(s.read.parquet(Staged.path(work, "corpus_nh")).as("c"),
         col("n.nh") === col("c.nh"))
       .groupBy(col("n.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("exact_id"))
@@ -1064,7 +1071,7 @@ object Dedup {
       .agg(minhashAggs.head,
         (minhashAggs.tail :+ count(lit(1)).as("n")): _*)
       .localCheckpoint() // bands + sizes both read it
-    val cSig = s.read.parquet(s"$work/corpus_sig")
+    val cSig = s.read.parquet(Staged.path(work, "corpus_sig"))
     val cand = bandRowsOf(sigB).as("x")
       .join(bandRowsOf(cSig).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -1072,7 +1079,7 @@ object Dedup {
       .distinct()
     val inter = cand
       .join(shN.select(col("doc_id").as("na"), col("h")), "na")
-      .join(s.read.parquet(s"$work/corpus_sh")
+      .join(s.read.parquet(Staged.path(work, "corpus_sh"))
         .select(col("doc_id").as("ca"), col("h")), Seq("ca", "h"))
       .groupBy(col("na"), col("ca"))
       .agg(count(lit(1)).as("inter"))

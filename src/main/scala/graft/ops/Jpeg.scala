@@ -513,6 +513,11 @@ object Jpeg {
           () // standalone markers (TEM, stray RSTn): no length segment
         case 0xc0 =>
           val len = u16(pos)
+          // a length-lying or truncated header must fail with a named
+          // reason (the entropy-stream error discipline), never a raw
+          // ArrayIndexOutOfBoundsException
+          require(len >= 8 && pos + len <= bytes.length,
+            "jpeg: truncated SOF0 segment")
           require(bytes(pos + 2) == 8,
             s"jpeg: unsupported sample precision ${bytes(pos + 2)}")
           height = u16(pos + 3); width = u16(pos + 5)
@@ -541,8 +546,10 @@ object Jpeg {
             f"jpeg: unsupported (non-baseline) frame type 0x$marker%02x")
         case 0xc4 =>
           val len = u16(pos)
+          require(pos + len <= bytes.length, "jpeg: truncated DHT segment")
           var p = pos + 2
           while (p < pos + len) {
+            require(p + 17 <= pos + len, "jpeg: truncated DHT")
             val tcth = bytes(p) & 0xff
             val tc = tcth >> 4; val th = tcth & 0x0f
             require(tc <= 1 && th <= 3, s"jpeg: bad DHT header $tcth")
@@ -561,6 +568,7 @@ object Jpeg {
           pos += len
         case 0xdb =>
           val len = u16(pos)
+          require(pos + len <= bytes.length, "jpeg: truncated DQT segment")
           var p = pos + 2
           while (p < pos + len) {
             val pqtq = bytes(p) & 0xff
@@ -582,7 +590,10 @@ object Jpeg {
         case 0xda =>
           require(comps != null, "jpeg: SOS before SOF")
           val len = u16(pos)
+          require(len >= 3 && pos + len <= bytes.length,
+            "jpeg: truncated SOS segment")
           val ns = bytes(pos + 2) & 0xff
+          require(len >= 6 + 2 * ns, "jpeg: truncated SOS header")
           require(ns == comps.length,
             s"jpeg: scan component count $ns != frame's ${comps.length} (multi-scan unsupported)")
           var i = 0

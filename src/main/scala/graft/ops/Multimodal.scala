@@ -8,17 +8,17 @@ import Tables._
 /** Multimodal-column plumbing: media as opaque `BINARY` payloads with a
   * typed metadata struct, and a partition-batched "decode" stage.
   *
-  * The container ships no native codec libraries, so [[decodeStub]] is
-  * a clearly-marked deterministic stand-in for formats that genuinely
-  * need one (JPEG's DCT entropy coders, video): it consumes the payload
-  * bytes and emits fake-but-stable features. Formats a pure-JVM parser
-  * can decode honestly ARE decoded for real behind the same boundary:
-  * binary PPM ([[Ppm]], q80), RIFF/WAV ([[Wav]], q108), and PNG
-  * ([[Png]], q155 — Inflater + the five scanline filters). Everything
-  * around the stub — the binary schema, the typed row shape, the
-  * `mapPartitions` batch boundary a real libjpeg/ffmpeg decoder would
-  * plug into, and the deterministic output contract — is real and
-  * oracle-checked.
+  * The container ships no native codec libraries, but every format
+  * here is now decoded honestly by a pure-JVM codec behind the same
+  * boundary: binary PPM ([[Ppm]], q80), RIFF/WAV ([[Wav]], q108), PNG
+  * ([[Png]], q155 — Inflater + the five scanline filters), baseline
+  * JPEG ([[Jpeg]], q157 — full T.81 marker/Huffman/IDCT pipeline),
+  * and MJPEG video in a RIFF/AVI container ([[Avi]], q170 — chunk
+  * walk + per-frame [[Jpeg.decode]]). [[decodeStub]] remains only as
+  * the q60–q62 boundary exercise: a clearly-marked deterministic
+  * stand-in that pins the binary schema, the typed row shape, and the
+  * `mapPartitions` batch boundary a native libav decoder would plug
+  * into, independent of any codec.
   *
   * Scale note: decode is a narrow map stage — no shuffle; payload bytes
   * stream through one partition at a time, so executor memory bounds the
@@ -459,8 +459,91 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One encoded-AVI row (payload = a genuine RIFF/AVI MJPEG stream). */
+  case class AviRow(doc_id: Long, payload: Array[Byte])
+
+  /** Features a real video pipeline recovers per SAMPLED frame. */
+  case class FrameFeatures(doc_id: Long, n_frames: Int, frame_idx: Int,
+      width: Int, height: Int, pix_sum: Long, top_left: Int)
+
+  /** Deterministic real-VIDEO media table: per doc, a genuine RIFF/AVI
+    * container ([[Avi.encode]] — avih/strl/movi/idx1 grammar) holding
+    * 2 + id%5 Motion-JPEG frames, each a real baseline JFIF stream by
+    * q157's exactly-invertible law extended with the frame index:
+    * frame f's 8×8 block (bx, by) is the constant even gray
+    * c = 2·((id·31 + f·17 + bx·7 + by·13) mod 120) + 8 at q157's
+    * geometry (width 8·(2+id%4), height 8·(1+id%3)). Both engines can
+    * derive every sampled frame's features from the law while the
+    * byte stream exercises the full container grammar AND the full
+    * per-frame JPEG pipeline.
+    */
+  def aviTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 * (2 + (id % 4).toInt)
+        val h = 8 * (1 + (id % 3).toInt)
+        val frames = (0 until 2 + (id % 5).toInt).map { f =>
+          val px = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val c = (2 * ((id * 31 + f * 17 + (x / 8) * 7 +
+                (y / 8) * 13) % 120) + 8).toByte
+              px((y * w + x) * 3) = c; px((y * w + x) * 3 + 1) = c
+              px((y * w + x) * 3 + 2) = c
+              x += 1
+            }
+            y += 1
+          }
+          Jpeg.encode(Jpeg.Image(w, h, px))
+        }
+        AviRow(id, Avi.encode(frames, w, h))
+      }).toDF()
+  }
+
+  /** q170 — REAL video decode behind the multimodal boundary: the
+    * binary payload is an actual RIFF/AVI MJPEG container,
+    * [[Avi.decode]] walks the chunk grammar (strict, named errors)
+    * into per-frame JPEG payloads, every SECOND frame is sampled
+    * (q61's keyframe-sampling row shape, now over real frames), and
+    * each sampled frame runs [[Jpeg.decode]]'s full baseline pipeline.
+    * This retires the video column's last stub: q61 keeps the
+    * synthetic row-shape twin, but the decode path itself is now
+    * honest end-to-end — container walk, entropy decode, IDCT, raster
+    * features. The DuckDB oracle recomputes every sampled frame's
+    * features FROM the construction law (it never parses AVI or JPEG
+    * — q80/q155/q157's discipline), so a hash match certifies muxer,
+    * demuxer, both Huffman coders, and the per-frame sampling agree
+    * on every document and every frame.
+    *
+    * Scale shape: two narrow mapPartitions stages, zero shuffle — at
+    * 100 TB a video corpus decode is an embarrassingly parallel map
+    * whose cost is per-blob CPU; frame sampling multiplies rows by
+    * the keep fraction BEFORE any feature leaves the executor, which
+    * is exactly where a real keyframe extractor wants its cut.
+    */
+  def q170VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aviTable(s, dir).as[AviRow]
+      .mapPartitions(_.flatMap { r =>
+        val v = Avi.decode(r.payload)
+        v.frames.zipWithIndex.collect {
+          case (fb, f) if f % 2 == 0 =>
+            val img = Jpeg.decode(fb)
+            var sum = 0L
+            img.pixels.foreach(b => sum += (b & 0xff))
+            FrameFeatures(r.doc_id, v.frames.size, f, img.width,
+              img.height, sum, img.pixels(0) & 0xff)
+        }
+      }).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_png_decode" -> (q155PngDecode _),
+    "q170_video_decode" -> (q170VideoDecode _),
     "q157_jpeg_decode" -> (q157JpegDecode _),
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
     "q61_frame_sample" -> (q61FrameSample _),
@@ -583,6 +666,32 @@ object Multimodal {
     // parses JPEG, decodes Huffman, or runs an IDCT): per doc the
     // 8×8-block grid's constant values are re-derived and summed; the
     // top-left pixel pins positional correctness, not just totals
+    // q157's law extended with the frame index; the oracle never
+    // parses AVI or JPEG — every sampled frame's features re-derive
+    // from the construction law
+    "q170_video_decode" -> """
+      WITH dims AS (SELECT doc_id, 2 + doc_id % 4 AS nbx,
+                      1 + doc_id % 3 AS nby, 2 + doc_id % 5 AS nf
+                    FROM documents),
+      fr AS (SELECT doc_id, nbx, nby, nf, unnest(range(0, nf)) AS f
+             FROM dims),
+      sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+      bx AS (SELECT doc_id, nbx, nby, nf, f, unnest(range(0, nbx)) AS bx
+             FROM sampled),
+      blocks AS (SELECT doc_id, nbx, nby, nf, f, bx,
+                   unnest(range(0, nby)) AS by FROM bx),
+      cvals AS (SELECT doc_id, nbx, nby, nf, f,
+                  2 * ((doc_id * 31 + f * 17 + bx * 7 + by * 13) % 120)
+                    + 8 AS c
+                FROM blocks)
+      SELECT doc_id,
+        CAST(MAX(nf) AS INT) AS n_frames,
+        CAST(f AS INT) AS frame_idx,
+        CAST(MAX(nbx) * 8 AS INT) AS width,
+        CAST(MAX(nby) * 8 AS INT) AS height,
+        CAST(3 * 64 * SUM(c) AS BIGINT) AS pix_sum,
+        CAST(2 * ((doc_id * 31 + f * 17) % 120) + 8 AS INT) AS top_left
+      FROM cvals GROUP BY doc_id, f ORDER BY doc_id, frame_idx""",
     "q157_jpeg_decode" -> """
       WITH dims AS (SELECT doc_id, 2 + doc_id % 4 AS nbx,
                       1 + doc_id % 3 AS nby FROM documents),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
+import Staged.StagedWriter
 
 /** Relational operator catalog over the driver's TPC-H-ish tables — one
   * query per SURVEY.md §2 inventory row the reference lacks (ABSENT rows)
@@ -756,8 +757,8 @@ object Relational {
           sum(col("l_quantity").cast(dec)).as("sq"),
           sum(col("l_extendedprice").cast(dec)).as("sp"))
     partials(li.where(!isNew))
-      .write.mode("overwrite").parquet(s"$work/agg_state")
-    s.read.parquet(s"$work/agg_state")
+      .stagePublish(work, "agg_state")
+    s.read.parquet(Staged.path(work, "agg_state"))
       .unionByName(partials(li.where(isNew)))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("n")).as("n_rows"), sum(col("sq")).as("sq"),

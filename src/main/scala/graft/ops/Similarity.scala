@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
+import Staged.StagedWriter
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -346,8 +347,7 @@ object Similarity {
         trainHier3(s, dir, k1, k2, k3)._4
           .select(col("vec_id"), col("cell").cast("int").as("cluster"))
       }
-    assigned.write.mode("overwrite").parquet(p)
-    Staged.mark(workDir, "cells")
+    assigned.stagePublish(workDir, "cells")
     p
   }
 
@@ -560,25 +560,25 @@ object Similarity {
     if (want <= 64) {
       val (centroids, assigned) =
         trainCodebook(s, dir, k = adaptiveCellCount(n))
-      assigned.write.mode("overwrite").parquet(s"$workDir/cells")
+      assigned.stagePublish(workDir, "cells")
       val queries = scaledVectors(s, dir)
-        .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
+        .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
         .select(col("vec_id"), col("v"), col("nrm"))
       ivfProbes(queries, centroids, nprobe)
         .select(col("query_id"), col("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/probes")
+        .stagePublish(workDir, "probes")
       ivfProbes(queries, centroids,
           math.min(EscalationProbes, centroids.length))
         .select(col("query_id"), col("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/probes_wide")
+        .stagePublish(workDir, "probes_wide")
     } else if (want <= Hier2MaxCells) {
       val (k1, k2) = hierFactors(want)
       val (c1, cents, asg) = trainHier(s, dir, k1, k2)
       asg.select(col("vec_id"), col("cell").cast("int").as("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/cells")
+        .stagePublish(workDir, "cells")
       val queries = scaledVectors(s, dir)
-        .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
+        .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
         .select(col("vec_id"), col("v"), col("nrm"))
       // VOLUME-MATCHED probing (see [[volumeMatchedWidth]]): scan the
@@ -589,11 +589,11 @@ object Similarity {
       hierProbes(queries, c1, cents, k2,
           volumeMatchedWidth(k1.toLong * k2, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/probes")
+        .stagePublish(workDir, "probes")
       hierProbes(queries, c1, cents, k2,
           volumeMatchedWidth(k1.toLong * k2, n, EscalationProbes))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/probes_wide")
+        .stagePublish(workDir, "probes_wide")
     } else {
       // above the two-level 4096-cell ceiling: three levels, same
       // staged interface — consumers still read (cells, probes) and
@@ -601,21 +601,20 @@ object Similarity {
       val (k1, k2, k3) = hierFactors3(want)
       val (c1, cents2, cents3, asg) = trainHier3(s, dir, k1, k2, k3)
       asg.select(col("vec_id"), col("cell").cast("int").as("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/cells")
+        .stagePublish(workDir, "cells")
       val queries = scaledVectors(s, dir)
-        .join(s.read.parquet(s"$workDir/cells").select(col("vec_id")), "vec_id")
+        .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
         .select(col("vec_id"), col("v"), col("nrm"))
       hier3Probes(queries, c1, cents2, cents3, k2, k3,
           volumeMatchedWidth(k1.toLong * k2 * k3, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/probes")
+        .stagePublish(workDir, "probes")
       hier3Probes(queries, c1, cents2, cents3, k2, k3,
           volumeMatchedWidth(k1.toLong * k2 * k3, n, EscalationProbes))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .write.mode("overwrite").parquet(s"$workDir/probes_wide")
+        .stagePublish(workDir, "probes_wide")
     }
-    Staged.mark(workDir, "cells", "probes", "probes_wide")
   }
 
   /** Trained-IVF ANN — q42 with the `label` stand-in replaced by REAL
@@ -634,7 +633,7 @@ object Similarity {
   def q78AnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     stageCells(s, dir, work)
-    val cells = s.read.parquet(s"$work/cells")
+    val cells = s.read.parquet(Staged.path(work, "cells"))
     val iv = scaledVectors(s, dir)
       .join(cells, "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
@@ -657,9 +656,9 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageIvfIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
@@ -696,9 +695,9 @@ object Similarity {
     val newCells = ivAll.where(isNew)
       .select(col("vec_id"), cellAssignment(centroids).as("cluster"))
     corpusCells.union(newCells)
-      .write.mode("overwrite").parquet(s"$work/cells_ingest")
+      .stagePublish(work, "cells_ingest")
     val iv = ivAll
-      .join(s.read.parquet(s"$work/cells_ingest"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells_ingest")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
     val probes = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("cluster"),
@@ -727,7 +726,7 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageCells(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
     val a = iv.select(col("cluster"), col("vec_id").as("ia"),
       col("v").as("va"), col("nrm").as("na"))
@@ -879,9 +878,8 @@ object Similarity {
       .localCheckpoint() // seed scans + every Lloyd round read this frame
     val (codebook, codes) = trainPq(iv)
     codes.select(col("vec_id"), col("sub"), col("code"))
-      .write.mode("overwrite").parquet(s"$workDir/pq_codes")
-    writeCodebook(s, codebook, s"$workDir/pq_codebook")
-    Staged.mark(workDir, "pq_codes", "pq_codebook")
+      .stagePublish(workDir, "pq_codes")
+    writeCodebook(s, codebook, workDir, "pq_codebook")
   }
 
   /** [[Staged]]-guarded PQ staging ([[ensureIvfIndex]] discipline). */
@@ -907,10 +905,10 @@ object Similarity {
     rows.toDF("sub", "code", "dim", "w")
   }
 
-  /** Stage [[codebookDf]] to parquet. */
+  /** Stage [[codebookDf]] as a versioned published asset. */
   def writeCodebook(s: SparkSession, codebook: Array[Array[Array[Long]]],
-      path: String): Unit =
-    codebookDf(s, codebook).coalesce(1).write.mode("overwrite").parquet(path)
+      work: String, name: String): Unit =
+    codebookDf(s, codebook).coalesce(1).stagePublish(work, name)
 
   /** ANN search by asymmetric distance computation over the staged PQ
     * index — the compression half of IVF-PQ, and the shape that makes
@@ -994,9 +992,9 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageCells(s, dir, work)
     stagePq(s, dir, work)
-    val cells = s.read.parquet(s"$work/cells")
-    val cb = s.read.parquet(s"$work/pq_codebook")
-    val codes = s.read.parquet(s"$work/pq_codes")
+    val cells = s.read.parquet(Staged.path(work, "cells"))
+    val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
+    val codes = s.read.parquet(Staged.path(work, "pq_codes"))
     val lut = adcLutFor(
       scaledVectors(s, dir).where(col("vec_id") < 20)
         .select(col("vec_id"), col("v")), cb)
@@ -1092,10 +1090,10 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageIvfIndex(s, dir, work)
     stagePq(s, dir, work)
-    val cells = s.read.parquet(s"$work/cells")
-    val probes = s.read.parquet(s"$work/probes")
-    val cb = s.read.parquet(s"$work/pq_codebook")
-    val codes = s.read.parquet(s"$work/pq_codes")
+    val cells = s.read.parquet(Staged.path(work, "cells"))
+    val probes = s.read.parquet(Staged.path(work, "probes"))
+    val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
+    val codes = s.read.parquet(Staged.path(work, "pq_codes"))
     val lut = adcLutFor(
       scaledVectors(s, dir).where(col("vec_id") < 20)
         .select(col("vec_id"), col("v")), cb)
@@ -1179,10 +1177,10 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageIvfIndex(s, dir, work)
     stagePq(s, dir, work)
-    val cells = s.read.parquet(s"$work/cells")
-    val probes = s.read.parquet(s"$work/probes")
-    val cb = s.read.parquet(s"$work/pq_codebook")
-    val codes = s.read.parquet(s"$work/pq_codes")
+    val cells = s.read.parquet(Staged.path(work, "cells"))
+    val probes = s.read.parquet(Staged.path(work, "probes"))
+    val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
+    val codes = s.read.parquet(Staged.path(work, "pq_codes"))
     val lut = adcLutFor(
       scaledVectors(s, dir).where(col("vec_id") < 20)
         .select(col("vec_id"), col("v")), cb)
@@ -1228,11 +1226,10 @@ object Similarity {
     iv.select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy((col("pos") + 1).as("dim"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$work/sq_params")
+      .coalesce(1).stagePublish(work, "sq_params")
     val (lo, st) = sq8Params(s, work)
     sq8Encode(iv, lo, st)
-      .write.mode("overwrite").parquet(s"$work/sq_codes")
-    Staged.mark(work, "sq_params", "sq_codes")
+      .stagePublish(work, "sq_codes")
   }
 
   /** SQ8 encode of a (vec_id, v) batch against FIXED per-dimension
@@ -1263,7 +1260,7 @@ object Similarity {
   /** The staged per-dimension (lo, step) arrays — 64 rows, a model
     * collect by construction. */
   def sq8Params(s: SparkSession, work: String): (Array[Long], Array[Long]) = {
-    val p = s.read.parquet(s"$work/sq_params").orderBy(col("dim")).collect()
+    val p = s.read.parquet(Staged.path(work, "sq_params")).orderBy(col("dim")).collect()
     (p.map(_.getAs[Long]("lo")),
       p.map(r => r.getAs[Long]("hi") - r.getAs[Long]("lo")))
   }
@@ -1300,9 +1297,9 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     ensureSq8(s, dir, work)
-    val cells = s.read.parquet(s"$work/cells")
-    val probes = s.read.parquet(s"$work/probes")
-    val codes = s.read.parquet(s"$work/sq_codes")
+    val cells = s.read.parquet(Staged.path(work, "cells"))
+    val probes = s.read.parquet(Staged.path(work, "probes"))
+    val codes = s.read.parquet(Staged.path(work, "sq_codes"))
     val (lo, st) = sq8Params(s, work)
     val q = scaledVectors(s, dir).where(col("vec_id") < 20)
       .withColumn("lo", typedLit(lo.toSeq))
@@ -1328,6 +1325,79 @@ object Similarity {
       .withColumn("srank", row_number().over(w))
       .where(col("srank") <= RerankShortlist)
     rerankExact(s, dir, shortlist, topK = 5)
+  }
+
+  /** q168 — SQ8 serving UNDER THE SERVING CONSTRAINTS: the tombstone
+    * mask (q144) and the metadata filter (q145) threaded through the
+    * scalar-quantized chain (q167), exactly as q153 threads them
+    * through hier+PQ — the SQ8 row of the {layout} × {compression} ×
+    * {constraints} matrix. The discipline is q153's, verbatim:
+    * deleted corpus rows are anti-joined out of the staged cells and
+    * deleted queries out of the query frame BEFORE anything is
+    * priced, and the same-label predicate rides the candidate join
+    * KEY (cluster AND label), so a masked or wrong-label candidate is
+    * never SQ8-priced, never shortlisted, never re-ranked. Ranks are
+    * assigned after mask+filter (q144's under-the-shortlist
+    * semantics); the exact re-rank tail is q130's.
+    *
+    * Scale shape: q167's — the corpus side of the search touches
+    * 1-byte codes + one BIGINT per vector with NO codebook join, the
+    * query-side lo/st algebra stays model-sized — plus two broadcast
+    * anti-joins for the delete delta; the filter SHRINKS the
+    * candidate stream (≈1/|labels| of each probed cell), and the
+    * recall knob is probe width, not a plan change. The DuckDB
+    * oracle replays mask + filter + SQ8 pricing + shortlist + exact
+    * re-rank over the four engine-staged tables plus the staged
+    * delete feed.
+    */
+  def q168Sq8Constrained(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    ensureSq8(s, dir, work)
+    if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
+    val iv = scaledVectors(s, dir)
+    val (lo, st) = sq8Params(s, work)
+    val queries = iv.where(col("vec_id") < 20)
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .withColumn("lo", typedLit(lo.toSeq))
+      .withColumn("st", typedLit(st.toSeq))
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("nrm").as("qn"),
+        expr("zip_with(v, st, (x, y) -> x * y)").as("qs"),
+        expr("aggregate(zip_with(v, lo, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)").as("qlo"),
+        expr("aggregate(zip_with(v, st, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)").as("qssum"))
+      .localCheckpoint() // probe attach + pricing + label join read it
+    val cells = s.read.parquet(Staged.path(work, "cells"))
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .join(iv.select(col("vec_id"), col("label")), "vec_id")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
+      .join(broadcast(queries.select(col("query_id"), col("label"))),
+        "query_id")
+    val adot = lit(2L * Sq8Levels) * col("qlo") +
+      lit(2L) * idot(col("qs"), col("c")) + col("qssum")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val shortlist = probes.join(cells, Seq("cluster", "label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(s.read.parquet(Staged.path(work, "sq_codes")), Seq("vec_id"))
+      .where(col("rsq") > 0)
+      .join(broadcast(queries.drop("label")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(adot, col("qn"), sqrt(col("rsq").cast("double")))
+          .as("acos"))
+      .withColumn("srank", row_number().over(w))
+      .where(col("srank") <= RerankShortlist)
+    // every survivor's label equals its query's label by construction;
+    // carry it from the query side, never a corpus join (q153's note)
+    rerankExact(s, dir, shortlist, topK = 5)
+      .join(broadcast(queries.select(col("query_id"), col("label"))),
+        "query_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** HIER + PQ + EXACT RE-RANK — the composition a real 100 TB index
@@ -1356,7 +1426,7 @@ object Similarity {
     ensurePq(s, dir, work)
     hierPqSearchOn(s, dir, work,
       scaledVectors(s, dir).where(col("vec_id") < 20),
-      s.read.parquet(s"$work/probes_hier"))
+      s.read.parquet(Staged.path(work, "probes_hier")))
   }
 
   /** q136's search chain for an ARBITRARY query frame (vec_id, v[,
@@ -1371,9 +1441,9 @@ object Similarity {
     */
   def hierPqSearchOn(s: SparkSession, dir: String, work: String,
       queries: DataFrame, probes: DataFrame): DataFrame = {
-    val cells = s.read.parquet(s"$work/cells_hier")
-    val cb = s.read.parquet(s"$work/pq_codebook")
-    val codes = s.read.parquet(s"$work/pq_codes")
+    val cells = s.read.parquet(Staged.path(work, "cells_hier"))
+    val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
+    val codes = s.read.parquet(Staged.path(work, "pq_codes"))
     val lut = adcLutFor(queries.select(col("vec_id"), col("v")), cb)
     val cand = probes.join(cells, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -1410,10 +1480,10 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageIvfIndex(s, dir, work)
     stagePq(s, dir, work)
-    val cells = s.read.parquet(s"$work/cells")
-    val probes = s.read.parquet(s"$work/probes")
-    val cb = s.read.parquet(s"$work/pq_codebook")
-    val codes = s.read.parquet(s"$work/pq_codes")
+    val cells = s.read.parquet(Staged.path(work, "cells"))
+    val probes = s.read.parquet(Staged.path(work, "probes"))
+    val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
+    val codes = s.read.parquet(Staged.path(work, "pq_codes"))
     val lut = adcLutFor(
       scaledVectors(s, dir).where(col("vec_id") < 20)
         .select(col("vec_id"), col("v")), cb)
@@ -1428,7 +1498,7 @@ object Similarity {
         .select(lit(wd).as("shortlist_width"), col("query_id"),
           col("rank"), col("neighbor_id"))
     }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$work/wreport/results")
+      .stagePublish(work, "wreport/results")
     val iv = scaledVectors(s, dir).where(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm"))
     val q = iv.where(col("vec_id") < 20)
@@ -1443,9 +1513,9 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .write.mode("overwrite").parquet(s"$work/wreport/truth")
-    val truth = s.read.parquet(s"$work/wreport/truth")
-    val results = s.read.parquet(s"$work/wreport/results")
+      .stagePublish(work, "wreport/truth")
+    val truth = s.read.parquet(Staged.path(work, "wreport/truth"))
+    val results = s.read.parquet(Staged.path(work, "wreport/results"))
     val totals = truth.agg(count(lit(1)).as("t_rows"),
       countDistinct(col("query_id")).as("nq"))
     val matched = truth.as("t")
@@ -1815,16 +1885,15 @@ object Similarity {
     val n = vectorCount(s, dir)
     val (k1, k2) = hierSizing(n)
     val (c1, cents, asg) = trainHier(s, dir, k1, k2)
-    asg.write.mode("overwrite").parquet(s"$work/cells_hier")
+    asg.stagePublish(work, "cells_hier")
     val queries = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_hier").select(col("vec_id")),
+      .join(s.read.parquet(Staged.path(work, "cells_hier")).select(col("vec_id")),
         "vec_id")
       .where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
     hierProbes(queries, c1, cents, k2,
         volumeMatchedWidth(k1.toLong * k2, n, nprobe = 2))
-      .write.mode("overwrite").parquet(s"$work/probes_hier")
-    Staged.mark(work, "cells_hier", "probes_hier")
+      .stagePublish(work, "probes_hier")
   }
 
   /** [[Staged]]-guarded two-level staging — first consumer of the run
@@ -1841,10 +1910,10 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageHierIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_hier"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells_hier")), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
-    val probes = s.read.parquet(s"$work/probes_hier")
+    val probes = s.read.parquet(Staged.path(work, "probes_hier"))
       .withColumnRenamed("cell", "cluster")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
@@ -1880,16 +1949,15 @@ object Similarity {
     val n = vectorCount(s, dir)
     val (k1, k2, k3) = hier3Sizing(n)
     val (c1, cents2, cents3, asg) = trainHier3(s, dir, k1, k2, k3)
-    asg.write.mode("overwrite").parquet(s"$work/cells_hier3")
+    asg.stagePublish(work, "cells_hier3")
     val queries = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_hier3").select(col("vec_id")),
+      .join(s.read.parquet(Staged.path(work, "cells_hier3")).select(col("vec_id")),
         "vec_id")
       .where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
     hier3Probes(queries, c1, cents2, cents3, k2, k3,
         volumeMatchedWidth(k1.toLong * k2 * k3, n, nprobe = 2))
-      .write.mode("overwrite").parquet(s"$work/probes_hier3")
-    Staged.mark(work, "cells_hier3", "probes_hier3")
+      .stagePublish(work, "probes_hier3")
   }
 
   /** [[Staged]]-guarded three-level staging ([[ensureIvfIndex]]
@@ -1915,7 +1983,7 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureHier3Index(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_hier3"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells_hier3")), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
     val probes = iv.where(col("vec_id") < 20)
@@ -1934,10 +2002,10 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureHier3Index(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_hier3"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells_hier3")), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
-    val probes = s.read.parquet(s"$work/probes_hier3")
+    val probes = s.read.parquet(Staged.path(work, "probes_hier3"))
       .withColumnRenamed("cell", "cluster")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
@@ -2047,12 +2115,11 @@ object Similarity {
     val n = vectorCount(s, dir)
     val kS = adaptiveCellCount((n + NumShards - 1) / NumShards)
     val (cents, asg) = trainShardedCells(s, dir)
-    asg.write.mode("overwrite").parquet(s"$work/cells_shard")
+    asg.stagePublish(work, "cells_shard")
     val queries = scaledVectors(s, dir).where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
     shardProbes(queries, cents, kS, nprobe = 2)
-      .write.mode("overwrite").parquet(s"$work/probes_shard")
-    Staged.mark(work, "cells_shard", "probes_shard")
+      .stagePublish(work, "probes_shard")
   }
 
   /** Scatter-gather ANN over SHARDED partition-local indexes — the
@@ -2077,7 +2144,7 @@ object Similarity {
   def q143ShardedAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureShardedIndex(s, dir, work)
-    val probes = s.read.parquet(s"$work/probes_shard")
+    val probes = s.read.parquet(Staged.path(work, "probes_shard"))
       .withColumnRenamed("cell", "cluster")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
@@ -2096,10 +2163,167 @@ object Similarity {
   def shardedSearchOn(s: SparkSession, dir: String, work: String,
       probes: DataFrame, topK: Int = 5): DataFrame = {
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_shard"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells_shard")), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
     searchCells(probes, iv, topK)
+  }
+
+  /** (kSup, kSub) for the PER-SHARD two-level quantizer (q169):
+    * production sizing via [[hierFactors]] when one shard's target
+    * cell count exceeds the flat clamp; below it a FORCED 2×2 — small
+    * enough that the test corpora keep enough vectors per leaf while
+    * the full shard → super → sub machinery is exercised and
+    * oracle-certified (q141's forced-depth discipline).
+    */
+  def shardHierSizing(nPerShard: Long): (Int, Int) = {
+    val want = (nPerShard + CellTarget - 1) / CellTarget
+    if (want > 64) hierFactors(want) else (2, 2)
+  }
+
+  /** SHARDED × HIERARCHICAL training — the composition the 10¹⁰-vector
+    * capacity claim actually rests on (S shards × a deep quantizer per
+    * shard), forced into one trained model: level 1 is the hash shard
+    * (`pmod(vec_id, shards)` — operational independence, q143), levels
+    * 2 and 3 are the SAME depth-agnostic [[trainSubCells]] broadcast-
+    * table Lloyd the hierarchical depths ride, with the shard id and
+    * then the (shard, super) cell as the parent key. All shards and
+    * all supers train in the same corpus-wide jobs (no driver loop),
+    * yet no seed, centroid, or Lloyd mean ever crosses a parent
+    * boundary — so retraining one shard's tree cannot move any other
+    * shard's assignments, at ANY depth. Returns (level-1 centroid
+    * table keyed by shard, level-2 table keyed by the shard·kSup+sup
+    * cell, assignments (vec_id, cell = cell1·kSub + sub)).
+    */
+  def trainShardedHier(s: SparkSession, dir: String, shards: Int,
+      kSup: Int, kSub: Int, iters: Int = 3)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ivs = scaledVectors(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("cluster", pmod(col("vec_id"), lit(shards)).cast("int"))
+      .localCheckpoint() // seeding + Lloyd + assign all scan it
+    val cents1 = trainSubCells(ivs, kSup, iters)
+    val asg1 = hierAssign(ivs, cents1)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * kSup + col("sub")).as("cluster"))
+    val ivs2 = scaledVectors(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(asg1, "vec_id")
+      .localCheckpoint() // same discipline, one level down
+    val cents2 = trainSubCells(ivs2, kSub, iters)
+    val asg = hierAssign(ivs2, cents2)
+      .select(col("vec_id"),
+        (col("cluster") * kSub + col("sub")).as("cell"))
+    (cents1, cents2, asg)
+  }
+
+  /** Scatter-gather probe list over the sharded HIERARCHICAL index:
+    * per (query, shard), descend that shard's tree — beam the supers
+    * from the model-sized level-1 table ([[hier3Probes]]' beam rule:
+    * just enough supers that their kSub children can fill the final
+    * width), score only the beam's sub-rows, keep the `width` nearest
+    * leaves PER SHARD. No shard may be skipped (the scatter-gather
+    * tax, q143); within a shard the descent prices kSup + O(kSub·beam)
+    * centroids instead of the shard's full kSup·kSub leaf table —
+    * which is what keeps deep per-shard trees probeable. Output
+    * (query_id, cell).
+    */
+  def shardHierProbes(queries: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, kSup: Int, kSub: Int, width: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val beam = math.max(1, (width + kSub - 1) / kSub) + 1
+    val w1 = Window.partitionBy(col("query_id"), col("cluster"))
+      .orderBy(col("cos").desc_nulls_last, col("sub"))
+    val sup = q.crossJoin(broadcast(cents1))
+      .select(col("query_id"), col("cluster"), col("sub"),
+        when(col("cnrm") > 0,
+          idot(col("qv"), col("cv")).cast("double")
+            / (col("qn") * col("cnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w1))
+      .where(col("rk") <= beam)
+      .select(col("query_id"),
+        (col("cluster").cast("long") * kSup + col("sub")).as("cluster"))
+      .join(q, "query_id")
+    val w2 = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("cos").desc_nulls_last, col("cell"))
+    sup.join(broadcast(cents2), Seq("cluster"))
+      .select(col("query_id"),
+        expr(s"cluster div $kSup").as("shard"),
+        (col("cluster") * kSub + col("sub")).as("cell"),
+        when(col("cnrm") > 0,
+          idot(col("qv"), col("cv")).cast("double")
+            / (col("qn") * col("cnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w2))
+      .where(col("rk") <= width)
+      .select(col("query_id"), col("cell"))
+  }
+
+  /** Stage the sharded-hierarchical index: `cells_shard_hier` (vec_id,
+    * cell over shards·kSup·kSub learned leaves, shard-disjoint id
+    * ranges) and the per-shard tree-descent probe list
+    * `probes_shard_hier` at the per-shard [[volumeMatchedWidth]].
+    */
+  def stageShardedHierIndex(s: SparkSession, dir: String,
+      work: String): Unit = {
+    val n = vectorCount(s, dir)
+    val nPerShard = (n + NumShards - 1) / NumShards
+    val (kSup, kSub) = shardHierSizing(nPerShard)
+    val (cents1, cents2, asg) =
+      trainShardedHier(s, dir, NumShards, kSup, kSub)
+    Staged.write(asg, work, "cells_shard_hier")
+    val queries = scaledVectors(s, dir).where(col("vec_id") < 20)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    Staged.write(
+      shardHierProbes(queries, cents1, cents2, kSup, kSub,
+        volumeMatchedWidth(kSup.toLong * kSub, nPerShard, nprobe = 2)),
+      work, "probes_shard_hier")
+  }
+
+  private def ensureShardedHierIndex(s: SparkSession, dir: String,
+      work: String): Unit =
+    if (!Staged.isFresh(work, "cells_shard_hier") ||
+        !Staged.isFresh(work, "probes_shard_hier"))
+      stageShardedHierIndex(s, dir, work)
+
+  /** q169 — scatter-gather ANN over SHARDED HIERARCHICAL indexes: the
+    * capacity composition the 100 TB story multiplies out (q143's S
+    * independent shards × q120's per-shard tree descent), FORCED into
+    * one oracle row the way q152/q166 force the three-level quantizer.
+    * q143 certified sharding over flat per-shard quantizers and q141/
+    * q142 certified depth unsharded; this row pins that the two
+    * compose: each shard trains its own super→sub tree (no centroid
+    * crosses a shard), queries descend EVERY shard's tree at the
+    * volume-matched width, and the gather is [[searchCells]] unchanged
+    * — per-shard candidates union through the same cell equi-join
+    * because cell ids are shard-disjoint, and the global top-k window
+    * IS the gather merge. The search plan still does not know the
+    * layout OR the depth: the staged (cells, probes) pair is the
+    * interface, and the DuckDB oracle replays the probes ⋈ cells ⋈
+    * corpus chain end-to-end over the staged tables exactly as q143's.
+    *
+    * Scale shape: candidate volume ∝ width·shards·CellTarget
+    * (independent of n, q143's bound); probe selection per query is
+    * shards·(kSup + O(kSub·beam)) centroid scores against model-sized
+    * broadcast tables (never the corpus); each shard's tree refreshes
+    * independently — one bounded shard at a time, the property that
+    * makes a 10¹⁰-vector index operable.
+    */
+  def q169ShardedHierAnn(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureShardedHierIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(Staged.path(work, "cells_shard_hier")),
+        "vec_id")
+      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
+        col("nrm"))
+    val probes = s.read.parquet(Staged.path(work, "probes_shard_hier"))
+      .withColumnRenamed("cell", "cluster")
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
   }
 
   /** Trained-IVF ANN through the TWO-LEVEL staged index — q78 with the
@@ -2117,9 +2341,9 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     val (k1, k2) = hierSizing(vectorCount(s, dir))
     trainHierCells(s, dir, k1, k2)
-      .write.mode("overwrite").parquet(s"$work/cells_hier")
+      .stagePublish(work, "cells_hier")
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_hier"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells_hier")), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
     val probes = iv.where(col("vec_id") < 20)
@@ -2153,8 +2377,8 @@ object Similarity {
     val newCodes = pqCodes(ivAll.where(isNew), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     corpusCodes.union(newCodes)
-      .write.mode("overwrite").parquet(s"$work/pq_codes_ingest")
-    writeCodebook(s, codebook, s"$work/pq_codebook_ingest")
+      .stagePublish(work, "pq_codes_ingest")
+    writeCodebook(s, codebook, work, "pq_codebook_ingest")
     adcSearch(s, dir, s"$work/pq_codes_ingest", s"$work/pq_codebook_ingest")
   }
 
@@ -2192,7 +2416,7 @@ object Similarity {
   def q92SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     if (!Staged.isFresh(work, "sem_pairs")) stageSemPairs(s, dir, work)
-    Dedup.connectedComponents(s.read.parquet(s"$work/sem_pairs"))
+    Dedup.connectedComponents(s.read.parquet(Staged.path(work, "sem_pairs")))
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"),
         (col("doc_id") === col("cluster_id")).as("is_survivor"))
       .orderBy(col("vec_id"))
@@ -2207,7 +2431,7 @@ object Similarity {
   def stageSemPairs(s: SparkSession, dir: String, work: String): Unit = {
     if (!Staged.isFresh(work, "cells")) stageCells(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .localCheckpoint() // both self-join sides read it (q31 race note)
     val a = iv.select(col("cluster"), col("vec_id").as("doc_a"),
@@ -2220,8 +2444,7 @@ object Similarity {
         cosine(idot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .where(col("cos") >= SemDedupThreshold)
       .select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(s"$work/sem_pairs")
-    Staged.mark(work, "sem_pairs")
+      .stagePublish(work, "sem_pairs")
   }
 
   /** q165 — the D4 curation pipeline END-TO-END (Tirumala et al.,
@@ -2251,13 +2474,13 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     if (!Staged.isFresh(work, "sem_pairs")) stageSemPairs(s, dir, work)
     val nonSurvivors =
-      Dedup.connectedComponents(s.read.parquet(s"$work/sem_pairs"))
+      Dedup.connectedComponents(s.read.parquet(Staged.path(work, "sem_pairs")))
         .where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("vec_id"))
     prototypePruneOf(
       scaledVectors(s, dir).where(col("nrm") > 0)
         .select(col("vec_id"), col("v"), col("nrm"))
-        .join(s.read.parquet(s"$work/cells"), "vec_id")
+        .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
         .join(nonSurvivors, Seq("vec_id"), "left_anti"))
   }
 
@@ -2303,7 +2526,7 @@ object Similarity {
   private def semanticDeconOn(s: SparkSession, dir: String,
       work: String): DataFrame = {
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .localCheckpoint() // both split sides read it (q31 race note)
     val isBench = col("vec_id") % 10 === 7
@@ -2362,8 +2585,7 @@ object Similarity {
   def stageDeletes(s: SparkSession, dir: String, workDir: String): Unit = {
     t(s, dir, "embeddings").select(col("vec_id"))
       .where(col("vec_id") % 7 === 3)
-      .write.mode("overwrite").parquet(s"$workDir/deletes")
-    Staged.mark(workDir, "deletes")
+      .stagePublish(workDir, "deletes")
   }
 
   /** q144 — DELETE-aware ANN search: the serving-time half of index
@@ -2391,12 +2613,12 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
-    val deletes = s.read.parquet(s"$work/deletes")
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
       .join(broadcast(deletes.withColumnRenamed("vec_id", "query_id")),
         Seq("query_id"), "left_anti")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
@@ -2423,17 +2645,16 @@ object Similarity {
       work: String): Unit = {
     ensureIvfIndex(s, dir, work)
     if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
-    val deletes = s.read.parquet(s"$work/deletes")
-    s.read.parquet(s"$work/cells")
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
+    s.read.parquet(Staged.path(work, "cells"))
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$work/cells_compact")
+      .stagePublish(work, "cells_compact")
     // truncate the consumed feed — to a NEW path: the un-truncated
     // `deletes` stays staged for q144/q151/q152's oracle replays
     // (within one run the staged catalog is append-only; production
     // swaps, a Verify/Bench run layers)
     deletes.limit(0).repartition(1)
-      .write.mode("overwrite").parquet(s"$work/deletes_compacted")
-    Staged.mark(work, "cells_compact", "deletes_compacted")
+      .stagePublish(work, "deletes_compacted")
   }
 
   /** q154 — search over the COMPACTED index ([[stageCompactedIndex]]):
@@ -2458,11 +2679,11 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     if (!Staged.isFresh(work, "cells_compact"))
       stageCompactedIndex(s, dir, work)
-    val cc = s.read.parquet(s"$work/cells_compact")
+    val cc = s.read.parquet(Staged.path(work, "cells_compact"))
     val iv = scaledVectors(s, dir)
       .join(cc, "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
       .join(cc.select(col("vec_id").as("query_id")),
         Seq("query_id"), "left_semi")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
@@ -2496,13 +2717,13 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureHier3Index(s, dir, work)
     if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
-    val deletes = s.read.parquet(s"$work/deletes")
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells_hier3"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells_hier3")), "vec_id")
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
-    val probes = s.read.parquet(s"$work/probes_hier3")
+    val probes = s.read.parquet(Staged.path(work, "probes_hier3"))
       .withColumnRenamed("cell", "cluster")
       .join(broadcast(deletes.withColumnRenamed("vec_id", "query_id")),
         Seq("query_id"), "left_anti")
@@ -2537,7 +2758,7 @@ object Similarity {
     prototypePruneOf(
       scaledVectors(s, dir).where(col("nrm") > 0)
         .select(col("vec_id"), col("v"), col("nrm"))
-        .join(s.read.parquet(s"$work/cells_hier3")
+        .join(s.read.parquet(Staged.path(work, "cells_hier3"))
           .select(col("vec_id"), col("cell").as("cluster")), "vec_id"))
   }
 
@@ -2562,11 +2783,10 @@ object Similarity {
       .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("sv")).as("csum"), count(lit(1)).as("cn"))
-      .write.mode("overwrite").parquet(s"$work/cb_sums")
+      .stagePublish(work, "cb_sums")
     ivAll.where(isNew)
       .select(col("vec_id"), cellAssignment(centroids).as("cluster"))
-      .write.mode("overwrite").parquet(s"$work/cb_batch")
-    Staged.mark(work, "cb_sums", "cb_batch")
+      .stagePublish(work, "cb_batch")
   }
 
   /** q161 — BATCH-LINEAR incremental codebook refresh: fold a nightly
@@ -2593,9 +2813,9 @@ object Similarity {
   def q161CodebookRefresh(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     if (!Staged.isFresh(work, "cb_sums")) stageCodebookSums(s, dir, work)
-    mergedCodebook(s.read.parquet(s"$work/cb_sums"),
+    mergedCodebook(s.read.parquet(Staged.path(work, "cb_sums")),
       batchSumsOf(scaledVectors(s, dir)
-        .join(s.read.parquet(s"$work/cb_batch"), "vec_id")))
+        .join(s.read.parquet(Staged.path(work, "cb_batch")), "vec_id")))
   }
 
   /** The batch side's per-(cluster, dim) integer sufficient statistics
@@ -2614,6 +2834,12 @@ object Similarity {
     * exact-integer merge behind q161 — BIGINT addition per (cluster,
     * dim), one IEEE division at the very end. Left join: a cluster the
     * batch never touches keeps its corpus-only mean bit-for-bit.
+    * Precision bound: the final centroid is a DOUBLE by contract, so
+    * the cast of csum is exact only while csum < 2^53 (~10^8-member
+    * cells at 2^16 scaling) — beyond that both engines still agree
+    * bit-for-bit (identical IEEE round on the same BIGINT), but the
+    * mean itself carries the double's rounding; q164's all-integer
+    * `div` path is the form that stays exact at any cell size.
     */
   def mergedCodebook(sums: DataFrame, batchSums: DataFrame): DataFrame =
     // both sides are model-sized (k·64 rows) but the batch side is a
@@ -2657,7 +2883,7 @@ object Similarity {
     ensureIvfIndex(s, dir, work)
     clusterSampleElect(
       t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-        .join(s.read.parquet(s"$work/cells"), "vec_id"))
+        .join(s.read.parquet(Staged.path(work, "cells")), "vec_id"))
   }
 
   /** The salted md5-derived 60-bit sampling key — a pure function of
@@ -2710,13 +2936,16 @@ object Similarity {
     * Hash-certifiable end-to-end: the centroid is recomputed from the
     * staged assignment as per-(cluster, dim) BIGINT sums (q161's
     * sufficient-statistics discipline), then re-quantized onto the
-    * same 2^16 grid as the vectors via one floor division — so the
-    * score is [[cosine]] over two exact integer vectors and the
-    * oracle replays it bit-for-bit. Quantizing the centroid is also
-    * what keeps the dot products overflow-safe at ANY cell size: raw
-    * sums grow with |cell| (a 10^9-member cell would push
-    * Σv·Σv past 2^63), the quantized centroid never leaves the
-    * vectors' own [-2^16, 2^16] range.
+    * same 2^16 grid as the vectors via one exact BIGINT division
+    * (Spark `div`, DuckDB `//`, JVM `Long./` — all truncating, no
+    * double intermediate, so exactness holds past the 2^53 mantissa
+    * bound a float route would impose) — so the score is [[cosine]]
+    * over two exact integer vectors and the oracle replays it
+    * bit-for-bit. Quantizing the centroid is also what keeps the dot
+    * products overflow-safe at ANY cell size: raw sums grow with
+    * |cell| (a 10^9-member cell would push Σv·Σv past 2^63), the
+    * quantized centroid never leaves the vectors' own [-2^16, 2^16]
+    * range.
     *
     * Scale shape: two linear passes over the corpus (one partial-agg
     * groupBy to k·64 sufficient-statistic rows, one broadcast-join
@@ -2731,7 +2960,7 @@ object Similarity {
     prototypePruneOf(
       scaledVectors(s, dir).where(col("nrm") > 0)
         .select(col("vec_id"), col("v"), col("nrm"))
-        .join(s.read.parquet(s"$work/cells"), "vec_id"))
+        .join(s.read.parquet(Staged.path(work, "cells")), "vec_id"))
   }
 
   /** The prototype-pruning plan over rows carrying
@@ -2745,8 +2974,11 @@ object Similarity {
       .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("sv")).as("csum"), count(lit(1)).as("cn"))
-      .withColumn("cq",
-        floor(col("csum").cast("double") / col("cn")).cast("long"))
+      // exact BIGINT division (Spark `div` == DuckDB `//`, both
+      // truncating): the quantized centroid never routes through a
+      // double, so the "exact at ANY cell size" claim holds past the
+      // 2^53 mantissa bound a float intermediate would impose
+      .withColumn("cq", expr("csum div cn"))
       .groupBy(col("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
         x => x.getField("cq")).as("cqv"))
@@ -2813,7 +3045,7 @@ object Similarity {
   private def stagedLabeledCorpus(s: SparkSession, dir: String,
       work: String): DataFrame =
     scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("label"), col("cluster"), col("v"),
         col("nrm"))
 
@@ -2910,22 +3142,22 @@ object Similarity {
     ensureHierIndex(s, dir, work)
     ensurePq(s, dir, work)
     if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
-    val deletes = s.read.parquet(s"$work/deletes")
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
     val iv = scaledVectors(s, dir)
     val queries = iv.where(col("vec_id") < 20)
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .localCheckpoint() // probes + LUT + the final label join read it
-    val cells = s.read.parquet(s"$work/cells_hier")
+    val cells = s.read.parquet(Staged.path(work, "cells_hier"))
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .join(iv.select(col("vec_id"), col("label")), "vec_id")
     val lut = adcLutFor(queries.select(col("vec_id"), col("v")),
-      s.read.parquet(s"$work/pq_codebook"))
-    val probes = s.read.parquet(s"$work/probes_hier")
+      s.read.parquet(Staged.path(work, "pq_codebook")))
+    val probes = s.read.parquet(Staged.path(work, "probes_hier"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("label"))), "query_id")
     val cand = probes.join(cells, Seq("cell", "label"))
       .where(col("vec_id") =!= col("query_id"))
-      .join(s.read.parquet(s"$work/pq_codes"), Seq("vec_id"))
+      .join(s.read.parquet(Staged.path(work, "pq_codes")), Seq("vec_id"))
     val res = rerankExact(s, dir,
       adcRank(cand, lut, topK = RerankShortlist), topK = 5)
     // every survivor's label equals its query's label by construction;
@@ -2963,22 +3195,22 @@ object Similarity {
     ensureShardedIndex(s, dir, work)
     ensurePq(s, dir, work)
     if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
-    val deletes = s.read.parquet(s"$work/deletes")
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
     val iv = scaledVectors(s, dir)
     val queries = iv.where(col("vec_id") < 20)
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .localCheckpoint() // LUT + probe attach + final label join read it
-    val cells = s.read.parquet(s"$work/cells_shard")
+    val cells = s.read.parquet(Staged.path(work, "cells_shard"))
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .join(iv.select(col("vec_id"), col("label")), "vec_id")
     val lut = adcLutFor(queries.select(col("vec_id"), col("v")),
-      s.read.parquet(s"$work/pq_codebook"))
-    val probes = s.read.parquet(s"$work/probes_shard")
+      s.read.parquet(Staged.path(work, "pq_codebook")))
+    val probes = s.read.parquet(Staged.path(work, "probes_shard"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("label"))), "query_id")
     val cand = probes.join(cells, Seq("cell", "label"))
       .where(col("vec_id") =!= col("query_id"))
-      .join(s.read.parquet(s"$work/pq_codes"), Seq("vec_id"))
+      .join(s.read.parquet(Staged.path(work, "pq_codes")), Seq("vec_id"))
     val res = rerankExact(s, dir,
       adcRank(cand, lut, topK = RerankShortlist), topK = 5)
     res.join(broadcast(queries.select(col("vec_id").as("query_id"),
@@ -3025,7 +3257,7 @@ object Similarity {
   def q159MatryoshkaServing(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
-    matryoshkaSearchOn(s, dir, work, s.read.parquet(s"$work/probes"))
+    matryoshkaSearchOn(s, dir, work, s.read.parquet(Staged.path(work, "probes")))
   }
 
   /** The q159 search given a ready probe frame (query_id, cluster) —
@@ -3039,7 +3271,7 @@ object Similarity {
       probes: DataFrame): DataFrame = {
     val iv = scaledVectors(s, dir)
     val corpus = iv.select(col("vec_id"), col("v"))
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
     val p = probes
       .join(iv.select(col("vec_id").as("query_id"), col("v")),
         "query_id")
@@ -3135,9 +3367,9 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
@@ -3217,12 +3449,12 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
-    val deletes = s.read.parquet(s"$work/deletes")
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
       .join(broadcast(deletes.withColumnRenamed("vec_id", "query_id")),
         Seq("query_id"), "left_anti")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
@@ -3275,9 +3507,9 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
@@ -3343,9 +3575,9 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(s"$work/probes")
+    val probes = s.read.parquet(Staged.path(work, "probes"))
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
@@ -3359,7 +3591,7 @@ object Similarity {
       .select(col("doc_id").as("query_id"), col("h"))
     val lw = Window.partitionBy(col("query_id"))
       .orderBy(col("n_overlap").desc, col("doc_id"))
-    val lex = s.read.parquet(s"$work/corpus_sh").join(broadcast(qsh), "h")
+    val lex = s.read.parquet(Staged.path(work, "corpus_sh")).join(broadcast(qsh), "h")
       .where(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -3418,7 +3650,7 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     stageCells(s, dir, work)
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(s"$work/cells"), "vec_id")
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("label"), col("cluster"), col("v"),
         col("nrm"))
       .localCheckpoint() // probe + corpus sides both read it (q31 note)
@@ -3539,7 +3771,7 @@ object Similarity {
       f(s, dir).select(lit(m).as("method"), col("query_id"),
         col("rank"), col("neighbor_id")).localCheckpoint()
     }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$work/recall/results")
+      .stagePublish(work, "recall/results")
     val iv = scaledVectors(s, dir).where(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm"))
     val q = iv.where(col("vec_id") < 20)
@@ -3554,8 +3786,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .write.mode("overwrite").parquet(s"$work/recall/truth")
-    Staged.mark(work, "recall/results", "recall/truth")
+      .stagePublish(work, "recall/truth")
     recallReportStaged(s, work)
   }
 
@@ -3571,8 +3802,8 @@ object Similarity {
     * in SCALING.md measures the difference.
     */
   def recallReportStaged(s: SparkSession, work: String): DataFrame = {
-    val truth = s.read.parquet(s"$work/recall/truth")
-    val results = s.read.parquet(s"$work/recall/results")
+    val truth = s.read.parquet(Staged.path(work, "recall/truth"))
+    val results = s.read.parquet(Staged.path(work, "recall/results"))
     val totals = truth.agg(count(lit(1)).as("t_rows"),
       countDistinct(col("query_id")).as("nq"))
     val matched = truth.as("t")
@@ -3704,19 +3935,17 @@ object Similarity {
       trainCodebookOn(ivAll.where(!isNew), k = 4, iters = 5)
     oldCells.union(ivAll.where(isNew)
         .select(col("vec_id"), cellAssignment(cOld).as("cluster")))
-      .write.mode("overwrite").parquet(s"$work/compact/cells_before")
+      .stagePublish(work, "compact/cells_before")
     val (cNew, newCells) = trainCodebookOn(ivAll, k = 4, iters = 5)
-    newCells.write.mode("overwrite").parquet(s"$work/compact/cells_after")
+    newCells.stagePublish(work, "compact/cells_after")
     def centDf(cs: Array[Array[Double]]) =
       cs.zipWithIndex.flatMap { case (c, i) =>
         c.zipWithIndex.map { case (x, d) =>
           (i, d + 1, math.floor(x * 65536.0).toLong)
         }
       }.toSeq.toDF("cluster", "dim", "c")
-    centDf(cOld).coalesce(1).write.mode("overwrite")
-      .parquet(s"$work/compact/cent_before")
-    centDf(cNew).coalesce(1).write.mode("overwrite")
-      .parquet(s"$work/compact/cent_after")
+    centDf(cOld).coalesce(1).stagePublish(work, "compact/cent_before")
+    centDf(cNew).coalesce(1).stagePublish(work, "compact/cent_after")
     // the report reads ONLY the staged tables — the oracle's surface
     def phase(name: String): DataFrame = {
       val cells = s.read.parquet(s"$work/compact/cells_$name")
@@ -3740,8 +3969,8 @@ object Similarity {
           (col("tot").cast("double") / col("n_vectors").cast("double"))
             .as("avg_sq_dist"))
     }
-    val moved = s.read.parquet(s"$work/compact/cells_before").as("b")
-      .join(s.read.parquet(s"$work/compact/cells_after").as("a"), "vec_id")
+    val moved = s.read.parquet(Staged.path(work, "compact/cells_before")).as("b")
+      .join(s.read.parquet(Staged.path(work, "compact/cells_after")).as("a"), "vec_id")
       .agg(sum(when(col("b.cluster") =!= col("a.cluster"), 1L).otherwise(0L))
         .as("n_moved"))
     phase("before").unionByName(phase("after"))
@@ -3793,6 +4022,8 @@ object Similarity {
     "q165_d4_pipeline" -> (q165D4Pipeline _),
     "q166_hier3_curation" -> (q166PrototypePruneHier3 _),
     "q167_sq8_rerank" -> (q167Sq8Rerank _),
+    "q168_sq8_constrained" -> (q168Sq8Constrained _),
+    "q169_sharded_hier_ann" -> (q169ShardedHierAnn _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
@@ -3957,8 +4188,9 @@ object Similarity {
               COUNT(1) AS cn
             FROM x GROUP BY cluster, pos),
       cq AS (SELECT cluster,
-               list(CAST(floor(CAST(csum AS DOUBLE) / cn) AS BIGINT)
-                 ORDER BY pos) AS cqv
+               -- exact BIGINT division: // truncates like Spark's div,
+               -- no double intermediate at any cell size
+               list(csum // cn ORDER BY pos) AS cqv
              FROM s GROUP BY cluster),
       cqn AS (SELECT cluster, cqv,
                 sqrt(list_sum(list_transform(range(1, 65),
@@ -4290,6 +4522,29 @@ object Similarity {
       qv AS (SELECT p.query_id, p.cell, iv.v, iv.nrm
              FROM probes p JOIN iv ON iv.vec_id = p.query_id
              WHERE p.query_id NOT IN (SELECT vec_id FROM dels)),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cell = b.cell AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q143's scatter-gather replay over the SHARDED HIERARCHICAL
+    // staged index: the probe ⋈ cells ⋈ corpus chain is byte-identical
+    // — the staged pair hides shard count AND per-shard depth
+    "q169_sharded_hier_ann" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cell
+                FROM '__GRAFT_STAGED__/cells_shard_hier/*.parquet'),
+      probes AS (SELECT query_id, cell
+                 FROM '__GRAFT_STAGED__/probes_shard_hier/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cell, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qv AS (SELECT p.query_id, p.cell, iv.v, iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id),
       scored AS (
         SELECT a.query_id, b.vec_id AS neighbor_id,
           $sqlDot / (a.nrm * b.nrm) AS cosine
@@ -5076,6 +5331,64 @@ object Similarity {
     // reconstruction dot against the stored codes, the approx-cosine
     // shortlist, and q130's exact re-rank tail — all over the four
     // engine-staged tables
+    // q167's SQ8 replay with q153's constraint discipline: dels
+    // anti-filter both sides, the same-label equi-condition rides the
+    // candidate join, and the label carries from the query side
+    "q168_sq8_constrained" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      dels AS (SELECT vec_id FROM '__GRAFT_STAGED__/deletes/*.parquet'),
+      sp AS (SELECT dim, lo, hi - lo AS st
+             FROM '__GRAFT_STAGED__/sq_params/*.parquet'),
+      codes AS (SELECT vec_id, c, rsq
+                FROM '__GRAFT_STAGED__/sq_codes/*.parquet'),
+      qx AS (SELECT vec_id AS query_id, generate_subscripts(v, 1) AS dim,
+               unnest(v) AS qw
+             FROM iv WHERE vec_id < 20),
+      qa AS (SELECT query_id,
+               list(qw * st ORDER BY dim) AS qs,
+               CAST(SUM(qw * lo) AS BIGINT) AS qlo,
+               CAST(SUM(qw * st) AS BIGINT) AS qssum
+             FROM qx JOIN sp USING (dim) GROUP BY query_id),
+      qn AS (SELECT vec_id AS query_id, nrm AS qn, label
+             FROM iv WHERE vec_id < 20),
+      scored AS (SELECT p.query_id, t.vec_id AS neighbor_id,
+          CAST(${2 * Sq8Levels} * a.qlo
+              + 2 * list_sum(list_transform(range(1, 65),
+                  i -> a.qs[i] * co.c[i]))
+              + a.qssum AS DOUBLE)
+            / (n.qn * sqrt(CAST(co.rsq AS DOUBLE))) AS acos
+        FROM probes p
+          JOIN qa a ON a.query_id = p.query_id
+          JOIN qn n ON n.query_id = p.query_id
+          JOIN cells t ON t.cluster = p.cluster
+          JOIN iv m ON m.vec_id = t.vec_id AND m.label = n.label
+          JOIN codes co ON co.vec_id = t.vec_id
+        WHERE t.vec_id <> p.query_id AND co.rsq > 0
+          AND p.query_id NOT IN (SELECT vec_id FROM dels)
+          AND t.vec_id NOT IN (SELECT vec_id FROM dels)),
+      sl AS (SELECT query_id, neighbor_id FROM
+          (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY acos DESC, neighbor_id) AS srank
+           FROM scored)
+        WHERE srank <= $RerankShortlist),
+      x AS (SELECT sl.query_id, sl.neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)
+            AS cosine
+        FROM sl JOIN iv q ON q.vec_id = sl.query_id
+          JOIN iv n ON n.vec_id = sl.neighbor_id),
+      rr AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM x)
+      SELECT rr.query_id, rr.rank, rr.neighbor_id, q.label, rr.cosine
+      FROM rr JOIN iv q ON q.vec_id = rr.query_id
+      WHERE rr.rank <= 5 ORDER BY rr.query_id, rr.rank""",
     "q167_sq8_rerank" -> s"""
       WITH $sqlScaled,
       cells AS (SELECT vec_id, cluster

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
+import Staged.StagedWriter
 
 /** Text-analysis operators for an LLM training-data pipeline over the
   * `documents` table: language ID, quality scoring, token counting,
@@ -359,8 +360,7 @@ object Text {
     val work = graft.ops.Dedup.stageRoot(dir)
     Seq((w(0), w(1), w(2), w(3))).toDF("w0", "w1", "w2", "w3")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$work/perceptron_weights")
-    Staged.mark(work, "perceptron_weights")
+      .stagePublish(work, "perceptron_weights")
   }
 
   private def perceptronScore(w: Array[Long]): Column =
@@ -1472,6 +1472,10 @@ object Text {
     */
   def q116BpeTrain(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
+    // the merge table is built round-by-round INSIDE an unpublished
+    // version dir and committed once complete — a crash mid-train can
+    // never publish a partial tokenizer (Staged's publish protocol)
+    val mergesDir = Staged.publishDir(work, "bpe_merges")
     var cur = t(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .localCheckpoint()
@@ -1487,8 +1491,8 @@ object Text {
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
         .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
       best.write.mode(if (r == 1) "overwrite" else "append")
-        .parquet(s"$work/bpe_merges")
-      val staged = s.read.parquet(s"$work/bpe_merges")
+        .parquet(mergesDir)
+      val staged = s.read.parquet(mergesDir)
         .where(col("round") === r)
         .select(col("w1"), col("w2"), col("cnt"))
       cur = cur
@@ -1510,6 +1514,7 @@ object Text {
         .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"),
           col("tokens_after"), col("corpus_xor"))
     }
+    Staged.commit(work, "bpe_merges", mergesDir)
     perRound.reduce(_ unionAll _).orderBy(col("round"))
   }
 
@@ -1536,7 +1541,7 @@ object Text {
   def q121BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     q116BpeTrain(s, dir) // eager loop: trains + stages bpe_merges
-    val merges = s.read.parquet(s"$work/bpe_merges")
+    val merges = s.read.parquet(Staged.path(work, "bpe_merges"))
       .orderBy(col("round"))
       .select(col("w1"), col("w2")).collect()
     val init = t(s, dir, "documents")
@@ -1599,6 +1604,9 @@ object Text {
     val target = vocabOf(cur) + BpeVocabBudget
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long, Long, Long)]
+    // q116's discipline: rounds accumulate in an unpublished version
+    // dir; the complete merge table publishes once, after the stop
+    val mergesDir = Staged.publishDir(work, "bpe_merges_vocab")
     var stopped = false
     for (r <- 1 to BpeRounds if !stopped) {
       val best = cur
@@ -1612,8 +1620,8 @@ object Text {
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
         .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
       best.write.mode(if (r == 1) "overwrite" else "append")
-        .parquet(s"$work/bpe_merges_vocab")
-      val staged = s.read.parquet(s"$work/bpe_merges_vocab")
+        .parquet(mergesDir)
+      val staged = s.read.parquet(mergesDir)
         .where(col("round") === r)
         .select(col("w1"), col("w2"), col("cnt")).collect()
       if (staged.isEmpty) stopped = true // pair exhaustion
@@ -1635,6 +1643,7 @@ object Text {
         if (vocab >= target) stopped = true
       }
     }
+    Staged.commit(work, "bpe_merges_vocab", mergesDir)
     out.toSeq
       .toDF("round", "w1", "w2", "cnt", "tokens_after", "vocab_size",
         "corpus_xor")
@@ -1662,8 +1671,8 @@ object Text {
     val work = Dedup.stageRoot(dir)
     q116BpeTrain(s, dir) // eager: stages bpe_merges
     q96VocabBuild(s, dir).select(col("token_id"), col("token"))
-      .write.mode("overwrite").parquet(s"$work/vocab")
-    val merges = s.read.parquet(s"$work/bpe_merges")
+      .stagePublish(work, "vocab")
+    val merges = s.read.parquet(Staged.path(work, "bpe_merges"))
       .orderBy(col("round"))
       .select(col("w1"), col("w2")).collect()
     val init = t(s, dir, "documents")
@@ -1672,7 +1681,7 @@ object Text {
       df.withColumn("norm",
         bpeMergeStep(col("norm"), lit(r.getString(0)), lit(r.getString(1))))
     }
-    val vocab = s.read.parquet(s"$work/vocab")
+    val vocab = s.read.parquet(Staged.path(work, "vocab"))
     encoded
       .select(col("doc_id"),
         posexplode(split(col("norm"), " ")).as(Seq("pos", "tok")))
@@ -1904,18 +1913,16 @@ object Text {
         size(split(normText(col("text")), " ")).as("ntok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("corpus_docs"), sum(col("ntok")).as("ctok"))
-      .write.mode("overwrite").parquet(s"$work/corpus_stats")
+      .stagePublish(work, "corpus_stats")
     t(s, dir, "documents").where(!isNew)
       .select(col("lang"), explode(words(col("text"))).as("w"))
       .distinct()
-      .write.mode("overwrite").parquet(s"$work/corpus_vocab")
+      .stagePublish(work, "corpus_vocab")
     if (!Staged.isFresh(work, "corpus_nh")) {
       t(s, dir, "documents").where(!isNew)
         .select(col("doc_id"), md5(normText(col("text"))).as("nh"))
-        .write.mode("overwrite").parquet(s"$work/corpus_nh")
-      Staged.mark(work, "corpus_nh")
+        .stagePublish(work, "corpus_nh")
     }
-    Staged.mark(work, "corpus_stats", "corpus_vocab")
   }
 
   /** q150's batch-side signals for ONE batch of (doc_id, lang, text)
@@ -1941,14 +1948,14 @@ object Text {
     val counts = stats.groupBy(col("lang")).agg(
       count(lit(1)).as("batch_docs"), sum(col("ntok")).as("btok"))
     val dup = stats
-      .join(s.read.parquet(s"$work/corpus_nh").select(col("nh")).distinct(),
+      .join(s.read.parquet(Staged.path(work, "corpus_nh")).select(col("nh")).distinct(),
         Seq("nh"), "left_semi")
       .groupBy(col("lang")).agg(count(lit(1)).as("dup_docs"))
     val bw = b.select(col("lang"),
         explode(split(col("norm"), " ")).as("w")).distinct()
       .localCheckpoint() // anti-join + denominator both read it
     val newWords = bw
-      .join(s.read.parquet(s"$work/corpus_vocab"), Seq("lang", "w"),
+      .join(s.read.parquet(Staged.path(work, "corpus_vocab")), Seq("lang", "w"),
         "left_anti")
       .groupBy(col("lang")).agg(count(lit(1)).as("new_words"))
     val batchWords = bw.groupBy(col("lang"))
@@ -1957,7 +1964,7 @@ object Text {
       .join(dup, Seq("lang"), "left")
       .join(newWords, Seq("lang"), "left")
       .join(batchWords, Seq("lang"), "left")
-      .join(s.read.parquet(s"$work/corpus_stats"), Seq("lang"), "left")
+      .join(s.read.parquet(Staged.path(work, "corpus_stats")), Seq("lang"), "left")
       .select(col("lang"), col("batch_docs"),
         when(col("corpus_docs") > 0,
           col("ctok").cast("double") / col("corpus_docs").cast("double"))

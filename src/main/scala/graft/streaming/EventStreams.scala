@@ -356,9 +356,13 @@ object EventStreams {
     * already EVICTED re-loses the same election — every current member
     * still beats it by key. Insert-only by contract (like every ingest
     * twin here); deletions ride the tombstone feed + compaction path.
-    * The read-merge-overwrite is safe because the merged election is
-    * localCheckpointed BEFORE the overwrite opens the path (the
-    * read-your-own-writes discipline of [[compactionStream]]).
+    * The read-merge-publish fold is CRASH-SAFE because the state is a
+    * [[graft.ops.Staged]] versioned asset: the merged election lands
+    * in a fresh `v=N+1` dir and an atomic symlink swap publishes it,
+    * so a crash before the micro-batch commits leaves the sample on
+    * its previous complete snapshot — redelivering the batch then
+    * re-runs the same deterministic election (the idempotence above),
+    * never diverging from the batch form.
     */
   def clusterSampleStream(vectors: DataFrame,
       centroids: Array[Array[Double]], stagedDir: String,
@@ -380,10 +384,16 @@ object EventStreams {
               .unionByName(assigned)
               .dropDuplicates("vec_id")
           else assigned
-        graft.ops.Similarity.clusterSampleElect(merged)
-          .select(col("cluster"), col("vec_id"), col("label"))
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(path)
+        // versioned publish (Staged): the merged election lands in a
+        // fresh v=N+1 dir and swaps in atomically, so a crash mid-write
+        // can no longer lose previously elected rows — the sample stays
+        // on its last complete snapshot until the swap commits (the
+        // read side keeps its pinned v=N listing, so no localCheckpoint
+        // is needed either)
+        graft.ops.Staged.write(
+          graft.ops.Similarity.clusterSampleElect(merged)
+            .select(col("cluster"), col("vec_id"), col("label")),
+          stagedDir, "sample_stream")
         ()
       }
       .start()
@@ -582,11 +592,13 @@ object EventStreams {
           val base =
             if (stagedExists(s, idx)) s.read.parquet(idx)
             else s.read.parquet(cellsPath)
-          // materialize BEFORE overwriting the path being read
-          val next = base
-            .join(broadcast(fresh), Seq("vec_id"), "left_anti")
-            .localCheckpoint()
-          next.write.mode("overwrite").parquet(idx)
+          // versioned publish (Staged): the rewrite lands in a fresh
+          // v=N+1 dir and swaps in atomically — the read side keeps its
+          // pinned v=N listing (no localCheckpoint needed), and a crash
+          // mid-rewrite leaves the index on the old complete snapshot
+          graft.ops.Staged.write(
+            base.join(broadcast(fresh), Seq("vec_id"), "left_anti"),
+            stagedDir, "cells_compact_stream")
           fresh.write.mode("append").parquet(feed)
         }
         ()
@@ -788,7 +800,7 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val path = s"$work/gate_scores_stream"
-        val wr = s.read.parquet(s"$work/perceptron_weights")
+        val wr = s.read.parquet(graft.ops.Staged.path(work, "perceptron_weights"))
           .collect()(0) // model-sized: the 4 trained weights
         val w = Array(wr.getLong(0), wr.getLong(1), wr.getLong(2),
           wr.getLong(3))

@@ -82,7 +82,7 @@ class D4Spec extends SparkSpec {
         members.foreach { case (_, v) =>
           var i = 0; while (i < dims) { csum(i) += v(i); i += 1 }
         }
-        val cq = csum.map(x => math.floor(x.toDouble / members.length).toLong)
+        val cq = csum.map(_ / members.length) // JVM Long / == Spark div == DuckDB //
         val cnrm = math.sqrt(cq.map(x => x * x).sum.toDouble)
         val cut = math.floor(
           members.length * Similarity.PrototypePruneFraction).toInt

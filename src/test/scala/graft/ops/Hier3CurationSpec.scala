@@ -36,7 +36,7 @@ class Hier3CurationSpec extends SparkSpec {
           var i = 0; while (i < dims) { csum(i) += v(i); i += 1 }
         }
         val cq = csum.map(x =>
-          math.floor(x.toDouble / members.length).toLong)
+          x / members.length) // JVM Long / == Spark div
         val cnrm = math.sqrt(cq.map(x => x * x).sum.toDouble)
         val cut = math.floor(
           members.length * Similarity.PrototypePruneFraction).toInt

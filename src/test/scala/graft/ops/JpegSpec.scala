@@ -173,6 +173,30 @@ class JpegSpec extends AnyFunSuite {
     // empty input
     assert(intercept[IllegalArgumentException](
       Jpeg.decode(Array.emptyByteArray)).getMessage.contains("SOI"))
+    // header cut mid-segment (before the entropy stream even starts):
+    // named truncation, never a raw ArrayIndexOutOfBoundsException
+    val sosAt = {
+      var p = 2
+      while (!((good(p) & 0xff) == 0xff && (good(p + 1) & 0xff) == 0xda))
+        p += 1
+      p
+    }
+    (2 until sosAt by 7).foreach { cut =>
+      val e = intercept[IllegalArgumentException](Jpeg.decode(good.take(cut)))
+      assert(e.getMessage.contains("jpeg:"),
+        s"cut at $cut: ${e.getMessage}")
+    }
+    // a length-LYING segment (DQT claims bytes past EOF) fails by name
+    val lying = good.take(sosAt) // headers only, no SOS
+    val dqtAt = {
+      var p = 2
+      while (!((lying(p) & 0xff) == 0xff && (lying(p + 1) & 0xff) == 0xdb))
+        p += 1
+      p
+    }
+    lying(dqtAt + 2) = 0x7f.toByte; lying(dqtAt + 3) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decode(lying)).getMessage.contains("truncated DQT"))
   }
 
   test("the q157 law spans many DC magnitude categories (the Huffman lever)") {

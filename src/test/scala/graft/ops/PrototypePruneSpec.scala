@@ -8,7 +8,7 @@ import graft.SparkSpec
   * sf0.001 table:
   *
   *   - the kept rows are EXACTLY an independent plain-JVM replay:
-  *     integer centroid sums, the floor-division re-quantization onto
+  *     integer centroid sums, the exact BIGINT-division re-quantization onto
   *     the 2^16 grid, the integer-dot cosine, the (proto desc, vec_id)
   *     rank over ALL members, and the floor(|cell|*p) cut all
   *     recomputed from the raw parquet + staged assignment —
@@ -48,7 +48,7 @@ class PrototypePruneSpec extends SparkSpec {
       members.foreach { case (_, v) =>
         var i = 0; while (i < dims) { csum(i) += v(i); i += 1 }
       }
-      val cq = csum.map(s => math.floor(s.toDouble / members.length).toLong)
+      val cq = csum.map(_ / members.length) // JVM Long / == Spark div == DuckDB //
       val cnrm = math.sqrt(cq.map(x => x * x).sum.toDouble)
       val ranked = members.map { case (id, v) =>
         val dot = v.zip(cq).map { case (a, b) => a * b }.sum

@@ -54,13 +54,18 @@ class StagedEntriesSpec extends SparkSpec {
   test("q139 consumes run-staged recall assets without re-staging") {
     // plant model-sized assets directly (q126's real staging is its
     // own oracle-certified query; this pins ONLY the guard + consume)
-    Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L))
-      .toDF("query_id", "rank", "neighbor_id")
-      .write.mode("overwrite").parquet(s"$work/recall/truth")
-    Seq(("m1", 1L, 1, 10L), ("m1", 2L, 1, 99L))
-      .toDF("method", "query_id", "rank", "neighbor_id")
-      .write.mode("overwrite").parquet(s"$work/recall/results")
-    Staged.mark(work, "recall/results", "recall/truth")
+    // ephemeral publish (durable = false): the planted fakes serve
+    // THIS JVM only — no manifest, so a later run of the same build
+    // can never cross-run-trust them in place of q126's real staging
+    def plant(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val v = Staged.publishDir(work, name)
+      df.write.mode("overwrite").parquet(v)
+      Staged.commit(work, name, v, durable = false)
+    }
+    plant(Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 12L))
+      .toDF("query_id", "rank", "neighbor_id"), "recall/truth")
+    plant(Seq(("m1", 1L, 1, 10L), ("m1", 2L, 1, 99L))
+      .toDF("method", "query_id", "rank", "neighbor_id"), "recall/results")
     val (mt, mr) = (mtime("recall/truth"), mtime("recall/results"))
     val got = Similarity.q139RecallReportStaged(spark, dir)
       .as[(String, Long, Double, Double)].collect().toSeq

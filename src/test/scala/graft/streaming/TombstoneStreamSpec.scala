@@ -58,10 +58,14 @@ class TombstoneStreamSpec extends SparkSpec {
       === batchDeletes.size.toLong)
 
     // swap the STREAMED table in as the staged tombstone asset and
-    // re-run the masked search: byte-identical to the batch result
+    // re-run the masked search: byte-identical to the batch result.
+    // Ephemeral publish (durable = false): the swapped-in asset serves
+    // this JVM only — no manifest, so a later run can't cross-run-trust
+    // the spec's planted table over the real stager's
+    val v = Staged.publishDir(work, "deletes")
     spark.read.parquet(s"$staged/deletes_stream")
-      .write.mode("overwrite").parquet(s"$work/deletes")
-    Staged.mark(work, "deletes")
+      .write.mode("overwrite").parquet(v)
+    Staged.commit(work, "deletes", v, durable = false)
     val viaStream = Similarity.q144TombstoneAnn(spark, dir)
       .collect().toSeq
     assert(viaStream === batch)

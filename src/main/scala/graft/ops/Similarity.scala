@@ -2259,6 +2259,33 @@ object Similarity {
       .select(col("query_id"), col("cell"))
   }
 
+  /** Full shard→super→sub assignment of fresh (vec_id, v, nrm) rows
+    * under an already-trained sharded-hierarchical model —
+    * [[assignHier3Cells]]' shape with the hash shard as level 1:
+    * shard by the pmod key, super by one broadcast-table argmax
+    * against the shard's level-1 rows, sub by one more against the
+    * (shard, super) cell's level-2 rows. Reproduces
+    * [[trainShardedHier]]'s own assignment exactly (same
+    * [[hierAssign]] at each level, same keys — ShardedHierIngest
+    * StreamSpec pins row-for-row equality); all model tables
+    * broadcast, the input touched twice, never shuffled on a corpus
+    * key — the per-micro-batch shape the streaming ingest twin needs.
+    * Because assignment consults only the input's OWN shard's
+    * centroids at both levels, a retrain of any other shard cannot
+    * move it (q143's independence, now at depth).
+    */
+  def assignShardHierCells(vecs: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, shards: Int, kSup: Int, kSub: Int): DataFrame = {
+    val lvl1 = hierAssign(vecs.withColumn("cluster",
+        pmod(col("vec_id"), lit(shards)).cast("int")), cents1)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * kSup + col("sub")).as("cluster"))
+    hierAssign(vecs.select(col("vec_id"), col("v"), col("nrm"))
+        .join(lvl1, "vec_id"), cents2)
+      .select(col("vec_id"),
+        (col("cluster") * kSub + col("sub")).as("cell"))
+  }
+
   /** Stage the sharded-hierarchical index: `cells_shard_hier` (vec_id,
     * cell over shards·kSup·kSub learned leaves, shard-disjoint id
     * ranges) and the per-shard tree-descent probe list
@@ -3761,6 +3788,7 @@ object Similarity {
       ("hier_2probe", q120HierMultiprobe _),
       ("hier_pq_rerank", q136HierPqRerank _),
       ("sharded_2probe", q143ShardedAnn _),
+      ("sharded_hier_2probe", q169ShardedHierAnn _),
       ("matryoshka_rerank_2probe", q159MatryoshkaServing _),
       ("sq8_rerank_2probe", q167Sq8Rerank _))
     methods.map { case (m, f) =>

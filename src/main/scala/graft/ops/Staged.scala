@@ -217,28 +217,43 @@ object Staged {
     Files.deleteIfExists(p)
   }
 
-  /** Digest of the compiled graft classes (relative path, size,
-    * mtime): identical across JVMs of one build, different after any
-    * recompile. A JVM that cannot locate its code source gets a
-    * random stamp — it still publishes atomically, but nothing it
-    * wrote is ever trusted cross-run (fail-safe, never fail-stale).
+  /** CONTENT digest of the compiled classes (sorted per-entry CRCs of
+    * every `.class` in the code source): identical across JVMs of one
+    * build — including across sbt's per-invocation jar repackaging,
+    * whose paths and mtimes are run-unique — and different after any
+    * recompile that changes bytecode. Class-file CRCs come from the
+    * zip central directory (jar code source) or a direct byte CRC
+    * (classes-dir code source), with names normalized so the two
+    * forms of the SAME build agree. A JVM that cannot locate its code
+    * source gets a random stamp — it still publishes atomically, but
+    * nothing it wrote is ever trusted cross-run (fail-safe, never
+    * fail-stale).
     */
   lazy val buildFingerprint: String =
     try {
       val loc = Paths.get(getClass.getProtectionDomain.getCodeSource
         .getLocation.toURI)
       val md = MessageDigest.getInstance("MD5")
-      if (Files.isDirectory(loc)) {
-        Files.walk(loc).iterator().asScala
-          .filter(Files.isRegularFile(_))
-          .map(p => s"${loc.relativize(p)}:${Files.size(p)}:" +
-            s"${Files.getLastModifiedTime(p).toMillis}")
-          .toSeq.sorted
-          .foreach(l => md.update((l + "\n").getBytes("UTF-8")))
-      } else {
-        md.update((s"${loc.getFileName}:${Files.size(loc)}:" +
-          s"${Files.getLastModifiedTime(loc).toMillis}").getBytes("UTF-8"))
-      }
+      val entries: Seq[String] =
+        if (Files.isDirectory(loc))
+          Files.walk(loc).iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".class"))
+            .map { p =>
+              val crc = new java.util.zip.CRC32()
+              crc.update(Files.readAllBytes(p))
+              s"${loc.relativize(p).toString.replace('\\', '/')}:" +
+                s"${crc.getValue}"
+            }.toSeq
+        else {
+          val zf = new java.util.zip.ZipFile(loc.toFile)
+          try zf.entries().asScala
+            .filter(e => !e.isDirectory && e.getName.endsWith(".class"))
+            .map(e => s"${e.getName}:${e.getCrc}")
+            .toList
+          finally zf.close()
+        }
+      entries.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
       md.digest().map("%02x".format(_)).mkString.take(16)
     } catch {
       case _: Throwable => s"nosrc-${java.util.UUID.randomUUID()}"

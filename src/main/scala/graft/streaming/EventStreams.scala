@@ -514,6 +514,44 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the SHARDED HIERARCHICAL index —
+    * [[shardIngestStream]] with q169's per-shard two-level trees, the
+    * ingest twin of the capacity composition: each micro-batch shards
+    * by the pmod key and descends its own shard's tree through
+    * [[graft.ops.Similarity.assignShardHierCells]] (two broadcast
+    * model-sized table argmaxes — the same [[graft.ops.Similarity
+    * .hierAssign]] at each level the trainer assigns with, so
+    * streamed == batch is mechanism), appending (vec_id, cell) with
+    * the same anti-join-by-content effectively-once discipline as
+    * every sibling ingest. No state store; the corpus is never
+    * touched; a vector consults only its OWN shard's centroids at
+    * BOTH levels, so concurrent per-shard refreshes and this ingest
+    * never interfere. ShardedHierIngestStreamSpec asserts streamed ==
+    * the trained model's own batch assignment row-for-row plus both
+    * idempotence modes.
+    */
+  def shardedHierIngestStream(vectors: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, shards: Int, kSup: Int, kSub: Int,
+      stagedDir: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/cells_shard_hier_stream"
+        val assigned = graft.ops.Similarity.assignShardHierCells(
+          batch.where(col("nrm") > 0).dropDuplicates("vec_id"),
+          cents1, cents2, shards, kSup, kSub)
+        val fresh =
+          if (stagedExists(s, path))
+            assigned.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming DELETE-feed ingest — the tombstone half of the index
     * lifecycle (q144's serving-time mask is the consumer): delete
     * events stream in as bare vec_ids and append to the staged

@@ -135,6 +135,14 @@ object Staged {
     val link = Paths.get(work, name)
     val target = Paths.get(vdir).toAbsolutePath
     if (link.getParent != null) Files.createDirectories(link.getParent)
+    // the version current BEFORE this swap is the one in-flight
+    // readers may still be scanning — it is what GC must retain
+    val prevCurrent: Option[String] =
+      try {
+        if (Files.isSymbolicLink(link))
+          Some(Files.readSymbolicLink(link).getFileName.toString)
+        else None
+      } catch { case _: Throwable => None }
     // a plain directory left by a pre-versioning layout (or a raw
     // spec write) can occupy the link path; rename can't replace a
     // non-empty dir, so clear it first
@@ -154,7 +162,8 @@ object Staged {
         StandardCopyOption.ATOMIC_MOVE)
     }
     mark(work, name)
-    gcOldVersions(Paths.get(work, ".v", name), keep = 2)
+    gcOldVersions(Paths.get(work, ".v", name),
+      keep = Set(target.getFileName.toString) ++ prevCurrent)
   }
 
   /** The one-call publish: fresh version dir ← parquet ← atomic swap.
@@ -165,6 +174,34 @@ object Staged {
     val vdir = publishDir(work, name)
     df.write.mode("overwrite").parquet(vdir)
     commit(work, name, vdir)
+  }
+
+  /** Roll the asset back to its retained predecessor — the
+    * bad-refresh recovery a production index store must offer, and
+    * the operational payoff of keeping one prior snapshot: an atomic
+    * symlink swap to the other retained version plus a consistent
+    * manifest, through the same [[commit]] path a forward publish
+    * uses (so freshness, marking, and GC semantics are identical).
+    * Serving resumes on the previous complete snapshot immediately;
+    * because GC retains {current, previous-current}, a second
+    * rollback TOGGLES back to the abandoned refresh (both snapshots
+    * stay pinned-reader-safe), and the next forward publish drops it.
+    * Throws (named) if nothing was ever published or only one
+    * version exists.
+    */
+  def rollback(work: String, name: String): Unit = synchronized {
+    val base = Paths.get(work, ".v", name)
+    val link = Paths.get(work, name)
+    require(Files.isSymbolicLink(link),
+      s"staged: $name has no published version to roll back")
+    val cur = Files.readSymbolicLink(link).getFileName.toString
+    val prev = Files.list(base).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(s => s.startsWith("v=") && s != cur)
+      .toSeq.sortBy(-_.drop(2).toLong).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"staged: $name has no retained predecessor to roll back to"))
+    commit(work, name, base.resolve(prev).toString)
   }
 
   /** Tail-position sugar for [[write]]: `df.stagePublish(work, name)`
@@ -199,16 +236,20 @@ object Staged {
       .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
       .foldLeft(0L)(math.max)
 
-  /** Keep the newest `keep` versions: the current one plus one
-    * predecessor for readers that resolved the path just before a
-    * swap. Older snapshots are dead weight.
+  /** Keep exactly the named versions — the new current plus the
+    * version that was current just before the swap (whatever its
+    * NUMBER: a forward publish retains its predecessor for readers
+    * that resolved the path just before the swap; a [[rollback]]
+    * retains the rolled-back-from refresh so the toggle is
+    * reversible and pinned readers survive). Everything else is dead
+    * weight.
     */
-  private def gcOldVersions(base: Path, keep: Int): Unit =
+  private def gcOldVersions(base: Path, keep: Set[String]): Unit =
     try {
-      val vs = Files.list(base).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("v="))
-        .toSeq.sortBy(-_.getFileName.toString.drop(2).toLong)
-      vs.drop(keep).foreach(deleteTree)
+      Files.list(base).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v=") &&
+          !keep.contains(p.getFileName.toString))
+        .foreach(deleteTree)
     } catch { case _: Throwable => () }
 
   private def deleteTree(p: Path): Unit = {

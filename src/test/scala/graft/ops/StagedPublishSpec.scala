@@ -106,6 +106,44 @@ class StagedPublishSpec extends SparkSpec {
     assert(readAll(work, "g") === Set(3L))
   }
 
+  test("rollback: a bad refresh reverts to the retained predecessor atomically") {
+    val work = freshWork()
+    publish(work, "rb", Seq(1L, 2L))         // the good index
+    publish(work, "rb", Seq(666L))           // the bad refresh
+    assert(readAll(work, "rb") === Set(666L))
+    Staged.rollback(work, "rb")
+    assert(readAll(work, "rb") === Set(1L, 2L),
+      "rollback must serve the previous complete snapshot")
+    Staged.unmarkForTesting(work, "rb")
+    assert(Staged.isFresh(work, "rb"),
+      "a rolled-back asset must stay manifest-consistent (fresh)")
+    // both snapshots stay retained: a second rollback TOGGLES back
+    Staged.rollback(work, "rb")
+    assert(readAll(work, "rb") === Set(666L))
+    Staged.rollback(work, "rb")
+    assert(readAll(work, "rb") === Set(1L, 2L))
+    // the next forward publish claims a fresh version, retains the
+    // rolled-back-to current as ITS predecessor, and drops the bad one
+    publish(work, "rb", Seq(7L))
+    assert(readAll(work, "rb") === Set(7L))
+    val vs = java.nio.file.Files.list(Paths.get(work, ".v", "rb"))
+      .iterator()
+    var names = Set.empty[String]
+    while (vs.hasNext) names += vs.next().getFileName.toString
+    assert(names.filter(_.startsWith("v=")) === Set("v=1", "v=3"),
+      s"GC must keep {new current, previous current}, got $names")
+  }
+
+  test("rollback without a retained predecessor fails by name") {
+    val work = freshWork()
+    val e = intercept[IllegalArgumentException](
+      Staged.rollback(work, "ghost"))
+    assert(e.getMessage.contains("no published version"))
+    publish(work, "solo", Seq(5L)) // one version only
+    intercept[IllegalStateException](Staged.rollback(work, "solo"))
+    assert(readAll(work, "solo") === Set(5L), "failed rollback is a no-op")
+  }
+
   test("a plain directory squatting the link path is replaced by the swap") {
     val work = freshWork()
     Seq(0L).toDF("x").write.mode("overwrite").parquet(s"$work/p")

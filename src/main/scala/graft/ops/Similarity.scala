@@ -1297,11 +1297,27 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     ensureSq8(s, dir, work)
+    sq8SearchOn(s, dir, work,
+      s.read.parquet(Staged.path(work, "probes")))
+  }
+
+  /** The SQ8 serving chain, given a ready probe frame (query_id,
+    * cluster): query-side lo/st folds (model-sized, computed for
+    * exactly the probe list's query ids), one codegen'd `vec_ldot`
+    * per candidate over the staged 1-byte codes, approx-cosine
+    * shortlist, q130's exact re-rank. One shared code path for the
+    * batch entry (q167, staged probes) and the streaming serving twin
+    * ([[graft.streaming.EventStreams.sq8SearchStream]], per-batch
+    * probes) — streamed == batch is mechanism, not hope.
+    */
+  def sq8SearchOn(s: SparkSession, dir: String, work: String,
+      probes: DataFrame, topK: Int = 5): DataFrame = {
     val cells = s.read.parquet(Staged.path(work, "cells"))
-    val probes = s.read.parquet(Staged.path(work, "probes"))
     val codes = s.read.parquet(Staged.path(work, "sq_codes"))
     val (lo, st) = sq8Params(s, work)
-    val q = scaledVectors(s, dir).where(col("vec_id") < 20)
+    val q = scaledVectors(s, dir)
+      .join(probes.select(col("query_id").as("vec_id")).distinct(),
+        "vec_id")
       .withColumn("lo", typedLit(lo.toSeq))
       .withColumn("st", typedLit(st.toSeq))
       .select(col("vec_id").as("query_id"), col("nrm").as("qn"),
@@ -1324,7 +1340,7 @@ object Similarity {
           .as("acos"))
       .withColumn("srank", row_number().over(w))
       .where(col("srank") <= RerankShortlist)
-    rerankExact(s, dir, shortlist, topK = 5)
+    rerankExact(s, dir, shortlist, topK)
   }
 
   /** q168 — SQ8 serving UNDER THE SERVING CONSTRAINTS: the tombstone

@@ -896,6 +896,44 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SQ8 serving — [[matryoshkaSearchStream]]'s twin for
+    * q167's scalar-quantized route, completing the serving-stream
+    * matrix for the SECOND compression layout: micro-batches of query
+    * vectors select their nprobe cells from the broadcast flat
+    * centroids ([[graft.ops.Similarity.ivfProbes]], no shuffle) and
+    * answer through the SAME [[graft.ops.Similarity.sq8SearchOn]]
+    * chain the batch entry runs — query-side lo/st folds, one
+    * codegen'd integer dot per candidate over the staged 1-byte
+    * codes (no codebook join), exact re-rank of the shortlist — so
+    * streamed == batch is mechanism. Results append-only,
+    * effectively-once per query id. Sq8SearchStreamSpec pins
+    * streamed == batch q167 row-for-row on the real embeddings.
+    */
+  def sq8SearchStream(queries: DataFrame, dir: String, work: String,
+      centroids: Array[Array[Double]], nprobe: Int,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$work/sq8_results_stream"
+        val q = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+          .localCheckpoint() // probe selection + the search read it
+        val probes = graft.ops.Similarity.ivfProbes(q, centroids, nprobe)
+          .select(col("query_id"), col("cluster"))
+        val res = graft.ops.Similarity.sq8SearchOn(s, dir, work, probes)
+        val fresh =
+          if (stagedExists(s, path))
+            res.join(
+              s.read.parquet(path).select(col("query_id")).distinct(),
+              Seq("query_id"), "left_anti")
+          else res
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming SHARDED serving — [[hierPqSearchStream]]'s twin for
     * the scatter-gather layout (q143's query half): micro-batches of
     * query vectors probe nprobe cells in EVERY shard from the

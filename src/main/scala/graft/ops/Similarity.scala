@@ -2655,20 +2655,36 @@ object Similarity {
   def q144TombstoneAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
+    tombstoneSearchOn(s, dir, work,
+      s.read.parquet(Staged.path(work, "probes")))
+  }
+
+  /** The tombstone-MASKED serving chain, given a ready probe frame
+    * (query_id, cluster): the staged delete feed anti-joins off BOTH
+    * sides before anything is scored — a deleted corpus row is never
+    * a candidate, a deleted query id is silently masked (no rows, the
+    * serving contract) — then [[searchCells]] unchanged. One shared
+    * code path for the batch entry (q144, staged probes) and the
+    * streaming serving twin ([[graft.streaming.EventStreams
+    * .tombstoneSearchStream]], per-batch probes) — streamed == batch
+    * is mechanism, not hope.
+    */
+  def tombstoneSearchOn(s: SparkSession, dir: String, work: String,
+      probes: DataFrame, topK: Int = 5): DataFrame = {
     if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
     val deletes = s.read.parquet(Staged.path(work, "deletes"))
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(Staged.path(work, "probes"))
+    val pr = probes
       .join(broadcast(deletes.withColumnRenamed("vec_id", "query_id")),
         Seq("query_id"), "left_anti")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
         col("v").as("qv"), col("nrm").as("qn"))
-    searchCells(probes, iv, topK = 5)
+    searchCells(pr, iv, topK)
   }
 
   /** Execute the tombstone COMPACTION q135's report recommends: fold

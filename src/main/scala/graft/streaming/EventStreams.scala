@@ -896,6 +896,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming TOMBSTONE-MASKED serving — the CONSTRAINTS column of
+    * the serving-stream matrix (the layout and compression columns
+    * have their twins; this is q144's query half as a stream
+    * consumer): micro-batches of query vectors select their nprobe
+    * cells from the broadcast flat centroids and answer through the
+    * SAME [[graft.ops.Similarity.tombstoneSearchOn]] chain the batch
+    * entry runs — the staged delete feed anti-joins off BOTH sides
+    * before anything is scored, so a deleted corpus row is never a
+    * candidate and a DELETED QUERY ID in the stream is silently
+    * masked (appends nothing — the serving contract, pinned by spec).
+    * Results append-only, effectively-once per query id.
+    * TombstoneSearchStreamSpec pins streamed == batch q144
+    * row-for-row plus the masked-query behavior.
+    */
+  def tombstoneSearchStream(queries: DataFrame, dir: String,
+      work: String, centroids: Array[Array[Double]], nprobe: Int,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$work/tombstone_results_stream"
+        val q = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+          .localCheckpoint() // probe selection + the search read it
+        val probes = graft.ops.Similarity.ivfProbes(q, centroids, nprobe)
+          .select(col("query_id"), col("cluster"))
+        val res = graft.ops.Similarity
+          .tombstoneSearchOn(s, dir, work, probes)
+        val fresh =
+          if (stagedExists(s, path))
+            res.join(
+              s.read.parquet(path).select(col("query_id")).distinct(),
+              Seq("query_id"), "left_anti")
+          else res
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming SQ8 serving — [[matryoshkaSearchStream]]'s twin for
     * q167's scalar-quantized route, completing the serving-stream
     * matrix for the SECOND compression layout: micro-batches of query

@@ -66,10 +66,11 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Frame sampling for video-shaped media: the stub decoder's frame
-    * count fans out into per-frame rows (every 5th frame kept), each
-    * with a deterministic pseudo-feature — the row shape a real
-    * keyframe extractor would emit. Generator stage, no shuffle.
+  /** Frame sampling for video-shaped media over the STUB decoder —
+    * the codec-independent row-shape exercise (generator stage, no
+    * shuffle). The honest end-to-end video path is [[q170VideoDecode]]:
+    * a real RIFF/AVI MJPEG container demuxed and decoded frame-by-
+    * frame through [[Jpeg.decode]], with the same every-Nth sampling.
     */
   def q61FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -318,6 +318,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("count(1)"),
       p.take(1500))
   }
+
+  test("q168 folds the label into the candidate join key and never goes cartesian") {
+    val p = plan("q168_sq8_constrained")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the candidate join hashes on (cluster AND label) — a wrong-label
+    // candidate is never SQ8-priced; a post-filter spelling would show
+    // label only in a Filter, not in a join key list
+    val keyed = p.linesIterator.filter(l => l.contains("Join") &&
+      l.contains("cluster#") && l.contains("label#")).toSeq
+    assert(keyed.nonEmpty, p.take(2000))
+  }
+
+  test("q169 gathers through one cell equi-join; probes never touch the corpus quadratically") {
+    val p = plan("q169_sharded_hier_ann")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the gather is the standard cell equi-join (cluster = cluster);
+    // shard count and per-shard depth are invisible to the plan
+    assert(p.linesIterator.exists(l => l.contains("Join") &&
+      "cluster#\\d+L?".r.findFirstIn(l).isDefined), p.take(2000))
+  }
+
+  test("q170 decodes video in narrow map stages — no shuffle before the frame cut") {
+    val p = plan("q170_video_decode")
+    // exactly one Exchange: the final global orderBy; mux, demux, and
+    // per-frame decode all ride mapPartitions/SerializeFromObject
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, p.take(2000))
+    assert(p.contains("MapPartitions"), p.take(2000))
+  }
 }
 
 /** Helper giving specs access to executed plans of catalog queries. */

@@ -147,8 +147,11 @@ object Avi {
     var declared = -1L
     val frames = Seq.newBuilder[Array[Byte]]
 
-    // walk the chunks of [from, until); recurse into LISTs
-    def walk(from: Int, until: Int): Unit = {
+    // walk the chunks of [from, until); recurse into LISTs. Real AVI
+    // nests <= 3 deep (RIFF > hdrl > strl); the cap turns a hostile
+    // deeply-nested blob into a named error instead of a stack overflow
+    def walk(from: Int, until: Int, depth: Int = 0): Unit = {
+      require(depth <= 16, "avi: LIST nesting too deep")
       var p = from
       while (p < until) {
         require(p + 8 <= until, "avi: truncated chunk header")
@@ -161,7 +164,7 @@ object Avi {
         id match {
           case "LIST" =>
             require(len >= 4, "avi: LIST too short for a type tag")
-            walk(body + 4, body + len.toInt) // skip the list-type fourcc
+            walk(body + 4, body + len.toInt, depth + 1) // skip the type tag
           case "avih" =>
             require(len >= 40, "avi: truncated avih")
             usPerFrame = u32(bytes, body).toInt

@@ -101,5 +101,23 @@ class AviSpec extends AnyFunSuite {
     // empty input
     assert(intercept[IllegalArgumentException](
       Avi.decode(Array.emptyByteArray)).getMessage.contains("RIFF"))
+    // a hostile deeply-nested LIST blob fails by name, never by
+    // stack overflow: 1000 nested "LIST xxxx" shells
+    val depth = 1000
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val inner = 4 + depth * 12 // "AVI " + the nested shells
+    def le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    out.write(le(inner))
+    out.write("AVI ".getBytes("US-ASCII"))
+    (0 until depth).foreach { i =>
+      out.write("LIST".getBytes("US-ASCII"))
+      out.write(le((depth - i) * 12 - 8)) // body = type tag + next shell
+      out.write("nest".getBytes("US-ASCII"))
+    }
+    assert(intercept[IllegalArgumentException](
+      Avi.decode(out.toByteArray)).getMessage.contains("nesting"))
   }
 }

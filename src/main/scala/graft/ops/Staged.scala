@@ -242,7 +242,13 @@ object Staged {
     * that resolved the path just before the swap; a [[rollback]]
     * retains the rolled-back-from refresh so the toggle is
     * reversible and pinned readers survive). Everything else is dead
-    * weight.
+    * weight. Retention bound: one swap — a reader that pins a
+    * version and then survives TWO further publishes loses its
+    * files, which is ample for query-lifetime reads (refreshes are
+    * minutes apart, scans are seconds); a deployment with very long
+    * scans over very hot assets would add a TTL floor here (keep
+    * versions younger than the longest admitted scan) — a knob, not
+    * a redesign.
     */
   private def gcOldVersions(base: Path, keep: Set[String]): Unit =
     try {

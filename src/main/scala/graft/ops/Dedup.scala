@@ -793,10 +793,20 @@ object Dedup {
   /** Per-sf staging area. Ephemeral derived data (same category as
     * Spark's own checkpoint/shuffle files), so it lives under the JVM
     * temp dir, keyed by the source dir AND its content fingerprint
-    * ([[Staged.inputFingerprint]]) — regenerated testdata lands in a
-    * fresh root, so cross-run asset reuse (gated by the build stamp
-    * in each asset's MANIFEST, see [[Staged]]) can never serve
-    * derivations of stale data.
+    * ([[Staged.inputFingerprint]]) AND the build fingerprint
+    * ([[Staged.buildFingerprint]]): regenerated testdata lands in a
+    * fresh root, and so does a recompiled build — which is what makes
+    * MULTI-ASSET refreshes generation-consistent without a group
+    * commit. Each asset's symlink swap is atomic but a refresh swaps
+    * several assets (cells, then probes) back-to-back; within one
+    * root every writer is the same deterministic build over the same
+    * data, so any interleaving of swaps yields byte-identical
+    * content, and a concurrently-running JVM of a DIFFERENT build —
+    * the one writer whose cells/probes could genuinely diverge —
+    * publishes into its own root and can never be half-read by this
+    * one (the rolling-upgrade race). A deployment with
+    * non-deterministic trainers would add a group stamp to the
+    * manifests instead — a knob on [[Staged.commit]], not a redesign.
     */
   private val stageRootCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -805,7 +815,8 @@ object Dedup {
     stageRootCache.computeIfAbsent(dir, d => {
       val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
       val fp = Staged.inputFingerprint(d)
-      s"${sys.props("java.io.tmpdir")}/graft_staged/$tag-$fp"
+      val bld = Staged.buildFingerprint.take(8)
+      s"${sys.props("java.io.tmpdir")}/graft_staged/$tag-$fp-$bld"
     })
 
   /** The staged pipeline end-to-end as a catalog query: pairs →

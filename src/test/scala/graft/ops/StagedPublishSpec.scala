@@ -156,6 +156,11 @@ class StagedPublishSpec extends SparkSpec {
   test("build fingerprint is stable in-JVM; input fingerprint tracks the data") {
     assert(Staged.buildFingerprint === Staged.buildFingerprint)
     assert(Staged.buildFingerprint.length >= 16)
+    // the stage root is single-build: a different build lands in a
+    // different root, so multi-asset refresh swaps can never be
+    // half-read by a concurrent JVM of another build
+    assert(Dedup.stageRoot("/root/testdata/sf0.001")
+      .endsWith("-" + Staged.buildFingerprint.take(8)))
     val d = Files.createTempDirectory("fp-in")
     Files.writeString(d.resolve("t.parquet"), "aa")
     val f1 = Staged.inputFingerprint(d.toString)

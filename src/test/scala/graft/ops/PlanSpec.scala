@@ -208,9 +208,17 @@ class PlanSpec extends SparkSpec {
   test("q112 refresh reads staged partials, never re-aggregating the corpus split") {
     // the staged side must enter the merge as a parquet scan of the
     // model-sized partial table; a plan whose UNION side re-scans
-    // lineitem for the corpus split has lost the incremental property
+    // lineitem for the corpus split has lost the incremental property.
+    // (Asserted structurally, not by the staged path substring — the
+    // rendered FileScan location truncates, and the versioned stage
+    // root's fingerprint suffixes push the asset name past the cut.)
     val p = plan("q112_incremental_agg")
-    assert(p.contains("agg_state"), p.take(1200))
+    assert(p.contains("graft_staged"), p.take(1500))
+    // exactly ONE lineitem scan survives — the delta split; the corpus
+    // split arrives pre-aggregated from the staged parquet
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) === 1,
+      p.take(1500))
   }
 
   test("q46 approx percentiles stay within 1% of exact") {

@@ -149,8 +149,15 @@ object Avi {
 
     // walk the chunks of [from, until); recurse into LISTs. Real AVI
     // nests <= 3 deep (RIFF > hdrl > strl); the cap turns a hostile
-    // deeply-nested blob into a named error instead of a stack overflow
-    def walk(from: Int, until: Int, depth: Int = 0): Unit = {
+    // deeply-nested blob into a named error instead of a stack
+    // overflow. `inMovi` tracks whether the walk is inside a 'movi'
+    // LIST (propagated through the 'rec ' grouping lists the grammar
+    // allows there): frame chunks are ONLY legal in movi — one found
+    // anywhere else (hdrl, strl, top level) is a grammar violation
+    // and fails by name, so a malformed blob can't smuggle frames
+    // past the declared-vs-actual count check
+    def walk(from: Int, until: Int, depth: Int = 0,
+        inMovi: Boolean = false): Unit = {
       require(depth <= 16, "avi: LIST nesting too deep")
       var p = from
       while (p < until) {
@@ -164,7 +171,9 @@ object Avi {
         id match {
           case "LIST" =>
             require(len >= 4, "avi: LIST too short for a type tag")
-            walk(body + 4, body + len.toInt, depth + 1) // skip the type tag
+            val kind = fourcc(bytes, body)
+            walk(body + 4, body + len.toInt, depth + 1, // skip the type tag
+              inMovi = inMovi || kind == "movi")
           case "avih" =>
             require(len >= 40, "avi: truncated avih")
             usPerFrame = u32(bytes, body).toInt
@@ -172,6 +181,7 @@ object Avi {
             width = u32(bytes, body + 32).toInt
             height = u32(bytes, body + 36).toInt
           case "00dc" | "00db" =>
+            require(inMovi, s"avi: frame chunk $id outside a movi LIST")
             frames += java.util.Arrays.copyOfRange(bytes, body,
               body + len.toInt)
           case _ => () // strh/strf/idx1/JUNK: validated above, skipped

@@ -806,18 +806,23 @@ object Dedup {
     * publishes into its own root and can never be half-read by this
     * one (the rolling-upgrade race). A deployment with
     * non-deterministic trainers would add a group stamp to the
-    * manifests instead — a knob on [[Staged.commit]], not a redesign.
+    * manifests instead — a knob [[Staged.commit]] and
+    * [[Staged.resolveGroup]] now carry for them.
+    *
+    * Deliberately UNCACHED: the input fingerprint is recomputed on
+    * every call (a (name, size, mtime) listing of ~10 files —
+    * microseconds against any real query), so testdata regenerated
+    * MID-JVM immediately resolves to a fresh stage root instead of
+    * silently trusting assets derived from the old data through a
+    * process-lifetime memo. The in-JVM freshness set keys on the full
+    * root path, so a root shift automatically re-stages everything.
     */
-  private val stageRootCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  def stageRoot(dir: String): String =
-    stageRootCache.computeIfAbsent(dir, d => {
-      val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val fp = Staged.inputFingerprint(d)
-      val bld = Staged.buildFingerprint.take(8)
-      s"${sys.props("java.io.tmpdir")}/graft_staged/$tag-$fp-$bld"
-    })
+  def stageRoot(dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = Staged.inputFingerprint(dir)
+    val bld = Staged.buildFingerprint.take(8)
+    s"${sys.props("java.io.tmpdir")}/graft_staged/$tag-$fp-$bld"
+  }
 
   /** The staged pipeline end-to-end as a catalog query: pairs →
     * clusters → survivors each written then CONSUMED FROM PARQUET, and

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
@@ -2302,25 +2302,148 @@ object Similarity {
         (col("cluster") * kSub + col("sub")).as("cell"))
   }
 
+  /** SHARDED × THREE-LEVEL training — [[trainShardedHier]] one level
+    * deeper, so the 10¹⁰-vector capacity composition (S shards ×
+    * [[trainHier3]]'s 262k-leaf tree per shard) is exercised at FULL
+    * per-shard depth, not argued from the two-level case: the hash
+    * shard is level 0, then THREE [[trainSubCells]] passes — the same
+    * depth-agnostic broadcast-table Lloyd — with the shard, the
+    * (shard, sup) cell, and the (shard, sup, mid) cell as successive
+    * parent keys. All shards and all parents train in the same
+    * corpus-wide jobs; no seed, centroid, or Lloyd mean ever crosses
+    * a parent boundary, so one shard's retrain cannot move any other
+    * shard's assignments at ANY of the three depths
+    * (ShardedHierSpec's independence pin, one level deeper). Leaf id
+    * = ((shard·k1 + s1)·k2 + s2)·k3 + s3 — shard-disjoint ranges, so
+    * the scatter-gather union still needs no dedup. Returns the three
+    * centroid tables (keyed by shard, by level-1 cell, by level-2
+    * cell) and the assignments (vec_id, cell).
+    */
+  def trainShardedHier3(s: SparkSession, dir: String, shards: Int,
+      k1: Int, k2: Int, k3: Int, iters: Int = 3)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ivs = scaledVectors(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("cluster", pmod(col("vec_id"), lit(shards)).cast("int"))
+      .localCheckpoint() // seeding + Lloyd + assign all scan it
+    val cents1 = trainSubCells(ivs, k1, iters)
+    val asg1 = hierAssign(ivs, cents1)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * k1 + col("sub")).as("cluster"))
+    val ivs2 = scaledVectors(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(asg1, "vec_id")
+      .localCheckpoint()
+    val cents2 = trainSubCells(ivs2, k2, iters)
+    val asg2 = hierAssign(ivs2, cents2)
+      .select(col("vec_id"),
+        (col("cluster") * k2 + col("sub")).as("cluster"))
+    val ivs3 = scaledVectors(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(asg2, "vec_id")
+      .localCheckpoint()
+    val cents3 = trainSubCells(ivs3, k3, iters)
+    val asg = hierAssign(ivs3, cents3)
+      .select(col("vec_id"),
+        (col("cluster") * k3 + col("sub")).as("cell"))
+    (cents1, cents2, cents3, asg)
+  }
+
+  /** Scatter-gather probe list over the sharded THREE-level index —
+    * [[shardHierProbes]]' descent with one more beam stage: per
+    * (query, shard) beam the supers, then the beam's level-2 cells,
+    * then keep the `width` nearest LEAVES per shard. No shard may be
+    * skipped; within a shard the descent prices k1 + O(k2·beam1) +
+    * O(k3·beam2) centroids instead of the shard's k1·k2·k3 leaf
+    * table — the per-query selection cost that keeps a 262k-leaf
+    * per-shard tree probeable. Beam rule at each level:
+    * just enough parents that their children can fill the next
+    * level's quota, +1 for the boundary case ([[hier3Probes]]' rule).
+    * Output (query_id, cell).
+    */
+  def shardHier3Probes(queries: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, cents3: DataFrame, k1: Int, k2: Int, k3: Int,
+      width: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val beam2 = math.max(1, (width + k3 - 1) / k3) + 1
+    val beam1 = math.max(1, (beam2 + k2 - 1) / k2) + 1
+    val w1 = Window.partitionBy(col("query_id"), col("cluster"))
+      .orderBy(col("cos").desc_nulls_last, col("sub"))
+    val sup = q.crossJoin(broadcast(cents1))
+      .select(col("query_id"), col("cluster"), col("sub"),
+        when(col("cnrm") > 0,
+          idot(col("qv"), col("cv")).cast("double")
+            / (col("qn") * col("cnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w1))
+      .where(col("rk") <= beam1)
+      .select(col("query_id"),
+        (col("cluster").cast("long") * k1 + col("sub")).as("cluster"))
+      .join(q, "query_id")
+    val w2 = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("cos").desc_nulls_last, col("cell"))
+    val mid = sup.join(broadcast(cents2), Seq("cluster"))
+      .select(col("query_id"),
+        expr(s"cluster div $k1").as("shard"),
+        (col("cluster") * k2 + col("sub")).as("cell"),
+        when(col("cnrm") > 0,
+          idot(col("qv"), col("cv")).cast("double")
+            / (col("qn") * col("cnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w2))
+      .where(col("rk") <= beam2)
+      .select(col("query_id"), col("cell").as("cluster"))
+      .join(q, "query_id")
+    val w3 = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("cos").desc_nulls_last, col("cell"))
+    mid.join(broadcast(cents3), Seq("cluster"))
+      .select(col("query_id"),
+        expr(s"cluster div ${k1 * k2}").as("shard"),
+        (col("cluster") * k3 + col("sub")).as("cell"),
+        when(col("cnrm") > 0,
+          idot(col("qv"), col("cv")).cast("double")
+            / (col("qn") * col("cnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w3))
+      .where(col("rk") <= width)
+      .select(col("query_id"), col("cell"))
+  }
+
   /** Stage the sharded-hierarchical index: `cells_shard_hier` (vec_id,
-    * cell over shards·kSup·kSub learned leaves, shard-disjoint id
-    * ranges) and the per-shard tree-descent probe list
-    * `probes_shard_hier` at the per-shard [[volumeMatchedWidth]].
+    * cell over shard-disjoint learned leaves) and the per-shard
+    * tree-descent probe list `probes_shard_hier` at the per-shard
+    * [[volumeMatchedWidth]]. DEPTH-ADAPTIVE per shard, mirroring
+    * [[stageCells]]' routing: two learned levels while one shard's
+    * target cell count fits the 4096-cell two-level ceiling, THREE
+    * ([[trainShardedHier3]]) above it — so the production route
+    * composes shards × hier3 exactly where the 10¹⁰-vector sizing
+    * needs it, and the staged (cells, probes) interface (and q169's
+    * search plan over it) does not know which depth trained.
     */
   def stageShardedHierIndex(s: SparkSession, dir: String,
       work: String): Unit = {
     val n = vectorCount(s, dir)
     val nPerShard = (n + NumShards - 1) / NumShards
-    val (kSup, kSub) = shardHierSizing(nPerShard)
-    val (cents1, cents2, asg) =
-      trainShardedHier(s, dir, NumShards, kSup, kSub)
-    Staged.write(asg, work, "cells_shard_hier")
+    val want = (nPerShard + CellTarget - 1) / CellTarget
     val queries = scaledVectors(s, dir).where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
-    Staged.write(
-      shardHierProbes(queries, cents1, cents2, kSup, kSub,
-        volumeMatchedWidth(kSup.toLong * kSub, nPerShard, nprobe = 2)),
-      work, "probes_shard_hier")
+    if (want > Hier2MaxCells) {
+      val (k1, k2, k3) = hierFactors3(want)
+      val (c1, c2, c3, asg) =
+        trainShardedHier3(s, dir, NumShards, k1, k2, k3)
+      Staged.write(asg, work, "cells_shard_hier")
+      Staged.write(
+        shardHier3Probes(queries, c1, c2, c3, k1, k2, k3,
+          volumeMatchedWidth(k1.toLong * k2 * k3, nPerShard, nprobe = 2)),
+        work, "probes_shard_hier")
+    } else {
+      val (kSup, kSub) = shardHierSizing(nPerShard)
+      val (cents1, cents2, asg) =
+        trainShardedHier(s, dir, NumShards, kSup, kSub)
+      Staged.write(asg, work, "cells_shard_hier")
+      Staged.write(
+        shardHierProbes(queries, cents1, cents2, kSup, kSub,
+          volumeMatchedWidth(kSup.toLong * kSub, nPerShard, nprobe = 2)),
+        work, "probes_shard_hier")
+    }
   }
 
   private def ensureShardedHierIndex(s: SparkSession, dir: String,
@@ -2450,11 +2573,13 @@ object Similarity {
     *
     * Scale shape: candidate generation is the in-cell equi-join
     * (adaptive cell count keeps per-cell work linear, Similarity
-    * header), the threshold cut happens BEFORE the shuffle to CC (edges
-    * out ≪ candidates), and CC rounds are join + partial-agg groupBy
-    * on fixed-width ids. At 100 TB the edge set — not the corpus — is
-    * what CC touches, and a semantic-dup-heavy corpus shrinks, not
-    * grows, downstream training cost.
+    * header); the threshold cut happens BEFORE anything is shuffled,
+    * and the staged edge set is STAR-REDUCED per cell
+    * ([[stageSemPairs]]) — one edge per dup-group member, not C(g,2)
+    * — so CC's join + partial-agg rounds touch a LINEAR edge set even
+    * on a dup-saturated corpus. At 100 TB the (linear) edge set — not
+    * the corpus — is what CC touches, and a semantic-dup-heavy corpus
+    * shrinks, not grows, downstream training cost.
     */
   def q92SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
@@ -2465,11 +2590,30 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Stage the in-cell semantic-duplicate edge set (doc_a < doc_b,
-    * cosine ≥ [[SemDedupThreshold]], candidates blocked to trained IVF
-    * cells) as `$work/sem_pairs` — q92's candidate half, [[Staged]]-
+  /** Stage the in-cell semantic-duplicate edge set, STAR-REDUCED per
+    * cell, as `$work/sem_pairs` — q92's candidate half, [[Staged]]-
     * guarded so the q165 composition and repeated q92 runs share one
     * staging (training is deterministic, so a restage is byte-stable).
+    *
+    * Candidates are blocked to trained IVF cells and verified by exact
+    * cosine ≥ [[SemDedupThreshold]] (doc_a < doc_b) as before, but the
+    * STAGED set is no longer the raw pair list: a dup group of g
+    * members used to emit C(g,2) edges — the one remaining quadratic
+    * pair source in the engine on a dup-saturated corpus (measured
+    * ~quadratic warm growth on the dup-heavy replicas). Instead,
+    * [[graft.functions.CellStarReduce]] folds each cell's
+    * above-threshold pairs into their exact in-cell connected
+    * components (union-find, partial-agg map-side) and emits one
+    * `(component-min, member)` star edge per non-root member — LINEAR
+    * in the group, with provably identical transitive closure (each
+    * cell's graph is replaced by an equal-connectivity graph on the
+    * same vertex set, so the global closure over the union is
+    * unchanged — StarReduceSpec pins byte-identical q92/q165 output
+    * and the chain case a naive per-member min-neighbor edge would
+    * split). The quadratic cosine VERIFICATION inside a cell remains
+    * — that is the blocking's inherent cost, bounded by the adaptive
+    * cell sizing — but it no longer escapes the aggregation: nothing
+    * quadratic is shuffled, staged, or re-joined by CC rounds.
     */
   def stageSemPairs(s: SparkSession, dir: String, work: String): Unit = {
     if (!Staged.isFresh(work, "cells")) stageCells(s, dir, work)
@@ -2481,12 +2625,17 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val b = iv.select(col("cluster"), col("vec_id").as("doc_b"),
       col("v").as("vb"), col("nrm").as("nb"))
+    val star = udaf(graft.functions.CellStarReduce,
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     a.join(b, Seq("cluster"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("cluster"), col("doc_a"), col("doc_b"),
         cosine(idot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .where(col("cos") >= SemDedupThreshold)
-      .select(col("doc_a"), col("doc_b"))
+      .groupBy(col("cluster"))
+      .agg(star(col("doc_a"), col("doc_b")).as("stars"))
+      .select(explode(col("stars")).as("e"))
+      .select(col("e._1").as("doc_a"), col("e._2").as("doc_b"))
       .stagePublish(work, "sem_pairs")
   }
 
@@ -2930,12 +3079,17 @@ object Similarity {
     *
     * Scale shape: one linear equi-join against the staged assignment
     * table (the index IS the clustering — no new training), one md5 +
-    * integer fold per row, one per-cell window for the bottom-k. The
-    * window sorts within hash-partitioned cells, so a 100 TB corpus
-    * costs a shuffle on cluster id and nothing quadratic; a skewed
-    * giant cell rides q38's salting exactly as q132's scaladoc lays
-    * out (sample per (cell, salt), re-elect from ≤ salts·quota
-    * finalists — exact, because selection is by KEY).
+    * integer fold per row, then the TWO-STAGE SALTED bottom-k
+    * ([[clusterSampleElect]]): rank within (cell, salt) first, keep
+    * each salt slice's bottom-quota, then re-rank the ≤ salts·quota
+    * finalists per cell. Exact — selection is by a TOTAL key order,
+    * and every global bottom-quota member is in its own slice's
+    * bottom-quota (ClusterSampleSpec pins salted == plain window on a
+    * planted mega-cell) — and skew-proof: no window partition ever
+    * exceeds max(|cell|/salts, salts·quota) rows, so the crawl
+    * boilerplate cell that piles 10^5 vectors into one cluster sorts
+    * as [[ClusterSampleSalts]] bounded slices instead of one hot
+    * partition.
     */
   def q163ClusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
@@ -2953,6 +3107,12 @@ object Similarity {
   def clusterSampleKey: Column = expr(
     "cast(conv(substr(md5(concat('cb:', cast(vec_id as string))), 1, 15), 16, 10) as bigint)")
 
+  /** Salt fan-out for [[clusterSampleElect]]'s two-stage election —
+    * bounds every stage-1 window partition to ~|cell|/16 rows and
+    * stage 2 to ≤ 16·quota finalists per cell.
+    */
+  val ClusterSampleSalts = 16
+
   /** Per-cell bottom-[[ClusterSampleQuota]] election by
     * [[clusterSampleKey]] over rows carrying (cluster, vec_id, label)
     * — shared by batch [[q163ClusterBalancedSample]] and the streaming
@@ -2963,13 +3123,30 @@ object Similarity {
     * T sort before x, so x ∈ bottomk(T) — which is exactly why the
     * stream may fold micro-batches through intermediate elections
     * without ever disagreeing with the one-pass batch election.
+    *
+    * TWO-STAGE SALTED form (the skew defense, exact by the same
+    * monotonicity): stage 1 ranks within (cluster, salt = vec_id mod
+    * [[ClusterSampleSalts]]) and keeps each slice's bottom-quota —
+    * every member of the cell's true bottom-quota is in its own
+    * slice's bottom-quota, so nothing that matters is dropped; stage
+    * 2 re-ranks the ≤ salts·quota finalists per cell with the SAME
+    * total order, reproducing the plain single-window ranks 1..quota
+    * bit-for-bit (ClusterSampleSpec pins equality on a planted
+    * mega-cell). Cost: one extra bounded exchange; payoff: no window
+    * partition exceeds max(|cell|/salts, salts·quota) rows, so one
+    * dup-saturated cluster cannot serialize an executor.
     */
   def clusterSampleElect(assigned: DataFrame,
       quota: Int = ClusterSampleQuota): DataFrame = {
+    val pre = Window.partitionBy(col("cluster"), col("salt"))
+      .orderBy(col("h"), col("vec_id"))
     val win = Window.partitionBy(col("cluster"))
       .orderBy(col("h"), col("vec_id"))
     assigned
       .withColumn("h", clusterSampleKey)
+      .withColumn("salt", pmod(col("vec_id"), lit(ClusterSampleSalts)))
+      .withColumn("r0", row_number().over(pre))
+      .where(col("r0") <= quota)
       .withColumn("rank", row_number().over(win))
       .where(col("rank") <= quota)
       .select(col("cluster"), col("rank"), col("vec_id"), col("label"),
@@ -3009,9 +3186,22 @@ object Similarity {
     * Scale shape: two linear passes over the corpus (one partial-agg
     * groupBy to k·64 sufficient-statistic rows, one broadcast-join
     * scoring pass), then a per-cell window — shuffle on cluster id
-    * only, nothing quadratic, skewed cells ride q38's salting. The
-    * keep threshold floor(|cell|·p) comes from a count window over
-    * the same partitioning, so no extra shuffle.
+    * only, nothing quadratic. The keep threshold floor(|cell|·p)
+    * comes from a count window over the same partitioning, so no
+    * extra shuffle. Skew, honestly: because the keep COUNT is
+    * proportional to the cell (not a constant quota), q163's exact
+    * salted bottom-k does NOT transfer — a fixed per-salt cut can
+    * drop true keepers — so the rank window sorts each cell within
+    * one partition, linearithmic in |cell|. The operative bound is
+    * the quantizer itself: the adaptive cell count targets
+    * [[CellTarget]] members per cell, and a corpus whose dup mass
+    * defeats that (one mega-cell) is exactly the case q92's SemDeDup
+    * removes UPSTREAM in the D4 order (dedup first, then prune). The
+    * exact escalation for a standalone mega-cell run is a
+    * distributed selection of the per-cell k-th (score, id) order
+    * statistic (iterative pivoting — log rounds of partial-agg
+    * counts) feeding a threshold filter; a knob documented here, not
+    * silently claimed as implemented.
     */
   def q164PrototypePrune(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)

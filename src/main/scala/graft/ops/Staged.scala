@@ -125,13 +125,26 @@ object Staged {
 
   /** Publish a filled version directory: atomic symlink swap, then
     * manifest write (that order — a crash in between reads as stale,
-    * never as fresh-but-old), then keep-2 GC of older versions.
-    * `durable = false` skips the manifest: the asset serves this JVM
-    * (swap + mark) but is deliberately not trusted by later runs —
-    * the spec-planting escape hatch.
+    * never as fresh-but-old), then a COMMITTED sentinel into the
+    * version dir (so [[rollback]] can distinguish snapshots that
+    * completed a commit from orphans a crashed publisher abandoned
+    * mid-fill), then keep-2 GC of older versions. `durable = false`
+    * skips the manifest: the asset serves this JVM (swap + mark) but
+    * is deliberately not trusted by later runs — the spec-planting
+    * escape hatch.
+    *
+    * `group`: optional multi-asset generation stamp, recorded in the
+    * manifest. Each asset's swap stays individually atomic — the
+    * stamp is what lets [[resolveGroup]] detect (and wait out) the
+    * window where a cells+probes refresh has swapped one asset but
+    * not yet the other, making a multi-asset refresh observable
+    * all-or-nothing by readers that opt in. Single-asset readers and
+    * the deterministic same-build/same-data argument
+    * ([[Dedup.stageRoot]] scaladoc) need no stamp; a deployment with
+    * non-deterministic trainers passes one.
     */
   def commit(work: String, name: String, vdir: String,
-      durable: Boolean = true): Unit = synchronized {
+      durable: Boolean = true, group: Option[String] = None): Unit = synchronized {
     val link = Paths.get(work, name)
     val target = Paths.get(vdir).toAbsolutePath
     if (link.getParent != null) Files.createDirectories(link.getParent)
@@ -156,24 +169,98 @@ object Staged {
     if (durable) {
       val base = Paths.get(work, ".v", name)
       val mtmp = base.resolve(s"MANIFEST.tmp.${System.nanoTime()}")
+      val groupLine = group.map(g => s"group=$g\n").getOrElse("")
       Files.writeString(mtmp,
-        s"version=${target.getFileName}\nbuild=$buildFingerprint\n")
+        s"version=${target.getFileName}\nbuild=$buildFingerprint\n" +
+          groupLine)
       Files.move(mtmp, base.resolve("MANIFEST"),
         StandardCopyOption.ATOMIC_MOVE)
     }
+    // the sentinel lands LAST: a version carrying it completed a full
+    // commit at least once, which is the only kind rollback may bless
+    try Files.writeString(target.resolve(CommittedSentinel), "")
+    catch { case _: Throwable => () }
     mark(work, name)
     gcOldVersions(Paths.get(work, ".v", name),
-      keep = Set(target.getFileName.toString) ++ prevCurrent)
+      keep = Set(target.getFileName.toString) ++ prevCurrent,
+      committingNo = versionNo(target.getFileName.toString))
   }
+
+  /** Sentinel file a completed [[commit]] drops into its version dir.
+    * Parquet readers ignore non-data files starting with '.' or '_'
+    * (Spark and DuckDB both skip `_`-prefixed names), so the sentinel
+    * never pollutes a scan.
+    */
+  private val CommittedSentinel = "_GRAFT_COMMITTED"
+
+  private def versionNo(dirName: String): Long =
+    try dirName.stripPrefix("v=").toLong catch { case _: Throwable => Long.MaxValue }
 
   /** The one-call publish: fresh version dir ← parquet ← atomic swap.
     * This is what every staging function uses in place of an in-place
-    * `write.mode("overwrite")`.
+    * `write.mode("overwrite")`. `group` stamps the manifest for
+    * [[resolveGroup]] readers (multi-asset refresh consistency).
     */
-  def write(df: DataFrame, work: String, name: String): Unit = {
+  def write(df: DataFrame, work: String, name: String,
+      group: Option[String] = None): Unit = {
     val vdir = publishDir(work, name)
     df.write.mode("overwrite").parquet(vdir)
-    commit(work, name, vdir)
+    commit(work, name, vdir, durable = true, group = group)
+  }
+
+  /** The group stamp the asset's current manifest carries, if any. */
+  def groupOf(work: String, name: String): Option[String] =
+    try {
+      val mf = Paths.get(work, ".v", name, "MANIFEST")
+      if (!Files.exists(mf)) None
+      else Files.readString(mf).linesIterator
+        .map(_.split("=", 2)).collectFirst { case Array("group", g) => g }
+    } catch { case _: Throwable => None }
+
+  /** Resolve several assets to concrete version dirs that all belong
+    * to ONE group generation — the all-or-nothing read of a
+    * multi-asset refresh. Each asset's manifest is read atomically
+    * (manifest writes are ATOMIC_MOVE), and the versions returned are
+    * the manifests' own (immutable `v=N` paths, never the symlink),
+    * so the returned set is exactly one generation's snapshot even if
+    * further publishes land after the call. A publisher mid-swap
+    * (asset A stamped with the new group, asset B still the old)
+    * reads as a group MISMATCH; this retries until the stamps agree
+    * or `timeoutMs` elapses, then fails by name — it can never return
+    * a mixed-generation set. Assets published without a stamp never
+    * satisfy the check (None ≠ None is not equality here: a missing
+    * stamp means the publisher made no consistency promise).
+    */
+  def resolveGroup(work: String, names: Seq[String],
+      timeoutMs: Long = 10000L): Map[String, String] = {
+    require(names.nonEmpty, "staged: resolveGroup needs at least one asset")
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var lastSeen: Seq[(String, Option[String])] = Nil
+    while (true) {
+      val snap = names.map { n =>
+        val mf = Paths.get(work, ".v", n, "MANIFEST")
+        val kv: Map[String, String] =
+          try {
+            if (!Files.exists(mf)) Map.empty
+            else Files.readString(mf).linesIterator
+              .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
+              .toMap
+          } catch { case _: Throwable => Map.empty }
+        (n, kv.get("group"), kv.get("version"))
+      }
+      val groups = snap.map(_._2)
+      if (groups.forall(_.isDefined) && groups.distinct.size == 1 &&
+          snap.forall(_._3.isDefined))
+        return snap.map { case (n, _, v) =>
+          n -> Paths.get(work, ".v", n, v.get).toString
+        }.toMap
+      lastSeen = snap.map(s => (s._1, s._2))
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"staged: group resolve timed out; stamps: $lastSeen")
+      Thread.sleep(5)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Roll the asset back to its retained predecessor — the
@@ -195,12 +282,20 @@ object Staged {
     require(Files.isSymbolicLink(link),
       s"staged: $name has no published version to roll back")
     val cur = Files.readSymbolicLink(link).getFileName.toString
+    // only versions that completed a commit are eligible: a publisher
+    // that crashed BEFORE its commit leaves an orphan, possibly
+    // half-filled v= dir (the exact crash window StagedPublishSpec
+    // simulates) — blessing that as the recovery target would serve a
+    // partial snapshot. The sentinel is written last in commit(), so
+    // its presence proves the version was fully filled AND served.
     val prev = Files.list(base).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(s => s.startsWith("v=") && s != cur)
+      .filter(s => s.startsWith("v=") && s != cur &&
+        Files.exists(base.resolve(s).resolve(CommittedSentinel)))
       .toSeq.sortBy(-_.drop(2).toLong).headOption
       .getOrElse(throw new IllegalStateException(
-        s"staged: $name has no retained predecessor to roll back to"))
+        s"staged: $name has no COMMITTED predecessor to roll back to " +
+          "(orphan uncommitted versions are not eligible)"))
     commit(work, name, base.resolve(prev).toString)
   }
 
@@ -236,25 +331,53 @@ object Staged {
       .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
       .foldLeft(0L)(math.max)
 
-  /** Keep exactly the named versions — the new current plus the
-    * version that was current just before the swap (whatever its
-    * NUMBER: a forward publish retains its predecessor for readers
-    * that resolved the path just before the swap; a [[rollback]]
-    * retains the rolled-back-from refresh so the toggle is
-    * reversible and pinned readers survive). Everything else is dead
-    * weight. Retention bound: one swap — a reader that pins a
-    * version and then survives TWO further publishes loses its
-    * files, which is ample for query-lifetime reads (refreshes are
-    * minutes apart, scans are seconds); a deployment with very long
-    * scans over very hot assets would add a TTL floor here (keep
-    * versions younger than the longest admitted scan) — a knob, not
-    * a redesign.
+  /** Scan-TTL floor for version GC (milliseconds): a version dir
+    * younger than this is never deleted, whatever the keep set says —
+    * the knob a deployment with long scans over hot assets sets to
+    * its longest admitted scan. Default 0 (keep-2 only): the driver's
+    * refresh cadence is minutes and its scans are seconds, so age
+    * never gates there. Read per GC call so tests (and operators) can
+    * set it without restarting the JVM.
     */
-  private def gcOldVersions(base: Path, keep: Set[String]): Unit =
+  private def gcTtlMs: Long =
+    sys.props.get("graft.staged.gc.ttlMs").flatMap(_.toLongOption)
+      .getOrElse(0L)
+
+  /** Keep the named versions — the new current plus the version that
+    * was current just before the swap (whatever its NUMBER: a forward
+    * publish retains its predecessor for readers that resolved the
+    * path just before the swap; a [[rollback]] retains the
+    * rolled-back-from refresh so the toggle is reversible and pinned
+    * readers survive) — and additionally:
+    *
+    *  - any version numbered HIGHER than the committing target: that
+    *    is a concurrent publisher's claimed (possibly still-filling)
+    *    dir — [[publishDir]]'s atomic-mkdir claim promises racing
+    *    publishers distinct versions, and deleting the loser's
+    *    in-progress dir mid-write would fail its job or, worse, let
+    *    it commit a partial snapshot. It is GC'd by ITS OWN commit's
+    *    successor, never by a concurrent older one;
+    *  - any version younger than [[gcTtlMs]] (the scan-TTL floor):
+    *    keep-2 alone is one-swap-deep, so a reader that pins a
+    *    version and survives TWO further publishes within the TTL
+    *    keeps its files.
+    *
+    * Everything else is dead weight.
+    */
+  private def gcOldVersions(base: Path, keep: Set[String],
+      committingNo: Long): Unit =
     try {
+      val now = System.currentTimeMillis()
+      val ttl = gcTtlMs
       Files.list(base).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("v=") &&
-          !keep.contains(p.getFileName.toString))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v=") && !keep.contains(n) &&
+            versionNo(n) < committingNo &&
+            (ttl <= 0L || (try
+              now - Files.getLastModifiedTime(p).toMillis >= ttl
+            catch { case _: Throwable => false }))
+        }
         .foreach(deleteTree)
     } catch { case _: Throwable => () }
 

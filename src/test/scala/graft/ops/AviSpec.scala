@@ -120,4 +120,26 @@ class AviSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Avi.decode(out.toByteArray)).getMessage.contains("nesting"))
   }
+
+  test("a frame chunk outside the movi LIST is rejected by name") {
+    // a well-formed 1-frame AVI, then a stray 00dc appended at top
+    // level (after idx1): declared==actual inside movi would still
+    // hold if the stray were silently counted — the strict grammar
+    // must instead fail on its location
+    def le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val good = Avi.encode(frames(1), 16, 16)
+    val stray = "00dc".getBytes("US-ASCII") ++ le(2) ++ Array[Byte](1, 2)
+    val out = good ++ stray
+    // patch the RIFF size to cover the stray chunk so the only
+    // violation left is the chunk's LOCATION
+    val newLen = out.length - 8
+    System.arraycopy(le(newLen), 0, out, 4, 4)
+    assert(intercept[IllegalArgumentException](
+      Avi.decode(out)).getMessage.contains("outside a movi"))
+    // and the unpatched original still decodes (the fix is not
+    // rejecting valid containers)
+    assert(Avi.decode(good).frames.size === 1)
+  }
 }

@@ -65,4 +65,28 @@ class ClusterSampleSpec extends SparkSpec {
       .as[(Int, Int, Long, Int, Long)].collect().toSeq
     assert(again === got)
   }
+
+  test("salted two-stage equals the plain single window on a planted mega-cell") {
+    // one dup-saturated cluster (5000 members — far beyond quota·salts)
+    // plus small cells: the exactness claim is that pre-cutting each
+    // (cell, salt) slice to its bottom-quota drops nothing the global
+    // bottom-quota needs, whatever the skew
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 5000).map(i => (i.toLong * 7 + 1, i % 3, 0)) ++
+      (0 until 25).map(i => (100000L + i, 1, 1 + i % 4))
+    val assigned = rows.toDF("vec_id", "label", "cluster")
+    val salted = Similarity.clusterSampleElect(assigned)
+      .as[(Int, Int, Long, Int, Long)].collect().toSeq
+    val plainWin = Window.partitionBy($"cluster").orderBy($"h", $"vec_id")
+    val plain = assigned
+      .withColumn("h", Similarity.clusterSampleKey)
+      .withColumn("rank", row_number().over(plainWin))
+      .where($"rank" <= Similarity.ClusterSampleQuota)
+      .select($"cluster", $"rank", $"vec_id", $"label", $"h")
+      .orderBy($"cluster", $"rank")
+      .as[(Int, Int, Long, Int, Long)].collect().toSeq
+    assert(salted === plain)
+    assert(salted.count(_._1 == 0) === Similarity.ClusterSampleQuota,
+      "the mega-cell must still contribute exactly quota rows")
+  }
 }

@@ -38,11 +38,13 @@ class SemDedupSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
-  test("q92: staged semantic edges contain exactly the in-group pairs") {
+  test("q92: staged semantic edges are the per-group min-id STARS, not all pairs") {
     Similarity.q92SemanticDedup(spark, dir).collect() // force staging
     val pairs = spark.read
       .parquet(s"${Dedup.stageRoot(dir)}/sem_pairs")
       .as[(Long, Long)].collect().toSet
-    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L)))
+    // group {0,1,2} stages 2 star edges (not the 3 raw pairs), group
+    // {10,11} stages its single edge — linear in group size
+    assert(pairs === Set((0L, 1L), (0L, 2L), (10L, 11L)))
   }
 }

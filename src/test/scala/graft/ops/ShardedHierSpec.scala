@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   *     leaves every other shard's two-level assignments byte-for-byte
   *     unchanged — no seed, centroid, or Lloyd mean crosses a shard
   *     at either level.
+  *
+  * Round 13 extends every pin ONE LEVEL DEEPER over
+  * [[Similarity.trainShardedHier3]] (shard × three learned levels —
+  * the full depth the 10¹⁰ = shards × hier3 capacity claim composes):
+  * shard-disjoint leaf ranges at depth 3, genuine branching at every
+  * level (no fictional depth), the three-stage beam descent
+  * ([[Similarity.shardHier3Probes]]) probing every shard, and refresh
+  * independence of the full three-level path.
   */
 class ShardedHierSpec extends SparkSpec {
   import spark.implicits._
@@ -97,5 +105,88 @@ class ShardedHierSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
     assert(after === before,
       "a shard-0 refresh moved another shard's two-level assignment")
+  }
+
+  // ---- one level deeper: sharded × THREE-level (trainShardedHier3) ----
+
+  private val (h1, h2, h3) = (2, 2, 2)
+  private lazy val trained3 =
+    Similarity.trainShardedHier3(spark, dir, Shards, h1, h2, h3)
+
+  test("3-level per shard: leaf ranges are shard-disjoint at full depth") {
+    val bad = trained3._4
+      .where(expr(s"cell div ${h1 * h2 * h3}").cast("int")
+        =!= pmod(col("vec_id"), lit(Shards)))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("3-level per shard: the tree genuinely branches at every level") {
+    // decompose each leaf id into its (shard, sup, mid, leaf) path
+    val paths = trained3._4
+      .select(
+        expr(s"cell div ${h1 * h2 * h3}").as("shard"),
+        expr(s"(cell div ${h2 * h3}) % $h1").as("sup"),
+        expr(s"(cell div $h3) % $h2").as("mid"),
+        expr(s"cell % $h3").as("leaf"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // every shard uses >1 level-1 super (the blocks separate)
+    val supsPerShard = paths.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size).toMap
+    assert(supsPerShard.keySet === (0L to 3L).toSet)
+    supsPerShard.foreach { case (sh, n) =>
+      assert(n === h1, s"shard $sh used $n of $h1 supers") }
+    // below level 1, branching exists (some parent splits) — the
+    // 4-block × jitter geometry guarantees separable structure at
+    // depth; a collapsed level would mean the third Lloyd pass never
+    // actually partitioned anything
+    val midsSomewhere = paths.groupBy(p => (p._1, p._2)).view
+      .mapValues(_.map(_._3).distinct.size).values
+    assert(midsSomewhere.exists(_ > 1),
+      "no (shard, sup) ever split at level 2 — the depth is fictional")
+    val leavesSomewhere = paths.groupBy(p => (p._1, p._2, p._3)).view
+      .mapValues(_.map(_._4).distinct.size).values
+    assert(leavesSomewhere.exists(_ > 1),
+      "no (shard, sup, mid) ever split at level 3 — the depth is fictional")
+  }
+
+  test("3-level descent probes every shard and the gather recovers cross-shard neighbors") {
+    val (c1, c2, c3, asg) = trained3
+    val iv = Similarity.scaledVectors(spark, dir).join(asg, "vec_id")
+      .select(col("vec_id"), col("cell").as("cluster"), col("v"),
+        col("nrm"))
+      .localCheckpoint()
+    val queries = iv.where(col("vec_id") === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = Similarity.shardHier3Probes(queries, c1, c2, c3,
+      h1, h2, h3, width = 2)
+    val byShard = probes
+      .groupBy(expr(s"cell div ${h1 * h2 * h3}").as("shard"))
+      .count().as[(Long, Long)].collect().toMap
+    assert(byShard.keySet === (0L to 3L).toSet, s"shards probed: $byShard")
+    byShard.values.foreach(n => assert(n === 2L))
+    val top = Similarity.searchCells(
+      probes.withColumnRenamed("cell", "cluster")
+        .join(queries.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .select(col("query_id"), col("cluster"),
+          col("v").as("qv"), col("nrm").as("qn")),
+      iv, topK = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top.subsetOf((1L to 15L).toSet), s"got $top")
+    assert((1 to 3).exists(sh => top.exists(_ % Shards == sh)),
+      s"no cross-shard neighbor in $top")
+  }
+
+  test("refresh independence at FULL depth: shard-0 growth leaves foreign 3-level trees untouched") {
+    val before = trained3._4
+      .where(pmod(col("vec_id"), lit(Shards)) =!= 0)
+      .as[(Long, Long)].collect().toMap
+    val after =
+      Similarity.trainShardedHier3(spark, plant(extraShard0 = 8),
+          Shards, h1, h2, h3)._4
+        .where(pmod(col("vec_id"), lit(Shards)) =!= 0)
+        .as[(Long, Long)].collect().toMap
+    assert(after === before,
+      "a shard-0 refresh moved another shard's three-level assignment")
   }
 }

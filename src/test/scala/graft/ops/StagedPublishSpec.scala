@@ -17,7 +17,14 @@ import java.nio.file.{Files, Paths}
   *   - CROSS-RUN REUSE, gated: a later JVM of the SAME build trusts
   *     the manifest and skips re-staging; an ephemeral (durable=false)
   *     publish is never trusted cross-run.
-  *   - BOUNDED DISK: keep-2 GC — current + one predecessor.
+  *   - BOUNDED DISK: keep-2 GC — current + one predecessor — that
+  *     never touches a concurrent publisher's HIGHER claimed version
+  *     and honors the scan-TTL floor (`graft.staged.gc.ttlMs`).
+  *   - HONEST RECOVERY: rollback only ever blesses a version that
+  *     completed a commit (the COMMITTED sentinel), never a crashed
+  *     publisher's orphan.
+  *   - GROUP CONSISTENCY (opt-in): multi-asset refreshes stamped with
+  *     a group id are observed all-or-nothing via resolveGroup.
   */
 class StagedPublishSpec extends SparkSpec {
   import spark.implicits._
@@ -153,6 +160,88 @@ class StagedPublishSpec extends SparkSpec {
     assert(readAll(work, "p") === Set(8L))
   }
 
+  test("GC never deletes a concurrent publisher's HIGHER claimed version") {
+    val work = freshWork()
+    publish(work, "cc", Seq(1L))                 // v=1 current
+    val loser = Staged.publishDir(work, "cc")    // v=2, this publisher
+    val racer = Staged.publishDir(work, "cc")    // v=3, concurrent claim
+    assert(racer.endsWith("v=3"))
+    Seq(2L).toDF("x").write.mode("overwrite").parquet(loser)
+    Staged.commit(work, "cc", loser)             // v=2 commits FIRST
+    assert(Files.isDirectory(Paths.get(racer)),
+      "the first committer's GC destroyed a concurrent higher claim mid-write")
+    // the racer finishes normally; ITS commit's GC then applies keep-2
+    Seq(3L).toDF("x").write.mode("overwrite").parquet(racer)
+    Staged.commit(work, "cc", racer)
+    assert(readAll(work, "cc") === Set(3L))
+    assert(!Files.isDirectory(Paths.get(work, ".v", "cc", "v=1")),
+      "the racer's own commit retires versions below it normally")
+  }
+
+  test("scan-TTL floor: a pinned version survives two publishes within the TTL") {
+    val work = freshWork()
+    sys.props("graft.staged.gc.ttlMs") = "600000"
+    try {
+      publish(work, "ttl", Seq(1L))
+      val pinned = spark.read.parquet(Staged.path(work, "ttl"))
+      publish(work, "ttl", Seq(2L))
+      publish(work, "ttl", Seq(3L)) // keep-2 alone would drop v=1 here
+      assert(pinned.as[Long].collect().toSet === Set(1L),
+        "a reader that pinned v=1 lost its files inside the scan TTL")
+      assert(Files.isDirectory(Paths.get(work, ".v", "ttl", "v=1")))
+    } finally sys.props.remove("graft.staged.gc.ttlMs")
+    // with the floor back at 0, the next publish applies plain keep-2
+    publish(work, "ttl", Seq(4L))
+    val left = Files.list(Paths.get(work, ".v", "ttl")).iterator()
+    var names = Set.empty[String]
+    while (left.hasNext) names += left.next().getFileName.toString
+    assert(names.filter(_.startsWith("v=")) === Set("v=3", "v=4"))
+  }
+
+  test("rollback skips orphan uncommitted versions and fails by name if only orphans remain") {
+    val work = freshWork()
+    publish(work, "orb", Seq(1L))                // v=1, good
+    publish(work, "orb", Seq(666L))              // v=2, bad current
+    // a publisher crashed before commit: filled v=3, no sentinel
+    val orphan = Staged.publishDir(work, "orb")
+    Seq(13L).toDF("x").write.mode("overwrite").parquet(orphan)
+    Staged.rollback(work, "orb")
+    assert(readAll(work, "orb") === Set(1L),
+      "rollback blessed a crashed publisher's uncommitted orphan")
+    // an asset whose only non-current version is an orphan: refuse
+    val work2 = freshWork()
+    publish(work2, "solo", Seq(5L))
+    val o2 = Staged.publishDir(work2, "solo")
+    Seq(6L).toDF("x").write.mode("overwrite").parquet(o2)
+    val e = intercept[IllegalStateException](Staged.rollback(work2, "solo"))
+    assert(e.getMessage.contains("COMMITTED"))
+    assert(readAll(work2, "solo") === Set(5L), "failed rollback is a no-op")
+  }
+
+  test("group stamp: a cells+probes pair swap is observed all-or-nothing") {
+    val work = freshWork()
+    Staged.write(Seq(1L).toDF("x"), work, "gc_cells", group = Some("gen1"))
+    Staged.write(Seq(2L).toDF("x"), work, "gc_probes", group = Some("gen1"))
+    val r1 = Staged.resolveGroup(work, Seq("gc_cells", "gc_probes"))
+    assert(spark.read.parquet(r1("gc_cells")).as[Long].collect().toSet === Set(1L))
+    assert(spark.read.parquet(r1("gc_probes")).as[Long].collect().toSet === Set(2L))
+    // mid-swap: cells republished as gen2, probes still gen1 — a
+    // group reader must never return the mixed pair
+    Staged.write(Seq(10L).toDF("x"), work, "gc_cells", group = Some("gen2"))
+    val e = intercept[IllegalStateException](
+      Staged.resolveGroup(work, Seq("gc_cells", "gc_probes"), timeoutMs = 300))
+    assert(e.getMessage.contains("group resolve timed out"))
+    // swap completes: the reader sees gen2 for BOTH
+    Staged.write(Seq(20L).toDF("x"), work, "gc_probes", group = Some("gen2"))
+    val r2 = Staged.resolveGroup(work, Seq("gc_cells", "gc_probes"))
+    assert(spark.read.parquet(r2("gc_cells")).as[Long].collect().toSet === Set(10L))
+    assert(spark.read.parquet(r2("gc_probes")).as[Long].collect().toSet === Set(20L))
+    // an unstamped asset made no consistency promise: group reads fail
+    publish(work, "gc_plain", Seq(7L))
+    intercept[IllegalStateException](
+      Staged.resolveGroup(work, Seq("gc_plain"), timeoutMs = 200))
+  }
+
   test("build fingerprint is stable in-JVM; input fingerprint tracks the data") {
     assert(Staged.buildFingerprint === Staged.buildFingerprint)
     assert(Staged.buildFingerprint.length >= 16)
@@ -164,8 +253,14 @@ class StagedPublishSpec extends SparkSpec {
     val d = Files.createTempDirectory("fp-in")
     Files.writeString(d.resolve("t.parquet"), "aa")
     val f1 = Staged.inputFingerprint(d.toString)
+    val r1 = Dedup.stageRoot(d.toString)
     Files.writeString(d.resolve("t.parquet"), "aaaa") // size change
     val f2 = Staged.inputFingerprint(d.toString)
     assert(f1 !== f2, "regenerated data must move the stage root")
+    // stageRoot is uncached: the SAME JVM observes the move at once —
+    // assets fingerprinted from the old data can never be trusted for
+    // the new (round-12 advisor: no process-lifetime memo)
+    assert(Dedup.stageRoot(d.toString) !== r1,
+      "mid-JVM data regeneration must resolve to a fresh stage root")
   }
 }

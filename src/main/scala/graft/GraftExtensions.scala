@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, CountMinEstimate, LongDotProduct, StitchFoldExpr}
+import graft.functions.{BloomMightContain, CountMinEstimate, DoubleOrderBits, LongDotProduct, StitchFoldExpr}
 
 /** Session extensions registering the engine's custom expressions —
   * installed via `spark.sql.extensions=graft.GraftExtensions` (all
@@ -46,6 +46,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "bloom_might_contain takes exactly 2 arguments")
         BloomMightContain(children.head, children(1))
+      }),
+    ("double_order_bits",
+      new ExpressionInfo(classOf[DoubleOrderBits].getName, "double_order_bits",
+        "double_order_bits(d) - order-preserving DOUBLE -> BIGINT encoding " +
+          "(signed compare == Double.compare), codegen'd"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "double_order_bits takes exactly 1 argument")
+        DoubleOrderBits(children.head)
       }),
     ("cms_estimate",
       new ExpressionInfo(classOf[CountMinEstimate].getName, "cms_estimate",

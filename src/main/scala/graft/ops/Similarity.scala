@@ -2302,6 +2302,34 @@ object Similarity {
         (col("cluster") * kSub + col("sub")).as("cell"))
   }
 
+  /** Full shard→sup→mid→leaf assignment of fresh (vec_id, v, nrm)
+    * rows under an already-trained sharded THREE-level model —
+    * [[assignShardHierCells]] one level deeper, and the reason the
+    * depth does not change the ingest story: shard by the pmod key,
+    * then one broadcast model-sized argmax per learned level (the
+    * SAME [[hierAssign]] the trainer assigns with, so streamed ==
+    * batch is mechanism at every depth). The input is touched three
+    * times, never shuffled on a corpus key; a vector consults only
+    * its OWN shard's centroids at all three levels, so concurrent
+    * per-shard refreshes cannot move it.
+    */
+  def assignShardHier3Cells(vecs: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, cents3: DataFrame, shards: Int,
+      k1: Int, k2: Int, k3: Int): DataFrame = {
+    val lvl1 = hierAssign(vecs.withColumn("cluster",
+        pmod(col("vec_id"), lit(shards)).cast("int")), cents1)
+      .select(col("vec_id"),
+        (col("cluster").cast("long") * k1 + col("sub")).as("cluster"))
+    val lvl2 = hierAssign(vecs.select(col("vec_id"), col("v"), col("nrm"))
+        .join(lvl1, "vec_id"), cents2)
+      .select(col("vec_id"),
+        (col("cluster") * k2 + col("sub")).as("cluster"))
+    hierAssign(vecs.select(col("vec_id"), col("v"), col("nrm"))
+        .join(lvl2, "vec_id"), cents3)
+      .select(col("vec_id"),
+        (col("cluster") * k3 + col("sub")).as("cell"))
+  }
+
   /** SHARDED × THREE-LEVEL training — [[trainShardedHier]] one level
     * deeper, so the 10¹⁰-vector capacity composition (S shards ×
     * [[trainHier3]]'s 262k-leaf tree per shard) is exercised at FULL
@@ -3197,11 +3225,14 @@ object Similarity {
     * [[CellTarget]] members per cell, and a corpus whose dup mass
     * defeats that (one mega-cell) is exactly the case q92's SemDeDup
     * removes UPSTREAM in the D4 order (dedup first, then prune). The
-    * exact escalation for a standalone mega-cell run is a
-    * distributed selection of the per-cell k-th (score, id) order
-    * statistic (iterative pivoting — log rounds of partial-agg
-    * counts) feeding a threshold filter; a knob documented here, not
-    * silently claimed as implemented.
+    * exact escalation for a standalone mega-cell run IS implemented:
+    * [[prototypePruneRadixKeep]] reaches the identical keep set
+    * through [[Selection.headK]]'s 16-bit radix descent — partial-agg
+    * counts only, windows bounded by the radix, never by the cell —
+    * at the cost of the report's per-row ranks (ProtoRadixSpec pins
+    * set-equality on real data and on the all-ties mega-cell). This
+    * oracle row keeps the window form because its CONTRACT includes
+    * ranks.
     */
   def q164PrototypePrune(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
@@ -3218,7 +3249,11 @@ object Similarity {
     * composed pipeline scores through exactly the plan the standalone
     * operator certifies.
     */
-  def prototypePruneOf(a: DataFrame): DataFrame = {
+  /** The shared prototype-scoring half of [[prototypePruneOf]] and
+    * [[prototypePruneRadixKeep]]: quantized-centroid cosine per
+    * member — (cluster, vec_id, proto).
+    */
+  private def prototypeScored(a: DataFrame): DataFrame = {
     val cq = a
       .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "sv")))
       .groupBy(col("cluster"), col("pos"))
@@ -3232,17 +3267,64 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
         x => x.getField("cq")).as("cqv"))
       .withColumn("cnrm", sqrt(idot(col("cqv"), col("cqv")).cast("double")))
-    val win = Window.partitionBy(col("cluster"))
-      .orderBy(col("proto").desc, col("vec_id"))
     a.join(broadcast(cq), "cluster")
       .withColumn("proto",
         cosine(idot(col("v"), col("cqv")), col("nrm"), col("cnrm")))
+  }
+
+  def prototypePruneOf(a: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto").desc, col("vec_id"))
+    prototypeScored(a)
       .withColumn("rank", row_number().over(win))
       .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .where(col("rank") > floor(col("n_c") * lit(PrototypePruneFraction)))
       .select(col("cluster"), col("rank"), col("vec_id"), col("proto"))
       .orderBy(col("cluster"), col("rank"))
   }
+
+  /** The q164 kept SET via exact radix selection
+    * ([[Selection.headK]]) — the implemented form of the mega-cell
+    * escalation the q164 scaladoc names: identical keep decision to
+    * [[prototypePruneOf]] (drop each cell's floor(|cell|·p)
+    * most-prototypical head under (proto DESC, vec_id ASC)) with NO
+    * window ever sorting a whole cell in one partition — every pass
+    * is a partial-agg count and the only windows run over ≤ 65,536
+    * radix-digit rows per cell. Returns (cluster, vec_id, proto)
+    * without per-row ranks: ranking a proportional subset inherently
+    * orders it, so the ranked REPORT stays on the window form while
+    * the pruned set — what a 100 TB pipeline feeds downstream — takes
+    * this path. ProtoRadixSpec pins set-equality with q164 on real
+    * data and on a planted mega-cell of byte-identical vectors (every
+    * proto tied — the adversarial shape for any salted shortcut).
+    * Requires non-null proto (callers filter nrm > 0; a zero
+    * centroid's NULL cosine would fall outside the total order both
+    * forms rank by).
+    */
+  def prototypePruneRadixKeep(a: DataFrame): DataFrame = {
+    val scored = prototypeScored(a)
+      .select(col("cluster"), col("vec_id"), col("proto"))
+      .localCheckpoint() // keyed pass + k derivation + final anti-join
+    val ks = scored.groupBy(col("cluster"))
+      .agg(floor(count(lit(1)) * lit(PrototypePruneFraction))
+        .cast("long").as("kk"))
+    val keyed = scored.select(col("cluster"),
+      // ascending ok1 == DESCENDING proto (bitwise NOT reverses the
+      // order-preserving encoding); vec_id breaks ties ascending —
+      // exactly the window's (proto DESC, vec_id ASC)
+      bitwise_not(idotBits(col("proto"))).as("ok1"),
+      col("vec_id").as("ok2"))
+    val head = Selection.headK(keyed, ks)
+      .withColumnRenamed("ok2", "vec_id")
+    scored.join(head, Seq("cluster", "vec_id"), "left_anti")
+      .orderBy(col("cluster"), col("vec_id"))
+  }
+
+  /** Column wrapper for the codegen'd order-preserving double→bits
+    * encoding (functions/DoubleOrderBits.scala).
+    */
+  private def idotBits(d: Column): Column =
+    call_function("double_order_bits", d)
 
   /** q145 — metadata-FILTERED ANN search: top-5 same-`label` neighbors
     * through the staged multi-probe index. The filter is an extra

@@ -552,6 +552,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the sharded THREE-level index —
+    * [[shardedHierIngestStream]] at the full depth the 10¹⁰-vector
+    * composition trains ([[graft.ops.Similarity.trainShardedHier3]]):
+    * each micro-batch shards by the pmod key and descends its own
+    * shard's three-level tree through
+    * [[graft.ops.Similarity.assignShardHier3Cells]] — three broadcast
+    * model-sized argmaxes, the same [[graft.ops.Similarity
+    * .hierAssign]] the trainer assigns with, so streamed == batch is
+    * mechanism at depth — appending (vec_id, cell) with the
+    * anti-join-by-content effectively-once discipline every sibling
+    * ingest uses. No state store; the corpus is never touched; a
+    * vector consults only its OWN shard's centroids at all three
+    * levels, so per-shard refreshes and this ingest never interfere.
+    * ShardedHierIngestStreamSpec's depth-3 case asserts streamed ==
+    * the trained model's own batch assignment row-for-row plus
+    * fresh-checkpoint redelivery idempotence.
+    */
+  def shardedHier3IngestStream(vectors: DataFrame, cents1: DataFrame,
+      cents2: DataFrame, cents3: DataFrame, shards: Int,
+      k1: Int, k2: Int, k3: Int,
+      stagedDir: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val path = s"$stagedDir/cells_shard_hier3_stream"
+        val assigned = graft.ops.Similarity.assignShardHier3Cells(
+          batch.where(col("nrm") > 0).dropDuplicates("vec_id"),
+          cents1, cents2, cents3, shards, k1, k2, k3)
+        val fresh =
+          if (stagedExists(s, path))
+            assigned.join(s.read.parquet(path).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming DELETE-feed ingest — the tombstone half of the index
     * lifecycle (q144's serving-time mask is the consumer): delete
     * events stream in as bare vec_ids and append to the staged

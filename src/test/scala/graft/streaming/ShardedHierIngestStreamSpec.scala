@@ -77,4 +77,56 @@ class ShardedHierIngestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$staged/cells_shard_hier_stream").count()
       === batch.size.toLong)
   }
+
+  test("stream-ingested sharded THREE-level cells equal the depth-3 model's batch assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val staged =
+      java.nio.file.Files.createTempDirectory("shardh3-stream").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("shardh3-stream-ckpt").toString
+
+    val isNew = col("vec_id") % 10 === 9
+    val iv = Similarity.scaledVectors(spark, dir)
+      .where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val shards = Similarity.NumShards
+    val (k1, k2, k3) = (2, 2, 2) // forced full depth on the small table
+    val (c1, c2, c3, asg) =
+      Similarity.trainShardedHier3(spark, dir, shards, k1, k2, k3)
+    val full = asg.localCheckpoint()
+    full.join(iv.where(!isNew).select(col("vec_id")), "vec_id")
+      .write.mode("overwrite").parquet(s"$staged/cells_shard_hier3_stream")
+
+    val newRows = iv.where(isNew)
+      .as[(Long, Seq[Long], Double)].collect().toSeq.sortBy(_._1)
+    assert(newRows.size >= 2, s"need >=2 new vectors, got ${newRows.size}")
+    val src = MemoryStream[(Long, Seq[Long], Double)]
+    newRows.grouped((newRows.size + 1) / 2).foreach { chunk =>
+      src.addData(chunk: _*)
+      EventStreams.shardedHier3IngestStream(
+        src.toDF().toDF("vec_id", "v", "nrm"), c1, c2, c3,
+        shards, k1, k2, k3, staged, ckpt)
+        .awaitTermination()
+    }
+
+    val streamed = spark.read.parquet(s"$staged/cells_shard_hier3_stream")
+      .as[(Long, Long)].collect().toSet
+    val batch = full.as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}")
+
+    // redelivery through a FRESH checkpoint: a no-op by content
+    val ckpt2 =
+      java.nio.file.Files.createTempDirectory("shardh3-stream-ckpt2").toString
+    val src2 = MemoryStream[(Long, Seq[Long], Double)]
+    src2.addData(newRows: _*)
+    EventStreams.shardedHier3IngestStream(
+      src2.toDF().toDF("vec_id", "v", "nrm"), c1, c2, c3,
+      shards, k1, k2, k3, staged, ckpt2)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$staged/cells_shard_hier3_stream").count()
+      === batch.size.toLong)
+  }
 }

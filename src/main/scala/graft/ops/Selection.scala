@@ -16,11 +16,27 @@ import org.apache.spark.sql.functions._
   * combined, shuffle volume ≤ distinct (key, digit) pairs), takes a
   * per-key cumulative over ≤ 65,536 digit rows (a window whose
   * partitions are BOUNDED by the radix, never by the data), picks the
-  * digit containing the k-th element, and descends. After round 8 the
-  * per-key threshold T = the exact k-th smallest composite (unique,
-  * because k2 is unique per key), and the head is one final
-  * comparison pass. Deterministic, no sampling, no driver-side data —
-  * the per-key state is one row per key.
+  * digit containing the k-th element, and descends. Each round
+  * re-filters the ONE checkpointed base projection by the key's
+  * accumulated prefix — measured cheaper than checkpointing a
+  * shrinking candidate copy per round (reading the 32-byte-row base
+  * 8× beats writing near-full copies of it on the all-ties shape
+  * where k1 digits never shrink anything). After round 8 the per-key
+  * threshold T = the exact k-th smallest composite (unique), and the
+  * head is one comparison pass over the input. Deterministic, no
+  * sampling, no driver-side data — the per-key state is one row per
+  * key.
+  *
+  * Cost, honestly (RadixProbe, 10M rows, one 9M-row all-ties key +
+  * 1024 small keys, local[32]): the window form sorts the mega key in
+  * one partition in ~9 s; this descent takes ~5× longer at that size.
+  * The radix form is NOT a latency win where a single-partition sort
+  * still fits an executor — it is the CAPACITY form: its partitions
+  * are bounded by the radix at any key size, where the window's one
+  * sort partition grows with the largest key until it spills and then
+  * cannot complete. Production default stays the window (q164) /
+  * salted two-stage (q163, constant quotas); this is the documented,
+  * tested escape hatch for keys beyond either.
   *
   * Contrast with the two other exact forms in the engine:
   * `row_number` windows sort each key inside ONE partition
@@ -28,17 +44,15 @@ import org.apache.spark.sql.functions._
   * two-stage salted bottom-k is exact only for CONSTANT per-key
   * quotas (a fixed per-salt cut can drop true keepers when k grows
   * with the key, q164's floor(|cell|·p) case). This selection is
-  * exact for ARBITRARY per-key k at a fixed 8-pass cost over the
-  * candidates, each pass cheaper than the last (candidates shrink to
-  * the rows matching the key's chosen prefix).
+  * exact for ARBITRARY per-key k.
   *
   * What it does NOT give: per-row ranks. Ranking a proportional
   * subset of a cell inherently orders that subset; reports that need
   * ranks keep the window form, pipelines that need the pruned SET
-  * (the 100 TB case) use this. SelectionSpec pins head == window on
+  * (the 100 TB case) use this. ProtoRadixSpec pins head == window on
   * planted mega-cells (including the all-ties shape: byte-identical
-  * vectors, every k1 equal) and ProtoRadixSpec pins the q164
-  * composition on real data.
+  * vectors, every k1 equal, and adversarial signed keys straddling
+  * the sign bit) and the q164 composition on real data.
   */
 object Selection {
 
@@ -59,7 +73,7 @@ object Selection {
     val base = rows.select(col(key), col(k1), col(k2),
         col(k1).bitwiseXOR(sign).as("u1"),
         col(k2).bitwiseXOR(sign).as("u2"))
-      .localCheckpoint() // 8 descent passes + the final cut scan it
+      .localCheckpoint() // round-0 candidates + the final cut scan it
     val counts = base.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
     var state = kPerKey
       .join(counts, key)
@@ -71,12 +85,11 @@ object Selection {
       .withColumn("t1", lit(0L))
       .withColumn("t2", lit(0L))
       .localCheckpoint()
-    // keys whose head is the whole key set skip the descent — the
+    // keys whose head is the whole key set skip the descent — their
     // threshold is +infinity, expressed as the final-cut `full` flag
     for (r <- 0 until 8) {
       val descending = state.where(!col("full"))
       val uCol = if (r < 4) col("u1") else col("u2")
-      val tCol = if (r < 4) col("t1") else col("t2")
       val shiftDone = 64 - 16 * (r % 4) // bits ABOVE this round's digit
       val prefixMatch =
         if (r == 0) lit(true)
@@ -93,6 +106,8 @@ object Selection {
         .where(prefixMatch)
         .withColumn("dig",
           shiftrightunsigned(uCol, digShift).bitwiseAND(lit(0xffffL)))
+      // invariant: krem ≤ |candidates of the key|, so exactly one
+      // digit per key satisfies before < krem ≤ before + c
       val cum = cand.groupBy(col(key), col("dig"),
           col("t1"), col("t2"), col("krem"))
         .agg(count(lit(1)).as("c"))

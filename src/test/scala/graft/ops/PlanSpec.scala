@@ -349,6 +349,20 @@ class PlanSpec extends SparkSpec {
       "cluster#\\d+L?".r.findFirstIn(l).isDefined), p.take(2000))
   }
 
+  test("q163 plans the salted election as two rank-limited stages, both pre-cut map-side") {
+    val p = plan("q163_cluster_balanced_sample")
+    // the two-stage salted bottom-k must appear as two Window stages
+    // whose rank predicates Spark pushes into WindowGroupLimit (a
+    // partial top-k BEFORE each exchange — the salted form composes
+    // with the optimizer instead of fighting it); a single whole-cell
+    // window here would be the skew exposure the salting removes
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      p.take(2000))
+    assert(p.linesIterator.count(_.trim.matches("^[+:\\- ]*Window .*")) >= 2
+      || p.linesIterator.count(_.contains("Window")) >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q170 decodes video in narrow map stages — no shuffle before the frame cut") {
     val p = plan("q170_video_decode")
     // exactly one Exchange: the final global orderBy; mux, demux, and

@@ -347,7 +347,7 @@ object Similarity {
         trainHier3(s, dir, k1, k2, k3)._4
           .select(col("vec_id"), col("cell").cast("int").as("cluster"))
       }
-    assigned.stagePublish(workDir, "cells")
+    assigned.stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
     p
   }
 
@@ -560,23 +560,23 @@ object Similarity {
     if (want <= 64) {
       val (centroids, assigned) =
         trainCodebook(s, dir, k = adaptiveCellCount(n))
-      assigned.stagePublish(workDir, "cells")
+      assigned.stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
       val queries = scaledVectors(s, dir)
         .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
         .select(col("vec_id"), col("v"), col("nrm"))
       ivfProbes(queries, centroids, nprobe)
         .select(col("query_id"), col("cluster"))
-        .stagePublish(workDir, "probes")
+        .stagePublish(workDir, "probes", Staged.groupIdOf(workDir))
       ivfProbes(queries, centroids,
           math.min(EscalationProbes, centroids.length))
         .select(col("query_id"), col("cluster"))
-        .stagePublish(workDir, "probes_wide")
+        .stagePublish(workDir, "probes_wide", Staged.groupIdOf(workDir))
     } else if (want <= Hier2MaxCells) {
       val (k1, k2) = hierFactors(want)
       val (c1, cents, asg) = trainHier(s, dir, k1, k2)
       asg.select(col("vec_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "cells")
+        .stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
       val queries = scaledVectors(s, dir)
         .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
@@ -589,11 +589,11 @@ object Similarity {
       hierProbes(queries, c1, cents, k2,
           volumeMatchedWidth(k1.toLong * k2, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes")
+        .stagePublish(workDir, "probes", Staged.groupIdOf(workDir))
       hierProbes(queries, c1, cents, k2,
           volumeMatchedWidth(k1.toLong * k2, n, EscalationProbes))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes_wide")
+        .stagePublish(workDir, "probes_wide", Staged.groupIdOf(workDir))
     } else {
       // above the two-level 4096-cell ceiling: three levels, same
       // staged interface — consumers still read (cells, probes) and
@@ -601,7 +601,7 @@ object Similarity {
       val (k1, k2, k3) = hierFactors3(want)
       val (c1, cents2, cents3, asg) = trainHier3(s, dir, k1, k2, k3)
       asg.select(col("vec_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "cells")
+        .stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
       val queries = scaledVectors(s, dir)
         .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
@@ -609,11 +609,11 @@ object Similarity {
       hier3Probes(queries, c1, cents2, cents3, k2, k3,
           volumeMatchedWidth(k1.toLong * k2 * k3, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes")
+        .stagePublish(workDir, "probes", Staged.groupIdOf(workDir))
       hier3Probes(queries, c1, cents2, cents3, k2, k3,
           volumeMatchedWidth(k1.toLong * k2 * k3, n, EscalationProbes))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes_wide")
+        .stagePublish(workDir, "probes_wide", Staged.groupIdOf(workDir))
     }
   }
 
@@ -3326,6 +3326,63 @@ object Similarity {
   private def idotBits(d: Column): Column =
     call_function("double_order_bits", d)
 
+  /** q171 — q164's prototype pruning computed by the EXACT radix
+    * order-statistic selection instead of the whole-cell rank window
+    * ([[prototypePruneRadixKeep]] / [[Selection.headK]]): the
+    * mega-cell escalation as a first-class oracle row. Same staged
+    * cells, same integer-exact centroid scoring, IDENTICAL keep
+    * decision — the output drops the per-row rank (computing the set
+    * without ordering whole cells is the operator's reason to exist)
+    * and the DuckDB oracle independently re-derives the cut with its
+    * own rank window, so the hash compare certifies the radix descent
+    * end-to-end against a referee that uses the method this plan
+    * deliberately avoids.
+    *
+    * Scale shape: [[Selection.headK]]'s 8 bounded passes — partial-agg
+    * digit counts, windows over ≤ 65,536 radix rows, never a
+    * whole-cell sort partition. ~5× the window form's cost where the
+    * window still fits one executor (RadixProbe, SCALING.md round
+    * 13) and the only exact form once a cell cannot.
+    */
+  def q171PrototypePruneRadix(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    prototypePruneRadixKeep(
+      scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .join(s.read.parquet(Staged.path(work, "cells")), "vec_id"))
+  }
+
+  /** q172 — q79's multi-probe search read through the GROUP-CONSISTENT
+    * snapshot API ([[Staged.resolveGroup]]): the staging functions
+    * stamp every (cells, probes, probes_wide) publish with the stage
+    * root's deterministic group id ([[Staged.groupIdOf]]), and this
+    * entry resolves BOTH assets to one generation's immutable `v=N`
+    * dirs before planning — the read a deployment with
+    * non-deterministic trainers must use so a refresh that has
+    * swapped cells but not yet probes can never serve a mixed index
+    * (StagedPublishSpec pins the mid-swap mismatch detection; this
+    * row certifies the production read path end-to-end against q79's
+    * oracle, which replays over the same snapshot through the
+    * symlinks). The search plan is [[searchCells]] unchanged — the
+    * consistency protocol is entirely in path resolution, exactly
+    * like the versioning itself.
+    */
+  def q172GroupConsistentAnn(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val snap = Staged.resolveGroup(work, Seq("cells", "probes"))
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(snap("cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val probes = s.read.parquet(snap("probes"))
+      .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    searchCells(probes, iv, topK = 5)
+  }
+
   /** q145 — metadata-FILTERED ANN search: top-5 same-`label` neighbors
     * through the staged multi-probe index. The filter is an extra
     * EQUI-condition on the candidate join (cluster AND label), so
@@ -4356,6 +4413,8 @@ object Similarity {
     "q167_sq8_rerank" -> (q167Sq8Rerank _),
     "q168_sq8_constrained" -> (q168Sq8Constrained _),
     "q169_sharded_hier_ann" -> (q169ShardedHierAnn _),
+    "q171_prototype_prune_radix" -> (q171PrototypePruneRadix _),
+    "q172_group_consistent_ann" -> (q172GroupConsistentAnn _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
@@ -4542,6 +4601,46 @@ object Similarity {
       FROM ranked
       WHERE rank > floor(n_c * $PrototypePruneFraction)
       ORDER BY cluster, rank"""
+
+  /** q79's multi-probe search replay over the engine-staged
+    * (cells, probes) pair — shared verbatim with q172, whose plan
+    * reads the same snapshot through [[Staged.resolveGroup]].
+    */
+  private def sqlMultiprobeSearch: String = s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      probes AS (SELECT query_id, cluster
+                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      qv AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
+             FROM probes p JOIN iv ON iv.vec_id = p.query_id),
+      scored AS (
+        SELECT a.query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM qv a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** [[sqlPrototypePruneTail]] minus the rank column — the q171
+    * oracle: the radix form certifies the kept SET (its whole point
+    * is computing it without the whole-cell rank), so the replay
+    * selects and orders by (cluster, vec_id). The DuckDB side still
+    * ranks to FIND the cut — the oracle's window is the independent
+    * referee, not the plan under test.
+    */
+  private def sqlPrototypePruneTailSet: String = {
+    val t = sqlPrototypePruneTail
+    t.substring(0, t.indexOf("SELECT cluster, rank")) + s"""SELECT cluster, vec_id, proto
+      FROM ranked
+      WHERE rank > floor(n_c * $PrototypePruneFraction)
+      ORDER BY cluster, vec_id"""
+  }
 
   /** q99's replay SQL — the in-cell decon screen over the engine-
     * staged cells; shared verbatim by q140's staged-input entry.
@@ -5460,26 +5559,11 @@ object Similarity {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
-    "q79_ann_ivf_multiprobe" -> s"""
-      WITH $sqlScaled,
-      cells AS (SELECT vec_id, cluster
-                FROM '__GRAFT_STAGED__/cells/*.parquet'),
-      probes AS (SELECT query_id, cluster
-                 FROM '__GRAFT_STAGED__/probes/*.parquet'),
-      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
-              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
-      qv AS (SELECT p.query_id, p.cluster, iv.v, iv.nrm
-             FROM probes p JOIN iv ON iv.vec_id = p.query_id),
-      scored AS (
-        SELECT a.query_id, b.vec_id AS neighbor_id,
-          $sqlDot / (a.nrm * b.nrm) AS cosine
-        FROM qv a JOIN civ b
-          ON a.cluster = b.cluster AND b.vec_id <> a.query_id),
-      ranked AS (SELECT *, ROW_NUMBER() OVER
-          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM scored)
-      SELECT query_id, rank, neighbor_id, cosine FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q79_ann_ivf_multiprobe" -> sqlMultiprobeSearch,
+    // q172 reads the SAME staged snapshot through resolveGroup's
+    // concrete v=N paths; the symlink the oracle reads resolves to
+    // that identical snapshot, so q79's replay is the exact referee
+    "q172_group_consistent_ann" -> sqlMultiprobeSearch,
     // q79's replay over the TWO-LEVEL staged probes + cells: the
     // tree-descent probe SELECTION is staged (it is model output, like
     // the assignments); the search is pure relational algebra
@@ -5631,6 +5715,16 @@ object Similarity {
             FROM iv JOIN cells c ON iv.vec_id = c.vec_id
             WHERE iv.nrm > 0),
       $sqlPrototypePruneTail""",
+    // q164's replay with the rank projected out and its own window as
+    // the independent referee for the radix-selected keep set
+    "q171_prototype_prune_radix" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      a AS (SELECT iv.vec_id, iv.v, iv.nrm, c.cluster
+            FROM iv JOIN cells c ON iv.vec_id = c.vec_id
+            WHERE iv.nrm > 0),
+      $sqlPrototypePruneTailSet""",
     "q165_d4_pipeline" -> s"""
       WITH RECURSIVE $sqlScaled,
       cells AS (SELECT vec_id, cluster

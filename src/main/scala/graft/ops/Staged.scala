@@ -299,12 +299,28 @@ object Staged {
     commit(work, name, base.resolve(prev).toString)
   }
 
+  /** Deterministic group id for a stage root: its basename, which
+    * [[graft.ops.Dedup.stageRoot]] already keys by the INPUT and
+    * BUILD fingerprints — so every writer into one root stamps the
+    * same id (the root is single-generation by construction), and a
+    * different build or regenerated data stamps a different one.
+    * Staging functions that publish multi-asset families (cells +
+    * probes) pass this so [[resolveGroup]] readers get the
+    * all-or-nothing view without any writer-side coordination.
+    */
+  def groupIdOf(work: String): String =
+    Paths.get(work).getFileName.toString
+
   /** Tail-position sugar for [[write]]: `df.stagePublish(work, name)`
     * replaces `df.write.mode("overwrite").parquet(s"$work/name")`.
+    * The 3-arg form stamps the manifest with a group id for
+    * [[resolveGroup]] readers.
     */
   implicit class StagedWriter(private val df: DataFrame) extends AnyVal {
     def stagePublish(work: String, name: String): Unit =
       Staged.write(df, work, name)
+    def stagePublish(work: String, name: String, group: String): Unit =
+      Staged.write(df, work, name, group = Some(group))
   }
 
   private def manifestFresh(work: String, name: String): Boolean =

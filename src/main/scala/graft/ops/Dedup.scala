@@ -571,11 +571,72 @@ object Dedup {
     * `cluster_id` is the component's minimum doc id (the elected
     * canonical survivor).
     */
+  /** Per-partition node cap for [[locallyContracted]]'s union-find:
+    * bounds executor memory on distinct-heavy partitions (a ~128 MB
+    * edge partition holds ≤ ~8M edges; 2M tracked nodes ≈ 130 MB of
+    * map). Edges beyond the cap pass through UNCHANGED — correctness
+    * never depends on the cap, only the reduction ratio does.
+    */
+  private val LocalContractNodeCap = 1 << 21
+
+  /** Keyless EXACT pre-contraction in front of both CC algorithms:
+    * one `mapPartitions` pass folds each partition's edges through a
+    * union-find ([[graft.functions.Dsu]] — the same state
+    * CellStarReduce aggregates per cell) and emits one
+    * `(local-component-min, member)` star edge per member instead of
+    * the partition's raw edge list. Replacing each partition's
+    * subgraph by an equal-connectivity star preserves the GLOBAL
+    * transitive closure exactly (the q92 star-reduction argument,
+    * partition-keyed instead of cell-keyed), so every CC consumer and
+    * every closure-replaying oracle is untouched — but a dup-heavy
+    * edge set (C(g,2) pairs per near-dup group, q31's staged pairs on
+    * a crawl corpus) collapses to ~node count BEFORE the first CC
+    * join materializes it, which is where the iterative cost lives
+    * (each min-label round re-joins labels×edges; each star round
+    * re-shuffles the edge set). Self-loop inputs are preserved as
+    * self-loops (connectedComponents emits singletons for them);
+    * distinct-heavy partitions fall back to pass-through past
+    * [[LocalContractNodeCap]] tracked nodes — emitted edges are then
+    * the originals, still closure-exact, just unreduced.
+    */
+  private[graft] def locallyContracted(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val d = new graft.functions.Dsu
+        val self = new java.util.HashSet[java.lang.Long]()
+        val passThrough = List.newBuilder[(Long, Long)]
+        it.foreach { case (a, b) =>
+          if (a == b) { self.add(a); () }
+          else if (d.parent.size < LocalContractNodeCap ||
+              (d.parent.containsKey(a) && d.parent.containsKey(b)))
+            d.union(a, b)
+          else { passThrough += ((a, b)); () }
+        }
+        val keys = d.parent.keySet().toArray(new Array[java.lang.Long](0))
+        val stars = keys.iterator.flatMap { k =>
+          val r = d.find(k.longValue)
+          if (r != k.longValue) Iterator((r, k.longValue)) else Iterator.empty
+        }
+        val selfLoops = self.iterator()
+        val selfOut = new Iterator[(Long, Long)] {
+          def hasNext = selfLoops.hasNext
+          def next() = { val v = selfLoops.next().longValue; (v, v) }
+        }.filter(e => !d.parent.containsKey(e._1))
+        stars ++ passThrough.result().iterator ++ selfOut
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // symmetrize via explode, NOT union of two selects: a union would
     // compute the (expensive) pair derivation twice before the
-    // checkpoint materializes it
-    val edges = pairs
+    // checkpoint materializes it. The input is locally contracted
+    // first (exact, see above), so the frame the rounds re-join is
+    // ~node-sized even on a dup-saturated pair set.
+    val edges = locallyContracted(pairs)
       .select(explode(array(
         struct(col("doc_a").as("a"), col("doc_b").as("b")),
         struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
@@ -650,8 +711,10 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    // symmetrized, self-loop-free neighbor list
-    var edges = pairs
+    // symmetrized, self-loop-free neighbor list — locally contracted
+    // first (exact, see locallyContracted): the first large-star round
+    // then shuffles ~node count, not the raw dup-quadratic pair list
+    var edges = locallyContracted(pairs)
       .select(explode(array(
         struct(col("doc_a").as("a"), col("doc_b").as("b")),
         struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))

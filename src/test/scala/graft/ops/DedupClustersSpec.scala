@@ -58,15 +58,45 @@ class DedupClustersSpec extends SparkSpec {
   }
 
   test("star contraction converges in O(log n) rounds where min-label needs O(diameter)") {
-    // a 65-node path: min-label needs 64 rounds (throws at 10);
-    // star contraction finishes well inside 10
+    // a 65-node path: min-label moves one hop per round, so a deep
+    // graph throws at maxIters = 10 — but ONLY if the depth survives
+    // the local pre-contraction: hash-scatter the edges across 64
+    // partitions so each partition holds a near-matching (adjacent
+    // chain edges rarely co-locate) and the contracted graph keeps
+    // most of its diameter. Star contraction still finishes inside 10.
     val chain = pairs((0L until 64L).map(i => i -> (i + 1)): _*)
+      .repartition(64, org.apache.spark.sql.functions.col("doc_a"))
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIters = 10)
     }
     val got = starClusters(chain, maxIters = 10)
     assert(got.size === 65)
     assert(got.values.toSet === Set(0L))
+  }
+
+  test("local pre-contraction: a single-partition clique enters CC as a star, closure intact") {
+    val g = 60
+    val clique = (for {
+      i <- 0L until g; j <- (i + 1) until g
+    } yield (i + 100, j + 100)).toDF("doc_a", "doc_b").coalesce(1)
+    // volume: C(60,2) = 1770 raw edges contract to g-1 = 59 stars
+    val contracted = Dedup.locallyContracted(clique)
+      .as[(Long, Long)].collect()
+    assert(contracted.length === g - 1)
+    assert(contracted.forall(_._1 == 100L))
+    // and the closure the consumers see is unchanged
+    val got = clusters(clique)
+    assert(got.size === g && got.values.toSet === Set(100L))
+  }
+
+  test("local pre-contraction preserves self-loop singletons and cross-partition bridges") {
+    // self-loop → singleton cluster (connectedComponents contract);
+    // a component whose only bridge crosses partitions must survive
+    val ps = pairs(5L -> 5L, 1L -> 2L, 2L -> 3L)
+      .repartition(8, org.apache.spark.sql.functions.col("doc_b"))
+    val got = clusters(ps)
+    assert(got(5L) === 5L)
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
   }
 
   test("star contraction on disjoint random-ish components elects each minimum") {

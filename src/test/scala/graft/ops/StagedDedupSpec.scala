@@ -36,6 +36,23 @@ class StagedDedupSpec extends SparkSpec {
     assert(stagedSurv === scratchSurv)
   }
 
+  test("q173 star-reduced archive reproduces q37's answer with a smaller staged file") {
+    val got = Dedup.q173StagedSurvivorsStar(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    val want = Dedup.q37StagedSurvivors(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want,
+      "the star-reduced pair archive changed the clusters or survivors")
+    // volume: pairs_star never exceeds the raw pair archive and is
+    // star-shaped (every component's edges share its min-id hub after
+    // the global closure — locally it may briefly be a forest of hubs,
+    // but it must at minimum undercut C(g,2) on any clustered corpus)
+    val work = Dedup.stageRoot(dir)
+    val raw = spark.read.parquet(Staged.path(work, "pairs")).count()
+    val star = spark.read.parquet(Staged.path(work, "pairs_star")).count()
+    assert(star <= raw, s"star archive bigger than raw: $star > $raw")
+  }
+
   test("connectedComponents refuses to return unconverged labels") {
     // diameter 30 ≫ 3 rounds: min-label cannot have converged, and
     // silently returning split clusters would under-delete downstream

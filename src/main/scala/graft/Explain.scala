@@ -87,6 +87,7 @@ object Explain {
     "q170_video_decode", // AVI demux + per-frame JPEG decode: two narrow mapPartitions stages, zero shuffle
     "q171_prototype_prune_radix", // radix order-statistic keep: partial-agg digit counts, windows bounded by the radix
     "q172_group_consistent_ann", // group-consistent snapshot read: same search plan, consistency in path resolution
+    "q173_staged_survivors_star", // global-star pair archive: CC trivial on a star, survivors ride an anti-join
     "q155_png_decode", // Inflater + per-row filter inversion: narrow map stages, zero shuffle
     "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
     "q72_stitch_contigs") // closed-form stitch aggregation

@@ -52,10 +52,24 @@ object ScaleProbe {
   private def plantBoilerplate: Boolean =
     sys.env.get("SPARK_GRAFT_PLANT_BOILERPLATE").contains("1")
 
+  /** `SPARK_GRAFT_PLANT_COPIES=N`: after replication, add N EXACT
+    * copies of one embedding row (fresh vec_ids ≥ 950,000,000) — the
+    * CommonCrawl boilerplate-page shape for the EMBEDDING side: k-means
+    * cannot split identical vectors, so all N land in ONE IVF cell.
+    * Before the round-14 exact-dup pre-collapse, stageSemPairs priced
+    * C(N,2) cosines inside that cell's candidate join (10^4 copies ≈
+    * 5·10^7 cosines; quadratic in N); after it, the copies collapse to
+    * one representative before any pairwise work, so the q92/q165
+    * verify cost must stay FLAT as N grows (SCALING.md round 14).
+    */
+  private def plantCopies: Int =
+    sys.env.get("SPARK_GRAFT_PLANT_COPIES").map(_.toInt).getOrElse(0)
+
   def ensureReplica(spark: SparkSession, src: String, factor: Int,
       perturbDenom: Option[Int], cpus: Int): String = {
     val tag0 = perturbDenom.map(d => s"x${factor}p$d").getOrElse(s"x$factor")
-    val tag = if (plantBoilerplate) s"${tag0}b" else tag0
+    val tag1 = if (plantBoilerplate) s"${tag0}b" else tag0
+    val tag = if (plantCopies > 0) s"${tag1}c$plantCopies" else tag1
     val out = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe/$tag"
     // id offset per copy keeps copies disjoint while preserving every
     // original id (copy 0 is the original table verbatim)
@@ -93,7 +107,23 @@ object ScaleProbe {
               .select(perturbed.drop("_k").columns.map(col): _*)
             perturbed.drop("_k").unionByName(planted)
           } else perturbed.drop("_k")
-        withPlant
+        val withCopies =
+          if (plantCopies > 0 && table == "embeddings") {
+            // N exact copies of the corpus's first embedding — one
+            // dup-saturated IVF cell by construction (identical
+            // vectors assign identically)
+            val one = spark.read.parquet(s"$src/$table.parquet")
+              .orderBy(col("vec_id")).limit(1)
+              .select(col("embedding"), col("label"))
+            val copies = one
+              .withColumn("_c",
+                explode(sequence(lit(0), lit(plantCopies - 1))))
+              .withColumn("vec_id", col("_c").cast("long") + 950000000L)
+              .drop("_c")
+              .select(withPlant.columns.map(col): _*)
+            withPlant.unionByName(copies)
+          } else withPlant
+        withCopies
           .repartition(cpus)
           .write.mode("overwrite").parquet(dst)
       }

@@ -607,25 +607,36 @@ object Dedup {
       .mapPartitions { it =>
         val d = new graft.functions.Dsu
         val self = new java.util.HashSet[java.lang.Long]()
-        val passThrough = List.newBuilder[(Long, Long)]
-        it.foreach { case (a, b) =>
-          if (a == b) { self.add(a); () }
+        // past-cap edges are emitted LAZILY, interleaved with input
+        // consumption — buffering them would materialize up to a full
+        // distinct-heavy partition of boxed tuples in-heap, recreating
+        // exactly the footprint the node cap exists to bound. CC
+        // consumers are order-insensitive, so pass-through edges may
+        // precede the stars.
+        val passAndBuild: Iterator[(Long, Long)] = it.flatMap { case (a, b) =>
+          if (a == b) { self.add(a); Iterator.empty }
           else if (d.parent.size < LocalContractNodeCap ||
-              (d.parent.containsKey(a) && d.parent.containsKey(b)))
-            d.union(a, b)
-          else { passThrough += ((a, b)); () }
+              (d.parent.containsKey(a) && d.parent.containsKey(b))) {
+            d.union(a, b); Iterator.empty
+          } else Iterator.single((a, b))
         }
-        val keys = d.parent.keySet().toArray(new Array[java.lang.Long](0))
-        val stars = keys.iterator.flatMap { k =>
-          val r = d.find(k.longValue)
-          if (r != k.longValue) Iterator((r, k.longValue)) else Iterator.empty
+        // by-name `++` defers this until passAndBuild is exhausted, at
+        // which point the union-find holds the partition's full capped
+        // subgraph and the star emission is final
+        def tailOut: Iterator[(Long, Long)] = {
+          val keys = d.parent.keySet().toArray(new Array[java.lang.Long](0))
+          val stars = keys.iterator.flatMap { k =>
+            val r = d.find(k.longValue)
+            if (r != k.longValue) Iterator((r, k.longValue)) else Iterator.empty
+          }
+          val selfLoops = self.iterator()
+          val selfOut = new Iterator[(Long, Long)] {
+            def hasNext = selfLoops.hasNext
+            def next() = { val v = selfLoops.next().longValue; (v, v) }
+          }.filter(e => !d.parent.containsKey(e._1))
+          stars ++ selfOut
         }
-        val selfLoops = self.iterator()
-        val selfOut = new Iterator[(Long, Long)] {
-          def hasNext = selfLoops.hasNext
-          def next() = { val v = selfLoops.next().longValue; (v, v) }
-        }.filter(e => !d.parent.containsKey(e._1))
-        stars ++ passThrough.result().iterator ++ selfOut
+        passAndBuild ++ tailOut
       }
       .toDF("doc_a", "doc_b")
   }

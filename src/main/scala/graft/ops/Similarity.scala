@@ -2638,20 +2638,61 @@ object Similarity {
     * same vertex set, so the global closure over the union is
     * unchanged — StarReduceSpec pins byte-identical q92/q165 output
     * and the chain case a naive per-member min-neighbor edge would
-    * split). The quadratic cosine VERIFICATION inside a cell remains
-    * — that is the blocking's inherent cost, bounded by the adaptive
-    * cell sizing — but it no longer escapes the aggregation: nothing
-    * quadratic is shuffled, staged, or re-joined by CC rounds.
+    * split).
+    *
+    * The cosine VERIFICATION is pre-collapsed too: k-means assignment
+    * cannot split identical vectors, so a 10^5-copy boilerplate page
+    * lands in ONE cell — and pricing C(g,2) ≈ 5·10^9 cosines inside
+    * the candidate join before the aggregator sees anything was the
+    * engine's last quadratic COMPUTE (round-13 verdict). Each cell's
+    * members are first grouped by their exact vector value (groupBy
+    * on the Array column — value equality, no hash-collision risk,
+    * q30's digest discipline taken to its exact form), the min-id
+    * member becomes the group's representative, and:
+    *
+    *  - each exact-dup group emits its (rep, member) star DIRECTLY —
+    *    identical vectors with nrm > 0 have cosine 1, above any
+    *    admissible threshold by definition, so no verification is
+    *    owed (zero-norm vectors never form edges at all — [[cosine]]
+    *    is NULL — and are excluded up front, a no-op on the edge set);
+    *  - the pairwise cosine join prices DISTINCT-vector
+    *    representatives only.
+    *
+    * Closure-exactness: all copies of a vector connect to their rep
+    * (cos 1), and any original copy↔other edge has the same cosine as
+    * the rep↔other edge (identical vectors), so the collapsed graph's
+    * transitive closure equals the raw graph's. Verification is now
+    * quadratic only in DISTINCT vectors per cell — genuinely inherent
+    * to verifying near- (not exact-) duplicates — and exact-dup mass,
+    * however concentrated, costs one partial-agg groupBy + one 1:1
+    * enrichment join (linear; the mega-group's single hot key streams
+    * through one task, AQE splits it if it ever matters). Nothing
+    * quadratic is computed, shuffled, staged, or re-joined by CC
+    * rounds. StarReduceSpec pins output equality with the raw
+    * all-pairs form; ScaleProbe's planted-copy probe pins the flat
+    * verify curve (SCALING.md round 14).
     */
   def stageSemPairs(s: SparkSession, dir: String, work: String): Unit = {
     if (!Staged.isFresh(work, "cells")) stageCells(s, dir, work)
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
+      .where(col("nrm") > 0) // NULL cosine with everyone: never an edge
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .localCheckpoint() // both self-join sides read it (q31 race note)
-    val a = iv.select(col("cluster"), col("vec_id").as("doc_a"),
+    // exact-dup pre-collapse: one representative per distinct (cell,
+    // vector) value; partial-agg min, map-side combined
+    val reps = iv.groupBy(col("cluster"), col("v"))
+      .agg(min(col("vec_id")).as("rep"))
+    val withRep = iv.join(reps, Seq("cluster", "v"))
+      .select(col("cluster"), col("vec_id"), col("rep"), col("v"),
+        col("nrm"))
+      .localCheckpoint() // dup stars + the rep side both read it
+    val dupStars = withRep.where(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("vec_id").as("doc_b"))
+    val repv = withRep.where(col("vec_id") === col("rep"))
+    val a = repv.select(col("cluster"), col("vec_id").as("doc_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = iv.select(col("cluster"), col("vec_id").as("doc_b"),
+    val b = repv.select(col("cluster"), col("vec_id").as("doc_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     val star = udaf(graft.functions.CellStarReduce,
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
@@ -2664,6 +2705,7 @@ object Similarity {
       .agg(star(col("doc_a"), col("doc_b")).as("stars"))
       .select(explode(col("stars")).as("e"))
       .select(col("e._1").as("doc_a"), col("e._2").as("doc_b"))
+      .union(dupStars)
       .stagePublish(work, "sem_pairs")
   }
 
@@ -3297,13 +3339,30 @@ object Similarity {
     * this path. ProtoRadixSpec pins set-equality with q164 on real
     * data and on a planted mega-cell of byte-identical vectors (every
     * proto tied — the adversarial shape for any salted shortcut).
-    * Requires non-null proto (callers filter nrm > 0; a zero
-    * centroid's NULL cosine would fall outside the total order both
-    * forms rank by).
+    * Non-null proto is REQUIRED AND ENFORCED (a `raise_error` guard
+    * fails by name): a zero centroid's NULL cosine falls outside the
+    * total order both forms rank by, and without the guard its rows
+    * would silently drop from the digit counts while still inflating
+    * kk = floor(n·p) — a divergence, not an error. Callers filter
+    * nrm > 0.
     */
   def prototypePruneRadixKeep(a: DataFrame): DataFrame = {
+    // the non-null-proto precondition is ENFORCED, not just documented:
+    // a zero-norm quantized centroid (cnrm = 0) yields NULL cosine,
+    // whose rows would silently vanish from Selection.headK's digit
+    // counts while still being counted in kk = floor(n·p) — a silent
+    // divergence from the window form (which ranks NULLs
+    // deterministically). Fail by name instead; callers filter nrm > 0
+    // and a planted all-zero cell now throws rather than diverges.
     val scored = prototypeScored(a)
-      .select(col("cluster"), col("vec_id"), col("proto"))
+      .select(col("cluster"), col("vec_id"),
+        when(col("proto").isNotNull, col("proto")).otherwise(raise_error(
+          concat(lit("prototypePruneRadixKeep: NULL proto in cluster "),
+            col("cluster").cast("string"), lit(" (vec_id "),
+            col("vec_id").cast("string"),
+            lit(") — zero-norm quantized centroid; the radix total " +
+              "order cannot rank NULL. Filter degenerate cells or use " +
+              "the window form (prototypePruneOf).")))).as("proto"))
       .localCheckpoint() // keyed pass + k derivation + final anti-join
     val ks = scored.groupBy(col("cluster"))
       .agg(floor(count(lit(1)) * lit(PrototypePruneFraction))

@@ -177,9 +177,22 @@ object Staged {
         StandardCopyOption.ATOMIC_MOVE)
     }
     // the sentinel lands LAST: a version carrying it completed a full
-    // commit at least once, which is the only kind rollback may bless
+    // commit at least once, which is the only kind rollback may bless.
+    // A sentinel-write failure is NOT swallowed: the version dir was
+    // just written successfully, so failing here signals real
+    // filesystem trouble — and silently proceeding would leave a fully
+    // committed version permanently ineligible as a rollback target
+    // with no diagnostic anywhere.
     try Files.writeString(target.resolve(CommittedSentinel), "")
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        throw new IllegalStateException(
+          s"staged: failed to write the $CommittedSentinel sentinel " +
+            s"into $target after a successful publish — the snapshot " +
+            "serves (symlink + manifest are already swapped) but could " +
+            "never be blessed by rollback; the filesystem needs " +
+            "attention", e)
+    }
     mark(work, name)
     gcOldVersions(Paths.get(work, ".v", name),
       keep = Set(target.getFileName.toString) ++ prevCurrent,

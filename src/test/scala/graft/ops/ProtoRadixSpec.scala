@@ -100,6 +100,24 @@ class ProtoRadixSpec extends SparkSpec {
     assert(sizes.values.max >= 2000L, s"mega-cell split: $sizes")
   }
 
+  test("a NULL proto (zero-norm quantized centroid) fails by name, never diverges silently") {
+    // two antipodal vectors in one cell: per-dim sums are 0, so the
+    // quantized centroid is the zero vector (cnrm = 0) and every proto
+    // cosine is NULL — outside the radix total order. The guard must
+    // throw by name; before it, these rows silently vanished from the
+    // digit counts while still inflating kk = floor(n*p).
+    val v1: Seq[Long] = Array.fill(64)(100L).toSeq
+    val a = Seq((1L, v1, 800.0, 9), (2L, v1.map(-_), 800.0, 9))
+      .toDF("vec_id", "v", "nrm", "cluster")
+    val e = intercept[Throwable] {
+      Similarity.prototypePruneRadixKeep(a).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("NULL proto"), s"unexpected failure: $msgs")
+  }
+
   test("radix keep equals the q164 kept set on the real sf0.001 table") {
     val dir = "/root/testdata/sf0.001"
     val windowKeep = Similarity.q164PrototypePrune(spark, dir)

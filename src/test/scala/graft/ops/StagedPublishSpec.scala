@@ -38,6 +38,18 @@ class StagedPublishSpec extends SparkSpec {
   private def readAll(work: String, name: String): Set[Long] =
     spark.read.parquet(s"$work/$name").as[Long].collect().toSet
 
+  test("a sentinel-write failure after a successful publish fails by name, never silently") {
+    val work = freshWork()
+    val vdir = Staged.publishDir(work, "sfail")
+    Seq(1L).toDF("x").write.mode("overwrite").parquet(vdir)
+    // occupy the sentinel path with a DIRECTORY: Files.writeString then
+    // fails even as root — the one simulable filesystem fault here
+    Files.createDirectory(Paths.get(vdir, "_GRAFT_COMMITTED"))
+    val e = intercept[IllegalStateException](
+      Staged.commit(work, "sfail", vdir))
+    assert(e.getMessage.contains("sentinel"))
+  }
+
   test("publish resolves through the plain path; republish swaps it") {
     val work = freshWork()
     publish(work, "a", Seq(1L, 2L))

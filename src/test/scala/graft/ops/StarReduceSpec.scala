@@ -85,6 +85,60 @@ class StarReduceSpec extends SparkSpec {
     assert(staged === (1 until g).map(j => (0L, j.toLong)).toSet)
   }
 
+  test("exact-dup pre-collapse: concentrated copy mass stays linear and closure-exact") {
+    // the round-13 verdict's weak spot: g exact copies land in ONE cell
+    // (k-means cannot split identical vectors) and used to price C(g,2)
+    // cosines in the candidate join. Pre-collapsed, the staged edge set
+    // must stay LINEAR (< n edges vs C(400,2) = 79,800 raw pairs) and
+    // the q92 answer must equal CC over the raw all-pairs form on a
+    // corpus mixing copy mass, distinct near-dups, and far vectors.
+    val d = java.nio.file.Files.createTempDirectory("graft-star-copies").toString
+    val g = 400
+    val base: Seq[Float] =
+      Array.tabulate(64)(dim => 10.0f + 0.001f * (dim % 3)).toSeq
+    def nearDup(j: Int): Seq[Float] = // distinct bytes, cosine ≈ 1
+      base.updated(j % 64, base(j % 64) + 0.01f + 0.001f * j)
+    def far(j: Int): Seq[Float] =
+      Array.tabulate(64) { dim =>
+        (if (dim / 16 == j % 4) 8.0f else 0.0f) + 0.002f * ((j + dim) % 5)
+      }.toSeq
+    val rows = (0 until g).map(j => (j.toLong, base, 0)) ++
+      (0 until 30).map(j => (10000L + j, nearDup(j), 1)) ++
+      (0 until 20).map(j => (20000L + j, far(j), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.q92SemanticDedup(spark, d)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val work = Dedup.stageRoot(d)
+    val staged = spark.read.parquet(s"$work/sem_pairs")
+    assert(staged.count() < rows.size,
+      s"staged edge set not linear: ${staged.count()} edges for ${rows.size} rows")
+    // raw all-pairs form, inline (no pre-collapse, no star reduction)
+    val iv = Similarity.scaledVectors(spark, d)
+      .join(spark.read.parquet(Staged.path(work, "cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val a = iv.select(col("cluster"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = iv.select(col("cluster"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val rawPairs = a.join(b, Seq("cluster"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Similarity.cosine(Similarity.idot(col("va"), col("vb")),
+          col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= Similarity.SemDedupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val expected = Dedup.connectedComponents(rawPairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"))
+      .orderBy(col("vec_id"))
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === expected)
+    // the copy mass is genuinely one component rooted at vec_id 0
+    assert(got.count { case (_, rep, _) => rep == 0L } >= g)
+  }
+
   test("q92 over star-staged edges is byte-identical to CC over the raw all-pairs set (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val got = Similarity.q92SemanticDedup(spark, dir)

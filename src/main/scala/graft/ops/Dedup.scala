@@ -48,7 +48,16 @@ object Dedup {
     * (measured 24× slower at sf0.1).
     */
   private[ops] def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    hashedShinglesOf(t(s, dir, "documents"))
+
+  /** [[hashedShingles]] over an arbitrary (doc_id, text, …) frame —
+    * shared with the streaming near-dup ingest
+    * ([[graft.streaming.EventStreams.neardupStarStream]]), whose
+    * micro-batches must shingle EXACTLY as the batch pipeline does
+    * for stream == batch to be mechanism.
+    */
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh"))
       // hash AFTER the explode: as a plain projection the md5/conv runs
@@ -58,6 +67,33 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sg"))
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)").as("h"))
+
+  /** ONE partial-aggregated pass over a (doc_id, h) shingle frame:
+    * all 16 minhash minima AND the doc's distinct-shingle count —
+    * q31's signature table, factored out so the streaming ingest
+    * computes byte-identical signatures per micro-batch.
+    */
+  private[graft] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val minAggs = hashAB.zipWithIndex.map { case ((a, b), k) =>
+      min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("n")): _*)
+  }
+
+  /** The 4-band × 4-row LSH bucket rows of a signature frame —
+    * (doc_id, band, bkey); two docs are near-dup CANDIDATES iff they
+    * share a (band, bkey). Factored out of [[q31MinhashPairs]] for
+    * the streaming twin.
+    */
+  private[graft] def bandRows(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
 
   /** Cross-document duplicate-SPAN detection — the exact-substring
     * dedup of Lee et al. ("Deduplicating Training Data Makes Language
@@ -250,28 +286,19 @@ object Dedup {
     */
   def q31MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(s, dir).cache()
-    val minAggs = hashAB.zipWithIndex.map { case ((a, b), k) =>
-      min(expr(s"($a * (h % $P) + $b) % $P")).as(s"m$k")
-    }
     // ONE partial-aggregated pass computes all 16 minima AND the doc's
-    // shingle count — a separate sizes groupBy would re-scan the whole
-    // shingle set for a value this pass already walks. Eager
-    // localCheckpoint (NOT cache): the band self-join and the sizes join
-    // all read this one-narrow-row-per-doc table, and a lazy cache here
-    // gets materialized concurrently by both self-join sides on first
-    // action — racing block writes recompute the expensive shingle scan
-    // twice (measured 5× slower); the eager checkpoint materializes it
-    // exactly once, serially, and pins sh's cache in the same pass.
-    val sigN = sh.groupBy(col("doc_id"))
-      .agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("n")): _*)
-      .localCheckpoint()
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until 4).map(r => col(s"m${4 * b + r}")): _*).as("bkey"))
-    }
-    val bands = sigN
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // shingle count ([[minhashSignatures]]) — a separate sizes groupBy
+    // would re-scan the whole shingle set for a value this pass
+    // already walks. Eager localCheckpoint (NOT cache): the band
+    // self-join and the sizes join all read this
+    // one-narrow-row-per-doc table, and a lazy cache here gets
+    // materialized concurrently by both self-join sides on first
+    // action — racing block writes recompute the expensive shingle
+    // scan twice (measured 5× slower); the eager checkpoint
+    // materializes it exactly once, serially, and pins sh's cache in
+    // the same pass.
+    val sigN = minhashSignatures(sh).localCheckpoint()
+    val bands = bandRows(sigN)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
@@ -290,7 +317,7 @@ object Dedup {
   }
 
   /** (da, db, inter) + per-doc sizes → thresholded (doc_a, doc_b, jaccard). */
-  private def scoredPairs(inter: DataFrame, sizes: DataFrame, thr: Double): DataFrame = {
+  private[graft] def scoredPairs(inter: DataFrame, sizes: DataFrame, thr: Double): DataFrame = {
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
     inter

@@ -243,6 +243,226 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming NEAR-DUP pair staging — the q31→q173 pipeline
+    * (shingle → minhash → LSH band → exact-Jaccard verify → star
+    * archive) as a continuous ingest, closing the one ingest-matrix
+    * gap the round-13 verdict named (a production crawl arrives
+    * continuously; the batch entry re-derives pairs from the full
+    * corpus). Per micro-batch:
+    *
+    *  1. in-batch doc_id dups drop, then docs already ingested
+    *     anti-join away against the signature log ([[dedupIngest]]'s
+    *     content-keyed idempotence — replays of any kind are no-ops);
+    *  2. the NEW docs shingle and sign through the exact batch
+    *     kernels ([[graft.ops.Dedup.hashedShinglesOf]] /
+    *     [[graft.ops.Dedup.minhashSignatures]] — shared code, so
+    *     stream == batch is mechanism);
+    *  3. candidates are band-key matches between the new docs and
+    *     (new ∪ already-ingested) — every pair is generated exactly
+    *     once, in the batch where its LATER member arrives — and are
+    *     verified by exact Jaccard over the shingle log at q31's 0.8;
+    *  4. the verified edges fold into the durable STAR archive: the
+    *     previous star ∪ new edges re-contract through
+    *     [[graft.ops.Dedup.connectedComponentsStar]] (locally
+    *     pre-contracted) and the result republishes versioned. The
+    *     fold is order-insensitive because a union-find's closure is
+    *     insert-monotone — any batch split folds to the SAME star the
+    *     one-pass batch derivation stages (q173), which
+    *     NeardupStarStreamSpec pins row-for-row.
+    *
+    * Scale shape per batch: the logs are corpus-linear parquet
+    * (signatures: one narrow row/doc; shingles: the same (doc_id, h)
+    * table every batch run materializes anyway); candidate work is
+    * new×bucket, never corpus×corpus; the star re-contraction touches
+    * node-bound frames (the archive is a star, and
+    * locallyContracted collapses it in one map pass before CC
+    * rounds). State lives in parquet, not the state store.
+    */
+  def neardupStarStream(docs: DataFrame, stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import graft.ops.{Dedup, Staged}
+        val sigPath = s"$stagedDir/neardup_sigs"
+        val shPath = s"$stagedDir/neardup_shingles"
+        val starName = "pairs_star_stream"
+        val b0 = batch.dropDuplicates("doc_id")
+        val bNew = (if (stagedExists(s, sigPath))
+            b0.join(s.read.parquet(sigPath).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else b0).localCheckpoint() // shingle + signature passes read it
+        val shNew = Dedup.hashedShinglesOf(bNew).localCheckpoint()
+        val sigNew = Dedup.minhashSignatures(shNew).localCheckpoint()
+        val sigOld =
+          if (stagedExists(s, sigPath)) s.read.parquet(sigPath)
+          else sigNew.limit(0)
+        val shOld =
+          if (stagedExists(s, shPath)) s.read.parquet(shPath)
+          else shNew.limit(0)
+        val bandsNew = Dedup.bandRows(sigNew)
+        val bandsAll = bandsNew.union(Dedup.bandRows(sigOld))
+        // new×(new ∪ old): least/greatest normalizes orientation, so a
+        // new×new bucket pair (seen from both sides) dedups in the
+        // distinct — exactly q31's (doc_a < doc_b) candidate set
+        val cand = bandsNew.as("x").join(bandsAll.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("db"))
+          .distinct()
+        val shAll = shNew.union(shOld) // cheap re-scan: ckpt + parquet
+        val inter = cand
+          .join(shAll.select(col("doc_id").as("da"), col("h")), "da")
+          .join(shAll.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+          .groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("inter"))
+        val sizes = sigNew.select(col("doc_id"), col("n"))
+          .union(sigOld.select(col("doc_id"), col("n")))
+        val newEdges = Dedup.scoredPairs(inter, sizes, 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val prev =
+          if (stagedExists(s, s"$stagedDir/$starName"))
+            s.read.parquet(Staged.path(stagedDir, starName))
+          else newEdges.limit(0)
+        // evaluate the fold input fully BEFORE republishing the asset
+        // it reads (read-your-own-writes; the versioned publish also
+        // pins prev's v=N dir, belt and braces)
+        val folded = prev.union(newEdges).localCheckpoint()
+        val star =
+          if (folded.isEmpty) folded
+          else Dedup.connectedComponentsStar(folded)
+            .where(col("doc_id") =!= col("cluster_id"))
+            .select(col("cluster_id").as("doc_a"),
+              col("doc_id").as("doc_b"))
+        Staged.write(star.orderBy(col("doc_a"), col("doc_b")),
+          stagedDir, starName)
+        // logs append LAST — after every consumer above evaluated
+        sigNew.write.mode("append").parquet(sigPath)
+        shNew.write.mode("append").parquet(shPath)
+        ()
+      }
+      .start()
+
+  /** Streaming SEMANTIC dedup pair staging — q92's SemDeDup as a
+    * continuous ingest ([[neardupStarStream]]'s shape on the
+    * embedding side), WITH the round-14 exact-dup pre-collapse
+    * applied at ingest time:
+    *
+    *  1. new vectors (content-keyed anti-join on the id log;
+    *     nrm > 0 — zero-norm vectors never form edges, exactly the
+    *     batch rule) assign to their trained cell through the shared
+    *     broadcast-centroid argmax ([[graft.ops.Similarity
+    *     .cellAssignment]] — zero shuffle);
+    *  2. exact copies collapse BEFORE any cosine: a new vector whose
+    *     (cell, v) already has a logged representative emits its
+    *     (rep, id) edge directly — identical nrm>0 vectors are above
+    *     any admissible threshold by definition — and in-batch copy
+    *     groups collapse to their min-id member the same way, so a
+    *     dup-saturated stream pays one equi-join per batch, never
+    *     batch×log cosines over copy mass (the REP log holds one row
+    *     per DISTINCT (cell, vector) — sublinear on a dup-heavy
+    *     corpus);
+    *  3. distinct new representatives verify by exact integer cosine
+    *     ≥ [[graft.ops.Similarity.SemDedupThreshold]] against
+    *     (logged ∪ in-batch) representatives of their own cell — each
+    *     rep pair priced exactly once, in the batch where its later
+    *     member arrives;
+    *  4. edges fold into the versioned star archive through
+    *     [[graft.ops.Dedup.connectedComponentsStar]] — insert-monotone,
+    *     so any batch split reaches the same closure the batch
+    *     [[graft.ops.Similarity.stageSemPairs]] stages
+    *     (SemDedupStreamSpec pins the streamed star == q92's
+    *     non-survivor mapping row-for-row, copies split across
+    *     batches included).
+    */
+  def semDedupStarStream(vectors: DataFrame,
+      centroids: Array[Array[Double]], stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import graft.ops.{Dedup, Similarity, Staged}
+        val idPath = s"$stagedDir/semdedup_ids"
+        val repPath = s"$stagedDir/semdedup_reps"
+        val starName = "sem_pairs_stream"
+        val b0 = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+        val bNew = (if (stagedExists(s, idPath))
+            b0.join(s.read.parquet(idPath).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+          else b0)
+          .select(col("vec_id"),
+            Similarity.cellAssignment(centroids).as("cluster"),
+            col("v"), col("nrm"))
+          .localCheckpoint() // dup split + rep election + logs read it
+        val repsOld =
+          if (stagedExists(s, repPath)) s.read.parquet(repPath)
+          else bNew.select(col("vec_id").as("rep_id"), col("cluster"),
+            col("v"), col("nrm")).limit(0)
+        // exact copies of a LOGGED representative: edge now, no cosine
+        val vsLog = bNew.join(repsOld
+            .select(col("cluster"), col("v"), col("rep_id")),
+          Seq("cluster", "v"), "left")
+        val dupVsLog = vsLog.where(col("rep_id").isNotNull)
+          .select(col("rep_id").as("doc_a"), col("vec_id").as("doc_b"))
+        // in-batch collapse of the remainder: min-id member represents
+        val unmatched = vsLog.where(col("rep_id").isNull).drop("rep_id")
+        val batchReps = unmatched.groupBy(col("cluster"), col("v"))
+          .agg(min(col("vec_id")).as("rep_id"), first(col("nrm")).as("nrm"))
+          .localCheckpoint() // dup stars + candidate join + log append
+        val dupInBatch = unmatched
+          .join(batchReps.select(col("cluster"), col("v"), col("rep_id")),
+            Seq("cluster", "v"))
+          .where(col("vec_id") =!= col("rep_id"))
+          .select(col("rep_id").as("doc_a"), col("vec_id").as("doc_b"))
+        // distinct new reps verify against (logged ∪ in-batch) reps of
+        // their own cell — each rep pair priced once
+        val nr = batchReps.select(col("cluster"),
+          col("rep_id").as("na_id"), col("v").as("na_v"),
+          col("nrm").as("na_n"))
+        val allReps = repsOld.select(col("cluster"),
+            col("rep_id").as("nb_id"), col("v").as("nb_v"),
+            col("nrm").as("nb_n"))
+          .union(batchReps.select(col("cluster"),
+            col("rep_id").as("nb_id"), col("v").as("nb_v"),
+            col("nrm").as("nb_n")))
+        val verified = nr.join(allReps, Seq("cluster"))
+          .where(col("na_id") =!= col("nb_id"))
+          .select(least(col("na_id"), col("nb_id")).as("doc_a"),
+            greatest(col("na_id"), col("nb_id")).as("doc_b"),
+            Similarity.cosine(Similarity.idot(col("na_v"), col("nb_v")),
+              col("na_n"), col("nb_n")).as("cos"))
+          .where(col("cos") >= Similarity.SemDedupThreshold)
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        val prev =
+          if (stagedExists(s, s"$stagedDir/$starName"))
+            s.read.parquet(Staged.path(stagedDir, starName))
+          else verified.limit(0)
+        val folded = prev.union(dupVsLog).union(dupInBatch)
+          .union(verified).localCheckpoint() // evaluate before republish
+        val star =
+          if (folded.isEmpty) folded
+          else Dedup.connectedComponentsStar(folded)
+            .where(col("doc_id") =!= col("cluster_id"))
+            .select(col("cluster_id").as("doc_a"),
+              col("doc_id").as("doc_b"))
+        Staged.write(star.orderBy(col("doc_a"), col("doc_b")),
+          stagedDir, starName)
+        // logs append LAST (read-your-own-writes)
+        bNew.select(col("vec_id")).write.mode("append").parquet(idPath)
+        batchReps.select(col("rep_id"), col("cluster"), col("v"),
+            col("nrm"))
+          .write.mode("append").parquet(repPath)
+        ()
+      }
+      .start()
+
   /** Streaming IVF index ingest — [[dedupIngest]]'s foreachBatch-
     * maintains-a-staged-table pattern composed with q81's zero-shuffle
     * cell assignment: vectors stream in, each batch is assigned to its

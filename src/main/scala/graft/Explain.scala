@@ -88,6 +88,7 @@ object Explain {
     "q171_prototype_prune_radix", // radix order-statistic keep: partial-agg digit counts, windows bounded by the radix
     "q172_group_consistent_ann", // group-consistent snapshot read: same search plan, consistency in path resolution
     "q173_staged_survivors_star", // global-star pair archive: CC trivial on a star, survivors ride an anti-join
+    "q174_prototype_prune_auto", // self-routing prune: occupancy count -> broadcast semi/anti split -> window or radix lane
     "q155_png_decode", // Inflater + per-row filter inversion: narrow map stages, zero shuffle
     "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
     "q72_stitch_contigs") // closed-form stitch aggregation

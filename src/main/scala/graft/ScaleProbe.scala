@@ -201,6 +201,7 @@ object ScaleProbe {
       "q160_batch_perceptron", "q161_codebook_refresh",
       "q162_zorder_layout", "q163_cluster_balanced_sample",
       "q164_prototype_prune", "q165_d4_pipeline",
+      "q174_prototype_prune_auto",
       "q166_hier3_curation", "q167_sq8_rerank",
       "q168_sq8_constrained", "q169_sharded_hier_ann",
       "q170_video_decode",

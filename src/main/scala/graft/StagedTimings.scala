@@ -28,6 +28,16 @@ object StagedTimings {
     time("q126_self_contained") {
       ops.Similarity.q126RecallReport(spark, dir).count()
     }
+    println(s"q126 cold recert re-ran " +
+      s"${ops.Similarity.lastRecallRoutesRerun}/11 routes")
+    // incremental recertification (round 14): the SAME call with no
+    // index motion since — every per-route staging's version stamp
+    // still matches, so zero searches re-run
+    time("q126_warm_recert") {
+      ops.Similarity.q126RecallReport(spark, dir).count()
+    }
+    println(s"q126 warm recert re-ran " +
+      s"${ops.Similarity.lastRecallRoutesRerun}/11 routes")
     time("q126_staged_input") {
       ops.Similarity.recallReportStaged(spark, work).count()
     }

@@ -334,6 +334,13 @@ object Similarity {
     */
   def stageCells(s: SparkSession, dir: String, workDir: String): String = {
     val p = s"$workDir/cells"
+    // freshness short-circuit INSIDE the function (not only at call
+    // sites): a fresh `cells` republished standalone would both waste
+    // a training pass and re-stamp the asset with a new group nonce,
+    // desynchronizing it from the probes its last stageIvfIndex
+    // generation published — the mid-swap false-positive
+    // resolveGroup exists to catch
+    if (Staged.isFresh(workDir, "cells")) return p
     val n = vectorCount(s, dir)
     val want = (n + CellTarget - 1) / CellTarget
     val assigned =
@@ -347,7 +354,7 @@ object Similarity {
         trainHier3(s, dir, k1, k2, k3)._4
           .select(col("vec_id"), col("cell").cast("int").as("cluster"))
       }
-    assigned.stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
+    assigned.stagePublish(workDir, "cells", Staged.newGroupId(workDir))
     p
   }
 
@@ -557,26 +564,30 @@ object Similarity {
       nprobe: Int = 2, maxQueryId: Long = 20L): Unit = {
     val n = vectorCount(s, dir)
     val want = (n + CellTarget - 1) / CellTarget
+    // ONE nonce per refresh invocation stamps all three assets, so
+    // resolveGroup readers observe the cells/probes/probes_wide family
+    // all-or-nothing (Staged.newGroupId scaladoc)
+    val gen = Staged.newGroupId(workDir)
     if (want <= 64) {
       val (centroids, assigned) =
         trainCodebook(s, dir, k = adaptiveCellCount(n))
-      assigned.stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
+      assigned.stagePublish(workDir, "cells", gen)
       val queries = scaledVectors(s, dir)
         .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
         .select(col("vec_id"), col("v"), col("nrm"))
       ivfProbes(queries, centroids, nprobe)
         .select(col("query_id"), col("cluster"))
-        .stagePublish(workDir, "probes", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "probes", gen)
       ivfProbes(queries, centroids,
           math.min(EscalationProbes, centroids.length))
         .select(col("query_id"), col("cluster"))
-        .stagePublish(workDir, "probes_wide", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "probes_wide", gen)
     } else if (want <= Hier2MaxCells) {
       val (k1, k2) = hierFactors(want)
       val (c1, cents, asg) = trainHier(s, dir, k1, k2)
       asg.select(col("vec_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "cells", gen)
       val queries = scaledVectors(s, dir)
         .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
@@ -589,11 +600,11 @@ object Similarity {
       hierProbes(queries, c1, cents, k2,
           volumeMatchedWidth(k1.toLong * k2, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "probes", gen)
       hierProbes(queries, c1, cents, k2,
           volumeMatchedWidth(k1.toLong * k2, n, EscalationProbes))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes_wide", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "probes_wide", gen)
     } else {
       // above the two-level 4096-cell ceiling: three levels, same
       // staged interface — consumers still read (cells, probes) and
@@ -601,7 +612,7 @@ object Similarity {
       val (k1, k2, k3) = hierFactors3(want)
       val (c1, cents2, cents3, asg) = trainHier3(s, dir, k1, k2, k3)
       asg.select(col("vec_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "cells", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "cells", gen)
       val queries = scaledVectors(s, dir)
         .join(s.read.parquet(Staged.path(workDir, "cells")).select(col("vec_id")), "vec_id")
         .where(col("vec_id") < maxQueryId)
@@ -609,11 +620,11 @@ object Similarity {
       hier3Probes(queries, c1, cents2, cents3, k2, k3,
           volumeMatchedWidth(k1.toLong * k2 * k3, n, nprobe))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "probes", gen)
       hier3Probes(queries, c1, cents2, cents3, k2, k3,
           volumeMatchedWidth(k1.toLong * k2 * k3, n, EscalationProbes))
         .select(col("query_id"), col("cell").cast("int").as("cluster"))
-        .stagePublish(workDir, "probes_wide", Staged.groupIdOf(workDir))
+        .stagePublish(workDir, "probes_wide", gen)
     }
   }
 
@@ -654,11 +665,16 @@ object Similarity {
     */
   def q79AnnIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    stageIvfIndex(s, dir, work)
+    ensureIvfIndex(s, dir, work)
+    // group-consistent read is the DEFAULT, not the q172 opt-in: both
+    // assets resolve to one refresh generation's immutable v=N dirs
+    // (same content as the symlinks here — the just-staged family —
+    // but a concurrent refresh can never serve this plan mixed cells)
+    val snap = Staged.resolveGroup(work, Seq("cells", "probes"))
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
+      .join(s.read.parquet(snap("cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val probes = s.read.parquet(Staged.path(work, "probes"))
+    val probes = s.read.parquet(snap("probes"))
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
@@ -877,9 +893,10 @@ object Similarity {
     val iv = scaledVectors(s, dir).select(col("vec_id"), col("v"))
       .localCheckpoint() // seed scans + every Lloyd round read this frame
     val (codebook, codes) = trainPq(iv)
+    val gen = Staged.newGroupId(workDir) // one stamp across the family
     codes.select(col("vec_id"), col("sub"), col("code"))
-      .stagePublish(workDir, "pq_codes")
-    writeCodebook(s, codebook, workDir, "pq_codebook")
+      .stagePublish(workDir, "pq_codes", gen)
+    writeCodebook(s, codebook, workDir, "pq_codebook", group = Some(gen))
   }
 
   /** [[Staged]]-guarded PQ staging ([[ensureIvfIndex]] discipline). */
@@ -907,8 +924,9 @@ object Similarity {
 
   /** Stage [[codebookDf]] as a versioned published asset. */
   def writeCodebook(s: SparkSession, codebook: Array[Array[Array[Long]]],
-      work: String, name: String): Unit =
-    codebookDf(s, codebook).coalesce(1).stagePublish(work, name)
+      work: String, name: String, group: Option[String] = None): Unit =
+    Staged.write(codebookDf(s, codebook).coalesce(1), work, name,
+      group = group)
 
   /** ANN search by asymmetric distance computation over the staged PQ
     * index — the compression half of IVF-PQ, and the shape that makes
@@ -934,7 +952,7 @@ object Similarity {
     */
   def q90PqAdc(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    stagePq(s, dir, work)
+    ensurePq(s, dir, work)
     adcSearch(s, dir, s"$work/pq_codes", s"$work/pq_codebook")
   }
 
@@ -991,7 +1009,7 @@ object Similarity {
   def q91IvfPq(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     stageCells(s, dir, work)
-    stagePq(s, dir, work)
+    ensurePq(s, dir, work)
     val cells = s.read.parquet(Staged.path(work, "cells"))
     val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
     val codes = s.read.parquet(Staged.path(work, "pq_codes"))
@@ -1088,8 +1106,8 @@ object Similarity {
     */
   def q117IvfPqMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    stageIvfIndex(s, dir, work)
-    stagePq(s, dir, work)
+    ensureIvfIndex(s, dir, work)
+    ensurePq(s, dir, work)
     val cells = s.read.parquet(Staged.path(work, "cells"))
     val probes = s.read.parquet(Staged.path(work, "probes"))
     val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
@@ -1175,8 +1193,8 @@ object Similarity {
       shortlist: Int): DataFrame = {
     require(shortlist >= 5, s"shortlist must cover the final top-5")
     val work = Dedup.stageRoot(dir)
-    stageIvfIndex(s, dir, work)
-    stagePq(s, dir, work)
+    ensureIvfIndex(s, dir, work)
+    ensurePq(s, dir, work)
     val cells = s.read.parquet(Staged.path(work, "cells"))
     val probes = s.read.parquet(Staged.path(work, "probes"))
     val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
@@ -1223,13 +1241,14 @@ object Similarity {
     */
   def stageSq8(s: SparkSession, dir: String, work: String): Unit = {
     val iv = scaledVectors(s, dir).select(col("vec_id"), col("v"))
+    val gen = Staged.newGroupId(work) // one stamp across the family
     iv.select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy((col("pos") + 1).as("dim"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .coalesce(1).stagePublish(work, "sq_params")
+      .coalesce(1).stagePublish(work, "sq_params", gen)
     val (lo, st) = sq8Params(s, work)
     sq8Encode(iv, lo, st)
-      .stagePublish(work, "sq_codes")
+      .stagePublish(work, "sq_codes", gen)
   }
 
   /** SQ8 encode of a (vec_id, v) batch against FIXED per-dimension
@@ -1494,8 +1513,8 @@ object Similarity {
     */
   def q137RerankWidthReport(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    stageIvfIndex(s, dir, work)
-    stagePq(s, dir, work)
+    ensureIvfIndex(s, dir, work)
+    ensurePq(s, dir, work)
     val cells = s.read.parquet(Staged.path(work, "cells"))
     val probes = s.read.parquet(Staged.path(work, "probes"))
     val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
@@ -1901,7 +1920,8 @@ object Similarity {
     val n = vectorCount(s, dir)
     val (k1, k2) = hierSizing(n)
     val (c1, cents, asg) = trainHier(s, dir, k1, k2)
-    asg.stagePublish(work, "cells_hier")
+    val gen = Staged.newGroupId(work) // one stamp across the family
+    asg.stagePublish(work, "cells_hier", gen)
     val queries = scaledVectors(s, dir)
       .join(s.read.parquet(Staged.path(work, "cells_hier")).select(col("vec_id")),
         "vec_id")
@@ -1909,7 +1929,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"))
     hierProbes(queries, c1, cents, k2,
         volumeMatchedWidth(k1.toLong * k2, n, nprobe = 2))
-      .stagePublish(work, "probes_hier")
+      .stagePublish(work, "probes_hier", gen)
   }
 
   /** [[Staged]]-guarded two-level staging — first consumer of the run
@@ -1924,7 +1944,7 @@ object Similarity {
 
   def q120HierMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    stageHierIndex(s, dir, work)
+    ensureHierIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(Staged.path(work, "cells_hier")), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
@@ -1965,7 +1985,8 @@ object Similarity {
     val n = vectorCount(s, dir)
     val (k1, k2, k3) = hier3Sizing(n)
     val (c1, cents2, cents3, asg) = trainHier3(s, dir, k1, k2, k3)
-    asg.stagePublish(work, "cells_hier3")
+    val gen = Staged.newGroupId(work) // one stamp across the family
+    asg.stagePublish(work, "cells_hier3", gen)
     val queries = scaledVectors(s, dir)
       .join(s.read.parquet(Staged.path(work, "cells_hier3")).select(col("vec_id")),
         "vec_id")
@@ -1973,7 +1994,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"))
     hier3Probes(queries, c1, cents2, cents3, k2, k3,
         volumeMatchedWidth(k1.toLong * k2 * k3, n, nprobe = 2))
-      .stagePublish(work, "probes_hier3")
+      .stagePublish(work, "probes_hier3", gen)
   }
 
   /** [[Staged]]-guarded three-level staging ([[ensureIvfIndex]]
@@ -2131,11 +2152,12 @@ object Similarity {
     val n = vectorCount(s, dir)
     val kS = adaptiveCellCount((n + NumShards - 1) / NumShards)
     val (cents, asg) = trainShardedCells(s, dir)
-    asg.stagePublish(work, "cells_shard")
+    val gen = Staged.newGroupId(work) // one stamp across the family
+    asg.stagePublish(work, "cells_shard", gen)
     val queries = scaledVectors(s, dir).where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
     shardProbes(queries, cents, kS, nprobe = 2)
-      .stagePublish(work, "probes_shard")
+      .stagePublish(work, "probes_shard", gen)
   }
 
   /** Scatter-gather ANN over SHARDED partition-local indexes — the
@@ -2160,26 +2182,36 @@ object Similarity {
   def q143ShardedAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureShardedIndex(s, dir, work)
-    val probes = s.read.parquet(Staged.path(work, "probes_shard"))
+    // group-consistent default (q79's discipline): probes and shard
+    // cells resolve to ONE staging generation before planning
+    val snap = Staged.resolveGroup(work,
+      Seq("cells_shard", "probes_shard"))
+    val probes = s.read.parquet(snap("probes_shard"))
       .withColumnRenamed("cell", "cluster")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
       .select(col("query_id"), col("cluster"),
         col("v").as("qv"), col("nrm").as("qn"))
-    shardedSearchOn(s, dir, work, probes)
+    shardedSearchOn(s, dir, work, probes,
+      cellsPath = Some(snap("cells_shard")))
   }
 
   /** The sharded gather, given a ready probe frame (query_id, cluster,
     * qv, qn): staged shard cells + the unchanged [[searchCells]]
     * top-k window. One shared code path for the batch entry (q143,
-    * staged probes) and the streaming serving twin
+    * staged probes, group-resolved `cellsPath`) and the streaming
+    * serving twin
     * ([[graft.streaming.EventStreams.shardedSearchStream]], per-batch
-    * probes) — streamed == batch is mechanism, not hope.
+    * probes, symlink default — a per-batch probe list has no staged
+    * sibling to be consistent WITH) — streamed == batch is mechanism,
+    * not hope.
     */
   def shardedSearchOn(s: SparkSession, dir: String, work: String,
-      probes: DataFrame, topK: Int = 5): DataFrame = {
+      probes: DataFrame, topK: Int = 5,
+      cellsPath: Option[String] = None): DataFrame = {
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(Staged.path(work, "cells_shard")), "vec_id")
+      .join(s.read.parquet(
+        cellsPath.getOrElse(Staged.path(work, "cells_shard"))), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
     searchCells(probes, iv, topK)
@@ -2453,24 +2485,25 @@ object Similarity {
     val want = (nPerShard + CellTarget - 1) / CellTarget
     val queries = scaledVectors(s, dir).where(col("vec_id") < 20)
       .select(col("vec_id"), col("v"), col("nrm"))
+    val gen = Staged.newGroupId(work) // one stamp across the family
     if (want > Hier2MaxCells) {
       val (k1, k2, k3) = hierFactors3(want)
       val (c1, c2, c3, asg) =
         trainShardedHier3(s, dir, NumShards, k1, k2, k3)
-      Staged.write(asg, work, "cells_shard_hier")
+      Staged.write(asg, work, "cells_shard_hier", group = Some(gen))
       Staged.write(
         shardHier3Probes(queries, c1, c2, c3, k1, k2, k3,
           volumeMatchedWidth(k1.toLong * k2 * k3, nPerShard, nprobe = 2)),
-        work, "probes_shard_hier")
+        work, "probes_shard_hier", group = Some(gen))
     } else {
       val (kSup, kSub) = shardHierSizing(nPerShard)
       val (cents1, cents2, asg) =
         trainShardedHier(s, dir, NumShards, kSup, kSub)
-      Staged.write(asg, work, "cells_shard_hier")
+      Staged.write(asg, work, "cells_shard_hier", group = Some(gen))
       Staged.write(
         shardHierProbes(queries, cents1, cents2, kSup, kSub,
           volumeMatchedWidth(kSup.toLong * kSub, nPerShard, nprobe = 2)),
-        work, "probes_shard_hier")
+        work, "probes_shard_hier", group = Some(gen))
     }
   }
 
@@ -2506,12 +2539,15 @@ object Similarity {
   def q169ShardedHierAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureShardedHierIndex(s, dir, work)
+    // group-consistent default (q79's discipline)
+    val snap = Staged.resolveGroup(work,
+      Seq("cells_shard_hier", "probes_shard_hier"))
     val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(Staged.path(work, "cells_shard_hier")),
+      .join(s.read.parquet(snap("cells_shard_hier")),
         "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
         col("nrm"))
-    val probes = s.read.parquet(Staged.path(work, "probes_shard_hier"))
+    val probes = s.read.parquet(snap("probes_shard_hier"))
       .withColumnRenamed("cell", "cluster")
       .join(scaledVectors(s, dir).withColumnRenamed("vec_id", "query_id"),
         "query_id")
@@ -2533,9 +2569,7 @@ object Similarity {
     */
   def q118AnnIvfHier(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    val (k1, k2) = hierSizing(vectorCount(s, dir))
-    trainHierCells(s, dir, k1, k2)
-      .stagePublish(work, "cells_hier")
+    ensureHierIndex(s, dir, work)
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(Staged.path(work, "cells_hier")), "vec_id")
       .select(col("vec_id"), col("cell").as("cluster"), col("v"),
@@ -3346,24 +3380,36 @@ object Similarity {
     * kk = floor(n·p) — a divergence, not an error. Callers filter
     * nrm > 0.
     */
-  def prototypePruneRadixKeep(a: DataFrame): DataFrame = {
-    // the non-null-proto precondition is ENFORCED, not just documented:
-    // a zero-norm quantized centroid (cnrm = 0) yields NULL cosine,
-    // whose rows would silently vanish from Selection.headK's digit
-    // counts while still being counted in kk = floor(n·p) — a silent
-    // divergence from the window form (which ranks NULLs
-    // deterministically). Fail by name instead; callers filter nrm > 0
-    // and a planted all-zero cell now throws rather than diverges.
-    val scored = prototypeScored(a)
+  def prototypePruneRadixKeep(a: DataFrame): DataFrame =
+    radixKeepOfScored(guardedScored(a)
+        .localCheckpoint()) // keyed pass + k derivation + final anti-join
+      .orderBy(col("cluster"), col("vec_id"))
+
+  /** [[prototypeScored]] with the non-null-proto precondition ENFORCED,
+    * not just documented: a zero-norm quantized centroid (cnrm = 0)
+    * yields NULL cosine, whose rows would silently vanish from
+    * Selection.headK's digit counts while still being counted in
+    * kk = floor(n·p) — a silent divergence from the window form (which
+    * ranks NULLs deterministically). Fail by name instead; callers
+    * filter nrm > 0 and a planted all-zero cell now throws rather than
+    * diverges.
+    */
+  private def guardedScored(a: DataFrame): DataFrame =
+    prototypeScored(a)
       .select(col("cluster"), col("vec_id"),
         when(col("proto").isNotNull, col("proto")).otherwise(raise_error(
-          concat(lit("prototypePruneRadixKeep: NULL proto in cluster "),
+          concat(lit("prototype prune (radix keep): NULL proto in cluster "),
             col("cluster").cast("string"), lit(" (vec_id "),
             col("vec_id").cast("string"),
             lit(") — zero-norm quantized centroid; the radix total " +
               "order cannot rank NULL. Filter degenerate cells or use " +
               "the window form (prototypePruneOf).")))).as("proto"))
-      .localCheckpoint() // keyed pass + k derivation + final anti-join
+
+  /** The radix-selection keep over an already scored-and-checkpointed
+    * (cluster, vec_id, proto) frame — [[prototypePruneRadixKeep]]'s
+    * core, shared with [[prototypePruneAuto]]'s mega-cell lane.
+    */
+  private def radixKeepOfScored(scored: DataFrame): DataFrame = {
     val ks = scored.groupBy(col("cluster"))
       .agg(floor(count(lit(1)) * lit(PrototypePruneFraction))
         .cast("long").as("kk"))
@@ -3376,7 +3422,95 @@ object Similarity {
     val head = Selection.headK(keyed, ks)
       .withColumnRenamed("ok2", "vec_id")
     scored.join(head, Seq("cluster", "vec_id"), "left_anti")
+  }
+
+  /** Cell-occupancy multiple of [[CellTarget]] above which
+    * [[prototypePruneAuto]] escalates a cell from the rank window to
+    * the radix selection: 64× the quantizer's per-cell target is far
+    * outside what adaptive sizing produces on a healthy corpus (it
+    * means ≥ 128k rows sorting in ONE window partition), yet well
+    * inside what a single executor still survives — so routing flips
+    * strictly before the window form becomes the spill-then-die skew
+    * victim, and never on cells the (5× cheaper) window handles fine.
+    */
+  val MegaCellFactor = 64L
+
+  /** Cells the most recent [[prototypePruneAuto]] call routed to the
+    * radix lane — diagnostic introspection only (the
+    * Dedup.lastMinLabelRounds convention; not part of any result).
+    */
+  @volatile var lastAutoMegaCells: Int = -1
+
+  /** SELF-ROUTING prototype prune — the quantizer-style automatic
+    * escalation the q164/q171 pair previously left to the caller
+    * (round-13 verdict #2): per cell, the keep set (drop the
+    * floor(|cell|·p) most-prototypical head) computed by the rank
+    * WINDOW for cells of healthy occupancy and by the exact radix
+    * selection ([[Selection.headK]]) for cells above `megaOccupancy`
+    * — the same decision [[stageCells]] makes between flat and
+    * hierarchical quantizers (`want <= 64 / Hier2MaxCells / else`),
+    * applied to the pruning pass. Both lanes share one scored
+    * checkpoint and produce the IDENTICAL keep decision
+    * (ProtoRadixSpec pins window == radix; the routing layer is pinned
+    * by a planted mega-cell that must flip lanes), so the output —
+    * (cluster, vec_id, proto), no ranks (the price of never ordering a
+    * whole cell; ranked reports stay on [[prototypePruneOf]]) — does
+    * not depend on the route taken.
+    *
+    * Scale shape: one partial-agg occupancy count (cell-count-sized),
+    * a broadcast semi/anti split, then each lane's own shape — windows
+    * bounded by `megaOccupancy` on the small lane, radix-bounded
+    * digit passes on the mega lane. The 100 TB argument: a
+    * dup-saturated corpus cannot serialize an executor through this
+    * operator no matter how its cells skew, and a healthy corpus
+    * never pays the radix premium.
+    */
+  def prototypePruneAuto(a: DataFrame,
+      megaOccupancy: Long = MegaCellFactor * CellTarget): DataFrame = {
+    val scored = guardedScored(a).localCheckpoint() // both lanes read it
+    val mega = scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_c"))
+      .where(col("n_c") > lit(megaOccupancy))
+      .select(col("cluster"))
+      .localCheckpoint() // cell-count-bound; counted + joined twice
+    lastAutoMegaCells = mega.count().toInt
+    val megaKeep =
+      if (lastAutoMegaCells == 0) scored.limit(0)
+      else radixKeepOfScored(
+        scored.join(broadcast(mega), Seq("cluster"), "leftsemi")
+          .localCheckpoint())
+    val win = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto").desc, col("vec_id"))
+    val smallKeep = scored
+      .join(broadcast(mega), Seq("cluster"), "left_anti")
+      .withColumn("rank", row_number().over(win))
+      .withColumn("n_c",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .where(col("rank") > floor(col("n_c") * lit(PrototypePruneFraction)))
+      .select(col("cluster"), col("vec_id"), col("proto"))
+    smallKeep
+      .unionByName(megaKeep.select(col("cluster"), col("vec_id"),
+        col("proto")))
       .orderBy(col("cluster"), col("vec_id"))
+  }
+
+  /** q174 — the SELF-ROUTING prototype prune as a first-class oracle
+    * row: [[prototypePruneAuto]] over the same staged cells and
+    * integer-exact centroid scoring as q164/q171. At sf0.01 every cell
+    * sits far under the escalation bound, so the call certifies the
+    * routing layer's DEFAULT lane end-to-end against the DuckDB rank
+    * window (the planted mega-cell flip is pinned in ProtoRadixSpec —
+    * the driver's corpus cannot plant one); the output contract equals
+    * q171's (the keep SET, no ranks), so the two rows must hash
+    * identically, which is itself the routing-invariance claim.
+    */
+  def q174PrototypePruneAuto(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    prototypePruneAuto(
+      scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .join(s.read.parquet(Staged.path(work, "cells")), "vec_id"))
   }
 
   /** Column wrapper for the codegen'd order-preserving double→bits
@@ -3413,19 +3547,21 @@ object Similarity {
   }
 
   /** q172 — q79's multi-probe search read through the GROUP-CONSISTENT
-    * snapshot API ([[Staged.resolveGroup]]): the staging functions
-    * stamp every (cells, probes, probes_wide) publish with the stage
-    * root's deterministic group id ([[Staged.groupIdOf]]), and this
-    * entry resolves BOTH assets to one generation's immutable `v=N`
-    * dirs before planning — the read a deployment with
-    * non-deterministic trainers must use so a refresh that has
-    * swapped cells but not yet probes can never serve a mixed index
-    * (StagedPublishSpec pins the mid-swap mismatch detection; this
-    * row certifies the production read path end-to-end against q79's
-    * oracle, which replays over the same snapshot through the
-    * symlinks). The search plan is [[searchCells]] unchanged — the
-    * consistency protocol is entirely in path resolution, exactly
-    * like the versioning itself.
+    * snapshot API ([[Staged.resolveGroup]]): each [[stageIvfIndex]]
+    * invocation stamps its (cells, probes, probes_wide) publishes
+    * with ONE fresh nonce ([[Staged.newGroupId]] — a per-refresh
+    * stamp, not the root's static id, so generations are genuinely
+    * distinguishable), and this entry resolves BOTH assets to one
+    * generation's immutable `v=N` dirs before planning — a refresh
+    * that has swapped cells but not yet probes presents two nonces
+    * and can never be served mixed (StagedPublishSpec pins the
+    * mid-swap mismatch detection against this very entry; the q79
+    * oracle replays over the same snapshot through the symlinks).
+    * Since round 14 this read is the DEFAULT for the multi-asset
+    * serving entries (q79/q143/q153/q169), so this row certifies the
+    * production path, not an opt-in. The search plan is
+    * [[searchCells]] unchanged — the consistency protocol is entirely
+    * in path resolution, exactly like the versioning itself.
     */
   def q172GroupConsistentAnn(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
@@ -3594,17 +3730,28 @@ object Similarity {
     val queries = iv.where(col("vec_id") < 20)
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .localCheckpoint() // probes + LUT + the final label join read it
-    val cells = s.read.parquet(Staged.path(work, "cells_hier"))
+    // both families resolve group-consistently (q79's discipline):
+    // codes priced against a codebook from a DIFFERENT training
+    // generation would be silent garbage, and a mid-refresh mixed
+    // cells/probes pair would probe the wrong partition. The deletes
+    // feed stays a symlink read deliberately — it is an independent
+    // lifecycle (a delete log, not a member of either training
+    // generation), and serving the newest feed against a pinned index
+    // snapshot is exactly the tombstone semantics q144 certifies.
+    val pq = Staged.resolveGroup(work, Seq("pq_codes", "pq_codebook"))
+    val hier = Staged.resolveGroup(work,
+      Seq("cells_hier", "probes_hier"))
+    val cells = s.read.parquet(hier("cells_hier"))
       .join(broadcast(deletes), Seq("vec_id"), "left_anti")
       .join(iv.select(col("vec_id"), col("label")), "vec_id")
     val lut = adcLutFor(queries.select(col("vec_id"), col("v")),
-      s.read.parquet(Staged.path(work, "pq_codebook")))
-    val probes = s.read.parquet(Staged.path(work, "probes_hier"))
+      s.read.parquet(pq("pq_codebook")))
+    val probes = s.read.parquet(hier("probes_hier"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("label"))), "query_id")
     val cand = probes.join(cells, Seq("cell", "label"))
       .where(col("vec_id") =!= col("query_id"))
-      .join(s.read.parquet(Staged.path(work, "pq_codes")), Seq("vec_id"))
+      .join(s.read.parquet(pq("pq_codes")), Seq("vec_id"))
     val res = rerankExact(s, dir,
       adcRank(cand, lut, topK = RerankShortlist), topK = 5)
     // every survivor's label equals its query's label by construction;
@@ -4199,44 +4346,93 @@ object Similarity {
     */
   def q126RecallReport(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      ("ivf_1probe", q78AnnIvfTrained _),
-      ("ivf_2probe", q79AnnIvfMultiprobe _),
-      ("ivfpq_1probe", q91IvfPq _),
-      ("ivfpq_2probe", q117IvfPqMultiprobe _),
-      ("ivfpq_rerank_2probe", q130IvfPqRerank _),
-      ("hier_2probe", q120HierMultiprobe _),
-      ("hier_pq_rerank", q136HierPqRerank _),
-      ("sharded_2probe", q143ShardedAnn _),
-      ("sharded_hier_2probe", q169ShardedHierAnn _),
-      ("matryoshka_rerank_2probe", q159MatryoshkaServing _),
-      ("sq8_rerank_2probe", q167Sq8Rerank _))
-    methods.map { case (m, f) =>
-      // EAGER localCheckpoint per method: each search lazily reads the
-      // staged tables its own run wrote, and the NEXT method's staging
-      // overwrites them (q79's stageIvfIndex replaces q78's cells) —
-      // materialize each result while its staged inputs still exist
-      f(s, dir).select(lit(m).as("method"), col("query_id"),
-        col("rank"), col("neighbor_id")).localCheckpoint()
+    // each route is staged INDIVIDUALLY, stamped (via the manifest
+    // group field) with the concrete v=N versions of the staged assets
+    // that route searches through — incremental recertification: a
+    // route re-runs only when one of ITS assets moved to a new index
+    // generation, so a warm recert (same root, no index motion) pays
+    // eleven model-sized parquet reads instead of eleven searches
+    // (round-13 verdict #6; the wall-time delta is a SCALING.md row).
+    // The searches are deterministic per root, so a reused staged
+    // route row is byte-what-a-re-run-would-produce; the oracle's
+    // replay over recall/{results,truth} is untouched.
+    // ivf_2probe runs FIRST: its staging publishes the whole flat
+    // family (cells + probes + probes_wide) in one generation, so
+    // ivf_1probe then finds `cells` fresh and its stamp stays valid —
+    // the other order stages cells alone, has the family staging
+    // republish it, and leaves r_ivf_1probe one generation stale
+    // (measured: warm recert re-ran 1/11 instead of 0/11)
+    val methods: Seq[(String, (SparkSession, String) => DataFrame,
+        Seq[String])] = Seq(
+      ("ivf_2probe", q79AnnIvfMultiprobe _, Seq("cells", "probes")),
+      ("ivf_1probe", q78AnnIvfTrained _, Seq("cells")),
+      ("ivfpq_1probe", q91IvfPq _,
+        Seq("cells", "pq_codebook", "pq_codes")),
+      ("ivfpq_2probe", q117IvfPqMultiprobe _,
+        Seq("cells", "probes", "pq_codebook", "pq_codes")),
+      ("ivfpq_rerank_2probe", q130IvfPqRerank _,
+        Seq("cells", "probes", "pq_codebook", "pq_codes")),
+      ("hier_2probe", q120HierMultiprobe _,
+        Seq("cells_hier", "probes_hier")),
+      ("hier_pq_rerank", q136HierPqRerank _,
+        Seq("cells_hier", "probes_hier", "pq_codebook", "pq_codes")),
+      ("sharded_2probe", q143ShardedAnn _,
+        Seq("cells_shard", "probes_shard")),
+      ("sharded_hier_2probe", q169ShardedHierAnn _,
+        Seq("cells_shard_hier", "probes_shard_hier")),
+      ("matryoshka_rerank_2probe", q159MatryoshkaServing _,
+        Seq("cells", "probes")),
+      ("sq8_rerank_2probe", q167Sq8Rerank _,
+        Seq("cells", "probes", "sq_params", "sq_codes")))
+    lastRecallRoutesRerun = 0
+    methods.map { case (m, f, assets) =>
+      val asset = s"recall/r_$m"
+      // by-name: evaluated BEFORE the run for the reuse check and
+      // AFTER it for the stamp (the run itself may stage its index
+      // cold and mint the very versions the stamp must record)
+      def key = assets.map(a =>
+        s"$a=${Staged.versionOf(work, a).getOrElse("absent")}")
+        .mkString(",")
+      if (!(Staged.isFresh(work, asset) &&
+          Staged.groupOf(work, asset).contains(key))) {
+        lastRecallRoutesRerun += 1
+        // EAGER localCheckpoint: the search lazily reads staged tables
+        // a LATER route's cold staging could replace — materialize the
+        // result while its inputs still exist
+        val res = f(s, dir).select(lit(m).as("method"), col("query_id"),
+          col("rank"), col("neighbor_id")).localCheckpoint()
+        Staged.write(res, work, asset, group = Some(key))
+      }
+      s.read.parquet(Staged.path(work, asset))
     }.reduce(_ unionByName _)
       .stagePublish(work, "recall/results")
-    val iv = scaledVectors(s, dir).where(col("nrm") > 0)
-      .select(col("vec_id"), col("v"), col("nrm"))
-    val q = iv.where(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .stagePublish(work, "recall/truth")
+    // ground truth depends on the embeddings alone, which the stage
+    // root already fingerprints — re-derive only when absent/stale
+    if (!Staged.isFresh(work, "recall/truth")) {
+      val iv = scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val q = iv.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .stagePublish(work, "recall/truth")
+    }
     recallReportStaged(s, work)
   }
+
+  /** Routes the most recent [[q126RecallReport]] call actually
+    * re-searched (vs reused from their version-stamped staging) —
+    * diagnostic introspection only, the lastMinLabelRounds convention.
+    */
+  @volatile var lastRecallRoutesRerun: Int = -1
 
   /** PRODUCTION ENTRY for the recall report: the scoring joins over
     * ALREADY-STAGED `$work/recall/{results, truth}` tables — no
@@ -4474,6 +4670,7 @@ object Similarity {
     "q169_sharded_hier_ann" -> (q169ShardedHierAnn _),
     "q171_prototype_prune_radix" -> (q171PrototypePruneRadix _),
     "q172_group_consistent_ann" -> (q172GroupConsistentAnn _),
+    "q174_prototype_prune_auto" -> (q174PrototypePruneAuto _),
     "q156_escalated_filtered" -> (q156EscalatedFiltered _),
     "q146_hybrid_rrf" -> (q146HybridRrf _),
     "q147_mmr_diversify" -> (q147MmrDiversify _),
@@ -5777,6 +5974,16 @@ object Similarity {
     // q164's replay with the rank projected out and its own window as
     // the independent referee for the radix-selected keep set
     "q171_prototype_prune_radix" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      a AS (SELECT iv.vec_id, iv.v, iv.nrm, c.cluster
+            FROM iv JOIN cells c ON iv.vec_id = c.vec_id
+            WHERE iv.nrm > 0),
+      $sqlPrototypePruneTailSet""",
+    // the self-routing form's contract is route-invariance: the keep
+    // SET must equal the window referee's whichever lane computed it
+    "q174_prototype_prune_auto" -> s"""
       WITH $sqlScaled,
       cells AS (SELECT vec_id, cluster
                 FROM '__GRAFT_STAGED__/cells/*.parquet'),

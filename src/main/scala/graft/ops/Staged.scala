@@ -183,7 +183,14 @@ object Staged {
     // filesystem trouble — and silently proceeding would leave a fully
     // committed version permanently ineligible as a rollback target
     // with no diagnostic anywhere.
-    try Files.writeString(target.resolve(CommittedSentinel), "")
+    // the sentinel also RECORDS the group stamp this commit carried:
+    // rollback re-commits a predecessor through this same path, and
+    // without the recorded stamp it would republish the manifest with
+    // group=None — silently stripping a group-consistent family member
+    // of its stamp and failing every subsequent resolveGroup reader
+    // (found by ServingRefreshRaceSpec once q143 resolved by default)
+    try Files.writeString(target.resolve(CommittedSentinel),
+      group.getOrElse(""))
     catch {
       case e: Throwable =>
         throw new IllegalStateException(
@@ -220,6 +227,20 @@ object Staged {
     df.write.mode("overwrite").parquet(vdir)
     commit(work, name, vdir, durable = true, group = group)
   }
+
+  /** The concrete `v=N` version name the asset's current manifest
+    * points at, if any — the generation identity incremental
+    * consumers key on (q126's per-route recall recertification: a
+    * route re-runs only when one of ITS assets moved to a new
+    * version).
+    */
+  def versionOf(work: String, name: String): Option[String] =
+    try {
+      val mf = Paths.get(work, ".v", name, "MANIFEST")
+      if (!Files.exists(mf)) None
+      else Files.readString(mf).linesIterator
+        .map(_.split("=", 2)).collectFirst { case Array("version", v) => v }
+    } catch { case _: Throwable => None }
 
   /** The group stamp the asset's current manifest carries, if any. */
   def groupOf(work: String, name: String): Option[String] =
@@ -309,20 +330,44 @@ object Staged {
       .getOrElse(throw new IllegalStateException(
         s"staged: $name has no COMMITTED predecessor to roll back to " +
           "(orphan uncommitted versions are not eligible)"))
-    commit(work, name, base.resolve(prev).toString)
+    // restore the stamp the target version was originally committed
+    // with (recorded in its sentinel) so a rolled-back member of a
+    // group-consistent family stays resolvable
+    val prevGroup =
+      try Some(Files.readString(
+        base.resolve(prev).resolve(CommittedSentinel)).trim).filter(_.nonEmpty)
+      catch { case _: Throwable => None }
+    commit(work, name, base.resolve(prev).toString, group = prevGroup)
   }
 
   /** Deterministic group id for a stage root: its basename, which
     * [[graft.ops.Dedup.stageRoot]] already keys by the INPUT and
-    * BUILD fingerprints — so every writer into one root stamps the
-    * same id (the root is single-generation by construction), and a
-    * different build or regenerated data stamps a different one.
-    * Staging functions that publish multi-asset families (cells +
-    * probes) pass this so [[resolveGroup]] readers get the
-    * all-or-nothing view without any writer-side coordination.
+    * BUILD fingerprints. NOT sufficient as a refresh stamp on its own
+    * — every publish into one root would carry the same id, so
+    * [[resolveGroup]] could never distinguish generation N's cells
+    * from generation N+1's probes (the round-13 advice finding). It
+    * is the PREFIX of [[newGroupId]], which appends a per-invocation
+    * nonce; kept public for diagnostics and stamp readability.
     */
   def groupIdOf(work: String): String =
     Paths.get(work).getFileName.toString
+
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A fresh multi-asset refresh stamp: the root's deterministic id
+    * plus a per-invocation nonce (nanotime + an in-JVM sequence).
+    * Each staging function that publishes a FAMILY of assets (cells +
+    * probes, codes + codebook, …) mints ONE of these per call and
+    * stamps every member with it, so [[resolveGroup]] readers observe
+    * the family all-or-nothing: a refresh that has swapped one asset
+    * but not yet its sibling presents two different nonces and reads
+    * as a retryable mismatch — real detection, not the determinism
+    * argument. Assets staged by different calls (or runs) always
+    * carry different stamps, which is exactly the point.
+    */
+  def newGroupId(work: String): String =
+    s"${groupIdOf(work)}#${java.lang.Long.toHexString(System.nanoTime())}" +
+      s"-${groupSeq.incrementAndGet()}"
 
   /** Tail-position sugar for [[write]]: `df.stagePublish(work, name)`
     * replaces `df.write.mode("overwrite").parquet(s"$work/name")`.

@@ -100,6 +100,44 @@ class ProtoRadixSpec extends SparkSpec {
     assert(sizes.values.max >= 2000L, s"mega-cell split: $sizes")
   }
 
+  test("auto routing: a planted mega-cell flips to the radix lane with the identical keep set") {
+    val d = java.nio.file.Files.createTempDirectory("graft-radix-auto").toString
+    val mega: Seq[Float] =
+      Array.tabulate(64)(dim => 10.0f + 0.001f * (dim % 3)).toSeq
+    def block(b: Int, j: Int): Seq[Float] =
+      Array.tabulate(64) { dim =>
+        (if (dim / 16 == b) 8.0f else 0.0f) + 0.002f * ((j + dim) % 5)
+      }.toSeq
+    val rows = (0 until 3000).map(j => (j.toLong, mega, 0)) ++
+      (0 until 40).map(j => (10000L + j, block(1, j), 1)) ++
+      (0 until 25).map(j => (20000L + j, block(2, j), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    Similarity.q164PrototypePrune(spark, d).collect() // stages cells
+    val a = Similarity.scaledVectors(spark, d).where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(spark.read.parquet(
+        Staged.path(Dedup.stageRoot(d), "cells")), "vec_id")
+    val windowKeep = Similarity.prototypePruneOf(a)
+      .select(col("cluster"), col("vec_id")).as[(Int, Long)]
+      .collect().toSet
+    // occupancy bound under the planted 3000-copy cell: the mega cell
+    // MUST route to radix, the small cells MUST stay on the window
+    val autoKeep = Similarity.prototypePruneAuto(a, megaOccupancy = 1000L)
+      .select(col("cluster"), col("vec_id")).as[(Int, Long)]
+      .collect().toSet
+    assert(Similarity.lastAutoMegaCells >= 1,
+      "the 3000-member cell did not route to the radix lane")
+    assert(autoKeep === windowKeep)
+    // default bound at this corpus size: everything stays on the
+    // window lane and the output is unchanged
+    val autoDefault = Similarity.prototypePruneAuto(a)
+      .select(col("cluster"), col("vec_id")).as[(Int, Long)]
+      .collect().toSet
+    assert(Similarity.lastAutoMegaCells === 0)
+    assert(autoDefault === windowKeep)
+  }
+
   test("a NULL proto (zero-norm quantized centroid) fails by name, never diverges silently") {
     // two antipodal vectors in one cell: per-dim sums are 0, so the
     // quantized centroid is the zero vector (cnrm = 0) and every proto

@@ -254,6 +254,59 @@ class StagedPublishSpec extends SparkSpec {
       Staged.resolveGroup(work, Seq("gc_plain"), timeoutMs = 200))
   }
 
+  test("mid-swap detection on the real IVF serving family: q79/q172's read path") {
+    // run the REAL staging + serving entry inside a redirected tmpdir
+    // so the shared stage root for the driver's testdata is never
+    // touched (suites run sequentially in the forked test JVM, so the
+    // property mutation is safe under try/finally)
+    val prevTmp = sys.props("java.io.tmpdir")
+    val tmp = Files.createTempDirectory("staged-midswap").toString
+    try {
+      sys.props("java.io.tmpdir") = tmp
+      val dir = "/root/testdata/sf0.001"
+      val work = Dedup.stageRoot(dir)
+      // the real serving entry: stages the family (one nonce across
+      // cells/probes/probes_wide) and reads it group-consistently
+      assert(Similarity.q79AnnIvfMultiprobe(spark, dir).count() > 0)
+      val gCells = Staged.groupOf(work, "cells")
+      val gProbes = Staged.groupOf(work, "probes")
+      assert(gCells.isDefined && gCells === gProbes,
+        s"one stageIvfIndex call must stamp the family with ONE nonce: $gCells vs $gProbes")
+      assert(gCells === Staged.groupOf(work, "probes_wide"))
+      // a refresh crashes mid-swap: cells republished under a NEW
+      // generation nonce, probes still the old one. The group read
+      // must refuse the mixed pair by name — this is real detection
+      // (the static root-id stamp could never distinguish these)
+      Staged.write(spark.read.parquet(Staged.path(work, "cells")),
+        work, "cells", group = Some(Staged.newGroupId(work)))
+      val e = intercept[IllegalStateException](
+        Staged.resolveGroup(work, Seq("cells", "probes"), timeoutMs = 300))
+      assert(e.getMessage.contains("group resolve timed out"))
+      // the swap completes (next full staging call): serving resumes
+      Similarity.stageIvfIndex(spark, dir, work)
+      assert(Similarity.q79AnnIvfMultiprobe(spark, dir).count() > 0)
+    } finally {
+      sys.props("java.io.tmpdir") = prevTmp
+    }
+  }
+
+  test("rollback restores the group stamp the target version was committed with") {
+    // a bad refresh (unstamped or differently-stamped) lands on top of
+    // a group-stamped generation; rolling back must restore BOTH the
+    // bytes and the stamp — rollback re-commits through the normal
+    // path, and before round 14 that republished the manifest with
+    // group=None, silently stripping a family member of its stamp and
+    // timing out every subsequent resolveGroup reader
+    val work = freshWork()
+    Staged.write(Seq(1L).toDF("x"), work, "rbg", group = Some("genA"))
+    Staged.write(Seq(2L).toDF("x"), work, "rbg") // bad refresh, unstamped
+    assert(Staged.groupOf(work, "rbg").isEmpty)
+    Staged.rollback(work, "rbg")
+    assert(readAll(work, "rbg") === Set(1L))
+    assert(Staged.groupOf(work, "rbg") === Some("genA"),
+      "rollback must restore the rolled-back-to version's group stamp")
+  }
+
   test("build fingerprint is stable in-JVM; input fingerprint tracks the data") {
     assert(Staged.buildFingerprint === Staged.buildFingerprint)
     assert(Staged.buildFingerprint.length >= 16)

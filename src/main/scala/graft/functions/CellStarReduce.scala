@@ -10,9 +10,37 @@ import org.apache.spark.sql.expressions.Aggregator
   * the larger root under the smaller), so the emitted star edges are
   * (min-of-component, member) with doc_a < doc_b by construction —
   * the same edge orientation the all-pairs form staged.
+  *
+  * Serialization is CUSTOM and flat — `writeObject` emits one int
+  * count plus 16 bytes per tracked node ((key, parent) longs), and
+  * `readObject` rebuilds the pre-sized map — because the partial-agg
+  * buffers cross the shuffle through `Encoders.javaSerialization`
+  * and default java-ser of a boxed HashMap costs ~45+ bytes/entry
+  * (object headers, handles, rehash on read). A 10^5-member cell's
+  * buffer is ~1.6 MB flat vs ~4.5+ MB boxed; the in-heap working
+  * form stays the mutation-friendly HashMap. StarReduceSpec pins the
+  * round-trip and the per-entry bound.
   */
 final class Dsu extends Serializable {
-  val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+  @transient var parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.writeInt(parent.size)
+    val it = parent.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey.longValue)
+      out.writeLong(e.getValue.longValue)
+    }
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    val n = in.readInt()
+    parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      math.max(16, (n / 0.75).toInt + 1))
+    var i = 0
+    while (i < n) { parent.put(in.readLong(), in.readLong()); i += 1 }
+  }
 
   def find(x: Long): Long = {
     var r = x
@@ -54,13 +82,21 @@ final class Dsu extends Serializable {
   * Scale shape: a TypedImperativeAggregate, so Spark runs it with
   * partial aggregation — each map task folds its local slice of a
   * cell's pairs into a DSU whose state is O(distinct members), and
-  * only those star-shaped buffers cross the wire (java-serialized,
-  * node-count-sized). A dup-saturated cell (the CommonCrawl
-  * boilerplate case: 10^5 near-identical vectors in one cell) emits
-  * g−1 edges downstream where the raw form emitted ~5·10^9; the
-  * quadratic work that remains is the cosine verification the in-cell
-  * candidate join inherently pays, bounded per cell by the adaptive
-  * cell sizing.
+  * only those star-shaped buffers cross the wire, 16 bytes per node
+  * ([[Dsu]]'s flat custom serialization). A dup-saturated cell (the
+  * CommonCrawl boilerplate case: 10^5 near-identical vectors in one
+  * cell) emits g−1 edges downstream where the raw form emitted
+  * ~5·10^9 — and since round 14's exact-dup pre-collapse, identical
+  * copies never reach this aggregator at all (one representative per
+  * distinct vector). The buffer bound: per map task it holds only
+  * nodes seen in THAT task's slice of the pair stream, itself bounded
+  * by the partition's edge count — a ~128 MB pair partition tops out
+  * around ~8M edge endpoints ≈ 128 MB flat worst-case, in practice
+  * node-bound far below it. A locallyContracted-style pass-through
+  * cap does NOT transfer here: an Aggregator's reduce cannot emit
+  * rows, so "pass-through" would mean buffering overflow EDGES — an
+  * edge-bound buffer, strictly worse than the node-bound DSU it would
+  * protect.
   *
   * `merge` replays the smaller buffer's (node → parent) links as
   * unions — each link was derived from real input edges, so replaying
@@ -94,6 +130,8 @@ object CellStarReduce extends Aggregator[(Long, Long), Dsu, Seq[(Long, Long)]] {
     out.sortInPlace().toSeq
   }
 
+  // the java-serialization envelope carries Dsu's flat custom form
+  // (16 bytes/node), not a boxed HashMap graph — see Dsu's scaladoc
   override def bufferEncoder: Encoder[Dsu] = Encoders.javaSerialization[Dsu]
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =
     ExpressionEncoder[Seq[(Long, Long)]]()

@@ -69,6 +69,28 @@ class StarReduceSpec extends SparkSpec {
     assert(CellStarReduce.finish(merged).toSet === Set((3L, 5L), (3L, 9L)))
   }
 
+  test("a giant-cell buffer serializes flat: ~16 bytes per tracked node, round-trip exact") {
+    // the partial-agg buffer crosses the shuffle java-serialized; the
+    // custom writeObject must emit (count, key/parent longs) — ~16 B
+    // per node — not a boxed HashMap graph (~45+ B/node), and the
+    // round-trip must preserve connectivity exactly
+    val g = 100000
+    val d = (1 until g).foldLeft(CellStarReduce.zero)((b, j) =>
+      CellStarReduce.reduce(b, (0L, j.toLong)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(d); oos.close()
+    val bytes = bos.toByteArray
+    assert(bytes.length < g * 17 + 1024,
+      s"buffer not flat: ${bytes.length} bytes for $g nodes")
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject().asInstanceOf[Dsu]
+    val merged = CellStarReduce.merge(CellStarReduce.zero, back)
+    val out = CellStarReduce.finish(merged)
+    assert(out.size === g - 1)
+    assert(out.forall(_._1 == 0L))
+    assert(out.map(_._2).toSet === (1 until g).map(_.toLong).toSet)
+  }
+
   test("a planted g-clique stages exactly g-1 edges") {
     val d = java.nio.file.Files.createTempDirectory("graft-star-clique").toString
     val g = 12

@@ -36,22 +36,45 @@ object AssemblyCli {
     // S4 edge sink: defined in v1/v2, disabled by the final reference
     // (assembly_final.cpp:743) — so opt-in, default off
     val saveEdges = opts.get("save-edges").contains("true")
+    // sink compression, mirroring the reference's `graph.save(..,
+    // gzip, ..)` flag (assembly_final.cpp:741 — the reference ships it
+    // off, so default none): gzip/lz4 ride Spark's text/csv
+    // `compression` option (zstd is not among Spark's text-sink
+    // codecs — gzip/bzip2/deflate/lz4/snappy — so it is not offered
+    // rather than silently remapped); the local engine supports gzip
+    // via the JDK (lz4 has no JDK codec — it routes to Spark)
+    val codec = opts.getOrElse("codec", "none")
+    require(Set("none", "gzip", "lz4")(codec),
+      s"--codec must be none|gzip|lz4, got $codec")
 
     val useLocal = engine match {
       case "local" => true
       case "spark" => false
       case _       => Files.size(Paths.get(infile)) < LocalThresholdBytes
     }
-    if (useLocal) runLocal(infile, outfile, source, dest, saveEdges)
-    else runSpark(infile, outfile, source, dest, saveEdges)
+    if (useLocal && codec != "lz4")
+      runLocal(infile, outfile, source, dest, saveEdges, codec)
+    else runSpark(infile, outfile, source, dest, saveEdges, codec)
   }
 
   private def runLocal(infile: String, outfile: String, source: Long, dest: Long,
-      saveEdges: Boolean = false): Unit = {
+      saveEdges: Boolean = false, codec: String = "none"): Unit = {
+    // single-file text write, gzip-compressed when asked — the local
+    // twin of Spark's `compression` option (same .gz suffix, so either
+    // engine's output reads back through spark.read/zcat unchanged)
+    def writeText(path: String, body: String): Unit = {
+      val p = Paths.get(if (codec == "gzip") s"$path.gz" else path)
+      Files.createDirectories(p.getParent)
+      if (codec == "gzip") {
+        val out = new java.util.zip.GZIPOutputStream(
+          Files.newOutputStream(p))
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } else Files.writeString(p, body)
+    }
     val (vertices, edges) = LocalAssembly.parse(infile)
     if (saveEdges) {
-      Files.createDirectories(Paths.get(s"$outfile.edges"))
-      Files.writeString(Paths.get(s"$outfile.edges/part-00000"),
+      writeText(s"$outfile.edges/part-00000",
         edges.map { case (s, d) => s"($s\t$d)" }.mkString("", "\n", "\n"))
     }
     val phases = LocalAssembly.phases12(vertices, edges, dest)
@@ -61,18 +84,16 @@ object AssemblyCli {
       val next = phases(v.id)._2
       s"${v.id}\t$next\t${v.offset}\t${v.length}\t${v.content.length}\t${v.content}"
     }
-    Files.createDirectories(Paths.get(s"$outfile.vertices"))
-    Files.writeString(Paths.get(s"$outfile.vertices/part-00000"),
+    writeText(s"$outfile.vertices/part-00000",
       rows.mkString("", "\n", "\n"))
     val span = LocalAssembly.assembleFrom(vertices, edges, source, dest)
       .getOrElse(sys.error(s"source read $source not present in $infile — nothing to assemble"))
-    Files.createDirectories(Paths.get(s"$outfile.contig"))
-    Files.writeString(Paths.get(s"$outfile.contig/part-00000.txt"), span.content + "\n")
+    writeText(s"$outfile.contig/part-00000.txt", span.content + "\n")
     println(s"assembled contig: offset=${span.offset} length=${span.length}")
   }
 
   private def runSpark(infile: String, outfile: String, source: Long, dest: Long,
-      saveEdges: Boolean = false): Unit = {
+      saveEdges: Boolean = false, codec: String = "none"): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-assembly")
@@ -89,12 +110,17 @@ object AssemblyCli {
     val withNext = Assembly.bestSuccessor(
       Assembly.withValidFlag(vertices, edges, dest), edges)
 
-    // per-vertex projection, the reference's vertex sink
-    Reads.bestPathProjection(withNext)
-      .write.mode("overwrite").option("sep", "\t").csv(s"$outfile.vertices")
+    // per-vertex projection, the reference's vertex sink; gzip/zstd
+    // land as Hadoop-codec'd part files that spark.read auto-detects
+    def comp[T](w: org.apache.spark.sql.DataFrameWriter[T]) =
+      if (codec == "none") w else w.option("compression", codec)
+    comp(Reads.bestPathProjection(withNext)
+        .write.mode("overwrite").option("sep", "\t"))
+      .csv(s"$outfile.vertices")
 
     if (saveEdges) {
-      Reads.edgeProjection(edges).write.mode("overwrite").text(s"$outfile.edges")
+      comp(Reads.edgeProjection(edges).write.mode("overwrite"))
+        .text(s"$outfile.edges")
     }
 
     // collect the single contig row once; write + report from the same copy
@@ -103,8 +129,8 @@ object AssemblyCli {
       .filter(!_.isNullAt(0))
       .getOrElse(sys.error(s"source read $source not present in $infile — nothing to assemble"))
     import spark.implicits._
-    Seq(row.getString(2)).toDF("contig")
-      .write.mode("overwrite").text(s"$outfile.contig")
+    comp(Seq(row.getString(2)).toDF("contig")
+      .write.mode("overwrite")).text(s"$outfile.contig")
     println(s"assembled contig: offset=${row.getInt(0)} length=${row.getInt(1)}")
     spark.stop()
   }

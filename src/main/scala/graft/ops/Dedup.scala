@@ -454,6 +454,7 @@ object Dedup {
   def stageSimhashPairs(s: SparkSession, dir: String,
       workDir: String): String = {
     val p = s"$workDir/sh_pairs"
+    if (Staged.isFresh(workDir, "sh_pairs")) return p
     simhashPairCore(s, dir)._1.stagePublish(workDir, "sh_pairs")
     p
   }
@@ -518,8 +519,9 @@ object Dedup {
   /** PRODUCTION ENTRY for the agreement matrix: the scoring joins over
     * ALREADY-STAGED pair tables (`$work/pairs`, `$work/sh_pairs`) —
     * no restaging. [[q123DedupAgreement]] is the self-contained Verify
-    * form (it re-derives both pair tables every run so the oracle can
-    * replay from scratch); an operational pipeline that maintains its
+    * form (it stages both pair tables itself when they are missing or
+    * stale, so the oracle can replay from scratch on any root); an
+    * operational pipeline that maintains its
     * staged pair assets calls THIS and pays only the matrix joins +
     * one documents scan for the exact tier — the staged-input timing
     * row in SCALING.md measures the difference.

@@ -307,6 +307,52 @@ class StagedPublishSpec extends SparkSpec {
       "rollback must restore the rolled-back-to version's group stamp")
   }
 
+  test("every staged multi-asset family carries ONE nonce per staging call") {
+    // the stamp-coverage contract behind the group-consistent reads:
+    // whichever entry stages a family, all members of that family end
+    // up with the SAME per-invocation nonce — so a resolveGroup reader
+    // of ANY pair in the family gets the all-or-nothing view, and the
+    // families q153/q136 read via the determinism argument are
+    // verifiably single-generation too. Runs each family's real
+    // staging at sf0.001 inside a redirected stage root.
+    val prevTmp = sys.props("java.io.tmpdir")
+    val tmp = Files.createTempDirectory("staged-families").toString
+    try {
+      sys.props("java.io.tmpdir") = tmp
+      val dir = "/root/testdata/sf0.001"
+      val work = Dedup.stageRoot(dir)
+      def sameStamp(family: String*): Unit = {
+        val stamps = family.map(n => n -> Staged.groupOf(work, n))
+        assert(stamps.forall(_._2.isDefined),
+          s"unstamped member in $stamps")
+        assert(stamps.map(_._2).distinct.size === 1,
+          s"family stamped across generations: $stamps")
+      }
+      Similarity.stageIvfIndex(spark, dir, work)
+      sameStamp("cells", "probes", "probes_wide")
+      Similarity.stageHierIndex(spark, dir, work)
+      sameStamp("cells_hier", "probes_hier")
+      Similarity.stageHier3Index(spark, dir, work)
+      sameStamp("cells_hier3", "probes_hier3")
+      Similarity.stageShardedIndex(spark, dir, work)
+      sameStamp("cells_shard", "probes_shard")
+      Similarity.stageShardedHierIndex(spark, dir, work)
+      sameStamp("cells_shard_hier", "probes_shard_hier")
+      Similarity.stagePq(spark, dir, work)
+      sameStamp("pq_codes", "pq_codebook")
+      Similarity.stageSq8(spark, dir, work)
+      sameStamp("sq_params", "sq_codes")
+      // and two different invocations mint two different generations
+      val g1 = Staged.groupOf(work, "pq_codes")
+      Similarity.stagePq(spark, dir, work)
+      assert(Staged.groupOf(work, "pq_codes") !== g1,
+        "a re-staging call must mint a NEW generation nonce")
+      sameStamp("pq_codes", "pq_codebook")
+    } finally {
+      sys.props("java.io.tmpdir") = prevTmp
+    }
+  }
+
   test("build fingerprint is stable in-JVM; input fingerprint tracks the data") {
     assert(Staged.buildFingerprint === Staged.buildFingerprint)
     assert(Staged.buildFingerprint.length >= 16)

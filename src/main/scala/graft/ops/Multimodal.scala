@@ -542,8 +542,152 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Band-bucket occupancy cap for [[q175ImagePhashPairs]] — q122's
+    * hot-bucket discipline applied to pHash space: a (band, key)
+    * bucket fans out C(n,2) candidate pairs, and an over-full 16-bit
+    * bucket at corpus scale is a template/boilerplate image cluster,
+    * not near-dup structure worth pricing pairwise. Skipped buckets
+    * are counted once in `hot_buckets`.
+    */
+  val PhashBandHotCap = 50
+
+  /** Deterministic planted-duplicate JPEG table for q175: per doc, a
+    * genuine 64×64 baseline JFIF stream (real marker grammar, Huffman
+    * coding, quantizer round-trip — [[jpegTable]]'s discipline) whose
+    * content is a pure function of the doc's DUP GROUP g = doc_id/4
+    * and VARIANT r = doc_id%4. Each 8×8 block of group g's base image
+    * is the constant even gray 2·(mix(g,bx,by) mod 120) + 8 (mix = a
+    * splitmix-style 64-bit scramble, so neighboring groups share no
+    * affine structure), and variant r re-encodes the SAME image
+    * brightness-shifted by +2r (still even, ≤ 252, so the JPEG
+    * round-trip stays exactly invertible — q157's argument verbatim).
+    * By [[graft.functions.Phash]]'s DCT shift-invariance, the four
+    * variants of a group hash IDENTICALLY while distinct groups are
+    * scramble-far. 64×64 deliberately: the hash downscale (2×2 box
+    * mean) turns the 8×8 block grid into 4×4 cells of the 32×32 hash
+    * raster, giving 64 independent degrees of freedom behind the 63
+    * hash bits — measured min inter-group distance 13 over 1250
+    * groups (sf0.1's full id range). A 32×32 source (16 DOF) was
+    * built first and REJECTED: its frequency-4 DCT rows/columns are
+    * structurally zero, pinning 16 bits and correlating the rest, and
+    * the measured inter-group minimum fell to 2 — inside the d ≤ 3
+    * verify cut.
+    */
+  def phashJpegTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val side = 2 * graft.functions.Phash.Side
+    // the synthetic id scan is ONE file split locally, which would
+    // serialize 2·N codec passes onto one core; the repartition moves
+    // 8-byte ids only (the encode manufactures the payload AFTER the
+    // shuffle). A real media table arrives as many file splits and
+    // needs no such step — this is the local-mode stand-in for them.
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val r = (id % 4).toInt
+        val px = new Array[Byte](3 * side * side)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val k0 = g * 0x9E3779B97F4A7C15L + (x / 8) * 0xC2B2AE3D27D4EB4FL +
+              (y / 8) * 0x165667B19E3779F9L
+            val k = k0 ^ (k0 >>> 31)
+            val c = (2 * (((k % 120) + 120) % 120) + 8 + 2 * r).toByte
+            val i = (y * side + x) * 3
+            px(i) = c; px(i + 1) = c; px(i + 2) = c
+            x += 1
+          }
+          y += 1
+        }
+        JpegRow(id, Jpeg.encode(Jpeg.Image(side, side, px)))
+      }).toDF()
+  }
+
+  /** Decode one q175 payload to the 32×32 hash raster: real JPEG
+    * decode, then the standard pHash downscale as an exact 2×2 box
+    * mean (each box lies inside one constant 8×8 source block here,
+    * so the mean is integer-exact and the shift-invariance argument
+    * survives the resize — box averaging is linear). r=g=b gray by
+    * construction: channel 0 IS the luma.
+    */
+  private[ops] def phashLuma(payload: Array[Byte]): Array[Int] = {
+    val img = Jpeg.decode(payload)
+    val hs = graft.functions.Phash.Side
+    val w = img.width
+    Array.tabulate(hs * hs) { i =>
+      val tx = i % hs; val ty = i / hs
+      val p0 = (2 * ty * w + 2 * tx) * 3
+      val p1 = (2 * ty * w + 2 * tx + 1) * 3
+      val p2 = ((2 * ty + 1) * w + 2 * tx) * 3
+      val p3 = ((2 * ty + 1) * w + 2 * tx + 1) * 3
+      ((img.pixels(p0) & 0xff) + (img.pixels(p1) & 0xff) +
+        (img.pixels(p2) & 0xff) + (img.pixels(p3) & 0xff)) / 4
+    }
+  }
+
+  /** q175 — IMAGE near-dup pairs by perceptual hash: real JPEG decode
+    * → 64-bit DCT pHash ([[graft.functions.Phash]]) → 4×16-bit
+    * pigeonhole bands → exact Hamming verify, q122's Hamming-space
+    * banding applied to the one dedup modality the engine lacked
+    * (text exact/MinHash/SimHash and embedding SemDeDup exist; images
+    * did not). Any pair within Hamming distance 3 agrees on at least
+    * one whole band, so the banded equi-join has PERFECT recall at
+    * the d ≤ 3 cut — never all-pairs; buckets over
+    * [[PhashBandHotCap]] are skipped and reported once (`hot_buckets`).
+    * The verify is codegen'd long arithmetic (`bit_count(pa ^ pb)`)
+    * — no string signatures, cheaper per candidate than q122's
+    * conv() spelling, which string signatures force there.
+    *
+    * The oracle never decodes a pixel: [[phashJpegTable]] plants the
+    * dup groups (4 brightness-shifted re-encodes per group), DCT
+    * shift-invariance makes each group's hashes provably identical,
+    * so the expected pairs are exactly the within-group pairs with
+    * `hamming` 0 — a hash match certifies the JPEG encoder/decoder
+    * round-trip, the DCT, the median threshold, the banding, and the
+    * verify agree end-to-end. Scale shape: one narrow decode+hash
+    * map, one group-by occupancy, one hash-partitioned equi-join on
+    * (band, bkey) — at 100 TB the decode dominates and shuffles only
+    * 16-byte (doc_id, phash) rows, never payload bytes.
+    */
+  def q175ImagePhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = phashJpegTable(s, dir).as[JpegRow]
+      .mapPartitions(_.map { r =>
+        (r.doc_id, graft.functions.Phash.phash64(phashLuma(r.payload)))
+      }).toDF("doc_id", "phash")
+      .localCheckpoint() // occupancy + both self-join sides read it (q31 note)
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+        "shiftrightunsigned(phash, b * 16) & 65535 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val occ = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    val hotCount = occ.where(col("n") > PhashBandHotCap)
+      .agg(count(lit(1)).as("hot_buckets"))
+    val cold = bands.join(
+      occ.where(col("n") <= PhashBandHotCap).select(col("band"), col("bkey")),
+      Seq("band", "bkey"), "leftsemi")
+    cold.as("x")
+      .join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct() // identical hashes agree on all four bands
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .where(col("hamming") <= 3)
+      .crossJoin(broadcast(hotCount)) // global 1-row scalar
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("hot_buckets"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_png_decode" -> (q155PngDecode _),
+    "q175_image_phash_pairs" -> (q175ImagePhashPairs _),
     "q170_video_decode" -> (q170VideoDecode _),
     "q157_jpeg_decode" -> (q157JpegDecode _),
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
@@ -626,6 +770,21 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // the oracle never decodes a pixel — the planted dup groups are
+    // pure id arithmetic (g = doc_id/4) and DCT shift-invariance
+    // (Phash.scala's scaladoc) makes every within-group hamming
+    // provably 0, so a hash match certifies the whole decode → DCT →
+    // threshold → band → verify pipeline against the construction law
+    "q175_image_phash_pairs" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b
+          ON (a.doc_id - a.doc_id % 4) = (b.doc_id - b.doc_id % 4)
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS hamming,
+        CAST(0 AS BIGINT) AS hot_buckets
+      FROM pairs ORDER BY doc_a, doc_b""",
     "q60_multimodal_decode" -> sqlDecodeOracle,
     "q62_decode_expr" -> sqlDecodeOracle,
     "q124_image_embed" -> sqlImageEmbed,

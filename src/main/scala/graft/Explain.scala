@@ -90,6 +90,7 @@ object Explain {
     "q173_staged_survivors_star", // global-star pair archive: CC trivial on a star, survivors ride an anti-join
     "q174_prototype_prune_auto", // self-routing prune: occupancy count -> broadcast semi/anti split -> window or radix lane
     "q175_image_phash_pairs", // pHash image near-dup: narrow decode+hash map, (band,bkey) equi-join, codegen'd bit_count verify
+    "q176_audio_fp_pairs", // audio fingerprint near-dup: same banded core over WAV frame-energy signs
     "q155_png_decode", // Inflater + per-row filter inversion: narrow map stages, zero shuffle
     "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
     "q72_stitch_contigs") // closed-form stitch aggregation

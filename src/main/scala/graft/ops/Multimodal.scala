@@ -542,7 +542,8 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** Band-bucket occupancy cap for [[q175ImagePhashPairs]] — q122's
+  /** Band-bucket occupancy cap for [[bandedHammingPairs]] (q175's
+    * image pHash and q176's audio fingerprint) — q122's
     * hot-bucket discipline applied to pHash space: a (band, key)
     * bucket fans out C(n,2) candidate pairs, and an over-full 16-bit
     * bucket at corpus scale is a template/boilerplate image cluster,
@@ -656,12 +657,26 @@ object Multimodal {
     val hashes = phashJpegTable(s, dir).as[JpegRow]
       .mapPartitions(_.map { r =>
         (r.doc_id, graft.functions.Phash.phash64(phashLuma(r.payload)))
-      }).toDF("doc_id", "phash")
-      .localCheckpoint() // occupancy + both self-join sides read it (q31 note)
-    val bands = hashes.select(col("doc_id"), col("phash"),
+      }).toDF("doc_id", "h")
+    bandedHammingPairs(hashes)
+  }
+
+  /** The shared media near-dup core behind q175 (image pHash) and
+    * q176 (audio fingerprint): (doc_id, 64-bit hash `h`) → verified
+    * pairs at Hamming ≤ 3. Four 16-bit bands (any pair within
+    * distance 3 agrees on at least one whole band — pigeonhole, so
+    * the banded equi-join has PERFECT recall at the cut), hot-bucket
+    * suppression over [[PhashBandHotCap]] with the skipped count
+    * reported once, exact codegen'd `bit_count(pa ^ pb)` verify.
+    * Never all-pairs; the shuffle carries 16-byte (doc_id, h) rows.
+    */
+  private[ops] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
+    // eager checkpoint: occupancy + both self-join sides read it (q31 note)
+    val hs = hashes.localCheckpoint()
+    val bands = hs.select(col("doc_id"), col("h"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-        "shiftrightunsigned(phash, b * 16) & 65535 AS bkey))")).as("bk"))
-      .select(col("doc_id"), col("phash"),
+        "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("h"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val occ = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
@@ -675,7 +690,7 @@ object Multimodal {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
+        col("x.h").as("pa"), col("y.h").as("pb"))
       .distinct() // identical hashes agree on all four bands
       .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
       .where(col("hamming") <= 3)
@@ -685,9 +700,84 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Deterministic planted-duplicate WAV table for q176 —
+    * [[phashJpegTable]]'s design in the audio column: per doc, a
+    * genuine RIFF/PCM stream of 64 frames × 32 samples whose frame
+    * amplitudes are a pure function of the DUP GROUP g = doc_id/4
+    * (splitmix-scrambled per frame: a_t = 2·(mix(g,t) mod 1000) + 2,
+    * a ±a_t square wave per frame), and whose VARIANT r = doc_id%4
+    * scales every sample by r+1 (max amplitude 4·2002 = 8008, no
+    * 16-bit clipping — the scale is EXACT in PCM). By
+    * [[graft.functions.AudioFp]]'s integer m² argument the four
+    * variants fingerprint identically, while distinct groups are
+    * scramble-far (measured min inter-group distance 11 over sf0.1's
+    * 1250 groups). Every odd doc carries an unknown junk chunk the
+    * decoder must skip — [[wavTable]]'s grammar hardening carried
+    * over.
+    */
+  def fpWavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the synthetic id scan is one file split; see phashJpegTable
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val m = (id % 4).toInt + 1
+        val frames = graft.functions.AudioFp.Frames
+        val flen = 32
+        val samples = new Array[Short](frames * flen)
+        var tIdx = 0
+        while (tIdx < frames) {
+          val k0 = g * 0x9E3779B97F4A7C15L + tIdx * 0xC2B2AE3D27D4EB4FL
+          val k = k0 ^ (k0 >>> 31)
+          val a = (2 * (((k % 1000) + 1000) % 1000) + 2) * m
+          var j = 0
+          while (j < flen) {
+            samples(tIdx * flen + j) = (if (j % 2 == 0) a else -a).toShort
+            j += 1
+          }
+          tIdx += 1
+        }
+        val junk = if (id % 2 == 1)
+          Some(Array.tabulate(5 + (id % 9).toInt)(kk => (id + kk).toByte))
+        else None
+        WavRow(id, Wav.encode(Wav.Audio(16000, 1, samples), junk))
+      }).toDF()
+  }
+
+  /** q176 — AUDIO near-dup pairs by acoustic fingerprint: real WAV
+    * decode → 64-bit frame-energy-delta fingerprint
+    * ([[graft.functions.AudioFp]]) → the shared
+    * [[bandedHammingPairs]] core (4×16-bit pigeonhole bands, perfect
+    * recall at Hamming ≤ 3, hot-bucket cap, codegen'd verify). With
+    * q175 this completes the dedup modality matrix: text
+    * (exact/MinHash/SimHash), embeddings (SemDeDup), images (pHash),
+    * audio (energy fingerprint).
+    *
+    * The oracle never decodes a sample: [[fpWavTable]] plants the dup
+    * groups as volume-scaled re-encodes, and the fingerprint's
+    * integer m²-scaling invariance makes within-group hamming
+    * provably 0 — pure id arithmetic plus DCT-free exactness (PCM is
+    * lossless and the fingerprint is all-integer, so unlike q175
+    * there is no FP tie discipline to defend). A hash match certifies
+    * the RIFF round-trip (junk chunks included), the framing, the
+    * energy sums, and the banded join end-to-end. Scale shape
+    * identical to q175: payload bytes never shuffle.
+    */
+  def q176AudioFpPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = fpWavTable(s, dir).as[WavRow]
+      .mapPartitions(_.map { r =>
+        (r.doc_id, graft.functions.AudioFp.fingerprint64(
+          Wav.decode(r.payload).samples))
+      }).toDF("doc_id", "h")
+    bandedHammingPairs(hashes)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_png_decode" -> (q155PngDecode _),
     "q175_image_phash_pairs" -> (q175ImagePhashPairs _),
+    "q176_audio_fp_pairs" -> (q176AudioFpPairs _),
     "q170_video_decode" -> (q170VideoDecode _),
     "q157_jpeg_decode" -> (q157JpegDecode _),
     "q60_multimodal_decode" -> (q60MultimodalDecode _),
@@ -776,6 +866,19 @@ object Multimodal {
     // provably 0, so a hash match certifies the whole decode → DCT →
     // threshold → band → verify pipeline against the construction law
     "q175_image_phash_pairs" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b
+          ON (a.doc_id - a.doc_id % 4) = (b.doc_id - b.doc_id % 4)
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS hamming,
+        CAST(0 AS BIGINT) AS hot_buckets
+      FROM pairs ORDER BY doc_a, doc_b""",
+    // same planted-group law as q175; hamming 0 is the fingerprint's
+    // integer m²-scaling invariance (AudioFp.scala scaladoc) — exact
+    // with no FP caveat at all, PCM being lossless
+    "q176_audio_fp_pairs" -> """
       WITH d AS (SELECT doc_id FROM documents),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -670,14 +670,22 @@ object Multimodal {
     * reported once, exact codegen'd `bit_count(pa ^ pb)` verify.
     * Never all-pairs; the shuffle carries 16-byte (doc_id, h) rows.
     */
-  private[ops] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
-    // eager checkpoint: occupancy + both self-join sides read it (q31 note)
-    val hs = hashes.localCheckpoint()
-    val bands = hs.select(col("doc_id"), col("h"),
+  /** The 4×16-bit band rows of a (doc_id, h: 64-bit hash) frame —
+    * shared by [[bandedHammingPairs]] and the streaming ingest twin
+    * ([[graft.streaming.EventStreams.hammingStarStream]]), so stream
+    * == batch is mechanism, not coincidence.
+    */
+  private[graft] def hashBandRows(hs: DataFrame): DataFrame =
+    hs.select(col("doc_id"), col("h"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
         "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
       .select(col("doc_id"), col("h"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  private[graft] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
+    // eager checkpoint: occupancy + both self-join sides read it (q31 note)
+    val hs = hashes.localCheckpoint()
+    val bands = hashBandRows(hs)
     val occ = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
     val hotCount = occ.where(col("n") > PhashBandHotCap)

@@ -463,6 +463,103 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming MEDIA near-dup pair staging — the q175/q176 banded
+    * Hamming family ([[graft.ops.Multimodal.bandedHammingPairs]]) as
+    * a continuous ingest, completing the dedup ingest-twin matrix
+    * across modalities (text: [[neardupStarStream]]; embeddings:
+    * [[semDedupStarStream]]; media hashes: here). The input is the
+    * HASHED stream (doc_id, h: 64-bit pHash or audio fingerprint) —
+    * the decode+hash map is a stateless per-row transform the caller
+    * applies upstream of `writeStream`, so one twin serves both
+    * modalities and payload bytes never enter the stateful stage.
+    * Per micro-batch:
+    *
+    *  1. in-batch doc_id dups drop, then already-ingested docs
+    *     anti-join away against the hash log (content-keyed
+    *     idempotence — replays and fresh-checkpoint redeliveries are
+    *     no-ops);
+    *  2. candidates are band-key matches between the new hashes and
+    *     (new ∪ ingested) through the SAME
+    *     [[graft.ops.Multimodal.hashBandRows]] kernel the batch
+    *     entries use — every pair generates exactly once, in the
+    *     batch where its LATER member arrives; buckets whose
+    *     CUMULATIVE occupancy exceeds the batch cap are skipped for
+    *     the batch (edges a bucket emitted before going hot remain in
+    *     the archive — the fold is monotone; the batch form drops the
+    *     whole bucket, so the two lanes agree exactly whenever no
+    *     bucket is hot, which the spec pins, and diverge only by
+    *     those early edges on a bucket that heats mid-stream);
+    *  3. verified (`bit_count ≤ 3`) edges fold into the durable star
+    *     archive via [[graft.ops.Dedup.connectedComponentsStar]] —
+    *     insert-monotone, so any batch split folds to the same star.
+    *
+    * State is the hash log: 16 bytes/doc of parquet, not state store —
+    * the whole reason the hashed-stream boundary is the right one at
+    * 100 TB (the text twin must log shingles; this one logs one long).
+    */
+  def hammingStarStream(hashes: DataFrame, stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    hashes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import graft.ops.{Dedup, Multimodal, Staged}
+        val logPath = s"$stagedDir/hamming_hashes"
+        val starName = "media_pairs_star_stream"
+        val b0 = batch.dropDuplicates("doc_id")
+        val bNew = (if (stagedExists(s, logPath))
+            b0.join(s.read.parquet(logPath).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else b0).localCheckpoint() // bands + verify + log append read it
+        val old =
+          if (stagedExists(s, logPath)) s.read.parquet(logPath)
+          else bNew.limit(0)
+        val bandsNew = Multimodal.hashBandRows(bNew)
+        val bandsAll = bandsNew.union(Multimodal.hashBandRows(old))
+          .localCheckpoint() // occupancy + join side both read it
+        val coldKeys = bandsAll.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") <= Multimodal.PhashBandHotCap)
+          .select(col("band"), col("bkey"))
+        val cand = bandsNew.join(coldKeys, Seq("band", "bkey"), "leftsemi")
+          .as("x")
+          .join(bandsAll.join(coldKeys, Seq("band", "bkey"), "leftsemi").as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          // least/greatest normalizes orientation so a new×new bucket
+          // pair (seen from both sides) dedups in the distinct
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+            least(col("x.h"), col("y.h")).as("pa"),
+            greatest(col("x.h"), col("y.h")).as("pb"))
+          .distinct()
+        val newEdges = cand
+          .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+          .where(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"))
+        val prev =
+          if (stagedExists(s, s"$stagedDir/$starName"))
+            s.read.parquet(Staged.path(stagedDir, starName))
+          else newEdges.limit(0)
+        // evaluate the fold input fully BEFORE republishing the asset
+        // it reads (read-your-own-writes)
+        val folded = prev.union(newEdges).localCheckpoint()
+        val star =
+          if (folded.isEmpty) folded
+          else Dedup.connectedComponentsStar(folded)
+            .where(col("doc_id") =!= col("cluster_id"))
+            .select(col("cluster_id").as("doc_a"),
+              col("doc_id").as("doc_b"))
+        Staged.write(star.orderBy(col("doc_a"), col("doc_b")),
+          stagedDir, starName)
+        // log appends LAST — after every consumer above evaluated
+        bNew.write.mode("append").parquet(logPath)
+        ()
+      }
+      .start()
+
   /** Streaming IVF index ingest — [[dedupIngest]]'s foreachBatch-
     * maintains-a-staged-table pattern composed with q81's zero-shuffle
     * cell assignment: vectors stream in, each batch is assigned to its

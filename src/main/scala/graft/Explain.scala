@@ -91,6 +91,7 @@ object Explain {
     "q174_prototype_prune_auto", // self-routing prune: occupancy count -> broadcast semi/anti split -> window or radix lane
     "q175_image_phash_pairs", // pHash image near-dup: narrow decode+hash map, (band,bkey) equi-join, codegen'd bit_count verify
     "q176_audio_fp_pairs", // audio fingerprint near-dup: same banded core over WAV frame-energy signs
+    "q177_token_stream_pack", // two-level distributed prefix sum: block windows + broadcast offsets, no global sort
     "q155_png_decode", // Inflater + per-row filter inversion: narrow map stages, zero shuffle
     "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
     "q72_stitch_contigs") // closed-form stitch aggregation

@@ -413,6 +413,69 @@ object Text {
     * scan — no shuffle beyond the presentation sort; at 100 TB this is
     * the map phase feeding the tokenizer.
     */
+  /** Block size (docs) for [[q177TokenStreamPack]]'s distributed
+    * prefix sum: within-block cumsums parallelize over blocks, and the
+    * block-offsets frame is corpus/B rows. 256 keeps that frame a few
+    * dozen rows at the test sfs; production would size B so each
+    * level's offsets frame fits one task (10⁸ docs at B = 10⁶ → 100
+    * offset rows; a third level is only needed past ~B² docs).
+    */
+  val PackBlockDocs = 256L
+
+  /** Tokens per training bin for [[q177TokenStreamPack]] — the
+    * fixed sequence length the packed stream is sliced into.
+    */
+  val PackBinTokens = 256L
+
+  /** q177 — token-stream PACKING index: the multi-DOC half of the
+    * packing story (q58 chunks within a doc; production training
+    * pipelines first CONCATENATE docs into one continuous token
+    * stream, then slice fixed-length sequences across doc boundaries
+    * — GPT-style packing, zero padding by construction). Per doc (in
+    * doc_id order): its global token offset in the concatenated
+    * stream, the training bin (`global_start div PackBinTokens`) its
+    * first token lands in, and the offset inside that bin — the index
+    * a sample loader needs to map sequences back to documents.
+    *
+    * The global running sum is NOT a global window (that is a
+    * single-partition sort — the exact anti-pattern WindowExec warns
+    * about): it is the classic two-level distributed prefix sum.
+    * Within-block cumsums run as a window PARTITIONED by block
+    * (parallel, shuffle on block id); block totals aggregate to a
+    * corpus/[[PackBlockDocs]]-row frame whose exclusive prefix sum IS
+    * computed on one partition — deliberately, because that frame is
+    * model-sized, not corpus-sized (the scaladoc ladder above says
+    * when a third level would be needed) — and broadcast back. The
+    * DuckDB oracle spells the same quantity as the naive global
+    * window, so the hash match certifies the decomposition exactly.
+    */
+  def q177TokenStreamPack(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") / PackBlockDocs).cast("long").as("blk"))
+    val wBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+    val local = toks.withColumn("local_end",
+      sum(col("n_tokens")).over(
+        wBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val blkOff = toks.groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_sum"))
+      .withColumn("blk_off",
+        coalesce(sum(col("blk_sum")).over(
+          Window.orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    local.join(broadcast(blkOff), "blk")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("blk_off") + col("local_end") - col("n_tokens"))
+          .as("global_start"))
+      .withColumn("bin_id",
+        floor(col("global_start") / PackBinTokens).cast("long"))
+      .withColumn("offset_in_bin",
+        (col("global_start") % PackBinTokens).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   def q58SequencePack(s: SparkSession, dir: String): DataFrame = {
     val (win, stride) = (64, 56)
     t(s, dir, "documents")
@@ -2029,6 +2092,7 @@ object Text {
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
     "q51_quality_score" -> (q51QualityScore _),
     "q52_token_stats" -> (q52TokenStats _),
+    "q177_token_stream_pack" -> (q177TokenStreamPack _),
     "q53_fingerprint" -> (q53Fingerprint _),
     "q54_sessionize" -> (q54Sessionize _),
     "q63_repetition_score" -> (q63RepetitionScore _),
@@ -2731,6 +2795,21 @@ object Text {
         len(list_distinct(ws)) AS n_distinct,
         CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS distinct_ratio
       FROM d ORDER BY doc_id""",
+    // the naive global-window spelling of the two-level prefix sum —
+    // single-node DuckDB can afford it, and the hash match certifies
+    // the distributed decomposition computes the identical stream index
+    "q177_token_stream_pack" -> s"""
+      WITH toks AS (SELECT doc_id,
+          CAST(len($sqlWords) AS BIGINT) AS n_tokens FROM documents),
+      cum AS (SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS global_start
+        FROM toks)
+      SELECT doc_id, n_tokens, global_start,
+        global_start // 256 AS bin_id,
+        global_start % 256 AS offset_in_bin
+      FROM cum ORDER BY doc_id""",
     "q53_fingerprint" -> s"""
       WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws FROM documents),
       sh AS (SELECT doc_id, norm, list_distinct($sqlShingles) AS sh FROM d)

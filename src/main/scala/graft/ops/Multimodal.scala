@@ -654,11 +654,34 @@ object Multimodal {
     */
   def q175ImagePhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = phashJpegTable(s, dir).as[JpegRow]
+    val hashes = ensureMediaTable(s, dir, "phash_media", phashJpegTable)
+      .as[JpegRow]
       .mapPartitions(_.map { r =>
         (r.doc_id, graft.functions.Phash.phash64(phashLuma(r.payload)))
       }).toDF("doc_id", "h")
     bandedHammingPairs(hashes)
+  }
+
+  /** Stage a synthetic media table once per (data, build) and read it
+    * back as the versioned parquet asset — the production economics:
+    * a real corpus' blobs are STORED, not synthesized per query, so
+    * q175/q176's warm cost is honestly decode + hash + join, with the
+    * one-time encode paid at staging like every index build
+    * (`Staged.isFresh` guard — the round-14 ensure* discipline).
+    */
+  private def ensureMediaTable(s: SparkSession, dir: String, name: String,
+      build: (SparkSession, String) => DataFrame): DataFrame = {
+    import Staged.StagedWriter
+    val work = Dedup.stageRoot(dir)
+    if (!Staged.isFresh(work, name)) build(s, dir).stagePublish(work, name)
+    // the staged blobs are small enough that the file scanner packs
+    // them into ONE split (5000 × ~3 KB ≪ maxPartitionBytes), which
+    // would serialize the codec map downstream; spread them — the
+    // shuffle moves megabytes once, the decode it parallelizes costs
+    // seconds. A production media table is multi-gigabyte and splits
+    // naturally.
+    s.read.parquet(Staged.path(work, name))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   /** The shared media near-dup core behind q175 (image pHash) and
@@ -774,7 +797,8 @@ object Multimodal {
     */
   def q176AudioFpPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = fpWavTable(s, dir).as[WavRow]
+    val hashes = ensureMediaTable(s, dir, "fp_media", fpWavTable)
+      .as[WavRow]
       .mapPartitions(_.map { r =>
         (r.doc_id, graft.functions.AudioFp.fingerprint64(
           Wav.decode(r.payload).samples))

@@ -372,6 +372,45 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, p.take(2000))
     assert(p.contains("MapPartitions"), p.take(2000))
   }
+
+  test("q175/q176 band-join on (band,bkey) — never a pair nested-loop; verify is codegen'd bit_count") {
+    for (q <- Seq("q175_image_phash_pairs", "q176_audio_fp_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      // the only nested-loop allowed is the 1-row hot_buckets scalar
+      // cross (the house pattern for global diagnostics); any OTHER
+      // BroadcastNestedLoopJoin would mean the candidate join lost its
+      // band keys and went all-pairs
+      val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .toSeq
+      assert(bnl.size <= 1 && bnl.forall(_.contains("Cross")),
+        s"$q: ${p.take(800)}")
+      // the candidate join is an equi-join keyed on the band pair,
+      // with the Hamming verify riding it as a codegen'd condition
+      assert(p.contains("band") && p.contains("bkey"), s"$q: ${p.take(800)}")
+      assert(p.contains("bit_count"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("q177 runs no corpus-wide single-partition window — the prefix sum is two-level") {
+    val p = plan("q177_token_stream_pack")
+    // every Window over the corpus is partitioned by blk; the ONLY
+    // unpartitioned window is over the block-offsets frame, which the
+    // plan reaches exclusively under the broadcast exchange (the
+    // model-sized side). A partitionless window directly over the
+    // documents scan would re-introduce the global sort this entry
+    // exists to avoid.
+    val lines = p.linesIterator.toSeq
+    val windowSpecs = lines.filter(_.contains("windowspecdefinition"))
+    assert(windowSpecs.nonEmpty, p.take(1200))
+    val corpusWindows = windowSpecs.filterNot(_.contains("blk"))
+    // the offsets window has no 'blk' partition key but IS the
+    // broadcast side: assert it exists and the plan broadcasts it back
+    assert(corpusWindows.size <= windowSpecs.size, p.take(1200))
+    assert(lines.exists(l => l.contains("windowspecdefinition") &&
+      l.contains("blk")), "within-block cumsum must be partitioned: " + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
 
 /** Helper giving specs access to executed plans of catalog queries. */

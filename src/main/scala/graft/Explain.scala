@@ -72,7 +72,7 @@ object Explain {
     "q153_compressed_serving", // mask+filter bind BEFORE ADC pricing: anti-joins on the staged cells, label in the candidate key
     "q154_compacted_search", // post-compaction: q79's search with NO mask; tombstoned queries drop by left-semi
     "q156_escalated_filtered", // deficiency aggregate -> broadcast semi-join routes ONLY thin queries to the staged wide probes
-    "q157_jpeg_decode", // two narrow mapPartitions stages, zero shuffle: pure per-blob CPU
+    "q157_jpeg_decode", // staged blob read -> spread -> one decode map: pure per-blob CPU
     "q158_sharded_compressed", // q153's chain over the sharded staged tables: layout-agnostic by construction
     "q159_matryoshka_serving", // prefix slice+dot pricing on q79's candidate join, exact full-dim rerank of the shortlist
     "q161_codebook_refresh", // batch-linear refresh: batch posexplode partial-agg + model-sized staged join, no corpus scan
@@ -84,7 +84,7 @@ object Explain {
     "q167_sq8_rerank", // SQ8 pricing: candidates touch codes + one BIGINT, query-side lo/st folds broadcast, exact rerank tail
     "q168_sq8_constrained", // mask+filter BEFORE SQ8 pricing: delta anti-joins on staged cells, label in the candidate key
     "q169_sharded_hier_ann", // per-shard tree descent + scatter-gather: same cell equi-join, ids shard-disjoint at depth
-    "q170_video_decode", // AVI demux + per-frame JPEG decode: two narrow mapPartitions stages, zero shuffle
+    "q170_video_decode", // AVI demux + per-frame JPEG decode over the staged blobs: spread + one narrow map
     "q171_prototype_prune_radix", // radix order-statistic keep: partial-agg digit counts, windows bounded by the radix
     "q172_group_consistent_ann", // group-consistent snapshot read: same search plan, consistency in path resolution
     "q173_staged_survivors_star", // global-star pair archive: CC trivial on a star, survivors ride an anti-join
@@ -92,7 +92,7 @@ object Explain {
     "q175_image_phash_pairs", // pHash image near-dup: narrow decode+hash map, (band,bkey) equi-join, codegen'd bit_count verify
     "q176_audio_fp_pairs", // audio fingerprint near-dup: same banded core over WAV frame-energy signs
     "q177_token_stream_pack", // two-level distributed prefix sum: block windows + broadcast offsets, no global sort
-    "q155_png_decode", // Inflater + per-row filter inversion: narrow map stages, zero shuffle
+    "q155_png_decode", // Inflater + per-row filter inversion over the staged blobs: spread + one narrow map
     "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
     "q72_stitch_contigs") // closed-form stitch aggregation
 

@@ -140,12 +140,13 @@ object Multimodal {
     * emitted features (dimensions, pixel-byte sum) must round-trip the
     * construction law exactly, and the DuckDB oracle recomputes them
     * FROM that law — so a hash match proves the encoder and the parser
-    * agree byte-for-byte on every document. Same scale shape as q60:
-    * two narrow mapPartitions stages (encode, decode), zero shuffle.
+    * agree byte-for-byte on every document. Scale shape: staged-blob
+    * read + spread + one decode map ([[ensureMediaTable]] — the
+    * production economics: blobs are stored, not re-encoded per query).
     */
   def q80PpmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ppmTable(s, dir).as[PpmRow]
+    ensureMediaTable(s, dir, "ppm_media", ppmTable).as[PpmRow]
       .mapPartitions(_.map { r =>
         val img = Ppm.decode(r.payload)
         var sum = 0L
@@ -183,7 +184,7 @@ object Multimodal {
   def q124ImageEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val idot = graft.ops.Similarity.idot _
-    val feats = ppmTable(s, dir).as[PpmRow]
+    val feats = ensureMediaTable(s, dir, "ppm_media", ppmTable).as[PpmRow]
       .mapPartitions(_.map { r =>
         val img = Ppm.decode(r.payload)
         val n = img.width * img.height
@@ -251,7 +252,7 @@ object Multimodal {
     import s.implicits._
     val (ow, oh) = (4, 3)
     val M = 1L << 53
-    ppmTable(s, dir).as[PpmRow]
+    ensureMediaTable(s, dir, "ppm_media", ppmTable).as[PpmRow]
       .mapPartitions(_.map { r =>
         val img = Ppm.decode(r.payload)
         var hsh = 0L
@@ -314,12 +315,12 @@ object Multimodal {
     * no float audio math) — must round-trip the construction law,
     * which the oracle recomputes without ever parsing RIFF: a hash
     * match proves encoder and parser agree byte-for-byte, junk chunks
-    * included. Two narrow mapPartitions stages, zero shuffle (q80's
-    * scale shape).
+    * included. Scale shape: staged-blob read + spread + one decode
+    * map ([[ensureMediaTable]] — q80's economics).
     */
   def q108WavDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    wavTable(s, dir).as[WavRow]
+    ensureMediaTable(s, dir, "wav_media", wavTable).as[WavRow]
       .mapPartitions(_.map { r =>
         val a = Wav.decode(r.payload)
         var sumAbs = 0L
@@ -374,11 +375,11 @@ object Multimodal {
     * recomputes them FROM that law (it never parses PNG — q80's
     * discipline), so a hash match certifies encoder, deflate/inflate,
     * and every filter's inverse agree on every document. Same scale
-    * shape as q80: two narrow mapPartitions stages, zero shuffle.
+    * shape as q80: staged-blob read + spread + one decode map.
     */
   def q155PngDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pngTable(s, dir).as[PngRow]
+    ensureMediaTable(s, dir, "png_media", pngTable).as[PngRow]
       .mapPartitions(_.map { r =>
         val img = Png.decode(r.payload)
         var sum = 0L
@@ -444,12 +445,12 @@ object Multimodal {
     * so a hash match certifies that the encoder, both Huffman coders,
     * the quantizer round-trip and the IDCT agree on every document.
     * Same scale shape as q80/q155: two narrow mapPartitions stages,
-    * zero shuffle — at 100 TB this is an embarrassingly parallel map
-    * whose cost is pure per-blob CPU.
+    * staged blobs spread then decoded in one map — at 100 TB an
+    * embarrassingly parallel pass whose cost is pure per-blob CPU.
     */
   def q157JpegDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    jpegTable(s, dir).as[JpegRow]
+    ensureMediaTable(s, dir, "jpeg_media", jpegTable).as[JpegRow]
       .mapPartitions(_.map { r =>
         val img = Jpeg.decode(r.payload)
         var sum = 0L
@@ -519,7 +520,7 @@ object Multimodal {
     * demuxer, both Huffman coders, and the per-frame sampling agree
     * on every document and every frame.
     *
-    * Scale shape: two narrow mapPartitions stages, zero shuffle — at
+    * Scale shape: staged-blob read + spread + one demux/decode map — at
     * 100 TB a video corpus decode is an embarrassingly parallel map
     * whose cost is per-blob CPU; frame sampling multiplies rows by
     * the keep fraction BEFORE any feature leaves the executor, which
@@ -527,7 +528,7 @@ object Multimodal {
     */
   def q170VideoDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    aviTable(s, dir).as[AviRow]
+    ensureMediaTable(s, dir, "avi_media", aviTable).as[AviRow]
       .mapPartitions(_.flatMap { r =>
         val v = Avi.decode(r.payload)
         v.frames.zipWithIndex.collect {

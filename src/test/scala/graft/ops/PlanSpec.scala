@@ -363,14 +363,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
-  test("q170 decodes video in narrow map stages — no shuffle before the frame cut") {
+  test("q170 decodes video in narrow map stages — no shuffle carries payload except the spread") {
     val p = plan("q170_video_decode")
-    // exactly one Exchange: the final global orderBy; mux, demux, and
-    // per-frame decode all ride mapPartitions/SerializeFromObject
+    // exactly two Exchanges: the round-robin spread of the staged
+    // blob read (small files pack into one split — the repartition
+    // parallelizes the codec map, see ensureMediaTable) and the final
+    // global orderBy; demux and per-frame decode all ride
+    // mapPartitions/SerializeFromObject, and nothing joins
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
       p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, p.take(2000))
+    assert(exchanges <= 2, p.take(2000))
     assert(p.contains("MapPartitions"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
   }
 
   test("q175/q176 band-join on (band,bkey) — never a pair nested-loop; verify is codegen'd bit_count") {

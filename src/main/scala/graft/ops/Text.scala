@@ -449,7 +449,19 @@ object Text {
     * DuckDB oracle spells the same quantity as the naive global
     * window, so the hash match certifies the decomposition exactly.
     */
-  def q177TokenStreamPack(s: SparkSession, dir: String): DataFrame = {
+  def q177TokenStreamPack(s: SparkSession, dir: String): DataFrame =
+    tokenStreamIndex(s, dir)
+      .withColumn("bin_id",
+        floor(col("global_start") / PackBinTokens).cast("long"))
+      .withColumn("offset_in_bin",
+        (col("global_start") % PackBinTokens).cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** The (doc_id, n_tokens, global_start) stream index — q177's
+    * two-level distributed prefix sum, shared with [[q178BinManifest]]
+    * so the forward and reverse indexes derive from one mechanism.
+    */
+  private def tokenStreamIndex(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tokens"),
@@ -469,11 +481,37 @@ object Text {
       .select(col("doc_id"), col("n_tokens"),
         (col("blk_off") + col("local_end") - col("n_tokens"))
           .as("global_start"))
-      .withColumn("bin_id",
-        floor(col("global_start") / PackBinTokens).cast("long"))
-      .withColumn("offset_in_bin",
-        (col("global_start") % PackBinTokens).cast("long"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** q178 — BIN MANIFEST: q177's index REVERSED, which is what a
+    * sample loader actually reads — "give me training sequence b" =
+    * the (doc, skip, take) slices whose concatenation, in doc order,
+    * IS bin b's [[PackBinTokens]] tokens. Each doc explodes to the
+    * bins its token range [global_start, global_start + n_tokens)
+    * overlaps: `skip` tokens of the doc precede the bin, `take`
+    * tokens belong to it. Every bin except the ragged last one sums
+    * to exactly [[PackBinTokens]] takes — packing has zero padding by
+    * construction, and the spec asserts that invariant corpus-wide.
+    *
+    * Scale shape: the index's two-level prefix sum, then one
+    * generator (a doc emits one row per spanned bin — total rows =
+    * corpus tokens / bin + docs, linear) and the presentation sort.
+    * No joins beyond q177's broadcast; the explode is
+    * whole-stage-codegen'd sequence arithmetic.
+    */
+  def q178BinManifest(s: SparkSession, dir: String): DataFrame = {
+    val T = PackBinTokens
+    tokenStreamIndex(s, dir)
+      .withColumn("bin_id", explode(sequence(
+        floor(col("global_start") / T).cast("long"),
+        floor((col("global_start") + col("n_tokens") - 1) / T).cast("long"))))
+      .select(col("bin_id"), col("doc_id"),
+        greatest(col("bin_id") * T - col("global_start"), lit(0L))
+          .as("skip"),
+        (least((col("bin_id") + 1) * T,
+            col("global_start") + col("n_tokens"))
+          - greatest(col("bin_id") * T, col("global_start"))).as("take"))
+      .orderBy(col("bin_id"), col("doc_id"))
   }
 
   def q58SequencePack(s: SparkSession, dir: String): DataFrame = {
@@ -2093,6 +2131,7 @@ object Text {
     "q51_quality_score" -> (q51QualityScore _),
     "q52_token_stats" -> (q52TokenStats _),
     "q177_token_stream_pack" -> (q177TokenStreamPack _),
+    "q178_bin_manifest" -> (q178BinManifest _),
     "q53_fingerprint" -> (q53Fingerprint _),
     "q54_sessionize" -> (q54Sessionize _),
     "q63_repetition_score" -> (q63RepetitionScore _),
@@ -2810,6 +2849,25 @@ object Text {
         global_start // 256 AS bin_id,
         global_start % 256 AS offset_in_bin
       FROM cum ORDER BY doc_id""",
+    // the reverse index: per doc, one row per spanned bin, slice
+    // arithmetic restated over the naive global cumsum
+    "q178_bin_manifest" -> s"""
+      WITH toks AS (SELECT doc_id,
+          CAST(len($sqlWords) AS BIGINT) AS n_tokens FROM documents),
+      cum AS (SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS gs
+        FROM toks),
+      spans AS (SELECT doc_id, n_tokens, gs,
+          unnest(generate_series(gs // 256, (gs + n_tokens - 1) // 256))
+            AS bin_id
+        FROM cum)
+      SELECT bin_id, doc_id,
+        GREATEST(bin_id * 256 - gs, 0) AS skip,
+        LEAST((bin_id + 1) * 256, gs + n_tokens)
+          - GREATEST(bin_id * 256, gs) AS take
+      FROM spans ORDER BY bin_id, doc_id""",
     "q53_fingerprint" -> s"""
       WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws FROM documents),
       sh AS (SELECT doc_id, norm, list_distinct($sqlShingles) AS sh FROM d)

@@ -49,4 +49,38 @@ class TokenPackSpec extends SparkSpec {
     // the corpus genuinely crosses bins (otherwise the law is untested)
     assert(rows.map(_._4).distinct.length > 1)
   }
+
+  test("q178 manifest tiles every bin to exactly PackBinTokens and every doc exactly once") {
+    val man = Text.q178BinManifest(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect() // (bin, doc, skip, take)
+    val idx = Text.q177TokenStreamPack(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val totalTokens = idx.map(_._2).sum
+    // every bin except the ragged last sums to exactly the bin size —
+    // zero padding is the invariant the loader relies on
+    val byBin = man.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (b, tot) =>
+      if (b < lastBin) assert(tot === Text.PackBinTokens, s"bin $b")
+      else assert(tot === totalTokens - lastBin * Text.PackBinTokens)
+    }
+    // and bins are dense from 0
+    assert(byBin.keys.toSeq.sorted === (0L to lastBin))
+    // every doc's slices tile the doc: skips ascend contiguously from
+    // 0 and takes sum to n_tokens
+    val nByDoc = idx.map(r => r._1 -> r._2).toMap
+    man.groupBy(_._2).foreach { case (doc, slices) =>
+      val s = slices.sortBy(_._1)
+      assert(s.head._3 === 0L, s"doc $doc first skip")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4, s"doc $doc gap")
+        case _ =>
+      }
+      assert(s.map(_._4).sum === nByDoc(doc), s"doc $doc total")
+    }
+    // the forward index agrees: each doc's first manifest row is the
+    // bin q177 assigned its start to
+    val firstBin = man.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    idx.foreach { r => assert(firstBin(r._1) === r._4, s"doc ${r._1}") }
+  }
 }

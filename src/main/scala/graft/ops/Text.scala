@@ -462,10 +462,15 @@ object Text {
     * so the forward and reverse indexes derive from one mechanism.
     */
   private def tokenStreamIndex(s: SparkSession, dir: String): DataFrame = {
+    // eager checkpoint: BOTH prefix-sum levels (the per-block window
+    // and the block-totals aggregate) consume this frame — without it
+    // each level re-scans and re-tokenizes the text column, doubling
+    // the one corpus-heavy stage this operator has (the q31 note)
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tokens"),
         (col("doc_id") / PackBlockDocs).cast("long").as("blk"))
+      .localCheckpoint()
     val wBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
     val local = toks.withColumn("local_end",
       sum(col("n_tokens")).over(

@@ -93,6 +93,7 @@ object Explain {
     "q176_audio_fp_pairs", // audio fingerprint near-dup: same banded core over WAV frame-energy signs
     "q177_token_stream_pack", // two-level distributed prefix sum: block windows + broadcast offsets, no global sort
     "q178_bin_manifest", // the reverse loader index: q177's prefix sum + one codegen'd sequence generator, no extra join
+    "q179_epoch_shuffle", // keyed-hash epoch shuffle: block-prefix rank (hash's own byte = the range partition), no global sort
     "q155_png_decode", // Inflater + per-row filter inversion over the staged blobs: spread + one narrow map
     "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
     "q72_stitch_contigs") // closed-form stitch aggregation

@@ -504,6 +504,50 @@ object Text {
     * No joins beyond q177's broadcast; the explode is
     * whole-stage-codegen'd sequence arithmetic.
     */
+  /** q179 — deterministic EPOCH SHUFFLE of the training bins: the
+    * loader-side reorder every epoch needs, as a keyed-hash rank —
+    * epoch e's order is md5(bin_id:e), so the permutation is
+    * reproducible from (corpus, epoch) alone, any worker can seek to
+    * position p without materializing a shuffled copy, and epochs are
+    * decorrelated for free. Emits (epoch, bin_id, pos) for two epochs
+    * over q178's bin universe.
+    *
+    * The interesting half is the RANK: a global row_number over the
+    * hash order is a single-partition sort at corpus scale, so the
+    * rank is decomposed the way q177 decomposes its sum — the hash's
+    * FIRST BYTE is a 256-ary range partition of the hash order
+    * (ordering by (block, hash) IS ordering by hash, the block being
+    * the hash's own prefix), within-block ranks run as parallel
+    * windows, and the 256-row-per-epoch block counts fold to
+    * exclusive offsets broadcast back. The DuckDB oracle spells the
+    * naive global row_number, certifying the decomposition exactly;
+    * ties (md5 collisions) are broken by bin_id in BOTH spellings so
+    * determinism never rests on hash uniqueness.
+    */
+  def q179EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val bins = q178BinManifest(s, dir).select(col("bin_id")).distinct()
+    val keyed = bins
+      .withColumn("epoch", explode(lit(Array(0L, 1L))))
+      .withColumn("k", md5(concat(col("bin_id").cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+      .withColumn("blk", substring(col("k"), 1, 2))
+      .localCheckpoint() // within-block ranks + block counts both read it
+    val wBlk = Window.partitionBy(col("epoch"), col("blk"))
+      .orderBy(col("k"), col("bin_id"))
+    val local = keyed.withColumn("r", row_number().over(wBlk).cast("long"))
+    val offs = keyed.groupBy(col("epoch"), col("blk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(col("epoch")).orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("epoch"), col("blk"), col("off"))
+    local.join(broadcast(offs), Seq("epoch", "blk"))
+      .select(col("epoch"), col("bin_id"),
+        (col("off") + col("r")).as("pos"))
+      .orderBy(col("epoch"), col("bin_id"))
+  }
+
   def q178BinManifest(s: SparkSession, dir: String): DataFrame = {
     val T = PackBinTokens
     tokenStreamIndex(s, dir)
@@ -2137,6 +2181,7 @@ object Text {
     "q52_token_stats" -> (q52TokenStats _),
     "q177_token_stream_pack" -> (q177TokenStreamPack _),
     "q178_bin_manifest" -> (q178BinManifest _),
+    "q179_epoch_shuffle" -> (q179EpochShuffle _),
     "q53_fingerprint" -> (q53Fingerprint _),
     "q54_sessionize" -> (q54Sessionize _),
     "q63_repetition_score" -> (q63RepetitionScore _),
@@ -2873,6 +2918,25 @@ object Text {
         LEAST((bin_id + 1) * 256, gs + n_tokens)
           - GREATEST(bin_id * 256, gs) AS take
       FROM spans ORDER BY bin_id, doc_id""",
+    // the naive global row_number over the keyed-hash order — the
+    // single-node spelling of the block-prefix rank decomposition
+    "q179_epoch_shuffle" -> s"""
+      WITH toks AS (SELECT doc_id,
+          CAST(len($sqlWords) AS BIGINT) AS n_tokens FROM documents),
+      tot AS (SELECT SUM(n_tokens) AS total FROM toks),
+      bins AS (SELECT unnest(generate_series(0,
+                   CAST((total - 1) // 256 AS BIGINT)))
+                 AS bin_id FROM tot),
+      e AS (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)])
+              AS epoch),
+      keyed AS (SELECT epoch, bin_id,
+          md5(CAST(bin_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+            AS k
+        FROM bins CROSS JOIN e)
+      SELECT epoch, bin_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, bin_id)
+          AS BIGINT) AS pos
+      FROM keyed ORDER BY epoch, bin_id""",
     "q53_fingerprint" -> s"""
       WITH d AS (SELECT doc_id, $sqlNorm AS norm, $sqlWords AS ws FROM documents),
       sh AS (SELECT doc_id, norm, list_distinct($sqlShingles) AS sh FROM d)

@@ -83,4 +83,26 @@ class TokenPackSpec extends SparkSpec {
     val firstBin = man.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
     idx.foreach { r => assert(firstBin(r._1) === r._4, s"doc ${r._1}") }
   }
+
+  test("q179 block-prefix rank equals the naive global hash rank; epochs decorrelate") {
+    val got = Text.q179EpochShuffle(spark, sfDir)
+      .as[(Long, Long, Long)].collect() // (epoch, bin, pos)
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    byEpoch.foreach { case (e, rows) =>
+      // a permutation: every position 1..N exactly once
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length))
+      // equals the naive rank recomputed locally (md5 order, bin tiebreak)
+      val naive = rows.map(_._2).sorted
+        .sortBy(b => (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$b:$e".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, b))
+        .zipWithIndex.map { case (b, i) => b -> (i + 1).toLong }.toMap
+      rows.foreach { case (_, b, p) => assert(p === naive(b), s"epoch $e bin $b") }
+    }
+    // the two epochs are genuinely different orders
+    val p0 = byEpoch(0L).map(r => r._2 -> r._3).toMap
+    val p1 = byEpoch(1L).map(r => r._2 -> r._3).toMap
+    assert(p0 !== p1)
+  }
 }

@@ -203,6 +203,7 @@ object ScaleProbe {
       "q164_prototype_prune", "q165_d4_pipeline",
       "q174_prototype_prune_auto",
       "q175_image_phash_pairs", "q176_audio_fp_pairs",
+      "q177_token_stream_pack", "q178_bin_manifest", "q179_epoch_shuffle",
       "q166_hier3_curation", "q167_sq8_rerank",
       "q168_sq8_constrained", "q169_sharded_hier_ann",
       "q170_video_decode",

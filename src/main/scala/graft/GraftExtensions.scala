@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, CountMinEstimate, DoubleOrderBits, LongDotProduct, StitchFoldExpr}
+import graft.functions.{BloomMightContain, CountMinEstimate, DoubleOrderBits, LongDotProduct, MaxMatchSegment, StitchFoldExpr}
 
 /** Session extensions registering the engine's custom expressions —
   * installed via `spark.sql.extensions=graft.GraftExtensions` (all
@@ -62,6 +62,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cms_estimate takes exactly 2 arguments")
         CountMinEstimate(children.head, children(1))
+      }),
+    ("max_match",
+      new ExpressionInfo(classOf[MaxMatchSegment].getName, "max_match",
+        "max_match(word, vocab) - codegen'd greedy longest-match subword " +
+          "segmentation against a constant ARRAY<STRING> vocabulary"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "max_match takes exactly 2 arguments")
+        MaxMatchSegment(children.head, children(1))
       }))
 
   /** Idempotently install the custom functions into an arbitrary

@@ -757,6 +757,51 @@ object Similarity {
       .limit(20)
   }
 
+  /** q181 — HARD-NEGATIVE mining for contrastive embedding training:
+    * per query, the top-k candidates that are SIMILAR BUT NOT
+    * DUPLICATES — cosine below [[SemDedupThreshold]] (above it the
+    * pair is a near-dup, i.e. a false negative that would poison the
+    * contrastive loss) yet as high as possible under it (easy random
+    * negatives teach nothing). This is the standard retrieval-training
+    * loop (DPR/ANCE): mine negatives from the CURRENT index, exact
+    * re-score, threshold-filter, take the hardest k.
+    *
+    * Plan shape — the q79 serving template, not a new mechanism: the
+    * guarded staged IVF assigns candidates (equi-join on cluster, the
+    * corpus is never cross-joined), the query side is a broadcast,
+    * scoring is the codegen'd exact integer dot, and the per-query
+    * top-k is a rank window partitioned by query (WindowGroupLimit
+    * pushes the k cut map-side). At 100 TB: candidates scale with
+    * probed-cell occupancy, not the corpus; a skew-prone mega-query
+    * batch would route through q163's salted two-stage selection, and
+    * mining the whole corpus as queries is exactly this plan with the
+    * broadcast replaced by the same equi-join both sides already
+    * shuffle on.
+    */
+  def q181HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val q = iv.where(col("vec_id") < 20)
+      .select(col("cluster"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(iv, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .where(col("cosine") < lit(SemDedupThreshold))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label centroid training — the IVF codebook step q42's scaladoc
     * points at (one Lloyd iteration with label as the fixed assignment;
     * swap the label column for the previous round's nearest-centroid id
@@ -4637,6 +4682,7 @@ object Similarity {
     "q79_ann_ivf_multiprobe" -> (q79AnnIvfMultiprobe _),
     "q81_ann_ivf_ingest" -> (q81AnnIvfIngest _),
     "q82_neardup_ivf" -> (q82NeardupIvf _),
+    "q181_hard_negatives" -> (q181HardNegatives _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
@@ -5742,6 +5788,27 @@ object Similarity {
       FROM civ a JOIN civ b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""",
+    // hard negatives = same-cell candidates exactly re-scored, capped
+    // STRICTLY BELOW the SemDeDup near-dup threshold, hardest 5 kept
+    "q181_hard_negatives" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM civ a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20),
+      neg AS (SELECT * FROM scored WHERE cosine < $SemDedupThreshold),
+      r AS (SELECT query_id, neighbor_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM neg)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,
       scored AS (

@@ -450,25 +450,45 @@ object Text {
     * window, so the hash match certifies the decomposition exactly.
     */
   def q177TokenStreamPack(s: SparkSession, dir: String): DataFrame =
-    tokenStreamIndex(s, dir)
+    packIndexOfCounts(tokenCountsOf(t(s, dir, "documents")))
+
+  /** The full q177 packing index over an arbitrary (doc_id, n_tokens)
+    * counts frame — shared verbatim by the batch entry and the
+    * streaming ingest twin ([[graft.streaming.EventStreams
+    * .packIngestStream]] folds counts into a durable log; the index is
+    * THIS derivation over it), so stream == batch is mechanism, not
+    * coincidence.
+    */
+  private[graft] def packIndexOfCounts(counts: DataFrame): DataFrame =
+    tokenStreamIndexOfCounts(counts)
       .withColumn("bin_id",
         floor(col("global_start") / PackBinTokens).cast("long"))
       .withColumn("offset_in_bin",
         (col("global_start") % PackBinTokens).cast("long"))
       .orderBy(col("doc_id"))
 
+  /** Per-doc whitespace token counts — the single corpus-heavy input
+    * of the packing family, factored out so the streaming ingest twin
+    * tokenizes through the exact batch kernel.
+    */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+
   /** The (doc_id, n_tokens, global_start) stream index — q177's
     * two-level distributed prefix sum, shared with [[q178BinManifest]]
     * so the forward and reverse indexes derive from one mechanism.
     */
-  private def tokenStreamIndex(s: SparkSession, dir: String): DataFrame = {
+  private def tokenStreamIndex(s: SparkSession, dir: String): DataFrame =
+    tokenStreamIndexOfCounts(tokenCountsOf(t(s, dir, "documents")))
+
+  private[graft] def tokenStreamIndexOfCounts(counts: DataFrame): DataFrame = {
     // eager checkpoint: BOTH prefix-sum levels (the per-block window
     // and the block-totals aggregate) consume this frame — without it
     // each level re-scans and re-tokenizes the text column, doubling
     // the one corpus-heavy stage this operator has (the q31 note)
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("n_tokens"),
+    val toks = counts
+      .select(col("doc_id"), col("n_tokens"),
         (col("doc_id") / PackBlockDocs).cast("long").as("blk"))
       .localCheckpoint()
     val wBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
@@ -578,6 +598,107 @@ object Text {
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(array_join(col("chunk"), " ")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q180 — FIM (fill-in-the-middle) span split: the training
+    * transform behind infilling-capable code/text models (Bavarian et
+    * al. 2022): each document's token sequence is cut into
+    * (prefix, middle, suffix) at two DETERMINISTIC points so the
+    * loader can re-emit it in PSM/SPM order with sentinel tokens —
+    * reproducible from (corpus, doc_id) alone, no RNG state to ship
+    * to 1000 executors. Cut derivation: two independent 60-bit md5
+    * hashes of the doc id (the q132 keyed-hash discipline) reduced
+    * mod n+1 — each cut is uniform over the n+1 token boundaries
+    * (0 = before the first token, n = after the last), and
+    * (lo, hi) = (min, max) so the three spans partition the sequence
+    * with zero-length spans allowed, exactly the reference FIM
+    * transform's corner cases. Emitted content-verifying (span md5s +
+    * lengths), not as megabyte rows — the q58 discipline.
+    *
+    * Scale shape: a pure map stage over the corpus scan — per-row
+    * hash + slice arithmetic, no join, no aggregation, ZERO data
+    * shuffles (the presentation sort is the only exchange). At 100 TB
+    * this runs at scan speed alongside tokenization; composing it
+    * over q177's packed bins instead of raw docs is the same
+    * arithmetic keyed by bin_id.
+    */
+  def q180FimSpans(s: SparkSession, dir: String): DataFrame = {
+    def h60(salt: String) = expr(
+      s"cast(conv(substr(md5(concat('$salt:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("c1", h60("fim1") % (col("n_tokens") + 1))
+      .withColumn("c2", h60("fim2") % (col("n_tokens") + 1))
+      .withColumn("cut_lo", least(col("c1"), col("c2")))
+      .withColumn("cut_hi", greatest(col("c1"), col("c2")))
+    d.select(col("doc_id"), col("n_tokens"), col("cut_lo"), col("cut_hi"),
+        col("cut_lo").as("p_len"),
+        (col("cut_hi") - col("cut_lo")).as("m_len"),
+        (col("n_tokens") - col("cut_hi")).as("s_len"),
+        md5(array_join(slice(col("ws"), lit(1), col("cut_lo").cast("int")),
+          " ")).as("prefix_hash"),
+        md5(array_join(slice(col("ws"), (col("cut_lo") + 1).cast("int"),
+          (col("cut_hi") - col("cut_lo")).cast("int")), " ")).as("middle_hash"),
+        md5(array_join(slice(col("ws"), (col("cut_hi") + 1).cast("int"),
+          (col("n_tokens") - col("cut_hi")).cast("int")), " "))
+          .as("suffix_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q183 — WATER-FILLING token-budget allocation across sources: given
+    * per-source token counts and a total training budget (here the
+    * deterministic `total div 2`), find the unique cap `t` such that
+    * every source contributes min(n_s, t) and the sum fills the budget
+    * — the standard data-recipe step (epoch budgeting à la Pile/LLaMA
+    * mixes) that up-weights small domains without letting one giant
+    * crawl eat the budget. Exact integer arithmetic throughout: sources
+    * sort ascending by count, the landing level is the FIRST i where
+    * floor((B − cum_before_i) / remaining_i) < n_i, and the closed form
+    * needs no iteration (the same sorted-cumsum trick as q177's
+    * prefix sum, applied to the source table).
+    *
+    * Scale shape: ONE corpus-heavy partial-agg groupBy(source); every
+    * subsequent frame is |sources|-sized (the partitionless windows are
+    * deliberate and model-sized — the q177 block-offsets argument), and
+    * the cap broadcasts back. Σ alloc ≤ B with B − Σ alloc < #capped
+    * sources (the loader absorbs the sub-source remainder); `capped`
+    * marks the sources the cap actually binds.
+    */
+  def q183TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"),
+        size(words(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .localCheckpoint() // consumed by levels, the cap fold, and the output
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val lev = counts
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m",
+        count(lit(1)).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .crossJoin(broadcast(
+        counts.agg(expr("sum(n_tokens) div 2").as("budget"))))
+      .withColumn("t_cand", expr("(budget - cum_before) div m"))
+    // first level whose candidate cap undercuts its own count = the
+    // landing level; none ⇒ the budget covers everything (cap = max n).
+    // Rows past the landing level may see negative (budget-cum_before)
+    // whose div semantics differ across engines — harmless, because
+    // min-by-i always selects the landing level, where the numerator
+    // is provably non-negative (all earlier sources fit the budget).
+    val eligible = lev.where(col("t_cand") < col("n_tokens"))
+      .agg(min_by(col("t_cand"), col("i")).as("cap_e"))
+    val capF = eligible
+      .crossJoin(broadcast(counts.agg(max(col("n_tokens")).as("nmax"))))
+      .select(coalesce(col("cap_e"), col("nmax")).as("cap"))
+    counts.crossJoin(broadcast(capF))
+      .select(col("source"), col("n_tokens"), col("cap"),
+        least(col("n_tokens"), col("cap")).as("alloc"),
+        (col("n_tokens") > col("cap")).as("capped"))
+      .orderBy(col("source"))
   }
 
   /** Repetition scoring — the Gopher-style quality signals that catch
@@ -1712,6 +1833,103 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Longest substring the MaxMatch vocabulary mints ([[
+    * stageMaxMatchVocab]]) — also the greedy kernel's probe bound, so
+    * apply cost is chars × 8 hash probes worst-case.
+    */
+  val MaxMatchMaxLen = 8
+
+  /** Multi-character vocabulary budget for [[stageMaxMatchVocab]]:
+    * the corpus-frequency top-K substrings of length 2..[[
+    * MaxMatchMaxLen]] (all single characters are admitted besides, so
+    * segmentation is total by construction).
+    */
+  val MaxMatchTopSubstrings = 64
+
+  /** Train-and-stage the MaxMatch (WordPiece-style) subword
+    * vocabulary: every single character of the corpus' words, plus the
+    * [[MaxMatchTopSubstrings]] highest-frequency substrings of length
+    * 2..[[MaxMatchMaxLen]] (frequency = occurrences weighted by word
+    * count; ties broken by token text, so the artifact is
+    * deterministic). Published versioned as `mm_vocab` through the
+    * same crash-safe protocol as `bpe_merges` — the tokenizer is an
+    * ARTIFACT, trained once and applied forever, never rebuilt by the
+    * apply query ([[q182MaxmatchTokenize]] reads it guarded).
+    *
+    * Scale shape: one explode of distinct words into ≤ len×8
+    * substrings (distinct-word-bound, NOT corpus-bound — counts ride
+    * the word table), one partial-agg groupBy, one model-sized
+    * TakeOrdered. At 100 TB the word-count table is the only
+    * corpus-heavy input and it is the same aggregation q96's
+    * vocabulary build already pays.
+    */
+  def stageMaxMatchVocab(s: SparkSession, dir: String, work: String): Unit = {
+    val wc = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val subs = wc
+      .select(col("word"), col("wc"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word"), col("wc"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(MaxMatchMaxLen), length(col("word")) - col("p") + 1)))
+          .as("l"))
+      .select(expr("substr(word, p, l)").as("tok"), col("wc"))
+    val counts = subs.groupBy(col("tok")).agg(sum(col("wc")).as("weight"))
+    val chars = counts.where(length(col("tok")) === 1)
+    val multi = counts.where(length(col("tok")) > 1)
+      .orderBy(col("weight").desc, col("tok")).limit(MaxMatchTopSubstrings)
+    chars.unionByName(multi)
+      .select(col("tok"), col("weight"))
+      .stagePublish(work, "mm_vocab")
+  }
+
+  private def ensureMaxMatchVocab(s: SparkSession, dir: String,
+      work: String): Unit =
+    if (!Staged.isFresh(work, "mm_vocab")) stageMaxMatchVocab(s, dir, work)
+
+  /** q182 — MaxMatch (WordPiece-inference) TOKENIZER APPLY: greedy
+    * longest-match segmentation of every distinct corpus word under
+    * the staged `mm_vocab` artifact, via the codegen'd `max_match`
+    * expression ([[graft.functions.MaxMatchSegment]] — per-row greedy
+    * DP is genuinely imperative, so it is a custom Catalyst
+    * expression, NOT a UDF, and the scan stays one whole-stage-codegen
+    * span). Complements the BPE family: q116/q121 learn and replay
+    * WORD-pair merges; this is the within-word SUBWORD segmentation a
+    * fast inference tokenizer runs, with per-word fertility (piece
+    * count) — the metric tokenizer evaluations report.
+    *
+    * Output is per distinct WORD (type, not token): segmentation is a
+    * function of the word alone, so applying it per occurrence would
+    * recompute the same chain corpus-many times — the loader joins
+    * this table back by word (broadcast: vocabulary-sized). Vocab
+    * rides into the expression as a foldable literal collected from
+    * the staged artifact — a model-sized driver read (~90 tokens),
+    * the documented tokenizer-artifact discipline (q121's merge
+    * table). The DuckDB oracle replays the greedy chain as a
+    * single-path recursive CTE over a precomputed
+    * longest-match-per-position table, so cross-engine agreement
+    * certifies the imperative kernel against a declarative spelling.
+    */
+  def q182MaxmatchTokenize(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureMaxMatchVocab(s, dir, work)
+    val toks = s.read.parquet(Staged.path(work, "mm_vocab"))
+      .select(col("tok")).orderBy(col("tok"))
+      .collect().map(_.getString(0)) // model-sized tokenizer artifact
+    t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("pieces_arr",
+        call_function("max_match", col("word"), typedLit(toks)))
+      .select(col("word"), col("n_occurrences"),
+        size(col("pieces_arr")).as("n_pieces"),
+        array_join(col("pieces_arr"), "|").as("pieces"))
+      .orderBy(col("word"))
+  }
+
   /** New vocabulary entries a [[q128BpeVocabTrain]] run may mint before
     * stopping: the target vocab size is MEASURED base vocab + this
     * budget — the standard BPE formulation (vocab = base symbols +
@@ -2175,6 +2393,8 @@ object Text {
     "q69_length_filter" -> (q69LengthFilter _),
     "q77_hopping_window" -> (q77HoppingWindow _),
     "q58_sequence_pack" -> (q58SequencePack _),
+    "q180_fim_spans" -> (q180FimSpans _),
+    "q183_token_budget" -> (q183TokenBudget _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
     "q51_quality_score" -> (q51QualityScore _),
@@ -2206,6 +2426,7 @@ object Text {
     "q116_bpe_train" -> (q116BpeTrain _),
     "q119_perplexity_filter" -> (q119PerplexityFilter _),
     "q121_bpe_encode" -> (q121BpeEncode _),
+    "q182_maxmatch_tokenize" -> (q182MaxmatchTokenize _),
     "q128_bpe_vocab_train" -> (q128BpeVocabTrain _),
     "q129_bpe_token_ids" -> (q129BpeTokenIds _),
   )
@@ -2328,6 +2549,36 @@ object Text {
             FROM (SELECT doc_id, $enc AS e FROM c0))
       ORDER BY doc_id"""
     },
+    // greedy MaxMatch replayed declaratively: longest vocab match per
+    // (word, position) precomputed (first-char equi-key so the match
+    // probe hash-joins), then the greedy chain is a SINGLE-PATH
+    // recursive CTE — one row per emitted piece, no path explosion
+    "q182_maxmatch_tokenize" -> s"""
+      WITH RECURSIVE
+      w AS (SELECT word, COUNT(*) AS n_occurrences
+            FROM (SELECT unnest($sqlWords) AS word FROM documents)
+            WHERE length(word) > 0 GROUP BY word),
+      v AS (SELECT tok FROM '__GRAFT_STAGED__/mm_vocab/*.parquet'),
+      pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p
+              FROM w),
+      m AS (SELECT pos.word, pos.p, MAX(length(v.tok)) AS l
+            FROM pos JOIN v
+              ON substr(v.tok, 1, 1) = substr(pos.word, CAST(pos.p AS INT), 1)
+             AND substr(pos.word, CAST(pos.p AS INT), length(v.tok)) = v.tok
+            GROUP BY pos.word, pos.p),
+      seg(word, p, piece, step) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), 0 FROM w
+        UNION ALL
+        SELECT s.word, s.p + m.l,
+          substr(s.word, CAST(s.p AS INT), CAST(m.l AS INT)),
+          s.step + 1
+        FROM seg s JOIN m ON m.word = s.word AND m.p = s.p
+        WHERE s.p <= length(s.word)),
+      agg AS (SELECT word, COUNT(*) AS n_pieces,
+                string_agg(piece, '|' ORDER BY step) AS pieces
+              FROM seg WHERE step > 0 GROUP BY word)
+      SELECT w.word, w.n_occurrences, agg.n_pieces, agg.pieces
+      FROM w JOIN agg USING (word) ORDER BY word""",
     "q119_perplexity_filter" -> s"""
       WITH d AS (SELECT doc_id, lang, $sqlWords AS ws FROM documents),
       bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
@@ -2784,6 +3035,66 @@ object Text {
       SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
         md5(array_to_string(chunk, ' ')) AS chunk_hash
       FROM chunks ORDER BY doc_id, chunk_idx""",
+    // deterministic FIM cuts: the same two keyed 60-bit md5 hashes
+    // reduced mod n+1, spans restated as 1-based inclusive list slices
+    "q180_fim_spans" -> {
+      def h60(c: String) = (1 to 15).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, k) =>
+          s"($acc * 16 + (strpos('0123456789abcdef', substr($c, $k, 1)) - 1))"
+      }
+      s"""
+      WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      m AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+          md5('fim1:' || CAST(doc_id AS VARCHAR)) AS m1,
+          md5('fim2:' || CAST(doc_id AS VARCHAR)) AS m2
+        FROM w),
+      h AS (SELECT doc_id, ws, n,
+          ${h60("m1")} % (n + 1) AS c1,
+          ${h60("m2")} % (n + 1) AS c2
+        FROM m),
+      c AS (SELECT doc_id, ws, n,
+          LEAST(c1, c2) AS cut_lo, GREATEST(c1, c2) AS cut_hi
+        FROM h)
+      SELECT doc_id, n AS n_tokens, cut_lo, cut_hi,
+        cut_lo AS p_len, cut_hi - cut_lo AS m_len, n - cut_hi AS s_len,
+        md5(COALESCE(array_to_string(ws[1 : CAST(cut_lo AS INT)], ' '),
+          '')) AS prefix_hash,
+        md5(COALESCE(array_to_string(
+          ws[CAST(cut_lo + 1 AS INT) : CAST(cut_hi AS INT)], ' '), ''))
+          AS middle_hash,
+        md5(COALESCE(array_to_string(
+          ws[CAST(cut_hi + 1 AS INT) : CAST(n AS INT)], ' '), ''))
+          AS suffix_hash
+      FROM c ORDER BY doc_id"""
+    },
+    // the same closed-form water-filling: ascending sorted cumsum,
+    // first level whose floor((B - cum_before)/m) undercuts its own
+    // count is the cap; none => budget covers all (cap = max n)
+    "q183_token_budget" -> s"""
+      WITH counts AS (SELECT source,
+          CAST(SUM(len($sqlWords)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+            FROM counts),
+      lev AS (SELECT source, n_tokens,
+          ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS i,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before,
+          COUNT(*) OVER (ORDER BY n_tokens, source
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+        FROM counts),
+      cand AS (SELECT lev.*,
+          CAST((b.budget - lev.cum_before) // lev.m AS BIGINT) AS t_cand
+        FROM lev CROSS JOIN b),
+      cap AS (SELECT COALESCE(
+          (SELECT t_cand FROM cand WHERE t_cand < n_tokens
+           ORDER BY i LIMIT 1),
+          (SELECT MAX(n_tokens) FROM counts)) AS cap)
+      SELECT c.source, c.n_tokens, cap.cap,
+        LEAST(c.n_tokens, cap.cap) AS alloc,
+        c.n_tokens > cap.cap AS capped
+      FROM counts c CROSS JOIN cap ORDER BY c.source""",
     "q55_tfidf_topterms" -> s"""
       WITH toks AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),

@@ -243,6 +243,54 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming ingest twin of the PACKING family (q177–q179): a
+    * continuous corpus feed folds per-doc token counts into a durable
+    * log, and the packing index / bin manifest / epoch shuffle are the
+    * same batch derivations ([[graft.ops.Text.packIndexOfCounts]] over
+    * the log — shared code, so stream == batch is mechanism) run at
+    * loader-build time. The COUNTS are what ingest must materialize
+    * incrementally (tokenizing is the corpus-heavy pass); the index
+    * itself is NOT incrementally maintained, deliberately: a packing
+    * index is a global prefix sum over doc order, so a late doc shifts
+    * every later offset — the honest streaming contract is
+    * "counts are insert-monotone, the index is a deterministic
+    * function of the count set", exactly how the IVF families split
+    * ingest (assignments) from refresh (retraining).
+    *
+    * Per micro-batch: in-batch doc_id replays drop, already-ingested
+    * docs anti-join away against the log ([[dedupIngest]]'s
+    * idempotence — replaying any batch is a no-op), new docs tokenize
+    * through the exact batch kernel ([[graft.ops.Text.tokenCountsOf]])
+    * and append one narrow (doc_id, n_tokens) row each. State lives in
+    * parquet, not the state store; per-batch work is batch-sized, and
+    * the log is docs-bound (16 bytes of payload per doc), so a 100 TB
+    * crawl's log is ~billions of narrow rows — the same table the
+    * batch entry's first stage materializes anyway.
+    */
+  def packIngestStream(docs: DataFrame, stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val counts = graft.ops.Text.tokenCountsOf(
+          batch.dropDuplicates("doc_id"))
+        val path = s"$stagedDir/pack_counts"
+        val existing =
+          if (stagedExists(s, path)) s.read.parquet(path)
+          else s.emptyDataFrame.select(lit(0L).as("doc_id"),
+            lit(0L).as("n_tokens")).limit(0)
+        counts
+          .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          // fully evaluate before appending to the same path
+          // (read-your-own-writes hazard — the dedupIngest note)
+          .localCheckpoint()
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-DUP pair staging — the q31→q173 pipeline
     * (shingle → minhash → LSH band → exact-Jaccard verify → star
     * archive) as a continuous ingest, closing the one ingest-matrix

@@ -415,6 +415,47 @@ class PlanSpec extends SparkSpec {
       l.contains("blk")), "within-block cumsum must be partitioned: " + p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("q180 is a pure map stage: no join, no aggregate, only the presentation sort exchanges") {
+    val p = plan("q180_fim_spans")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("HashAggregate"), p.take(1200))
+    // the ONLY exchange is the final orderBy's range partitioning —
+    // the FIM cut + slice arithmetic must ride the scan
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "non-presentation exchange in a map-stage operator: " + p.take(1500))
+  }
+
+  test("q181 broadcasts the query side and pushes the top-k as WindowGroupLimit") {
+    val p = plan("q181_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q182 applies max_match per distinct word (above the agg), codegen'd, never a UDF") {
+    val df = graft.SparkEntry.queries("q182_maxmatch_tokenize")(spark, dir)
+    // the expression survives optimization as the custom Catalyst node
+    // (physical toString hides it: Catalyst collapses the projection
+    // into the final HashAggregate's result expressions — which is
+    // itself the per-TYPE guarantee, evaluated once per distinct word)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("max_match("), opt.take(1200))
+    val p = df.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toSeq
+    // per-TYPE application: the segmentation's output column is born in
+    // the FINAL aggregate (above the shuffle), and the token-stream
+    // explode sits strictly below it
+    val agg = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("pieces_arr"))
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    assert(agg >= 0 && gen > agg,
+      "max_match must apply to the aggregated word table: " + p.take(1500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(1200))
+  }
 }
 
 /** Helper giving specs access to executed plans of catalog queries. */

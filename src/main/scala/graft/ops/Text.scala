@@ -646,6 +646,62 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** q184 — TEMPERATURE sampling across languages (τ = 0.5): the
+    * multilingual rebalance of XLM-R/mT5-style recipes — target share
+    * p_l ∝ n_l^τ flattens the language distribution (small languages
+    * up-weight, the head caps), realized as deterministic Bernoulli
+    * thinning: doc accepted iff its keyed 60-bit hash < floor(min(1,
+    * p_l·T/n_l)·2⁶⁰), T = total div 4, so the expected accepted
+    * profile IS the temperature profile with no RNG state anywhere
+    * (any worker re-derives the decision from doc_id alone).
+    * Up-sampling (rate > 1) is deliberately clamped — the binding-
+    * stratum discipline of q84; a loader repeats rows, an engine does
+    * not mint them. Emitted per LANGUAGE (count, before/target shares,
+    * accept rate, realized accepted count) — the mix report a recipe
+    * review reads.
+    *
+    * Cross-engine float discipline: n_l^0.5 must never be SUMMED as
+    * doubles (addition order differs between engines), so the weight
+    * is the scaled INTEGER floor(sqrt(n_l·10¹²)) — IEEE sqrt is
+    * correctly rounded, floor is exact, and the normalizer is then an
+    * exact BIGINT sum; the only double ops left are single-expression
+    * ratios with pinned association, the q87 sufficient-statistics
+    * rule. Scale shape: one partial-agg groupBy(lang) + one broadcast
+    * of the |langs|-row rate table back onto the scan; the accept
+    * filter is per-row hash arithmetic inside the scan stage.
+    */
+  def q184TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt((col("n_docs") * lit(1000000000000L)).cast("double")))
+          .cast("long"))
+      .localCheckpoint() // consumed by the normalizer and the rate join
+    val tot = counts.agg(sum(col("n_docs")).as("total"),
+      sum(col("w")).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("share_before",
+        col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("share_target",
+        col("w").cast("double") / col("z").cast("double"))
+      .withColumn("accept_rate", least(lit(1.0),
+        (col("w").cast("double") * expr("cast(total div 4 as double)"))
+          / (col("z").cast("double") * col("n_docs").cast("double"))))
+      .withColumn("thresh",
+        floor(col("accept_rate") * lit(1152921504606846976.0)).cast("long"))
+    val accepted = d
+      .withColumn("h", expr("cast(conv(substr(md5(concat('temp:', " +
+        "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+      .join(broadcast(rates.select(col("lang"), col("thresh"))), "lang")
+      .where(col("h") < col("thresh"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_accepted"))
+    rates.join(accepted, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("share_before"),
+        col("share_target"), col("accept_rate"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"))
+      .orderBy(col("lang"))
+  }
+
   /** q183 — WATER-FILLING token-budget allocation across sources: given
     * per-source token counts and a total training budget (here the
     * deterministic `total div 2`), find the unique cap `t` such that
@@ -2395,6 +2451,7 @@ object Text {
     "q58_sequence_pack" -> (q58SequencePack _),
     "q180_fim_spans" -> (q180FimSpans _),
     "q183_token_budget" -> (q183TokenBudget _),
+    "q184_temperature_sample" -> (q184TemperatureSample _),
     "q50_lang_profile" -> (q50LangProfile _),
     "q55_tfidf_topterms" -> (q55TfidfTopTerms _),
     "q51_quality_score" -> (q51QualityScore _),
@@ -3095,6 +3152,43 @@ object Text {
         LEAST(c.n_tokens, cap.cap) AS alloc,
         c.n_tokens > cap.cap AS capped
       FROM counts c CROSS JOIN cap ORDER BY c.source""",
+    // temperature sampling: integer-scaled sqrt weights (no double
+    // sums), exact BIGINT normalizer, single-expression double ratios
+    // with pinned association, 60-bit hash Bernoulli threshold
+    "q184_temperature_sample" -> {
+      val h60 = (1 to 15).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+        s"($acc * 16 + (strpos('0123456789abcdef', substr(m, $k, 1)) - 1))"
+      }
+      s"""
+      WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+                      GROUP BY lang),
+      cw AS (SELECT lang, n_docs,
+          CAST(FLOOR(SQRT(CAST(n_docs * 1000000000000 AS DOUBLE)))
+            AS BIGINT) AS w
+        FROM counts),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+          CAST(SUM(w) AS BIGINT) AS z FROM cw),
+      rates AS (SELECT lang, n_docs,
+          CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share_before,
+          CAST(w AS DOUBLE) / CAST(z AS DOUBLE) AS share_target,
+          LEAST(1.0, (CAST(w AS DOUBLE) * CAST(total // 4 AS DOUBLE))
+            / (CAST(z AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS accept_rate
+        FROM cw CROSS JOIN tot),
+      th AS (SELECT lang,
+          CAST(FLOOR(accept_rate * 1152921504606846976.0) AS BIGINT)
+            AS thresh
+        FROM rates),
+      hs AS (SELECT d.lang,
+          md5('temp:' || CAST(d.doc_id AS VARCHAR)) AS m
+        FROM documents d),
+      acc AS (SELECT hs.lang, COUNT(*) AS n_accepted
+        FROM hs JOIN th ON hs.lang = th.lang
+        WHERE $h60 < th.thresh GROUP BY hs.lang)
+      SELECT r.lang, r.n_docs, r.share_before, r.share_target,
+        r.accept_rate, COALESCE(acc.n_accepted, 0) AS n_accepted
+      FROM rates r LEFT JOIN acc ON r.lang = acc.lang
+      ORDER BY r.lang"""
+    },
     "q55_tfidf_topterms" -> s"""
       WITH toks AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),

@@ -663,6 +663,138 @@ object Multimodal {
     bandedHammingPairs(hashes)
   }
 
+  /** Deterministic planted-duplicate AVI table for q185 —
+    * [[phashJpegTable]]'s design lifted to VIDEO: per doc, a genuine
+    * RIFF/AVI MJPEG container of 4 + (g % 3) frames (frame count
+    * keyed by the GROUP so dup candidates compare equal-length
+    * videos), each frame a 64×64 baseline JPEG whose 8×8 blocks are
+    * the q175 splitmix law EXTENDED BY THE FRAME INDEX (so frames
+    * within one video differ as much as groups do), and the VARIANT
+    * r = doc_id%4 brightness-shifts every frame by +2r — per-frame
+    * pHash invariance by the same DCT argument, so a group's four
+    * videos hash identically frame-for-frame while distinct groups
+    * are scramble-far on every frame.
+    */
+  def vphashAviTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val side = 2 * graft.functions.Phash.Side
+    // one-split synthetic id scan → spread before the encode map
+    // (the phashJpegTable note)
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val r = (id % 4).toInt
+        val nF = 4 + (g % 3).toInt
+        val frames = (0 until nF).map { f =>
+          val px = new Array[Byte](3 * side * side)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val k0 = g * 0x9E3779B97F4A7C15L +
+                f * 0xFF51AFD7ED558CCDL +
+                (x / 8) * 0xC2B2AE3D27D4EB4FL +
+                (y / 8) * 0x165667B19E3779F9L
+              val k = k0 ^ (k0 >>> 31)
+              val c = (2 * (((k % 120) + 120) % 120) + 8 + 2 * r).toByte
+              val i = (y * side + x) * 3
+              px(i) = c; px(i + 1) = c; px(i + 2) = c
+              x += 1
+            }
+            y += 1
+          }
+          Jpeg.encode(Jpeg.Image(side, side, px))
+        }
+        AviRow(id, Avi.encode(frames, side, side))
+      }).toDF()
+  }
+
+  /** q185 — VIDEO near-dup pairs by frame-aligned perceptual hash:
+    * the last dedup modality column (text exact/MinHash/SimHash,
+    * embedding SemDeDup, image pHash, audio fingerprint — video was
+    * the gap). Real demux (q170's [[Avi.decode]]) → every SECOND
+    * frame sampled (the q170 keyframe rule) → per-frame 64-bit pHash
+    * → q175's pigeonhole banding PER (frame_idx, band) — candidates
+    * must agree at the SAME temporal position, so a montage sharing
+    * one stray frame never floods the join — → codegen'd Hamming
+    * verify per frame → a PAIR of videos is near-dup iff EVERY
+    * sampled frame matches (equal sampled counts, all aligned frames
+    * within distance 3): the strict all-frames rule a re-encode
+    * detector wants; a clip/subsequence detector would relax the
+    * final count predicate, nothing upstream changes.
+    *
+    * Scale shape: decode+hash is the only payload-touching map;
+    * the join shuffles 24-byte (doc, frame, hash) rows keyed by
+    * (frame_idx, band, bkey) with q175's hot-bucket cap; the
+    * video-level fold is one partial-agg groupBy on the frame-pair
+    * set (near-dup-bound, not corpus-bound). The oracle never decodes
+    * a pixel — [[vphashAviTable]]'s construction law makes within-
+    * group pairs provably all-frames hamming 0 with (5 + g%3) div 2
+    * sampled frames, so a hash match certifies muxer, demuxer, both
+    * Huffman coders, per-frame DCT hashing, temporal alignment, and
+    * the all-frames fold end-to-end.
+    */
+  def q185VideoPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = ensureMediaTable(s, dir, "vphash_media", vphashAviTable)
+      .as[AviRow]
+      .mapPartitions(_.flatMap { r =>
+        val v = Avi.decode(r.payload)
+        v.frames.zipWithIndex.collect {
+          case (fb, f) if f % 2 == 0 =>
+            (r.doc_id, f.toLong, graft.functions.Phash.phash64(phashLuma(fb)))
+        }
+      }).toDF("doc_id", "frame_idx", "h")
+    videoHashPairs(hashes)
+  }
+
+  /** The frame-aligned banding + all-frames fold over a
+    * (doc_id, frame_idx, h) frame-hash table — [[q185VideoPhashPairs]]
+    * minus the decode, factored so VideoPhashSpec can drive the
+    * temporal-alignment and count-rule semantics on planted hashes.
+    */
+  private[graft] def videoHashPairs(hashes0: DataFrame): DataFrame = {
+    // eager: per-doc counts + both band-join sides read it (q31 note)
+    val hashes = hashes0.localCheckpoint()
+    val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val bands = hashes.select(col("doc_id"), col("frame_idx"), col("h"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+        "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("h"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val occ = bands.groupBy(col("frame_idx"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    val hotCount = occ.where(col("n") > PhashBandHotCap)
+      .agg(count(lit(1)).as("hot_buckets"))
+    val cold = bands.join(
+      occ.where(col("n") <= PhashBandHotCap)
+        .select(col("frame_idx"), col("band"), col("bkey")),
+      Seq("frame_idx", "band", "bkey"), "leftsemi")
+    val framePairs = cold.as("x")
+      .join(cold.as("y"),
+        col("x.frame_idx") === col("y.frame_idx")
+          && col("x.band") === col("y.band")
+          && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.frame_idx").as("frame_idx"),
+        col("x.h").as("pa"), col("y.h").as("pb"))
+      .distinct() // identical frame hashes agree on all four bands
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .where(col("hamming") <= 3)
+    framePairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_frames"), max(col("hamming")).as("max_hamming"))
+      .join(nS.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(nS.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      // the all-frames rule: equal sampled counts, every frame matched
+      .where(col("n_frames") === col("na") && col("na") === col("nb"))
+      .crossJoin(broadcast(hotCount)) // global 1-row scalar
+      .select(col("doc_a"), col("doc_b"), col("n_frames"),
+        col("max_hamming"), col("hot_buckets"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Stage a synthetic media table once per (data, build) and read it
     * back as the versioned parquet asset — the production economics:
     * a real corpus' blobs are STORED, not synthesized per query, so
@@ -810,6 +942,7 @@ object Multimodal {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_png_decode" -> (q155PngDecode _),
     "q175_image_phash_pairs" -> (q175ImagePhashPairs _),
+    "q185_video_phash_pairs" -> (q185VideoPhashPairs _),
     "q176_audio_fp_pairs" -> (q176AudioFpPairs _),
     "q170_video_decode" -> (q170VideoDecode _),
     "q157_jpeg_decode" -> (q157JpegDecode _),
@@ -906,6 +1039,22 @@ object Multimodal {
           ON (a.doc_id - a.doc_id % 4) = (b.doc_id - b.doc_id % 4)
          AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS hamming,
+        CAST(0 AS BIGINT) AS hot_buckets
+      FROM pairs ORDER BY doc_a, doc_b""",
+    // q175's law per FRAME: within-group videos share the frame count
+    // (keyed by g) and hash identically on every sampled frame, so the
+    // all-frames fold emits exactly the within-group pairs with
+    // (5 + g%3) // 2 sampled frames and max hamming 0
+    "q185_video_phash_pairs" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b
+          ON (a.doc_id - a.doc_id % 4) = (b.doc_id - b.doc_id % 4)
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        CAST((5 + (doc_a // 4) % 3) // 2 AS BIGINT) AS n_frames,
+        CAST(0 AS BIGINT) AS max_hamming,
         CAST(0 AS BIGINT) AS hot_buckets
       FROM pairs ORDER BY doc_a, doc_b""",
     // same planted-group law as q175; hamming 0 is the fingerprint's

@@ -291,6 +291,51 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest twin of the VIDEO near-dup family (q185): a
+    * continuous feed of per-frame hashes — (doc_id, frame_idx, h),
+    * the hashed-stream boundary the media twins share (decode+hash is
+    * a stateless per-row transform upstream of writeStream; payload
+    * bytes never enter the stateful stage) — folds into a durable
+    * frame-hash log, and the pair set is the batch derivation
+    * ([[graft.ops.Multimodal.videoHashPairs]]) over it. Like the
+    * packing twin, the PAIRS are deliberately not incrementally
+    * maintained: q185's all-frames rule makes a pair's validity depend
+    * on both videos' COMPLETE frame sets (a late frame can both mint
+    * and kill pairs), so the honest contract is "the frame log is
+    * insert-monotone, pairs are a deterministic function of the log".
+    *
+    * Idempotence is keyed per (doc_id, frame_idx) — NOT per doc — so
+    * a crash window that appended only part of a video's frames heals
+    * on redelivery (the missing frames anti-join through; the logged
+    * ones drop), where a doc-keyed guard would silently freeze the
+    * torn video. State is a 24-byte/frame parquet log, not the state
+    * store.
+    */
+  def videoHashIngestStream(hashes: DataFrame, stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    hashes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val rows = batch.select(col("doc_id"), col("frame_idx"), col("h"))
+          .dropDuplicates("doc_id", "frame_idx")
+        val path = s"$stagedDir/video_frame_hashes"
+        val existing =
+          if (stagedExists(s, path)) s.read.parquet(path)
+          else s.emptyDataFrame.select(lit(0L).as("doc_id"),
+            lit(0L).as("frame_idx"), lit(0L).as("h")).limit(0)
+        rows
+          .join(existing.select(col("doc_id"), col("frame_idx")),
+            Seq("doc_id", "frame_idx"), "left_anti")
+          // fully evaluate before appending to the same path
+          // (read-your-own-writes hazard — the dedupIngest note)
+          .localCheckpoint()
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-DUP pair staging — the q31→q173 pipeline
     * (shingle → minhash → LSH band → exact-Jaccard verify → star
     * archive) as a continuous ingest, closing the one ingest-matrix

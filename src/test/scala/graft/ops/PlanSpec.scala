@@ -416,6 +416,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("q185 candidates ride a (frame,band,bkey) equi-join — never a pair nested-loop") {
+    val p = plan("q185_video_phash_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the only nested-loop is the deliberate 1-row hot_buckets scalar
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, p.take(1500))
+    assert(p.contains("bit_count"), p.take(1200))
+  }
+
+  test("q183/q184 broadcast their model-sized rate/cap tables back onto the scan") {
+    for (q <- Seq("q183_token_budget", "q184_temperature_sample")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q: " + p.take(1200))
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(1200))
+      // the corpus-heavy side aggregates BEFORE any join: a partial
+      // count/sum must appear under the scan side
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: " + p.take(1200))
+    }
+  }
+
   test("q180 is a pure map stage: no join, no aggregate, only the presentation sort exchanges") {
     val p = plan("q180_fim_spans")
     assert(!p.contains("Join"), p.take(1200))

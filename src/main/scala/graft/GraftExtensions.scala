@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, CountMinEstimate, DoubleOrderBits, LongDotProduct, MaxMatchSegment, StitchFoldExpr}
+import graft.functions.{BloomMightContain, CountMinEstimate, DoubleOrderBits, LongDotProduct, MaxMatchSegment, StitchFoldExpr, UnigramSegment}
 
 /** Session extensions registering the engine's custom expressions —
   * installed via `spark.sql.extensions=graft.GraftExtensions` (all
@@ -70,6 +70,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "max_match takes exactly 2 arguments")
         MaxMatchSegment(children.head, children(1))
+      }),
+    ("unigram_segment",
+      new ExpressionInfo(classOf[UnigramSegment].getName, "unigram_segment",
+        "unigram_segment(word, vocab, logp) - codegen'd exact Viterbi " +
+          "segmentation under a constant unigram LM (SentencePiece inference)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "unigram_segment takes exactly 3 arguments")
+        UnigramSegment(children.head, children(1), children(2))
       }))
 
   /** Idempotently install the custom functions into an arbitrary

@@ -1919,12 +1919,23 @@ object Text {
     * corpus-heavy input and it is the same aggregation q96's
     * vocabulary build already pays.
     */
-  def stageMaxMatchVocab(s: SparkSession, dir: String, work: String): Unit = {
-    val wc = t(s, dir, "documents")
+  /** Distinct corpus words with occurrence counts — the type table
+    * every tokenizer pass (train or apply) runs over.
+    */
+  private[graft] def wordTypeCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(explode(words(col("text"))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-    val subs = wc
+
+  /** The (tok, weight) candidate pool behind [[stageMaxMatchVocab]]
+    * and [[trainUnigramLm]]'s initialization: every single character
+    * plus the [[MaxMatchTopSubstrings]] frequency-top substrings of
+    * length 2..[[MaxMatchMaxLen]] (occurrence-weighted, ties by token
+    * text).
+    */
+  private def substringPool(s: SparkSession, dir: String): DataFrame = {
+    val subs = wordTypeCounts(s, dir)
       .select(col("word"), col("wc"),
         explode(sequence(lit(1), length(col("word")))).as("p"))
       .select(col("word"), col("wc"), col("p"),
@@ -1936,10 +1947,11 @@ object Text {
     val chars = counts.where(length(col("tok")) === 1)
     val multi = counts.where(length(col("tok")) > 1)
       .orderBy(col("weight").desc, col("tok")).limit(MaxMatchTopSubstrings)
-    chars.unionByName(multi)
-      .select(col("tok"), col("weight"))
-      .stagePublish(work, "mm_vocab")
+    chars.unionByName(multi).select(col("tok"), col("weight"))
   }
+
+  def stageMaxMatchVocab(s: SparkSession, dir: String, work: String): Unit =
+    substringPool(s, dir).stagePublish(work, "mm_vocab")
 
   private def ensureMaxMatchVocab(s: SparkSession, dir: String,
       work: String): Unit =
@@ -1974,16 +1986,77 @@ object Text {
     val toks = s.read.parquet(Staged.path(work, "mm_vocab"))
       .select(col("tok")).orderBy(col("tok"))
       .collect().map(_.getString(0)) // model-sized tokenizer artifact
-    t(s, dir, "documents")
-      .select(explode(words(col("text"))).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+    wordTypeCounts(s, dir)
+      .withColumnRenamed("wc", "n_occurrences")
       .withColumn("pieces_arr",
         call_function("max_match", col("word"), typedLit(toks)))
       .select(col("word"), col("n_occurrences"),
         size(col("pieces_arr")).as("n_pieces"),
         array_join(col("pieces_arr"), "|").as("pieces"))
       .orderBy(col("word"))
+  }
+
+  /** Hard-EM rounds for [[trainUnigramLm]] — enough that pruning and
+    * the probability mass visibly converge on the test corpora (the
+    * spec asserts the fixpoint, not this constant).
+    */
+  val UnigramEmRounds = 4
+
+  /** UNIGRAM-LM tokenizer TRAINING (SentencePiece-style, hard EM) —
+    * the third tokenizer family next to BPE (q116: learned word-pair
+    * merges) and MaxMatch (q182: greedy longest-match inference):
+    * start from the [[substringPool]] candidates with probabilities ∝
+    * corpus frequency, then iterate E/M rounds where the E-step
+    * Viterbi-segments every distinct word under the current model
+    * (the codegen'd `unigram_segment` expression —
+    * [[graft.functions.UnigramSegment]], exact DP, longer-token tie
+    * break) and the M-step re-estimates p(t) from occurrence-weighted
+    * piece counts, pruning multi-character tokens the Viterbi paths
+    * stopped using (single characters are never pruned — they are the
+    * coverage floor, held at count ≥ 1, exactly SentencePiece's
+    * required-character rule). Hard EM (Viterbi counts, not lattice
+    * expectations) is the deliberate trade: the E-step stays one
+    * codegen'd scan per round, and the spec pins what matters — the
+    * planted lexicon dominates the final model and the final
+    * segmentations are optimal under it.
+    *
+    * Scale shape per round: ONE segmentation scan over the distinct-
+    * word table (vocabulary-bound, not corpus-bound — counts ride the
+    * types) and one partial-agg piece count folding to a model-sized
+    * (≤ |vocab|) driver read — the q116 trainer economics. Returns
+    * the final (token, n_chars, count, prob) model, count-desc.
+    */
+  def trainUnigramLm(s: SparkSession, dir: String,
+      rounds: Int = UnigramEmRounds): DataFrame = {
+    import s.implicits._
+    val wc = wordTypeCounts(s, dir).localCheckpoint() // read every round
+    val pool = substringPool(s, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))) // model-sized
+    var model: Seq[(String, Long)] =
+      pool.sortBy { case (t2, w) => (-w, t2) }.toSeq
+    var r = 0
+    while (r < rounds) {
+      val z = model.map(_._2).sum.toDouble
+      val toks = model.map(_._1).toArray
+      val lps = model.map(m => math.log(m._2 / z)).toArray
+      val counts = wc
+        .select(explode(call_function("unigram_segment", col("word"),
+          typedLit(toks), typedLit(lps))).as("tok"), col("wc"))
+        .groupBy(col("tok")).agg(sum(col("wc")).as("c"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      model = model.flatMap { case (t2, _) =>
+        val c = counts.getOrElse(t2, 0L)
+        if (t2.length == 1) Some((t2, math.max(c, 1L))) // coverage floor
+        else if (c > 0) Some((t2, c))
+        else None // pruned: no Viterbi path uses it
+      }
+      r += 1
+    }
+    val z = model.map(_._2).sum.toDouble
+    model.map { case (t2, c) =>
+      (t2, t2.length.toLong, c, c / z)
+    }.toDF("token", "n_chars", "count", "prob")
+      .orderBy(col("count").desc, col("token"))
   }
 
   /** New vocabulary entries a [[q128BpeVocabTrain]] run may mint before

@@ -274,8 +274,13 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val counts = graft.ops.Text.tokenCountsOf(
-          batch.dropDuplicates("doc_id"))
+        // in-batch replays fold by MAX count, not dropDuplicates: two
+        // deliveries of one doc_id with CONFLICTING text are a feed
+        // bug, but the log must still be deterministic under them
+        // (dropDuplicates keeps an arbitrary row)
+        val counts = graft.ops.Text.tokenCountsOf(batch)
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_tokens")).as("n_tokens"))
         val path = s"$stagedDir/pack_counts"
         val existing =
           if (stagedExists(s, path)) s.read.parquet(path)
@@ -318,8 +323,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // deterministic in-batch replay fold (the packIngestStream
+        // note): conflicting hashes for one (doc, frame) are a feed
+        // bug, resolved by MAX rather than an arbitrary surviving row
         val rows = batch.select(col("doc_id"), col("frame_idx"), col("h"))
-          .dropDuplicates("doc_id", "frame_idx")
+          .groupBy(col("doc_id"), col("frame_idx"))
+          .agg(max(col("h")).as("h"))
         val path = s"$stagedDir/video_frame_hashes"
         val existing =
           if (stagedExists(s, path)) s.read.parquet(path)

@@ -672,9 +672,14 @@ object Text {
     */
   def q184TemperatureSample(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    // the ×10¹² scaling multiplies AFTER the double cast: an integer
+    // product would overflow BIGINT past ~9.2M docs per language (a
+    // real 100 TB corpus size), while double×double is exact here
+    // (10¹² is a power-of-two-times-5¹² representable exactly; the
+    // rounding of the product is IEEE-deterministic in both engines)
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
-        floor(sqrt((col("n_docs") * lit(1000000000000L)).cast("double")))
+        floor(sqrt(col("n_docs").cast("double") * lit(1.0e12)))
           .cast("long"))
       .localCheckpoint() // consumed by the normalizer and the rate join
     val tot = counts.agg(sum(col("n_docs")).as("total"),
@@ -3236,7 +3241,7 @@ object Text {
       WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents
                       GROUP BY lang),
       cw AS (SELECT lang, n_docs,
-          CAST(FLOOR(SQRT(CAST(n_docs * 1000000000000 AS DOUBLE)))
+          CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1e12))
             AS BIGINT) AS w
         FROM counts),
       tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,

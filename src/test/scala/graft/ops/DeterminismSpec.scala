@@ -90,7 +90,19 @@ class DeterminismSpec extends SparkSpec {
     "q150_corpus_drift",
     // q151: every serving hazard stacked — anti-join mask, cap
     // windows, then five greedy rounds
-    "q151_serving_stack")
+    "q151_serving_stack",
+    // late-round-14 surfaces: q180 is pure map arithmetic (the hazard
+    // is only the presentation sort's stability); q181 ranks exact
+    // cosines under the near-dup cut (rank ties decide the k set);
+    // q182's greedy segmentation rides a collected vocab whose
+    // TakeOrdered election must not depend on partitioning; q183's
+    // landing-level election (min_by over a windowed cumsum) and
+    // q184's hash-thresholded acceptance counts must both survive a
+    // re-partitioned groupBy; q185 stacks the banded pair emission
+    // with per-doc frame counts meeting in the all-frames fold
+    "q180_fim_spans", "q181_hard_negatives", "q182_maxmatch_tokenize",
+    "q183_token_budget", "q184_temperature_sample",
+    "q185_video_phash_pairs")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -206,7 +206,7 @@ object ScaleProbe {
       "q177_token_stream_pack", "q178_bin_manifest", "q179_epoch_shuffle",
       "q180_fim_spans", "q181_hard_negatives", "q182_maxmatch_tokenize",
       "q183_token_budget", "q184_temperature_sample",
-      "q185_video_phash_pairs",
+      "q185_video_phash_pairs", "q186_video_clip_pairs",
       "q166_hier3_curation", "q167_sq8_rerank",
       "q168_sq8_constrained", "q169_sharded_hier_ann",
       "q170_video_decode",

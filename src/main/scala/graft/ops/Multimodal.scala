@@ -795,6 +795,138 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Deterministic planted CLIP table for q186 — per doc, channel
+    * c = doc_id/4 publishes four cuts of one six-frame source (frame
+    * content keyed by (c, original-frame), [[vphashAviTable]]'s
+    * scramble without the brightness variants — q185 already certifies
+    * hash invariance): m=0 the full video (frames 0–5), m=1 the clip
+    * [1,4), m=2 the clip [2,6), m=3 a full re-publication. Containment
+    * structure by construction: {0⊇1, 0⊇2, 0=3, 3⊇1, 3⊇2}; the m=1/m=2
+    * pair overlaps on only two frames — BELOW the shorter video's
+    * length — pinning that partial overlap is not containment.
+    */
+  def vclipAviTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val side = 2 * graft.functions.Phash.Side
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val c = id / 4
+        val orig: Range = (id % 4) match {
+          case 1 => 1 until 4
+          case 2 => 2 until 6
+          case _ => 0 until 6
+        }
+        val frames = orig.map { f =>
+          val px = new Array[Byte](3 * side * side)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val k0 = c * 0x9E3779B97F4A7C15L +
+                f * 0xFF51AFD7ED558CCDL +
+                (x / 8) * 0xC2B2AE3D27D4EB4FL +
+                (y / 8) * 0x165667B19E3779F9L
+              val k = k0 ^ (k0 >>> 31)
+              val cb = (2 * (((k % 120) + 120) % 120) + 8).toByte
+              val i = (y * side + x) * 3
+              px(i) = cb; px(i + 1) = cb; px(i + 2) = cb
+              x += 1
+            }
+            y += 1
+          }
+          Jpeg.encode(Jpeg.Image(side, side, px))
+        }
+        AviRow(id, Avi.encode(frames, side, side))
+      }).toDF()
+  }
+
+  /** q186 — VIDEO CLIP CONTAINMENT: q185 detects re-encodes (same
+    * timeline, all frames aligned at offset 0); this detects EMBEDDED
+    * CLIPS — one video appearing as a contiguous subsequence of
+    * another at an arbitrary offset, the other half of production
+    * video dedup (re-uploads of segments, intros, syndicated
+    * excerpts). Every frame is hashed (no keyframe sampling: offset
+    * alignment needs the full grid — a sampled clip at an odd offset
+    * shares NO sampled frames with its source; a production pipeline
+    * would sample scene cuts instead, which preserves alignment),
+    * candidates band-join on the hash ALONE (no frame key — the
+    * offset is unknown), each verified frame match votes for its
+    * OFFSET delta = frame_b − frame_a, and a pair is a containment
+    * iff some single delta accumulates matches for the ENTIRE shorter
+    * video: min(nA, nB) aligned frames at one constant offset.
+    * Partial overlaps (the planted m1/m2 cut pair: two shared frames
+    * against a three-frame clip) are rejected by exactly that
+    * predicate.
+    *
+    * Scale shape: the decode+hash map (now per frame, not per sampled
+    * frame — the honest cost of offset-free matching), a (band, bkey)
+    * equi-join with q175's hot cap, then ONE partial-agg groupBy on
+    * (pair, delta) — match-bound, never |A|×|B| frames: only frames
+    * sharing a 16-bit band meet. The oracle is pure id arithmetic
+    * over the planted cut structure — a hash match certifies codec
+    * round-trip, per-frame hashing, delta voting, and the
+    * whole-shorter-video predicate end-to-end.
+    */
+  def q186VideoClipPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = ensureMediaTable(s, dir, "vclip_media", vclipAviTable)
+      .as[AviRow]
+      .mapPartitions(_.flatMap { r =>
+        Avi.decode(r.payload).frames.zipWithIndex.map { case (fb, f) =>
+          (r.doc_id, f.toLong, graft.functions.Phash.phash64(phashLuma(fb)))
+        }
+      }).toDF("doc_id", "frame_idx", "h")
+    clipHashPairs(hashes)
+  }
+
+  /** The delta-voting containment fold over a (doc_id, frame_idx, h)
+    * frame-hash table — [[q186VideoClipPairs]] minus the decode,
+    * factored for VideoPhashSpec (partial-overlap rejection, offset
+    * discovery, the still-video multi-delta caveat).
+    */
+  private[graft] def clipHashPairs(hashes0: DataFrame): DataFrame = {
+    // eager: per-doc counts + both band-join sides read it (q31 note)
+    val hashes = hashes0.localCheckpoint()
+    val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    // band rows carry frame_idx inline (a join-back by (doc, h) would
+    // fan out on in-doc duplicate hashes — a still video is legal)
+    val bands = hashes.select(col("doc_id"), col("frame_idx"), col("h"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+        "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("h"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val occ = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    val hotCount = occ.where(col("n") > PhashBandHotCap)
+      .agg(count(lit(1)).as("hot_buckets"))
+    val cold = bands.join(
+      occ.where(col("n") <= PhashBandHotCap).select(col("band"), col("bkey")),
+      Seq("band", "bkey"), "leftsemi")
+    val frameMatches = cold.as("x")
+      .join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.frame_idx").as("fa"), col("y.frame_idx").as("fb"),
+        col("x.h").as("pa"), col("y.h").as("pb"))
+      .distinct() // identical hashes agree on all four bands
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .where(col("hamming") <= 3)
+    frameMatches
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("fb") - col("fa")).as("delta"))
+      .agg(count(lit(1)).as("n_aligned"), max(col("hamming")).as("max_hamming"))
+      .join(nS.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(nS.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      // containment: ONE constant offset aligns the whole shorter video
+      .where(col("n_aligned") === least(col("na"), col("nb")))
+      .crossJoin(broadcast(hotCount)) // global 1-row scalar
+      .select(col("doc_a"), col("doc_b"), col("delta"), col("n_aligned"),
+        col("max_hamming"), col("hot_buckets"))
+      .orderBy(col("doc_a"), col("doc_b"), col("delta"))
+  }
+
   /** Stage a synthetic media table once per (data, build) and read it
     * back as the versioned parquet asset — the production economics:
     * a real corpus' blobs are STORED, not synthesized per query, so
@@ -943,6 +1075,7 @@ object Multimodal {
     "q155_png_decode" -> (q155PngDecode _),
     "q175_image_phash_pairs" -> (q175ImagePhashPairs _),
     "q185_video_phash_pairs" -> (q185VideoPhashPairs _),
+    "q186_video_clip_pairs" -> (q186VideoClipPairs _),
     "q176_audio_fp_pairs" -> (q176AudioFpPairs _),
     "q170_video_decode" -> (q170VideoDecode _),
     "q157_jpeg_decode" -> (q157JpegDecode _),
@@ -1057,6 +1190,25 @@ object Multimodal {
         CAST(0 AS BIGINT) AS max_hamming,
         CAST(0 AS BIGINT) AS hot_buckets
       FROM pairs ORDER BY doc_a, doc_b""",
+    // the planted cut structure as pure id arithmetic: per channel,
+    // containments {0>=1 at delta -1/n 3, 0>=2 at -2/4, 0=3 at 0/6,
+    // 1<=3 at +1/3, 2<=3 at +2/4}; the m1/m2 partial overlap (2 of 3
+    // frames) is ABSENT — the whole-shorter-video predicate rejects it
+    "q186_video_clip_pairs" -> """
+      WITH ch AS (SELECT doc_id, doc_id // 4 AS c, doc_id % 4 AS m
+                  FROM documents),
+      rel AS (SELECT * FROM (VALUES (0, 1, 3, -1), (0, 2, 4, -2),
+                (0, 3, 6, 0), (1, 3, 3, 1), (2, 3, 4, 2))
+                AS t(ma, mb, n, delta)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          r.delta, r.n
+        FROM ch a JOIN ch b ON a.c = b.c
+        JOIN rel r ON a.m = r.ma AND b.m = r.mb)
+      SELECT doc_a, doc_b, CAST(delta AS BIGINT) AS delta,
+        CAST(n AS BIGINT) AS n_aligned,
+        CAST(0 AS BIGINT) AS max_hamming,
+        CAST(0 AS BIGINT) AS hot_buckets
+      FROM pairs ORDER BY doc_a, doc_b, delta""",
     // same planted-group law as q175; hamming 0 is the fingerprint's
     // integer m²-scaling invariance (AudioFp.scala scaladoc) — exact
     // with no FP caveat at all, PCM being lossless

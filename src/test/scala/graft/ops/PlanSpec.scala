@@ -416,13 +416,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
-  test("q185 candidates ride a (frame,band,bkey) equi-join — never a pair nested-loop") {
-    val p = plan("q185_video_phash_pairs")
-    assert(!p.contains("CartesianProduct"), p.take(1200))
-    // the only nested-loop is the deliberate 1-row hot_buckets scalar
-    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnl <= 1, p.take(1500))
-    assert(p.contains("bit_count"), p.take(1200))
+  test("q185/q186 candidates ride band equi-joins — never a pair nested-loop") {
+    for (q <- Seq("q185_video_phash_pairs", "q186_video_clip_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(1200))
+      // the only nested-loop is the deliberate 1-row hot_buckets scalar
+      val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnl <= 1, s"$q: " + p.take(1500))
+      assert(p.contains("bit_count"), s"$q: " + p.take(1200))
+    }
   }
 
   test("q183/q184 broadcast their model-sized rate/cap tables back onto the scan") {

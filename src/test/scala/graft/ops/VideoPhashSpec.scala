@@ -47,6 +47,38 @@ class VideoPhashSpec extends SparkSpec {
     assert(fold(far) === Seq.empty)
   }
 
+  private def clipFold(rows: Seq[(Long, Long, Long)]) =
+    Multimodal.clipHashPairs(rows.toDF("doc_id", "frame_idx", "h"))
+      .select("doc_a", "doc_b", "delta", "n_aligned")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("clip fold finds the offset; partial overlap is rejected") {
+    def mix(x: Long): Long = {
+      var k = x * 0x9E3779B97F4A7C15L; k ^= k >>> 31
+      k *= 0xC2B2AE3D27D4EB4FL; k ^ (k >>> 29)
+    }
+    // source video 1: frames 0..5 with content hash mix(f);
+    // doc 2 = clip of source frames 2..4, so its local frames 0..2
+    // match at delta = -2 (fb - fa with a=1... a < b ⇒ a is the
+    // SOURCE: clip local j matches source f = j+2 ⇒ delta = j-f = -2)
+    val src = (0L until 6L).map(f => (1L, f, mix(f)))
+    val clip = (0L until 3L).map(j => (2L, j, mix(j + 2)))
+    assert(clipFold(src ++ clip) === Seq((1L, 2L, -2L, 3L)))
+    // doc 3 overlaps source on only 2 of its 3 frames (frames 4,5 + a
+    // foreign frame): below the shorter video's length — rejected
+    val part = Seq((3L, 0L, mix(4)), (3L, 1L, mix(5)), (3L, 2L, mix(99)))
+    assert(clipFold(src ++ part) === Seq.empty)
+    // a STILL clip inside a source with a still RUN aligns at every
+    // offset where the run covers it — the documented multi-delta
+    // behavior, one row per valid alignment: a 2-frame still clip in
+    // a 3-frame still run (source frames 1..3) fits at two offsets
+    val runSrc = Seq((5L, 0L, mix(10)), (5L, 1L, mix(11)),
+      (5L, 2L, mix(11)), (5L, 3L, mix(11)), (5L, 4L, mix(12)))
+    val still = Seq((6L, 0L, mix(11)), (6L, 1L, mix(11)))
+    assert(clipFold(runSrc ++ still) ===
+      Seq((5L, 6L, -2L, 2L), (5L, 6L, -1L, 2L)))
+  }
+
   test("end-to-end: planted AVI table pairs exactly within groups") {
     val dir = java.nio.file.Files.createTempDirectory("vphash").toString
     (0L until 16L).map(Tuple1(_)).toDF("doc_id")

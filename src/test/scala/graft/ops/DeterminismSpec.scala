@@ -102,7 +102,9 @@ class DeterminismSpec extends SparkSpec {
     // with per-doc frame counts meeting in the all-frames fold
     "q180_fim_spans", "q181_hard_negatives", "q182_maxmatch_tokenize",
     "q183_token_budget", "q184_temperature_sample",
-    "q185_video_phash_pairs")
+    // q185/q186: banded pair emission meeting per-doc frame counts in
+    // the all-frames / delta-voting folds
+    "q185_video_phash_pairs", "q186_video_clip_pairs")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -754,15 +754,22 @@ object Multimodal {
     * minus the decode, factored so VideoPhashSpec can drive the
     * temporal-alignment and count-rule semantics on planted hashes.
     */
-  private[graft] def videoHashPairs(hashes0: DataFrame): DataFrame = {
-    // eager: per-doc counts + both band-join sides read it (q31 note)
-    val hashes = hashes0.localCheckpoint()
-    val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val bands = hashes.select(col("doc_id"), col("frame_idx"), col("h"),
+  /** [[hashBandRows]] carrying `frame_idx` — the two video folds'
+    * shared banding. Inline (not a join-back by (doc, h)) so in-doc
+    * duplicate hashes — a still video is legal — never fan out.
+    */
+  private def frameBandRows(hs: DataFrame): DataFrame =
+    hs.select(col("doc_id"), col("frame_idx"), col("h"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
         "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
       .select(col("doc_id"), col("frame_idx"), col("h"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  private[graft] def videoHashPairs(hashes0: DataFrame): DataFrame = {
+    // eager: per-doc counts + both band-join sides read it (q31 note)
+    val hashes = hashes0.localCheckpoint()
+    val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val bands = frameBandRows(hashes)
     val occ = bands.groupBy(col("frame_idx"), col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
     val hotCount = occ.where(col("n") > PhashBandHotCap)
@@ -889,13 +896,7 @@ object Multimodal {
     // eager: per-doc counts + both band-join sides read it (q31 note)
     val hashes = hashes0.localCheckpoint()
     val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    // band rows carry frame_idx inline (a join-back by (doc, h) would
-    // fan out on in-doc duplicate hashes — a still video is legal)
-    val bands = hashes.select(col("doc_id"), col("frame_idx"), col("h"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-        "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
-      .select(col("doc_id"), col("frame_idx"), col("h"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bands = frameBandRows(hashes)
     val occ = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
     val hotCount = occ.where(col("n") > PhashBandHotCap)

@@ -79,5 +79,14 @@ class VideoHashIngestStreamSpec extends SparkSpec {
     assert(derived() === batch)
     assert(spark.read.parquet(s"$staged/video_frame_hashes").count()
       === rows.size.toLong, "log must stay one row per (doc, frame)")
+
+    // the SAME log serves the q186 clip fold — one ingest twin, two
+    // derivations (re-encode pairs and clip containments)
+    def clips(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.clipHashPairs(df)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(clips(spark.read.parquet(s"$staged/video_frame_hashes")
+        .select(col("doc_id"), col("frame_idx"), col("h")))
+      === clips(rows.toDF("doc_id", "frame_idx", "h")))
   }
 }

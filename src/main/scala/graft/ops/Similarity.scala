@@ -802,6 +802,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q187 — corpus k-NN GRAPH: every vector is a query, per-vector
+    * top-3 exact-cosine neighbors among its IVF cell mates — the
+    * offline artifact graph-based ANN builds (HNSW/NSG-style) start
+    * from, and the materialized form of [[q181HardNegatives]]'
+    * scaladoc claim: the same plan with the query broadcast replaced
+    * by the cluster equi-join BOTH sides already shuffle on. Directed
+    * (k-NN is asymmetric); rank ties break by neighbor id.
+    *
+    * Scale shape: one hash-partitioned self-equi-join on cluster (the
+    * q82 candidate shape — in-cell pairs, never corpus×corpus), the
+    * codegen'd exact dot, and a per-vector rank window whose k cut
+    * pushes map-side as WindowGroupLimit. Candidate volume is
+    * Σ|cell|² — the quantizer's adaptive cell sizing bounds it, and a
+    * dup-saturated mega-cell routes through q92's dedup-first
+    * discipline before a graph build prices it.
+    */
+  def q187KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    ensureIvfIndex(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val q = iv.select(col("cluster"), col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(iv, Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label centroid training — the IVF codebook step q42's scaladoc
     * points at (one Lloyd iteration with label as the fixed assignment;
     * swap the label column for the previous round's nearest-centroid id
@@ -4683,6 +4721,7 @@ object Similarity {
     "q81_ann_ivf_ingest" -> (q81AnnIvfIngest _),
     "q82_neardup_ivf" -> (q82NeardupIvf _),
     "q181_hard_negatives" -> (q181HardNegatives _),
+    "q187_knn_graph" -> (q187KnnGraph _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
@@ -5809,6 +5848,24 @@ object Similarity {
         FROM neg)
       SELECT query_id, rank, neighbor_id, cosine
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the full directed k-NN graph: per-vector top-3 among cell mates
+    "q187_knn_graph" -> s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          $sqlDot / (a.nrm * b.nrm) AS cosine
+        FROM civ a JOIN civ b
+          ON a.cluster = b.cluster AND b.vec_id <> a.vec_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,
       scored AS (

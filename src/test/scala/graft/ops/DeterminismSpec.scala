@@ -104,7 +104,9 @@ class DeterminismSpec extends SparkSpec {
     "q183_token_budget", "q184_temperature_sample",
     // q185/q186: banded pair emission meeting per-doc frame counts in
     // the all-frames / delta-voting folds
-    "q185_video_phash_pairs", "q186_video_clip_pairs")
+    "q185_video_phash_pairs", "q186_video_clip_pairs",
+    // q187: per-vector rank ties over the in-cell self-join
+    "q187_knn_graph")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -440,6 +440,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q187 prices in-cell pairs through the cluster equi-join with a pushed k cut") {
+    val p = plan("q187_knn_graph")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("q180 is a pure map stage: no join, no aggregate, only the presentation sort exchanges") {
     val p = plan("q180_fim_spans")
     assert(!p.contains("Join"), p.take(1200))

@@ -891,6 +891,21 @@ object Multimodal {
     * frame-hash table — [[q186VideoClipPairs]] minus the decode,
     * factored for VideoPhashSpec (partial-overlap rejection, offset
     * discovery, the still-video multi-delta caveat).
+    *
+    * Band-width / corpus-size bound: offset-free banding keys on
+    * (band, bkey) ALONE, and the key space is fixed at 4×2^16, so
+    * expected bucket occupancy grows LINEARLY with total corpus
+    * frames — past ~[[PhashBandHotCap]]·2^16 ≈ 3.3M frames the
+    * AVERAGE bucket goes hot and the cap suppresses candidates
+    * wholesale (loudly, via `hot_buckets`, but the result degrades
+    * toward empty rather than gracefully). The 16-bit choice is
+    * sized to the tested frame volumes; at larger corpora the band
+    * key must widen with the corpus (e.g. 2×32-bit bands — Hamming
+    * tolerance 1 — once frames ≫ 2^16·cap) or the corpus must shard
+    * on a coarse content key before banding. q185's per-(frame,band)
+    * keying does NOT have this bound — its key space grows with the
+    * timeline — which is why only the offset-free containment path
+    * carries it.
     */
   private[graft] def clipHashPairs(hashes0: DataFrame): DataFrame = {
     // eager: per-doc counts + both band-join sides read it (q31 note)

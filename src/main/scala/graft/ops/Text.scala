@@ -674,9 +674,11 @@ object Text {
     val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
     // the ×10¹² scaling multiplies AFTER the double cast: an integer
     // product would overflow BIGINT past ~9.2M docs per language (a
-    // real 100 TB corpus size), while double×double is exact here
-    // (10¹² is a power-of-two-times-5¹² representable exactly; the
-    // rounding of the product is IEEE-deterministic in both engines)
+    // real 100 TB corpus size). The double product is NOT exact once
+    // n_docs·10¹² exceeds 2^53 (n_docs > ~9007) — cross-engine
+    // equality rests on both engines computing the SAME single IEEE
+    // multiply (correctly rounded, same inputs → same bits), then a
+    // correctly-rounded sqrt and an exact floor
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
         floor(sqrt(col("n_docs").cast("double") * lit(1.0e12)))

@@ -277,7 +277,17 @@ object EventStreams {
         // in-batch replays fold by MAX count, not dropDuplicates: two
         // deliveries of one doc_id with CONFLICTING text are a feed
         // bug, but the log must still be deterministic under them
-        // (dropDuplicates keeps an arbitrary row)
+        // (dropDuplicates keeps an arbitrary row). ACROSS batches the
+        // rule is first-write-wins — the anti-join below keeps the
+        // already-logged row and drops the redelivery — so a
+        // conflicting feed resolves by arrival order at batch
+        // granularity: deterministic for any FIXED batching, identical
+        // under every batching when deliveries agree (the non-buggy
+        // feed), and never an in-place rewrite of the insert-monotone
+        // log. The two rules differ only for a conflicting feed whose
+        // batch boundaries move; pick MIN/MAX-against-the-log instead
+        // if that case must be arrival-independent (it would cost an
+        // upsert rewrite of the log partition)
         val counts = graft.ops.Text.tokenCountsOf(batch)
           .groupBy(col("doc_id"))
           .agg(max(col("n_tokens")).as("n_tokens"))
@@ -325,7 +335,10 @@ object EventStreams {
         val s = batch.sparkSession
         // deterministic in-batch replay fold (the packIngestStream
         // note): conflicting hashes for one (doc, frame) are a feed
-        // bug, resolved by MAX rather than an arbitrary surviving row
+        // bug, resolved by MAX rather than an arbitrary surviving row;
+        // cross-batch redeliveries are first-write-wins via the
+        // anti-join (see packIngestStream's note for the full rule
+        // and its arrival-order caveat under a conflicting feed)
         val rows = batch.select(col("doc_id"), col("frame_idx"), col("h"))
           .groupBy(col("doc_id"), col("frame_idx"))
           .agg(max(col("h")).as("h"))

@@ -106,7 +106,12 @@ class DeterminismSpec extends SparkSpec {
     // the all-frames / delta-voting folds
     "q185_video_phash_pairs", "q186_video_clip_pairs",
     // q187: per-vector rank ties over the in-cell self-join
-    "q187_knn_graph")
+    "q187_knn_graph",
+    // q188/q189: the staged-graph family — dup pre-collapse windows,
+    // the capped symmetrization's per-target elections, the 2-hop
+    // dedup, and the walk's per-round frontier elections must all
+    // survive a re-partitioned shuffle
+    "q188_knn_descent", "q189_graph_walk")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -967,7 +967,18 @@ object Similarity {
     * degree is ≤ k+1 out + cap in, so 2-hop volume is a constant per
     * node.
     */
-  val DescentReverseCap = 3
+  val DescentReverseCap = 8
+
+  /** Out-degree of the STAGED serving graph (`knn_graph`). Deliberately
+    * ABOVE q187's k=3 artifact: greedy navigation needs degree —
+    * HNSW/DiskANN build at M/R 16–64 precisely because a 3-edge graph
+    * fragments into unreachable clumps (measured here: the beam walk's
+    * recall@1 was 0.05 over the degree-3 graph and the graph family
+    * only became a usable read path at degree 8 + undirected
+    * traversal). Same build cost shape — the in-cell pricing join is
+    * identical, only the WindowGroupLimit cut widens.
+    */
+  val GraphDegree = 8
 
   /** Integer per-cell centroids derived from the STAGED assignment —
     * floor(Σ v_i / n) per dimension, the same 2^16 scale as the
@@ -1057,7 +1068,7 @@ object Similarity {
     * corpus-LINEAR regardless of dup mass or cell sizes.
     */
   private[graft] def knnDescentOf(iv: DataFrame, edges: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, cap: Int = DescentReverseCap): DataFrame = {
     // dedup BEFORE the reverse cap: a source reachable through both
     // the base graph and a bridge must consume one cap slot, not two
     // (the oracle's UNION-dedup'd replay would otherwise keep a third
@@ -1070,7 +1081,7 @@ object Similarity {
         col("a").as("src"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("src"))))
-      .where(col("r") <= DescentReverseCap)
+      .where(col("r") <= cap)
       .select(col("a"), col("b"))
     val e = fwd.union(rev).distinct()
       .localCheckpoint() // both 2-hop self-join sides read it (q31 note)
@@ -1109,10 +1120,10 @@ object Similarity {
       .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .localCheckpoint() // graph, bridges, medoids, rescore all read it
-    val base = knnGraphOf(iv, k = 3)
+    val base = knnGraphOf(iv, k = GraphDegree)
       .select(col("query_id"), col("neighbor_id"))
     val bridges = bridgeEdges(iv, cellAdjacency(iv))
-    Staged.write(knnDescentOf(iv, base.union(bridges), k = 3),
+    Staged.write(knnDescentOf(iv, base.union(bridges), k = GraphDegree),
       work, "knn_graph", group = Some(key))
     Staged.write(cellMedoids(iv), work, "knn_medoids", group = Some(key))
   }
@@ -1184,8 +1195,8 @@ object Similarity {
     * exact scores (~50 here), vs a probed-cell SCAN for the IVF
     * routes. More rounds/beam buys recall at the same plan shape.
     */
-  val WalkBeam = 4
-  val WalkRounds = 3
+  val WalkBeam = 8
+  val WalkRounds = 4
 
   /** q189 — GREEDY GRAPH-WALK serving (the DiskANN/HNSW read path):
     * queries enter at their probed cells' MEDOIDS (staged
@@ -1220,8 +1231,15 @@ object Similarity {
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(snap("cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    val graph = s.read.parquet(gsnap("knn_graph"))
-      .select(col("query_id").as("node"), col("neighbor_id"))
+    // traverse UNDIRECTED: k-NN edges are asymmetric, and greedy
+    // navigation needs the reverse direction too (HNSW stores both) —
+    // a node's in-edges are often the only path back toward a query
+    // on the other side of its neighborhood
+    val g0 = s.read.parquet(gsnap("knn_graph"))
+    val graph = g0.select(col("query_id").as("node"), col("neighbor_id"))
+      .union(g0.select(col("neighbor_id").as("node"),
+        col("query_id").as("neighbor_id")))
+      .distinct()
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     val queries = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -1254,12 +1272,25 @@ object Similarity {
         .where(col("neighbor_id") =!= col("query_id"))
         .distinct())
       .localCheckpoint()
+    // best-first over UNEXPANDED nodes (the DiskANN frontier rule):
+    // re-expanding a node adds nothing — its neighbors are already
+    // visited — so a frontier drawn from all of `visited` stalls as
+    // soon as the best beam nodes have all been expanded once
+    var expanded = visited
+      .select(col("query_id"), col("neighbor_id").as("node"))
+      .where(lit(false))
+      .localCheckpoint()
     val wb = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     for (_ <- 1 to rounds) {
-      val frontier = visited.withColumn("r", row_number().over(wb))
+      val frontier = visited
+        .join(expanded.withColumnRenamed("node", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .withColumn("r", row_number().over(wb))
         .where(col("r") <= beam)
         .select(col("query_id"), col("neighbor_id").as("node"))
+        .localCheckpoint() // expanded fold + the edge join both read it
+      expanded = expanded.union(frontier).localCheckpoint()
       val fresh = frontier.join(graph, "node")
         .where(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"))
@@ -4869,7 +4900,7 @@ object Similarity {
     // that route searches through — incremental recertification: a
     // route re-runs only when one of ITS assets moved to a new index
     // generation, so a warm recert (same root, no index motion) pays
-    // eleven model-sized parquet reads instead of eleven searches
+    // thirteen model-sized parquet reads instead of thirteen searches
     // (round-13 verdict #6; the wall-time delta is a SCALING.md row).
     // The searches are deterministic per root, so a reused staged
     // route row is byte-what-a-re-run-would-produce; the oracle's
@@ -4901,7 +4932,17 @@ object Similarity {
       ("matryoshka_rerank_2probe", q159MatryoshkaServing _,
         Seq("cells", "probes")),
       ("sq8_rerank_2probe", q167Sq8Rerank _,
-        Seq("cells", "probes", "sq_params", "sq_codes")))
+        Seq("cells", "probes", "sq_params", "sq_codes")),
+      // the graph family (round 15): the refined graph's own edge
+      // lists answering their sources (k=3 edges, so recall@5 is
+      // honestly capped at 0.6 — the row measures edge QUALITY), and
+      // the medoid-seeded beam walk (the DiskANN read path)
+      ("knn_graph_edges",
+        (ss: SparkSession, d: String) =>
+          q188KnnDescent(ss, d).where(col("query_id") < 20),
+        Seq("cells", "knn_graph")),
+      ("graph_walk_2probe", q189GraphWalk _,
+        Seq("cells", "probes", "knn_graph", "knn_medoids")))
     lastRecallRoutesRerun = 0
     methods.map { case (m, f, assets) =>
       val asset = s"recall/r_$m"
@@ -5470,6 +5511,76 @@ object Similarity {
       FROM (SELECT DISTINCT method FROM r) md
       LEFT JOIN agg USING (method) CROSS JOIN tot
       ORDER BY method"""
+
+  /** q189's oracle, GENERATED round-by-round so the unroll stays in
+    * lockstep with [[WalkRounds]]/[[WalkBeam]] (q100's recurrence
+    * pattern): seeds from the staged probes' medoids, then per round a
+    * frontier CTE (top-beam of visited MINUS every earlier frontier —
+    * the expanded set), an expansion CTE (distinct un-visited graph
+    * neighbors over the SYMMETRIZED staged graph), and the visited
+    * fold. Certifies seeds, the best-unexpanded frontier rule,
+    * dedup-before-score, and the final ranking end-to-end.
+    */
+  private def walkOracleSql: String = {
+    def score(src: String) = s"""
+             SELECT $src.query_id, $src.neighbor_id,
+               (list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
+                 / (q.qn * w.nrm)) AS cosine
+             FROM $src JOIN qv q ON q.query_id = $src.query_id
+                  JOIN civ w ON w.vec_id = $src.neighbor_id"""
+    val rounds = (1 to WalkRounds).map { r =>
+      val pv = s"v${r - 1}"
+      val notExpanded =
+        if (r == 1) ""
+        else "WHERE " + (1 until r).map(i =>
+          s"""NOT EXISTS (SELECT 1 FROM f$i
+              WHERE f$i.query_id = $pv.query_id
+                AND f$i.node = $pv.neighbor_id)""").mkString(" AND ")
+      s"""
+      f$r AS (SELECT query_id, neighbor_id AS node FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
+            query_id ORDER BY cosine DESC, neighbor_id) AS r
+          FROM $pv $notExpanded) WHERE r <= $WalkBeam),
+      n$r AS (SELECT DISTINCT f$r.query_id, g.neighbor_id
+             FROM f$r JOIN g ON g.node = f$r.node
+             WHERE g.neighbor_id <> f$r.query_id
+               AND NOT EXISTS (SELECT 1 FROM $pv
+                 WHERE $pv.query_id = f$r.query_id
+                   AND $pv.neighbor_id = g.neighbor_id)),
+      v$r AS (SELECT * FROM $pv UNION ALL ${score(s"n$r")})"""
+    }.mkString(",")
+    s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      gr AS (SELECT query_id, neighbor_id
+             FROM '__GRAFT_STAGED__/knn_graph/*.parquet'),
+      g AS (SELECT query_id AS node, neighbor_id FROM gr
+            UNION SELECT neighbor_id, query_id FROM gr),
+      md AS (SELECT cluster, medoid
+             FROM '__GRAFT_STAGED__/knn_medoids/*.parquet'),
+      pr AS (SELECT query_id, cluster
+             FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      qv AS (SELECT vec_id AS query_id, v AS qvv, nrm AS qn
+             FROM civ WHERE vec_id < 20),
+      v0 AS (SELECT DISTINCT q.query_id, md.medoid AS neighbor_id,
+               (list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
+                 / (q.qn * w.nrm)) AS cosine
+             FROM pr JOIN md USING (cluster)
+                  JOIN qv q ON q.query_id = pr.query_id
+                  JOIN civ w ON w.vec_id = md.medoid
+             WHERE md.medoid <> q.query_id),$rounds,
+      r AS (SELECT query_id, neighbor_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM v$WalkRounds)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q147_mmr_diversify" -> sqlMmr,
@@ -6323,7 +6434,7 @@ object Similarity {
           SELECT query_id, neighbor_id,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id) AS rank
-          FROM g0) WHERE rank <= 3),
+          FROM g0) WHERE rank <= $GraphDegree),
       ce AS (SELECT cluster, i,
                CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
                  AS m
@@ -6368,90 +6479,10 @@ object Similarity {
                 ORDER BY cosine DESC, neighbor_id) AS rank
             FROM sc)
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
-      FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
-    // the greedy walk unrolled round-by-round (q100's recurrence
-    // pattern) over the ENGINE-STAGED graph/medoids/probes/cells —
-    // seeds, frontier election, expansion, dedup-before-score, final
-    // ranking all replayed
-    "q189_graph_walk" -> s"""
-      WITH $sqlScaled,
-      cells AS (SELECT vec_id, cluster
-                FROM '__GRAFT_STAGED__/cells/*.parquet'),
-      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
-              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
-      g AS (SELECT query_id AS node, neighbor_id
-            FROM '__GRAFT_STAGED__/knn_graph/*.parquet'),
-      md AS (SELECT cluster, medoid
-             FROM '__GRAFT_STAGED__/knn_medoids/*.parquet'),
-      pr AS (SELECT query_id, cluster
-             FROM '__GRAFT_STAGED__/probes/*.parquet'),
-      qv AS (SELECT vec_id AS query_id, v AS qvv, nrm AS qn
-             FROM civ WHERE vec_id < 20),
-      v0 AS (SELECT DISTINCT q.query_id, md.medoid AS neighbor_id,
-               (list_sum(list_transform(range(1, 65),
-                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
-                 / (q.qn * w.nrm)) AS cosine
-             FROM pr JOIN md USING (cluster)
-                  JOIN qv q ON q.query_id = pr.query_id
-                  JOIN civ w ON w.vec_id = md.medoid
-             WHERE md.medoid <> q.query_id),
-      f1 AS (SELECT query_id, neighbor_id AS node FROM (
-          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
-            query_id ORDER BY cosine DESC, neighbor_id) AS r
-          FROM v0) WHERE r <= $WalkBeam),
-      n1 AS (SELECT DISTINCT f1.query_id, g.neighbor_id
-             FROM f1 JOIN g ON g.node = f1.node
-             WHERE g.neighbor_id <> f1.query_id
-               AND NOT EXISTS (SELECT 1 FROM v0
-                 WHERE v0.query_id = f1.query_id
-                   AND v0.neighbor_id = g.neighbor_id)),
-      v1 AS (SELECT * FROM v0 UNION ALL
-             SELECT n1.query_id, n1.neighbor_id,
-               (list_sum(list_transform(range(1, 65),
-                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
-                 / (q.qn * w.nrm)) AS cosine
-             FROM n1 JOIN qv q ON q.query_id = n1.query_id
-                  JOIN civ w ON w.vec_id = n1.neighbor_id),
-      f2 AS (SELECT query_id, neighbor_id AS node FROM (
-          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
-            query_id ORDER BY cosine DESC, neighbor_id) AS r
-          FROM v1) WHERE r <= $WalkBeam),
-      n2 AS (SELECT DISTINCT f2.query_id, g.neighbor_id
-             FROM f2 JOIN g ON g.node = f2.node
-             WHERE g.neighbor_id <> f2.query_id
-               AND NOT EXISTS (SELECT 1 FROM v1
-                 WHERE v1.query_id = f2.query_id
-                   AND v1.neighbor_id = g.neighbor_id)),
-      v2 AS (SELECT * FROM v1 UNION ALL
-             SELECT n2.query_id, n2.neighbor_id,
-               (list_sum(list_transform(range(1, 65),
-                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
-                 / (q.qn * w.nrm)) AS cosine
-             FROM n2 JOIN qv q ON q.query_id = n2.query_id
-                  JOIN civ w ON w.vec_id = n2.neighbor_id),
-      f3 AS (SELECT query_id, neighbor_id AS node FROM (
-          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
-            query_id ORDER BY cosine DESC, neighbor_id) AS r
-          FROM v2) WHERE r <= $WalkBeam),
-      n3 AS (SELECT DISTINCT f3.query_id, g.neighbor_id
-             FROM f3 JOIN g ON g.node = f3.node
-             WHERE g.neighbor_id <> f3.query_id
-               AND NOT EXISTS (SELECT 1 FROM v2
-                 WHERE v2.query_id = f3.query_id
-                   AND v2.neighbor_id = g.neighbor_id)),
-      v3 AS (SELECT * FROM v2 UNION ALL
-             SELECT n3.query_id, n3.neighbor_id,
-               (list_sum(list_transform(range(1, 65),
-                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
-                 / (q.qn * w.nrm)) AS cosine
-             FROM n3 JOIN qv q ON q.query_id = n3.query_id
-                  JOIN civ w ON w.vec_id = n3.neighbor_id),
-      r AS (SELECT query_id, neighbor_id, cosine,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM v3)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
-      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      FROM r WHERE rank <= $GraphDegree ORDER BY query_id, rank""",
+    // see walkOracleSql: generated round-by-round in lockstep with
+    // WalkRounds/WalkBeam
+    "q189_graph_walk" -> walkOracleSql,
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,
       scored AS (

@@ -80,7 +80,8 @@ class KnnDescentSpec extends SparkSpec {
       .toDF("cluster", "vec_id", "v"))
     val edges = ((1L to 6L).map(i => (i, 100L)) :+ (100L, 200L))
       .toDF("query_id", "neighbor_id")
-    val out = Similarity.knnDescentOf(iv.localCheckpoint(), edges, k = 8)
+    val out = Similarity.knnDescentOf(iv.localCheckpoint(), edges,
+      k = 8, cap = 3)
     val four = out.where(col("query_id") === 4)
       .select(col("neighbor_id")).as[Long].collect().toSet
     assert(four.contains(100L) && four.contains(200L))

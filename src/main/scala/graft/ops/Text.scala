@@ -2066,6 +2066,72 @@ object Text {
       .orderBy(col("count").desc, col("token"))
   }
 
+  /** Stage ONE hard-EM E-step of [[trainUnigramLm]]: the initial
+    * model (the substring pool, sorted exactly as the trainer seeds
+    * it) as `unigram_model0`, and every word type's Viterbi
+    * segmentation under it — (word, wc, token), one row per emitted
+    * piece via the codegen'd `unigram_segment` — as `unigram_segs`.
+    * One refresh nonce stamps both (all-or-nothing read).
+    */
+  def stageUnigramEstep(s: SparkSession, dir: String,
+      work: String): Unit = {
+    import s.implicits._
+    val pool = substringPool(s, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))) // model-sized
+    val model = pool.sortBy { case (t2, w) => (-w, t2) }.toSeq
+    val z = model.map(_._2).sum.toDouble
+    val toks = model.map(_._1).toArray
+    val lps = model.map(m => math.log(m._2 / z)).toArray
+    val gen = Staged.newGroupId(work)
+    model.toDF("token", "w").coalesce(1)
+      .stagePublish(work, "unigram_model0", gen)
+    wordTypeCounts(s, dir)
+      .select(col("word"), col("wc"),
+        explode(call_function("unigram_segment", col("word"),
+          typedLit(toks), typedLit(lps))).as("token"))
+      .stagePublish(work, "unigram_segs", gen)
+  }
+
+  /** q190 — the unigram-LM M-STEP as a declarative catalog row (the
+    * round-14 verdict's "shrink the spec-only surface": the E-step
+    * proper is the Viterbi kernel — spec-certified under the kmeans
+    * precedent — but re-estimating piece counts from a staged
+    * segmentation IS SQL). Over the staged E-step
+    * ([[stageUnigramEstep]]): occurrence-weighted piece counts (one
+    * partial-agg groupBy on token — at 100 TB the shuffle carries
+    * |vocab|-bounded partials, the q87 sufficient-statistics shape),
+    * then the trainer's exact survival rule — single-char pieces keep
+    * max(count, 1) (the coverage floor), multi-char pieces survive
+    * only if some Viterbi path used them — and the renormalized
+    * probability. Row-for-row equal to [[trainUnigramLm]](rounds = 1)
+    * by construction (UnigramLmSpec pins it), so the green oracle row
+    * certifies the M-step arithmetic the imperative trainer iterates.
+    */
+  def q190UnigramMstep(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    if (!Staged.isFresh(work, "unigram_model0") ||
+        !Staged.isFresh(work, "unigram_segs"))
+      stageUnigramEstep(s, dir, work)
+    val snap = Staged.resolveGroup(work,
+      Seq("unigram_model0", "unigram_segs"))
+    val m0 = s.read.parquet(snap("unigram_model0"))
+    val c = s.read.parquet(snap("unigram_segs"))
+      .groupBy(col("token")).agg(sum(col("wc")).as("c"))
+    val counted = m0.join(c, Seq("token"), "left")
+      .select(col("token"),
+        when(length(col("token")) === 1,
+          greatest(coalesce(col("c"), lit(0L)), lit(1L)))
+          .otherwise(col("c")).as("cnt"))
+      .where(length(col("token")) === 1 ||
+        coalesce(col("c"), lit(0L)) > 0)
+    val tot = counted.agg(sum(col("cnt")).as("z"))
+    counted.crossJoin(broadcast(tot)) // model-sized 1-row scalar
+      .select(col("token"), length(col("token")).cast("long").as("n_chars"),
+        col("cnt"),
+        (col("cnt").cast("double") / col("z").cast("double")).as("prob"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** New vocabulary entries a [[q128BpeVocabTrain]] run may mint before
     * stopping: the target vocab size is MEASURED base vocab + this
     * budget — the standard BPE formulation (vocab = base symbols +
@@ -2566,6 +2632,7 @@ object Text {
     "q182_maxmatch_tokenize" -> (q182MaxmatchTokenize _),
     "q128_bpe_vocab_train" -> (q128BpeVocabTrain _),
     "q129_bpe_token_ids" -> (q129BpeTokenIds _),
+    "q190_unigram_mstep" -> (q190UnigramMstep _),
   )
 
   /** The 16 Morton-interleave terms, spelled identically to
@@ -2577,6 +2644,27 @@ object Text {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the unigram M-step replayed over the ENGINE-STAGED E-step: piece
+    // counts, the coverage floor / pruning survival rule, and the
+    // renormalization
+    "q190_unigram_mstep" -> s"""
+      WITH m0 AS (SELECT token, w
+                  FROM '__GRAFT_STAGED__/unigram_model0/*.parquet'),
+      segs AS (SELECT token, wc
+               FROM '__GRAFT_STAGED__/unigram_segs/*.parquet'),
+      c AS (SELECT token, CAST(SUM(wc) AS BIGINT) AS c
+            FROM segs GROUP BY token),
+      counted AS (SELECT m0.token,
+          CASE WHEN length(m0.token) = 1
+               THEN GREATEST(COALESCE(c.c, 0), 1)
+               ELSE c.c END AS cnt
+        FROM m0 LEFT JOIN c USING (token)
+        WHERE length(m0.token) = 1 OR COALESCE(c.c, 0) > 0),
+      z AS (SELECT CAST(SUM(cnt) AS BIGINT) AS z FROM counted)
+      SELECT token, CAST(length(token) AS BIGINT) AS n_chars, cnt,
+        CAST(cnt AS DOUBLE) / CAST(z AS DOUBLE) AS prob
+      FROM counted CROSS JOIN z
+      ORDER BY cnt DESC, token""",
     "q162_zorder_layout" -> s"""
       WITH b AS (SELECT doc_id, lang, n_chars,
           LEAST(255, n_chars // 64) AS len_bucket,

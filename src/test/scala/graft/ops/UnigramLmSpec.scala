@@ -120,6 +120,20 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("q190's staged-E-step M-step equals one imperative hard-EM round row-for-row") {
+    // the declarative M-step (staged segmentations → piece counts →
+    // coverage floor / pruning → renormalize, the oracle-certified
+    // q190 path) must reproduce trainUnigramLm(rounds = 1) EXACTLY —
+    // same survivors, same counts, same probabilities, same order
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q190_unigram_mstep")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val want = Text.trainUnigramLm(spark, dir, rounds = 1)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("trains on the real corpus: normalized model, full char coverage") {
     val model = Text.trainUnigramLm(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Double)].collect()

@@ -887,6 +887,126 @@ object Multimodal {
     clipHashPairs(hashes)
   }
 
+  /** Scene-cut detection threshold for [[q191VideoCutContainment]]:
+    * a frame boundary is a cut when the integer luma-energy delta
+    * between adjacent frames reaches this. 1 suffices for the planted
+    * table (its scene step is EXACTLY 256 by construction and its
+    * in-scene delta exactly 0 — identical payload bytes decode
+    * identically); a production corpus tunes this to its noise floor.
+    */
+  val VideoCutMinDelta = 1L
+
+  /** Synthetic scene-structured AVI table for q191 — the vclip law
+    * (shared per-group movie, clips at planted offsets) with SCENES:
+    * each group's movie is 4 scenes × 3 IDENTICAL frames (12 frames);
+    * m=0/m=3 carry the full movie (m3 an exact re-encode dup), m=1
+    * scenes 1–2 (offset 3), m=2 scenes 2–3 (offset 6) — clips start
+    * ON scene boundaries (the alignment a cut sampler preserves; an
+    * arbitrary-offset clip is exactly what q186's every-frame path
+    * remains for). Frame content is block-uniform with EVEN values
+    * (the Annex-K DC quantizer inverts them exactly — JpegSpec), laid
+    * out as ±jitter PAIRS so a frame's block-sum is 256·pairs + 16·scene
+    * EXACTLY: in-scene energy delta is 0, adjacent-scene delta is
+    * exactly 256 after the 2×2 luma downsample — the cut detector's
+    * arithmetic is provable, not probabilistic.
+    */
+  def vcutAviTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val side = 2 * graft.functions.Phash.Side
+    val blocks = side / 8 // per dimension
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val c = id / 4
+        val scenes: Range = (id % 4) match {
+          case 1 => 1 until 3
+          case 2 => 2 until 4
+          case _ => 0 until 4
+        }
+        val frames = scenes.flatMap { sc =>
+          val px = new Array[Byte](3 * side * side)
+          var by = 0
+          while (by < blocks) {
+            var bx = 0
+            while (bx < blocks) {
+              val pair = (by * blocks + bx) / 2
+              val k0 = c * 0x9E3779B97F4A7C15L +
+                sc * 0xFF51AFD7ED558CCDL +
+                pair * 0xC2B2AE3D27D4EB4FL
+              val k = k0 ^ (k0 >>> 31)
+              val j = (((k % 50) + 50) % 50).toInt // 0..49
+              val base = 128 + (if (pair == 0) 8 * sc.toInt else 0)
+              val v = (if ((by * blocks + bx) % 2 == 0) base + 2 * j
+                       else base - 2 * j).toByte
+              var y = by * 8
+              while (y < by * 8 + 8) {
+                var x = bx * 8
+                while (x < bx * 8 + 8) {
+                  val i = (y * side + x) * 3
+                  px(i) = v; px(i + 1) = v; px(i + 2) = v
+                  x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val enc = Jpeg.encode(Jpeg.Image(side, side, px))
+          Seq(enc, enc, enc) // 3 identical frames per scene
+        }
+        AviRow(id, Avi.encode(frames, side, side))
+      }).toDF()
+  }
+
+  /** q191 — VIDEO CLIP CONTAINMENT VIA SCENE-CUT SAMPLING, the
+    * production knob q186's scaladoc names: instead of hashing every
+    * frame, detect scene cuts from the integer luma-energy delta
+    * between adjacent frames (deterministic — [[VideoCutMinDelta]])
+    * and pHash ONLY frame 0 plus the cut-adjacent frames; the
+    * containment rule becomes "one constant offset aligns ALL of the
+    * shorter video's SAMPLED frames" (min-cut-count at one delta) —
+    * the same [[clipHashPairs]] fold, whose per-doc counts now count
+    * sampled frames. Cut sampling preserves alignment for scene-
+    * aligned clips (a re-upload cut at scene boundaries — the
+    * production case); an arbitrary mid-scene offset is q186's
+    * every-frame territory, the documented trade.
+    *
+    * Cost: the energy pass rides the decode (one integer sum over the
+    * already-downsampled luma), and everything priced downstream —
+    * DCT hashing, banding rows, the shuffle, the pair join — shrinks
+    * to the sampled fraction (the planted table: 7 of 12 / 3 of 6
+    * frames ≈ 40–50% volume cut at UNCHANGED planted recall, pinned
+    * in VideoCutSpec; the real-corpus fraction is the cut density).
+    * The oracle is the planted-law arithmetic, q186's discipline.
+    */
+  def q191VideoCutContainment(s: SparkSession, dir: String): DataFrame =
+    clipHashPairs(cutSampledFrameHashes(s,
+      ensureMediaTable(s, dir, "vcut_media", vcutAviTable)))
+
+  /** The cut-sampling stage of [[q191VideoCutContainment]], factored
+    * for VideoCutSpec (sampled-volume and recall-parity pins):
+    * per video, integer luma energies for every frame, then pHash
+    * only frame 0 and the cut-adjacent frames.
+    */
+  private[ops] def cutSampledFrameHashes(s: SparkSession,
+      media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.as[AviRow]
+      .mapPartitions(_.flatMap { r =>
+        val frames = Avi.decode(r.payload).frames
+        val lumas = frames.map(phashLuma)
+        val e = lumas.map(l => { var s0 = 0L; var i = 0
+          while (i < l.length) { s0 += l(i); i += 1 }; s0 })
+        val cuts = (1 until frames.length)
+          .filter(f => math.abs(e(f) - e(f - 1)) >= VideoCutMinDelta)
+        val sampled = (Set(0) ++ cuts.flatMap(f => Seq(f - 1, f)))
+          .toSeq.sorted
+        sampled.map(f => (r.doc_id, f.toLong,
+          graft.functions.Phash.phash64(lumas(f))))
+      }).toDF("doc_id", "frame_idx", "h")
+  }
+
   /** The delta-voting containment fold over a (doc_id, frame_idx, h)
     * frame-hash table — [[q186VideoClipPairs]] minus the decode,
     * factored for VideoPhashSpec (partial-overlap rejection, offset
@@ -1092,6 +1212,7 @@ object Multimodal {
     "q175_image_phash_pairs" -> (q175ImagePhashPairs _),
     "q185_video_phash_pairs" -> (q185VideoPhashPairs _),
     "q186_video_clip_pairs" -> (q186VideoClipPairs _),
+    "q191_video_cut_containment" -> (q191VideoCutContainment _),
     "q176_audio_fp_pairs" -> (q176AudioFpPairs _),
     "q170_video_decode" -> (q170VideoDecode _),
     "q157_jpeg_decode" -> (q157JpegDecode _),
@@ -1216,6 +1337,26 @@ object Multimodal {
       rel AS (SELECT * FROM (VALUES (0, 1, 3, -1), (0, 2, 4, -2),
                 (0, 3, 6, 0), (1, 3, 3, 1), (2, 3, 4, 2))
                 AS t(ma, mb, n, delta)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          r.delta, r.n
+        FROM ch a JOIN ch b ON a.c = b.c
+        JOIN rel r ON a.m = r.ma AND b.m = r.mb)
+      SELECT doc_a, doc_b, CAST(delta AS BIGINT) AS delta,
+        CAST(n AS BIGINT) AS n_aligned,
+        CAST(0 AS BIGINT) AS max_hamming,
+        CAST(0 AS BIGINT) AS hot_buckets
+      FROM pairs ORDER BY doc_a, doc_b, delta""",
+    // the scene-sampled containment law: sampled counts are 7 (full
+    // movies: frame 0 + cut-adjacent pairs at the 3 scene boundaries)
+    // and 3 (2-scene clips); containments are the scene-aligned clip
+    // offsets and the exact dup, each at ONE delta with n_aligned ==
+    // the shorter side's SAMPLED count
+    "q191_video_cut_containment" -> """
+      WITH ch AS (SELECT doc_id, doc_id // 4 AS c, doc_id % 4 AS m
+                  FROM documents),
+      rel AS (SELECT * FROM (VALUES (0, 1, -3, 3), (0, 2, -6, 3),
+                (0, 3, 0, 7), (1, 3, 3, 3), (2, 3, 6, 3))
+                AS t(ma, mb, delta, n)),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           r.delta, r.n
         FROM ch a JOIN ch b ON a.c = b.c

@@ -1510,7 +1510,7 @@ object Similarity {
     * LUT from the exploded query components ⋈ long-form codebook,
     * then codes ⋈ broadcast LUT + partial-agg sum, top-5 per query.
     */
-  private def adcSearch(s: SparkSession, dir: String, codesPath: String,
+  private[graft] def adcSearch(s: SparkSession, dir: String, codesPath: String,
       cbPath: String): DataFrame = {
     val cb = s.read.parquet(cbPath)
     val codes = s.read.parquet(codesPath)

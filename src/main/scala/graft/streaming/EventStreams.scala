@@ -578,6 +578,73 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest for the GRAPH family (q187–q189) — the one
+    * staged family the round-14 verdict noted had no stream twin. The
+    * packing family's contract transfers directly: a late vector can
+    * both MINT edges (it becomes someone's nearer neighbor) and KILL
+    * them (it displaces rank-k), so honest streaming is an
+    * insert-monotone VECTOR LOG plus a derivation refresh
+    * ([[refreshKnnGraphFromLog]]), never incremental edge upserts.
+    * Per micro-batch: in-batch vec_id replays fold by MAX(v)
+    * (deterministic under a conflicting feed — the
+    * [[packIngestStream]] rule; cross-batch redeliveries are
+    * first-write-wins via the anti-join), new vectors assign to their
+    * cell through the model's own [[graft.ops.Similarity.cellAssignment]]
+    * (the [[semDedupStarStream]] discipline) and append one narrow
+    * row each. State is corpus-linear parquet, never the state store.
+    */
+  def knnGraphIngestStream(vectors: DataFrame,
+      centroids: Array[Array[Double]], stagedDir: String,
+      checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import graft.ops.Similarity
+        val path = s"$stagedDir/knn_vectors"
+        val rows = batch.select(col("vec_id"), col("v"))
+          .groupBy(col("vec_id")).agg(max(col("v")).as("v"))
+          .withColumn("nrm",
+            sqrt(Similarity.idot(col("v"), col("v")).cast("double")))
+          .select(col("vec_id"),
+            Similarity.cellAssignment(centroids).as("cluster"),
+            col("v"), col("nrm"))
+        val existing =
+          if (stagedExists(s, path)) s.read.parquet(path)
+          else rows.limit(0)
+        rows
+          .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          // fully evaluate before appending to the same path
+          // (read-your-own-writes hazard — the dedupIngest note)
+          .localCheckpoint()
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
+  /** The graph refresh over [[knnGraphIngestStream]]'s vector log:
+    * exactly the batch derivation ([[graft.ops.Similarity.knnGraphOf]]
+    * ∪ bridges, one capped NN-descent round — shared code, so
+    * stream == batch is mechanism, not coincidence), republished as
+    * the versioned `knn_graph_stream` asset. KnnGraphIngestStreamSpec
+    * pins row-for-row equality with the batch graph over the same
+    * vectors under splits, replays, and fresh-checkpoint redelivery.
+    */
+  def refreshKnnGraphFromLog(s: SparkSession, stagedDir: String): Unit = {
+    import graft.ops.{Similarity, Staged}
+    val iv = s.read.parquet(s"$stagedDir/knn_vectors")
+      .localCheckpoint() // graph, bridges, rescore all read it
+    val base = Similarity.knnGraphOf(iv, Similarity.GraphDegree)
+      .select(col("query_id"), col("neighbor_id"))
+    val bridges =
+      Similarity.bridgeEdges(iv, Similarity.cellAdjacency(iv))
+    Staged.write(
+      Similarity.knnDescentOf(iv, base.union(bridges),
+        Similarity.GraphDegree),
+      stagedDir, "knn_graph_stream")
+  }
+
   /** Streaming MEDIA near-dup pair staging — the q175/q176 banded
     * Hamming family ([[graft.ops.Multimodal.bandedHammingPairs]]) as
     * a continuous ingest, completing the dedup ingest-twin matrix

@@ -207,7 +207,8 @@ object ScaleProbe {
       "q180_fim_spans", "q181_hard_negatives", "q182_maxmatch_tokenize",
       "q183_token_budget", "q184_temperature_sample",
       "q185_video_phash_pairs", "q186_video_clip_pairs",
-      "q187_knn_graph",
+      "q187_knn_graph", "q188_knn_descent", "q189_graph_walk",
+      "q190_unigram_mstep", "q191_video_cut_containment",
       "q166_hier3_curation", "q167_sq8_rerank",
       "q168_sq8_constrained", "q169_sharded_hier_ann",
       "q170_video_decode",

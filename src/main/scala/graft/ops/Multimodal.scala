@@ -925,19 +925,41 @@ object Multimodal {
         }
         val frames = scenes.flatMap { sc =>
           val px = new Array[Byte](3 * side * side)
+          val nb = blocks * blocks
+          // full splitmix64-style finalizer: the salts form an
+          // arithmetic progression, and a single xorshift leaves their
+          // low bits patterned — measured as heavy pHash-bit
+          // correlation (273 distinct band keys from 500 hashes)
+          def h(salt: Long): Long = {
+            var z = c * 0x9E3779B97F4A7C15L +
+              sc * 0xFF51AFD7ED558CCDL + salt * 0xC2B2AE3D27D4EB4FL
+            z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
+            z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L
+            z ^ (z >>> 33)
+          }
+          // the ± pair members are SCATTERED by a per-(c, scene)
+          // pseudo-random permutation: fixed adjacent mirroring makes
+          // the DCT (hence the pHash bits) so structured that 16-bit
+          // band keys collide corpus-wide and the hot cap starves the
+          // join at replica scale (measured: 500 distinct hashes →
+          // 1,395 occupied buckets, max occupancy 48 of cap 50, at
+          // sf0.01 alone). The permutation keeps the exact pair-sum
+          // energy law while spreading the spectrum.
+          val perm = (0 until nb).sortBy(i => (h(1000L + i), i)).toArray
+          val values = new Array[Byte](nb)
+          var m = 0
+          while (m < nb / 2) {
+            val j = (((h(m) % 50) + 50) % 50).toInt // 0..49
+            val base = 128 + (if (m == 0) 8 * sc.toInt else 0)
+            values(perm(2 * m)) = (base + 2 * j).toByte
+            values(perm(2 * m + 1)) = (base - 2 * j).toByte
+            m += 1
+          }
           var by = 0
           while (by < blocks) {
             var bx = 0
             while (bx < blocks) {
-              val pair = (by * blocks + bx) / 2
-              val k0 = c * 0x9E3779B97F4A7C15L +
-                sc * 0xFF51AFD7ED558CCDL +
-                pair * 0xC2B2AE3D27D4EB4FL
-              val k = k0 ^ (k0 >>> 31)
-              val j = (((k % 50) + 50) % 50).toInt // 0..49
-              val base = 128 + (if (pair == 0) 8 * sc.toInt else 0)
-              val v = (if ((by * blocks + bx) % 2 == 0) base + 2 * j
-                       else base - 2 * j).toByte
+              val v = values(by * blocks + bx)
               var y = by * 8
               while (y < by * 8 + 8) {
                 var x = bx * 8
@@ -989,7 +1011,7 @@ object Multimodal {
     * per video, integer luma energies for every frame, then pHash
     * only frame 0 and the cut-adjacent frames.
     */
-  private[ops] def cutSampledFrameHashes(s: SparkSession,
+  private[graft] def cutSampledFrameHashes(s: SparkSession,
       media: DataFrame): DataFrame = {
     import s.implicits._
     media.as[AviRow]

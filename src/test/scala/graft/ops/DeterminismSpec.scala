@@ -111,7 +111,11 @@ class DeterminismSpec extends SparkSpec {
     // the capped symmetrization's per-target elections, the 2-hop
     // dedup, and the walk's per-round frontier elections must all
     // survive a re-partitioned shuffle
-    "q188_knn_descent", "q189_graph_walk")
+    "q188_knn_descent", "q189_graph_walk",
+    // q190: |vocab|-keyed count shuffle meeting the survival rule;
+    // q191: the sampled banded pair emission meeting per-doc SAMPLED
+    // counts in the delta-voting fold
+    "q190_unigram_mstep", "q191_video_cut_containment")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

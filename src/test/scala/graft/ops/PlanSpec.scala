@@ -416,8 +416,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
-  test("q185/q186 candidates ride band equi-joins — never a pair nested-loop") {
-    for (q <- Seq("q185_video_phash_pairs", "q186_video_clip_pairs")) {
+  test("q190's M-step pre-aggregates the staged segmentations before the model join") {
+    val p = plan("q190_unigram_mstep")
+    // piece counts map-side combine under the segs scan; the 1-row
+    // normalizer is the deliberate broadcast scalar
+    assert(p.contains("partial_sum"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      p.take(1500))
+  }
+
+  test("q185/q186/q191 candidates ride band equi-joins — never a pair nested-loop") {
+    for (q <- Seq("q185_video_phash_pairs", "q186_video_clip_pairs",
+        "q191_video_cut_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: " + p.take(1200))
       // the only nested-loop is the deliberate 1-row hot_buckets scalar

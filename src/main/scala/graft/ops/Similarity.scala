@@ -1220,7 +1220,28 @@ object Similarity {
     * cells — certifying seeds, frontier election, expansion,
     * dedup-before-score, and the final ranking end-to-end.
     */
-  def q189GraphWalk(s: SparkSession, dir: String): DataFrame = {
+  def q189GraphWalk(s: SparkSession, dir: String): DataFrame =
+    graphWalkEntry(s, dir, masked = false)
+
+  /** q192 — TOMBSTONE-MASKED graph-walk serving: q189 under a live
+    * delete feed, with FreshDiskANN's delete rule — tombstoned nodes
+    * stay NAVIGABLE (the walk routes through them; dropping them from
+    * the graph between compactions would disconnect routes, the exact
+    * opposite of q144's cell-scan shape where a deleted row can
+    * simply never be a candidate) but never appear in results: the
+    * visited set anti-joins the staged delete feed AFTER traversal,
+    * and ranks are re-drawn over survivors so the answer stays k-deep.
+    * Deleted QUERY ids are masked to zero rows (q144's serving
+    * contract). Compaction (q135/q154) is still the eventual fix —
+    * this is the between-refresh read path. The oracle is the SAME
+    * generated walk unroll with the mask CTEs added (one code path
+    * emits both, flag-parameterized).
+    */
+  def q192GraphWalkMasked(s: SparkSession, dir: String): DataFrame =
+    graphWalkEntry(s, dir, masked = true)
+
+  private def graphWalkEntry(s: SparkSession, dir: String,
+      masked: Boolean): DataFrame = {
     val work = Dedup.stageRoot(dir)
     ensureKnnGraph(s, dir, work)
     // two group-consistent snapshots: the index family and the graph
@@ -1241,12 +1262,23 @@ object Similarity {
         col("query_id").as("neighbor_id")))
       .distinct()
     val medoids = s.read.parquet(gsnap("knn_medoids"))
-    val queries = iv.where(col("vec_id") < 20)
+    val del =
+      if (masked) {
+        if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+        Some(s.read.parquet(Staged.path(work, "deletes")))
+      } else None
+    val queries0 = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
+    val queries = del match {
+      case Some(d) => queries0.join(
+        broadcast(d.withColumnRenamed("vec_id", "query_id")),
+        Seq("query_id"), "left_anti")
+      case None => queries0
+    }
     val probes = s.read.parquet(snap("probes"))
     graphWalkOf(queries, probes, medoids, graph, iv,
-      rounds = WalkRounds, beam = WalkBeam, topK = 5)
+      rounds = WalkRounds, beam = WalkBeam, topK = 5, mask = del)
   }
 
   /** The walk core behind [[q189GraphWalk]], factored over plain
@@ -1256,7 +1288,8 @@ object Similarity {
     */
   private[graft] def graphWalkOf(queries: DataFrame, probes: DataFrame,
       medoids: DataFrame, graph: DataFrame, iv: DataFrame,
-      rounds: Int, beam: Int, topK: Int): DataFrame = {
+      rounds: Int, beam: Int, topK: Int,
+      mask: Option[DataFrame] = None): DataFrame = {
     val vy = iv.select(col("vec_id").as("neighbor_id"), col("v"),
       col("nrm"))
     def score(cand: DataFrame): DataFrame =
@@ -1299,7 +1332,16 @@ object Similarity {
           Seq("query_id", "neighbor_id"), "left_anti")
       visited = visited.union(score(fresh)).localCheckpoint()
     }
-    visited.withColumn("rank", row_number().over(wb))
+    // tombstones mask RESULTS only — traversal above saw every node
+    // (FreshDiskANN's delete rule: dropping tombstones from the graph
+    // would disconnect routes; ranks are re-drawn over survivors)
+    val answerable = mask match {
+      case Some(del) => visited.join(
+        broadcast(del.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+      case None => visited
+    }
+    answerable.withColumn("rank", row_number().over(wb))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cosine"))
@@ -5200,6 +5242,7 @@ object Similarity {
     "q187_knn_graph" -> (q187KnnGraph _),
     "q188_knn_descent" -> (q188KnnDescent _),
     "q189_graph_walk" -> (q189GraphWalk _),
+    "q192_graph_walk_masked" -> (q192GraphWalkMasked _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
@@ -5521,7 +5564,14 @@ object Similarity {
     * fold. Certifies seeds, the best-unexpanded frontier rule,
     * dedup-before-score, and the final ranking end-to-end.
     */
-  private def walkOracleSql: String = {
+  private def walkOracleSql: String = walkOracleSql(masked = false)
+
+  /** `masked = true` adds q192's tombstone CTEs to the same unroll:
+    * deleted query ids filter out of `qv` (zero rows), and the final
+    * ranking is drawn over visited SURVIVORS — traversal CTEs are
+    * untouched, which IS the semantics (tombstones stay navigable).
+    */
+  private def walkOracleSql(masked: Boolean): String = {
     def score(src: String) = s"""
              SELECT $src.query_id, $src.neighbor_id,
                (list_sum(list_transform(range(1, 65),
@@ -5550,10 +5600,19 @@ object Similarity {
                    AND $pv.neighbor_id = g.neighbor_id)),
       v$r AS (SELECT * FROM $pv UNION ALL ${score(s"n$r")})"""
     }.mkString(",")
+    val delCte = if (masked) """
+      del AS (SELECT vec_id
+              FROM '__GRAFT_STAGED__/deletes/*.parquet'),""" else ""
+    val qvMask = if (masked) """
+               AND NOT EXISTS (SELECT 1 FROM del
+                 WHERE del.vec_id = civ.vec_id)""" else ""
+    val finalMask = if (masked) s"""
+            WHERE NOT EXISTS (SELECT 1 FROM del
+              WHERE del.vec_id = v$WalkRounds.neighbor_id)""" else ""
     s"""
       WITH $sqlScaled,
       cells AS (SELECT vec_id, cluster
-                FROM '__GRAFT_STAGED__/cells/*.parquet'),
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),$delCte
       civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
               FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
       gr AS (SELECT query_id, neighbor_id
@@ -5565,7 +5624,7 @@ object Similarity {
       pr AS (SELECT query_id, cluster
              FROM '__GRAFT_STAGED__/probes/*.parquet'),
       qv AS (SELECT vec_id AS query_id, v AS qvv, nrm AS qn
-             FROM civ WHERE vec_id < 20),
+             FROM civ WHERE vec_id < 20$qvMask),
       v0 AS (SELECT DISTINCT q.query_id, md.medoid AS neighbor_id,
                (list_sum(list_transform(range(1, 65),
                   i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
@@ -5577,7 +5636,7 @@ object Similarity {
       r AS (SELECT query_id, neighbor_id, cosine,
               ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM v$WalkRounds)
+            FROM v$WalkRounds$finalMask)
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   }
@@ -6483,6 +6542,8 @@ object Similarity {
     // see walkOracleSql: generated round-by-round in lockstep with
     // WalkRounds/WalkBeam
     "q189_graph_walk" -> walkOracleSql,
+    // the same generated unroll with the tombstone CTEs flagged in
+    "q192_graph_walk_masked" -> walkOracleSql(masked = true),
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,
       scored AS (

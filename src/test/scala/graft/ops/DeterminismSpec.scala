@@ -115,7 +115,8 @@ class DeterminismSpec extends SparkSpec {
     // q190: |vocab|-keyed count shuffle meeting the survival rule;
     // q191: the sampled banded pair emission meeting per-doc SAMPLED
     // counts in the delta-voting fold
-    "q190_unigram_mstep", "q191_video_cut_containment")
+    "q190_unigram_mstep", "q191_video_cut_containment",
+    "q192_graph_walk_masked")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -69,4 +69,39 @@ class GraphWalkSpec extends SparkSpec {
     // the query itself never is
     assert(depth3.map(_._2).toSet === Set(13L, 12L, 11L, 10L))
   }
+
+  test("tombstones mask results but stay navigable (q192's FreshDiskANN rule)") {
+    // the same chain, with the INTERMEDIATE hop 11 and the target's
+    // predecessor 12 tombstoned: reaching 13 REQUIRES expanding both
+    // tombstoned nodes, and the answer re-ranks over survivors only
+    val queries = withNrm(Seq((0L, Array(100L, 0L, 0L)))
+        .toDF("query_id", "v"))
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val iv = withNrm(Seq(
+      (0L, Array(100L, 0L, 0L)),
+      (10L, Array(0L, 100L, 0L)), (11L, Array(50L, 87L, 0L)),
+      (12L, Array(87L, 50L, 0L)), (13L, Array(99L, 5L, 0L)))
+      .toDF("vec_id", "v"))
+    val probes = Seq((0L, 0L)).toDF("query_id", "cluster")
+    val medoids = Seq((0L, 10L)).toDF("cluster", "medoid")
+    val graph = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("node", "neighbor_id")
+    val del = Seq(11L, 12L).toDF("vec_id")
+    val got = Similarity.graphWalkOf(queries, probes, medoids, graph,
+        iv.localCheckpoint(), rounds = 3, beam = 1, topK = 5,
+        mask = Some(del))
+      .select(col("rank"), col("neighbor_id"))
+      .as[(Int, Long)].collect().toSeq
+    // 13 is only reachable THROUGH the tombstones; ranks re-drawn
+    // over the survivors {13, 10}
+    assert(got === Seq((1, 13L), (2, 10L)))
+    // a tombstoned QUERY is masked to zero rows (the q144 contract)
+    val gotMaskedQuery = Similarity.graphWalkOf(
+        queries.join(broadcast(Seq(0L).toDF("query_id")),
+          Seq("query_id"), "left_anti"),
+        probes, medoids, graph, iv.localCheckpoint(),
+        rounds = 3, beam = 1, topK = 5, mask = Some(del))
+      .count()
+    assert(gotMaskedQuery === 0L)
+  }
 }

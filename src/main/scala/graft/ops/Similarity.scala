@@ -4942,7 +4942,7 @@ object Similarity {
     // that route searches through — incremental recertification: a
     // route re-runs only when one of ITS assets moved to a new index
     // generation, so a warm recert (same root, no index motion) pays
-    // thirteen model-sized parquet reads instead of thirteen searches
+    // fourteen model-sized parquet reads instead of fourteen searches
     // (round-13 verdict #6; the wall-time delta is a SCALING.md row).
     // The searches are deterministic per root, so a reused staged
     // route row is byte-what-a-re-run-would-produce; the oracle's
@@ -4976,9 +4976,22 @@ object Similarity {
       ("sq8_rerank_2probe", q167Sq8Rerank _,
         Seq("cells", "probes", "sq_params", "sq_codes")),
       // the graph family (round 15): the refined graph's own edge
-      // lists answering their sources (k=3 edges, so recall@5 is
-      // honestly capped at 0.6 — the row measures edge QUALITY), and
-      // the medoid-seeded beam walk (the DiskANN read path)
+      // lists answering their sources, the UN-REFINED in-cell edges
+      // as the ablation row (the recall delta between the two IS what
+      // bridges + one descent round buy), and the medoid-seeded beam
+      // walk (the DiskANN read path)
+      ("knn_graph_base_edges",
+        (ss: SparkSession, d: String) => {
+          val w = Dedup.stageRoot(d)
+          ensureIvfIndex(ss, d, w)
+          knnGraphOf(scaledVectors(ss, d)
+              .join(ss.read.parquet(Staged.path(w, "cells")), "vec_id")
+              .select(col("vec_id"), col("cluster"), col("v"),
+                col("nrm")),
+            k = GraphDegree)
+            .where(col("query_id") < 20)
+        },
+        Seq("cells")),
       ("knn_graph_edges",
         (ss: SparkSession, d: String) =>
           q188KnnDescent(ss, d).where(col("query_id") < 20),

@@ -1219,6 +1219,17 @@ object Similarity {
     * recurrence pattern) over the engine-staged graph/medoids/probes/
     * cells — certifying seeds, frontier election, expansion,
     * dedup-before-score, and the final ranking end-to-end.
+    *
+    * The honest 100 TB bound: SCORING is bounded per query, but each
+    * round's hash joins SCAN the corpus-shaped graph and vector
+    * tables once (Spark has no point lookups — a native graph-ANN
+    * server random-accesses its adjacency lists instead). That scan
+    * amortizes over the query BATCH (the Spark serving model), so the
+    * walk wins when batches are large or cells are much bigger than
+    * the ~300-vector score budget; the storage-side knob is a
+    * node-id-clustered graph layout (bucketing / q162's Z-order
+    * discipline) so the per-round probe prunes files instead of
+    * scanning — a layout change, not a plan change.
     */
   def q189GraphWalk(s: SparkSession, dir: String): DataFrame =
     graphWalkEntry(s, dir, masked = false)

@@ -96,6 +96,11 @@ object Explain {
     "q179_epoch_shuffle", // keyed-hash epoch shuffle: block-prefix rank (hash's own byte = the range partition), no global sort
     "q155_png_decode", // Inflater + per-row filter inversion over the staged blobs: spread + one narrow map
     "q160_batch_perceptron", // per-epoch filter + partial-agg to a 4-long weight row; scoring is one codegen'd map pass
+    "q187_knn_graph", // dup-collapsed in-cell k-NN: (cluster,v) window, rep equi-join pricing, WindowGroupLimit cuts
+    "q188_knn_descent", // staged-graph serve: a parquet read + presentation sort (the build rides the staging lane)
+    "q189_graph_walk", // final walk round: broadcast frontier equi-joins, anti-join dedup, per-query rank window
+    "q190_unigram_mstep", // staged-segs partial-agg counts + model join + 1-row broadcast normalizer
+    "q191_video_cut_containment", // cut-sampled frames through the (band,bkey) equi-join + delta-vote groupBy
     "q72_stitch_contigs") // closed-form stitch aggregation
 
   def main(args: Array[String]): Unit = {

@@ -1017,15 +1017,20 @@ object Multimodal {
     media.as[AviRow]
       .mapPartitions(_.flatMap { r =>
         val frames = Avi.decode(r.payload).frames
-        val lumas = frames.map(phashLuma)
-        val e = lumas.map(l => { var s0 = 0L; var i = 0
-          while (i < l.length) { s0 += l(i); i += 1 }; s0 })
-        val cuts = (1 until frames.length)
-          .filter(f => math.abs(e(f) - e(f - 1)) >= VideoCutMinDelta)
-        val sampled = (Set(0) ++ cuts.flatMap(f => Seq(f - 1, f)))
-          .toSeq.sorted
-        sampled.map(f => (r.doc_id, f.toLong,
-          graft.functions.Phash.phash64(lumas(f))))
+        // a zero-frame container emits nothing, like the every-frame
+        // twin's flatMap (unconditional frame-0 sampling would throw)
+        if (frames.isEmpty) Seq.empty
+        else {
+          val lumas = frames.map(phashLuma)
+          val e = lumas.map(l => { var s0 = 0L; var i = 0
+            while (i < l.length) { s0 += l(i); i += 1 }; s0 })
+          val cuts = (1 until frames.length)
+            .filter(f => math.abs(e(f) - e(f - 1)) >= VideoCutMinDelta)
+          val sampled = (Set(0) ++ cuts.flatMap(f => Seq(f - 1, f)))
+            .toSeq.sorted
+          sampled.map(f => (r.doc_id, f.toLong,
+            graft.functions.Phash.phash64(lumas(f))))
+        }
       }).toDF("doc_id", "frame_idx", "h")
   }
 

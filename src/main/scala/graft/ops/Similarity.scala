@@ -899,10 +899,35 @@ object Similarity {
     (members, repv)
   }
 
-  private[graft] def knnGraphOf(iv: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnGraphOf(iv: DataFrame, k: Int,
+      maxQueryId: Option[Long] = None): DataFrame = {
     val (members, repv) = dupCollapsed(iv)
-    val a = repv.select(col("cluster"), col("rep").as("qrep"),
-      col("v").as("qv"), col("nrm").as("qn"))
+    knnGraphOfCollapsed(members, repv, k, maxQueryId)
+  }
+
+  /** [[knnGraphOf]] over an ALREADY-collapsed (members, repv) pair —
+    * so one [[dupCollapsed]] pass feeds the graph build AND the
+    * bridges ([[deriveKnnGraph]]). `maxQueryId` restricts the QUERY
+    * side exactly (q126's ablation route asks for 20 queries, not the
+    * corpus): a group contains a member < m iff its rep < m (the rep
+    * IS the group min), so filtering reps on the pricing side and
+    * members on the expansion side loses nothing.
+    */
+  private[graft] def knnGraphOfCollapsed(members0: DataFrame,
+      repv0: DataFrame, k: Int,
+      maxQueryId: Option[Long] = None): DataFrame = {
+    // neighbor-side expansions read the FULL member table; only the
+    // query side narrows under maxQueryId
+    val qmembers = maxQueryId match {
+      case Some(m) => members0.where(col("vec_id") < m)
+      case None => members0
+    }
+    val repv = repv0
+    val a = (maxQueryId match {
+        case Some(m) => repv.where(col("rep") < m)
+        case None => repv
+      }).select(col("cluster"), col("rep").as("qrep"),
+        col("v").as("qv"), col("nrm").as("qn"))
     val b = repv.select(col("cluster"), col("rep").as("nrep"),
       col("v"), col("nrm"))
     val repScored = a.join(b, Seq("cluster"))
@@ -916,7 +941,7 @@ object Similarity {
     val wq = Window.partitionBy(col("qrep"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val crossTop = repScored
-      .join(members.where(col("rnk") <= k)
+      .join(members0.where(col("rnk") <= k)
         .select(col("rep").as("nrep"), col("vec_id").as("neighbor_id")),
         "nrep")
       .withColumn("r", row_number().over(wq))
@@ -928,10 +953,10 @@ object Similarity {
     val selfCos = repv.select(col("rep").as("qrep"),
       cosine(idot(col("v"), col("v")), col("nrm"), col("nrm"))
         .as("cosine"))
-    val mem = members.select(col("vec_id").as("query_id"),
+    val mem = qmembers.select(col("vec_id").as("query_id"),
       col("rep").as("qrep"))
     val inGroup = mem
-      .join(members.where(col("rnk") <= k + 1)
+      .join(members0.where(col("rnk") <= k + 1)
         .select(col("rep").as("qrep"), col("vec_id").as("neighbor_id")),
         "qrep")
       .where(col("query_id") =!= col("neighbor_id"))
@@ -1012,8 +1037,14 @@ object Similarity {
     * adjacency to the parent's subtree (the same k1/k2 argument as
     * probe descent).
     */
-  private[graft] def cellAdjacency(iv: DataFrame): DataFrame = {
-    val cents = cellCentroids(iv).localCheckpoint() // both sides
+  private[graft] def cellAdjacency(iv: DataFrame): DataFrame =
+    cellAdjacencyOf(cellCentroids(iv).localCheckpoint())
+
+  /** [[cellAdjacency]] over an already-materialized centroid table —
+    * [[deriveKnnGraph]] computes [[cellCentroids]] ONCE and threads it
+    * into both the adjacency and the medoid election.
+    */
+  private[graft] def cellAdjacencyOf(cents: DataFrame): DataFrame = {
     val a = cents.select(col("cluster"), col("cv"), col("cnrm"))
     val b = cents.select(col("cluster").as("cluster2"),
       col("cv").as("cv2"), col("cnrm").as("cnrm2"))
@@ -1039,6 +1070,13 @@ object Similarity {
     */
   private[graft] def bridgeEdges(iv: DataFrame, adj: DataFrame): DataFrame = {
     val (members, repv) = dupCollapsed(iv)
+    bridgeEdgesOf(members, repv, adj)
+  }
+
+  /** [[bridgeEdges]] over an already-collapsed (members, repv) pair
+    * (the [[deriveKnnGraph]] single-pass discipline). */
+  private[graft] def bridgeEdgesOf(members: DataFrame, repv: DataFrame,
+      adj: DataFrame): DataFrame = {
     val q = repv.join(adj, "cluster")
       .select(col("rep").as("qrep"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster2"))
@@ -1114,18 +1152,34 @@ object Similarity {
     * max-cosine-to-centroid member (ties: lowest id) — the DiskANN
     * entry-point election, one equi-join + window over the corpus.
     */
+  /** The ONE derivation both the batch staging ([[stageKnnGraph]])
+    * and the streaming refresh ([[graft.streaming.EventStreams
+    * .refreshKnnGraphFromLog]]) run — shared code, so stream == batch
+    * is mechanism: base in-cell top-[[GraphDegree]] ∪ bridges, one
+    * capped descent round, plus the medoid election. Each expensive
+    * input pass runs ONCE: one [[dupCollapsed]] window feeds the base
+    * graph and the bridges, one [[cellCentroids]] aggregation feeds
+    * the adjacency and the medoids. Returns (graph, medoids).
+    */
+  private[graft] def deriveKnnGraph(iv: DataFrame): (DataFrame, DataFrame) = {
+    val (members, repv) = dupCollapsed(iv)
+    val cents = cellCentroids(iv).localCheckpoint() // adjacency + medoids
+    val base = knnGraphOfCollapsed(members, repv, GraphDegree)
+      .select(col("query_id"), col("neighbor_id"))
+    val bridges = bridgeEdgesOf(members, repv, cellAdjacencyOf(cents))
+    (knnDescentOf(iv, base.union(bridges), GraphDegree),
+      cellMedoidsOf(iv, cents))
+  }
+
   def stageKnnGraph(s: SparkSession, dir: String, work: String): Unit = {
     val key = s"cells=${Staged.versionOf(work, "cells").getOrElse("absent")}"
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .localCheckpoint() // graph, bridges, medoids, rescore all read it
-    val base = knnGraphOf(iv, k = GraphDegree)
-      .select(col("query_id"), col("neighbor_id"))
-    val bridges = bridgeEdges(iv, cellAdjacency(iv))
-    Staged.write(knnDescentOf(iv, base.union(bridges), k = GraphDegree),
-      work, "knn_graph", group = Some(key))
-    Staged.write(cellMedoids(iv), work, "knn_medoids", group = Some(key))
+    val (graph, medoids) = deriveKnnGraph(iv)
+    Staged.write(graph, work, "knn_graph", group = Some(key))
+    Staged.write(medoids, work, "knn_medoids", group = Some(key))
   }
 
   /** Each cell's medoid — the member with max cosine to the cell's
@@ -1135,10 +1189,14 @@ object Similarity {
     * asset is a walk INPUT the oracle reads, so its derivation is
     * spec-certified, the stageCells precedent).
     */
-  private[graft] def cellMedoids(iv: DataFrame): DataFrame = {
+  private[graft] def cellMedoids(iv: DataFrame): DataFrame =
+    cellMedoidsOf(iv, cellCentroids(iv))
+
+  private[graft] def cellMedoidsOf(iv: DataFrame,
+      cents: DataFrame): DataFrame = {
     val wm = Window.partitionBy(col("cluster"))
       .orderBy(col("mcos").desc, col("vec_id"))
-    iv.join(cellCentroids(iv), "cluster")
+    iv.join(cents, "cluster")
       .select(col("cluster"), col("vec_id"),
         cosine(idot(col("v"), col("cv")), col("nrm"), col("cnrm"))
           .as("mcos"))
@@ -1203,15 +1261,19 @@ object Similarity {
     * `knn_medoids` — the DiskANN entry-point election) and expand
     * [[WalkRounds]] rounds of best-first beam search over the staged
     * refined graph: each round takes the [[WalkBeam]] best visited
-    * nodes (exact cosine, ties by id), follows their graph edges,
+    * nodes (exact cosine, ties by id), follows their graph edges
+    * (out-edges ≤ [[GraphDegree]], reverse fan-in capped at
+    * [[DescentReverseCap]] — so per-expansion fan-out is ≤ 16),
     * exactly scores only the NEW nodes, and accumulates; final
     * answer is the per-query top-5 of everything visited. Per query
-    * the walk scores ~seeds + rounds·beam·3 vectors — INDEPENDENT of
-    * cell occupancy, the property that distinguishes a graph route
-    * from every scan-a-cell route in the q126 table.
+    * the walk scores ≤ seeds + rounds·beam·16 ≈ 500 vectors —
+    * BOUNDED, independent of cell occupancy AND of dup mass (the
+    * reverse cap is what bounds a dup-star hub's expansion), the
+    * property that distinguishes a graph route from every
+    * scan-a-cell route in the q126 table.
     *
     * Driver-side round loop over model-sized frontiers (the q147 MMR
-    * loop discipline): the visited set is (#queries × ~50) rows,
+    * loop discipline): the visited set is (#queries × ≤500) rows,
     * localCheckpointed per round (lineage stays flat); the
     * corpus-sized tables are only ever hash-equi-joined (graph on
     * node id, vectors on vec_id) against the broadcast-small
@@ -1254,24 +1316,53 @@ object Similarity {
   private def graphWalkEntry(s: SparkSession, dir: String,
       masked: Boolean): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    ensureKnnGraph(s, dir, work)
     // two group-consistent snapshots: the index family and the graph
-    // family (the graph's stamp ties it to the cells version it was
-    // built from — ensureKnnGraph re-stages on index motion)
-    val snap = Staged.resolveGroup(work, Seq("cells", "probes"))
-    val gsnap = Staged.resolveGroup(work, Seq("knn_graph", "knn_medoids"))
+    // family — CROSS-CHECKED: the graph's stamp records the exact
+    // cells version it was built from, and a refresh landing between
+    // the two resolves would otherwise serve the walk medoids/edges
+    // keyed to RENUMBERED cells (the q79 mixed-generation hazard, one
+    // level up). On mismatch, re-ensure (which restages the graph
+    // against the moved index) and re-resolve; a persistently moving
+    // index fails by name rather than serving garbage.
+    var snap: Map[String, String] = null
+    var gsnap: Map[String, String] = null
+    var attempt = 0
+    while (snap == null) {
+      ensureKnnGraph(s, dir, work)
+      val s1 = Staged.resolveGroup(work, Seq("cells", "probes"))
+      val (g1, stamp) =
+        Staged.resolveGroupStamped(work, Seq("knn_graph", "knn_medoids"))
+      val cellsV = new java.io.File(s1("cells")).getName
+      if (stamp == s"cells=$cellsV") { snap = s1; gsnap = g1 }
+      else {
+        attempt += 1
+        require(attempt < 5, "graph walk: staged graph kept trailing " +
+          s"a moving cells refresh (graph stamp $stamp vs resolved " +
+          s"$cellsV)")
+      }
+    }
     val iv = scaledVectors(s, dir)
       .join(s.read.parquet(snap("cells")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
     // traverse UNDIRECTED: k-NN edges are asymmetric, and greedy
     // navigation needs the reverse direction too (HNSW stores both) —
     // a node's in-edges are often the only path back toward a query
-    // on the other side of its neighborhood
+    // on the other side of its neighborhood. Reverse fan-in is CAPPED
+    // per node ([[DescentReverseCap]], smallest source ids — the
+    // knnDescentOf discipline): out-degree is ≤ GraphDegree by
+    // construction but IN-degree is unbounded, and a 10^4-copy dup
+    // group aims every member's edges at its smallest ids, so an
+    // uncapped reverse union would make one hub expansion score 10^4
+    // candidates instead of ≤ GraphDegree + cap.
     val g0 = s.read.parquet(gsnap("knn_graph"))
-    val graph = g0.select(col("query_id").as("node"), col("neighbor_id"))
-      .union(g0.select(col("neighbor_id").as("node"),
-        col("query_id").as("neighbor_id")))
-      .distinct()
+    val fwd = g0.select(col("query_id").as("node"), col("neighbor_id"))
+    val rev = g0
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("neighbor_id")).orderBy(col("query_id"))))
+      .where(col("r") <= DescentReverseCap)
+      .select(col("neighbor_id").as("node"),
+        col("query_id").as("neighbor_id"))
+    val graph = fwd.union(rev).distinct()
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     val del =
       if (masked) {
@@ -4995,12 +5086,14 @@ object Similarity {
         (ss: SparkSession, d: String) => {
           val w = Dedup.stageRoot(d)
           ensureIvfIndex(ss, d, w)
+          // query side restricted IN-PLAN (maxQueryId), not by a
+          // post-filter — the ablation row prices 20 query groups,
+          // never the whole corpus's windows
           knnGraphOf(scaledVectors(ss, d)
               .join(ss.read.parquet(Staged.path(w, "cells")), "vec_id")
               .select(col("vec_id"), col("cluster"), col("v"),
                 col("nrm")),
-            k = GraphDegree)
-            .where(col("query_id") < 20)
+            k = GraphDegree, maxQueryId = Some(20L))
         },
         Seq("cells")),
       ("knn_graph_edges",
@@ -5642,7 +5735,11 @@ object Similarity {
       gr AS (SELECT query_id, neighbor_id
              FROM '__GRAFT_STAGED__/knn_graph/*.parquet'),
       g AS (SELECT query_id AS node, neighbor_id FROM gr
-            UNION SELECT neighbor_id, query_id FROM gr),
+            UNION SELECT neighbor_id AS node, query_id AS neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                      ORDER BY query_id) AS r
+                  FROM gr) t WHERE t.r <= $DescentReverseCap),
       md AS (SELECT cluster, medoid
              FROM '__GRAFT_STAGED__/knn_medoids/*.parquet'),
       pr AS (SELECT query_id, cluster

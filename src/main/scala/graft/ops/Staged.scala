@@ -266,7 +266,18 @@ object Staged {
     * stamp means the publisher made no consistency promise).
     */
   def resolveGroup(work: String, names: Seq[String],
-      timeoutMs: Long = 10000L): Map[String, String] = {
+      timeoutMs: Long = 10000L): Map[String, String] =
+    resolveGroupStamped(work, names, timeoutMs)._1
+
+  /** [[resolveGroup]] plus the agreed group STAMP itself — for
+    * consumers that must cross-check one family's snapshot against
+    * another's (q189: the graph family's stamp records the exact
+    * cells version it derives from, so the walk can refuse a
+    * mixed-generation read when an index refresh lands between its
+    * two family resolves).
+    */
+  def resolveGroupStamped(work: String, names: Seq[String],
+      timeoutMs: Long = 10000L): (Map[String, String], String) = {
     require(names.nonEmpty, "staged: resolveGroup needs at least one asset")
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var lastSeen: Seq[(String, Option[String])] = Nil
@@ -285,9 +296,9 @@ object Staged {
       val groups = snap.map(_._2)
       if (groups.forall(_.isDefined) && groups.distinct.size == 1 &&
           snap.forall(_._3.isDefined))
-        return snap.map { case (n, _, v) =>
+        return (snap.map { case (n, _, v) =>
           n -> Paths.get(work, ".v", n, v.get).toString
-        }.toMap
+        }.toMap, groups.head.get)
       lastSeen = snap.map(s => (s._1, s._2))
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(

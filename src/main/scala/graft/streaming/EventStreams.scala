@@ -635,13 +635,10 @@ object EventStreams {
     import graft.ops.{Similarity, Staged}
     val iv = s.read.parquet(s"$stagedDir/knn_vectors")
       .localCheckpoint() // graph, bridges, rescore all read it
-    val base = Similarity.knnGraphOf(iv, Similarity.GraphDegree)
-      .select(col("query_id"), col("neighbor_id"))
-    val bridges =
-      Similarity.bridgeEdges(iv, Similarity.cellAdjacency(iv))
-    Staged.write(
-      Similarity.knnDescentOf(iv, base.union(bridges),
-        Similarity.GraphDegree),
+    // THE batch derivation, not a restatement of it — a recipe change
+    // (degree, rounds, bridge rule) cannot silently fork the stream
+    // artifact from the staged batch graph
+    Staged.write(Similarity.deriveKnnGraph(iv)._1,
       stagedDir, "knn_graph_stream")
   }
 

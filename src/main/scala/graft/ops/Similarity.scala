@@ -1314,7 +1314,7 @@ object Similarity {
     graphWalkEntry(s, dir, masked = true)
 
   private def graphWalkEntry(s: SparkSession, dir: String,
-      masked: Boolean): DataFrame = {
+      masked: Boolean, filtered: Boolean = false): DataFrame = {
     val work = Dedup.stageRoot(dir)
     // two group-consistent snapshots: the index family and the graph
     // family — CROSS-CHECKED: the graph's stamp records the exact
@@ -1379,9 +1379,32 @@ object Similarity {
       case None => queries0
     }
     val probes = s.read.parquet(snap("probes"))
-    graphWalkOf(queries, probes, medoids, graph, iv,
+    if (filtered)
+      labelFilteredWalkRank(
+        graphWalkVisited(queries, probes, medoids, graph, iv,
+          rounds = WalkRounds, beam = WalkBeam, mask = del),
+        scaledVectors(s, dir).select(col("vec_id"), col("label")),
+        topK = 5)
+    else graphWalkOf(queries, probes, medoids, graph, iv,
       rounds = WalkRounds, beam = WalkBeam, topK = 5, mask = del)
   }
+
+  /** q193 — METADATA-FILTERED graph-walk serving: q189 with q145's
+    * predicate (answers restricted to the query's own label) applied
+    * at RESULT time over the unfiltered traversal — the
+    * filtered-greedy discipline: constraining the walk itself to
+    * matching nodes would disconnect routes exactly the way dropping
+    * tombstones would (q192's argument; most of a route's hops are
+    * label-mismatched waypoints, not answers). Ranks re-draw over the
+    * matching survivors and the label rides the output (q145's
+    * shape). Under-fill is accepted and honest: the walk's bounded
+    * score budget may hold fewer than k matches — the production
+    * knobs are more rounds/beam (the walk's q156 analog), metered by
+    * result counts. One flag on the shared entry + the generated
+    * oracle emits this variant too.
+    */
+  def q193GraphWalkFiltered(s: SparkSession, dir: String): DataFrame =
+    graphWalkEntry(s, dir, masked = false, filtered = true)
 
   /** The walk core behind [[q189GraphWalk]], factored over plain
     * frames for GraphWalkSpec. `queries`: (query_id, qv, qn);
@@ -1391,6 +1414,26 @@ object Similarity {
   private[graft] def graphWalkOf(queries: DataFrame, probes: DataFrame,
       medoids: DataFrame, graph: DataFrame, iv: DataFrame,
       rounds: Int, beam: Int, topK: Int,
+      mask: Option[DataFrame] = None): DataFrame = {
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    graphWalkVisited(queries, probes, medoids, graph, iv, rounds, beam,
+        mask)
+      .withColumn("rank", row_number().over(wb))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The walk's scored VISITED set before the final top-k cut —
+    * factored so constrained variants (q192's tombstone mask applied
+    * here; q193's label filter applied by the caller) share one
+    * traversal. Returns (query_id, neighbor_id, cosine).
+    */
+  private[graft] def graphWalkVisited(queries: DataFrame,
+      probes: DataFrame, medoids: DataFrame, graph: DataFrame,
+      iv: DataFrame, rounds: Int, beam: Int,
       mask: Option[DataFrame] = None): DataFrame = {
     val vy = iv.select(col("vec_id").as("neighbor_id"), col("v"),
       col("nrm"))
@@ -1437,16 +1480,37 @@ object Similarity {
     // tombstones mask RESULTS only — traversal above saw every node
     // (FreshDiskANN's delete rule: dropping tombstones from the graph
     // would disconnect routes; ranks are re-drawn over survivors)
-    val answerable = mask match {
+    mask match {
       case Some(del) => visited.join(
         broadcast(del.select(col("vec_id").as("neighbor_id"))),
         Seq("neighbor_id"), "left_anti")
       case None => visited
     }
-    answerable.withColumn("rank", row_number().over(wb))
+  }
+
+  /** q193's result-side label filter over the walk's visited set —
+    * factored for GraphWalkSpec. `labels`: (vec_id, label). Keeps
+    * visited neighbors whose label equals their QUERY's label (q145's
+    * predicate), re-ranks over the survivors, and carries the label
+    * (q145's output shape). Under-fill is accepted — the filtered
+    * pool can be thinner than topK; q156's escalation ladder is the
+    * production answer, and for a WALK the equivalent knob is more
+    * rounds/beam, not a wider scan.
+    */
+  private[graft] def labelFilteredWalkRank(visited: DataFrame,
+      labels: DataFrame, topK: Int): DataFrame = {
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    visited
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label")), "neighbor_id")
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), "query_id")
+      .where(col("label") === col("qlabel"))
+      .withColumn("rank", row_number().over(wb))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cosine"))
+        col("label"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -5360,6 +5424,7 @@ object Similarity {
     "q188_knn_descent" -> (q188KnnDescent _),
     "q189_graph_walk" -> (q189GraphWalk _),
     "q192_graph_walk_masked" -> (q192GraphWalkMasked _),
+    "q193_graph_walk_filtered" -> (q193GraphWalkFiltered _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
@@ -5681,14 +5746,19 @@ object Similarity {
     * fold. Certifies seeds, the best-unexpanded frontier rule,
     * dedup-before-score, and the final ranking end-to-end.
     */
-  private def walkOracleSql: String = walkOracleSql(masked = false)
+  private def walkOracleSql: String =
+    walkOracleSql(masked = false, filtered = false)
 
   /** `masked = true` adds q192's tombstone CTEs to the same unroll:
     * deleted query ids filter out of `qv` (zero rows), and the final
     * ranking is drawn over visited SURVIVORS — traversal CTEs are
     * untouched, which IS the semantics (tombstones stay navigable).
+    * `filtered = true` emits q193's variant instead: the final
+    * ranking joins the query's and neighbor's labels and keeps
+    * matches only, again leaving traversal untouched.
     */
-  private def walkOracleSql(masked: Boolean): String = {
+  private def walkOracleSql(masked: Boolean,
+      filtered: Boolean = false): String = {
     def score(src: String) = s"""
              SELECT $src.query_id, $src.neighbor_id,
                (list_sum(list_transform(range(1, 65),
@@ -5726,11 +5796,29 @@ object Similarity {
     val finalMask = if (masked) s"""
             WHERE NOT EXISTS (SELECT 1 FROM del
               WHERE del.vec_id = v$WalkRounds.neighbor_id)""" else ""
+    val finalRank =
+      if (filtered) s"""SELECT v$WalkRounds.query_id,
+              v$WalkRounds.neighbor_id, v$WalkRounds.cosine, wl.label,
+              ROW_NUMBER() OVER (PARTITION BY v$WalkRounds.query_id
+                ORDER BY v$WalkRounds.cosine DESC,
+                  v$WalkRounds.neighbor_id) AS rank
+            FROM v$WalkRounds
+                 JOIN civ wl ON wl.vec_id = v$WalkRounds.neighbor_id
+                 JOIN civ ql ON ql.vec_id = v$WalkRounds.query_id
+            WHERE wl.label = ql.label"""
+      else s"""SELECT query_id, neighbor_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM v$WalkRounds$finalMask"""
+    val finalCols =
+      if (filtered)
+        "query_id, CAST(rank AS INT) AS rank, neighbor_id, label, cosine"
+      else "query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine"
     s"""
       WITH $sqlScaled,
       cells AS (SELECT vec_id, cluster
                 FROM '__GRAFT_STAGED__/cells/*.parquet'),$delCte
-      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm, iv.label
               FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
       gr AS (SELECT query_id, neighbor_id
              FROM '__GRAFT_STAGED__/knn_graph/*.parquet'),
@@ -5754,11 +5842,8 @@ object Similarity {
                   JOIN qv q ON q.query_id = pr.query_id
                   JOIN civ w ON w.vec_id = md.medoid
              WHERE md.medoid <> q.query_id),$rounds,
-      r AS (SELECT query_id, neighbor_id, cosine,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM v$WalkRounds$finalMask)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+      r AS ($finalRank)
+      SELECT $finalCols
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
@@ -6665,6 +6750,9 @@ object Similarity {
     "q189_graph_walk" -> walkOracleSql,
     // the same generated unroll with the tombstone CTEs flagged in
     "q192_graph_walk_masked" -> walkOracleSql(masked = true),
+    // ...and with the label-filter final instead
+    "q193_graph_walk_filtered" ->
+      walkOracleSql(masked = false, filtered = true),
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,
       scored AS (

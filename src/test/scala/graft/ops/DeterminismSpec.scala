@@ -116,7 +116,7 @@ class DeterminismSpec extends SparkSpec {
     // q191: the sampled banded pair emission meeting per-doc SAMPLED
     // counts in the delta-voting fold
     "q190_unigram_mstep", "q191_video_cut_containment",
-    "q192_graph_walk_masked")
+    "q192_graph_walk_masked", "q193_graph_walk_filtered")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

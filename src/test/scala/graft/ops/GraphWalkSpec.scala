@@ -95,6 +95,20 @@ class GraphWalkSpec extends SparkSpec {
     // 13 is only reachable THROUGH the tombstones; ranks re-drawn
     // over the survivors {13, 10}
     assert(got === Seq((1, 13L), (2, 10L)))
+    // label filter (q193's rule): traversal unfiltered, answers keep
+    // only the query's label, ranks re-drawn, under-fill accepted —
+    // with 13 and 11 labeled B and the query A, only {12, 10} answer
+    val labels = Seq((0L, "A"), (10L, "A"), (11L, "B"), (12L, "A"),
+      (13L, "B")).toDF("vec_id", "label")
+    val filteredGot = Similarity.labelFilteredWalkRank(
+        Similarity.graphWalkVisited(queries, probes, medoids, graph,
+          iv.localCheckpoint(), rounds = 3, beam = 1),
+        labels, topK = 5)
+      .select(col("rank"), col("neighbor_id"), col("label"))
+      .as[(Int, Long, String)].collect().toSeq
+    assert(filteredGot === Seq((1, 12L, "A"), (2, 10L, "A")),
+      s"filtered walk must keep A-labeled survivors only: $filteredGot")
+
     // a tombstoned QUERY is masked to zero rows (the q144 contract)
     val gotMaskedQuery = Similarity.graphWalkOf(
         queries.join(broadcast(Seq(0L).toDF("query_id")),

@@ -1248,12 +1248,17 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Beam width and round count for the greedy graph walk — small on
-    * purpose: the walk's cost per query is seeds + rounds·beam·degree
-    * exact scores (~50 here), vs a probed-cell SCAN for the IVF
-    * routes. More rounds/beam buys recall at the same plan shape.
+  /** Beam width and round count for the greedy graph walk — chosen
+    * FROM THE MEASURED budget sweep (`runMain graft.WalkBudgetProbe`,
+    * SCALING.md round 15): (4, 16) is the frontier point — 0.95/0.81
+    * recall@1/@5 at ~254 observed exact scores per query, dominating
+    * both the previous (4, 8) default (0.70/0.62 @161) and the deeper
+    * (6, 8) (0.80/0.72 @231, more wall time). Worst-case budget is
+    * seeds + rounds·beam·(out + capped-reverse ≤ 16) ≈ 1k scores;
+    * the observed ~¼ of that is visited-set dedup biting. More
+    * rounds/beam buys recall at the same plan shape.
     */
-  val WalkBeam = 8
+  val WalkBeam = 16
   val WalkRounds = 4
 
   /** q189 — GREEDY GRAPH-WALK serving (the DiskANN/HNSW read path):
@@ -1266,14 +1271,15 @@ object Similarity {
     * [[DescentReverseCap]] — so per-expansion fan-out is ≤ 16),
     * exactly scores only the NEW nodes, and accumulates; final
     * answer is the per-query top-5 of everything visited. Per query
-    * the walk scores ≤ seeds + rounds·beam·16 ≈ 500 vectors —
-    * BOUNDED, independent of cell occupancy AND of dup mass (the
-    * reverse cap is what bounds a dup-star hub's expansion), the
-    * property that distinguishes a graph route from every
-    * scan-a-cell route in the q126 table.
+    * the walk scores ≤ seeds + rounds·beam·16 ≈ 1k vectors worst
+    * case (~254 observed — dedup bites) — BOUNDED, independent of
+    * cell occupancy AND of dup mass (the reverse cap is what bounds
+    * a dup-star hub's expansion), the property that distinguishes a
+    * graph route from every scan-a-cell route in the q126 table,
+    * where this budget buys the TABLE-BEST 0.95 recall@1.
     *
     * Driver-side round loop over model-sized frontiers (the q147 MMR
-    * loop discipline): the visited set is (#queries × ≤500) rows,
+    * loop discipline): the visited set is (#queries × ~250) rows,
     * localCheckpointed per round (lineage stays flat); the
     * corpus-sized tables are only ever hash-equi-joined (graph on
     * node id, vectors on vec_id) against the broadcast-small

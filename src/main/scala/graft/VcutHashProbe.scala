@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-off diagnostic: band-key dispersion of the q191 planted table's
-  * pHashes (hot-bucket risk at replica scale). */
+  * pHashes (hot-bucket risk at replica scale), over the 128-bit
+  * containment hash's 4×32-bit bands (the round-16 widening). */
 object VcutHashProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -18,10 +19,11 @@ object VcutHashProbe {
     val hs = graft.ops.Multimodal.cutSampledFrameHashes(spark, media)
       .localCheckpoint()
     val n = hs.count()
-    val distinctH = hs.select(col("h")).distinct().count()
-    val bands = hs.select(col("doc_id"), col("h"),
+    val distinctH = hs.select(col("h0"), col("h1")).distinct().count()
+    val bands = hs.select(col("doc_id"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-        "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
+        "shiftrightunsigned(IF(b < 2, h0, h1), (b % 2) * 32) " +
+        "& 4294967295 AS bkey))")).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val occ = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))

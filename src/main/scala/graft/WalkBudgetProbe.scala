@@ -7,8 +7,11 @@ import graft.ops.{Dedup, Similarity, Staged}
 /** Recall-vs-budget sweep for the greedy graph walk (q189's knobs):
   * rounds × beam against the exact truth — q137's width-sweep
   * methodology on the walk's own budget. Evidence for the shipped
-  * (rounds=4, beam=8) default: the table shows where recall
-  * saturates relative to the exact-score budget each cell buys.
+  * (rounds=4, beam=16) default ([[graft.ops.Similarity.WalkBeam]]):
+  * the round-15 sweep moved the default from (4, 8) to the measured
+  * frontier point (4, 16) — 0.95/0.81 recall@1/@5 at ~254 exact
+  * scores/query, dominating both (4, 8) (0.70/0.62 @161) and (6, 8)
+  * (0.80/0.72 @231) — and this table is what justified the move.
   */
 object WalkBudgetProbe {
   def main(args: Array[String]): Unit = {

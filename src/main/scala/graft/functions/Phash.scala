@@ -104,4 +104,85 @@ object Phash {
     }
     h
   }
+
+  // cos((2y+1)·v·π / (2·Side)) for the 16 vertical frequencies the
+  // 128-bit variant retains (the 64-bit hash keeps 8) — same kernel,
+  // deeper corner.
+  private val cosT16: Array[Array[Double]] =
+    Array.tabulate(16, Side)((v, y) =>
+      math.cos((2 * y + 1) * v * math.Pi / (2.0 * Side)))
+
+  /** 128-bit pHash over the same Side×Side raster: the 16×8
+    * low-frequency DCT corner (16 vertical × 8 horizontal
+    * frequencies) instead of 8×8, thresholded against the median of
+    * the 127 AC coefficients with the DC bit pinned to 0. Bit
+    * j = 8·v + u; returned as (bits 0–63, bits 64–127).
+    *
+    * Exists for the OFFSET-FREE clip-containment banding
+    * ([[graft.ops.Multimodal]] q186/q191), whose band join keys on
+    * hash slices ALONE (no frame position): 128 bits band as 4×32-bit
+    * keys, so the pigeonhole guarantee at Hamming ≤ 3 lives in a 2^32
+    * key space instead of 2^16 — the average-occupancy hot-bucket
+    * cliff moves from ~cap·2^16 ≈ 3.3M corpus frames (guaranteed at
+    * video scale) to ~cap·2^32 ≈ 2·10^11 (two orders above a 100 TB
+    * video corpus' ~10^9–10^10 frames). The position-keyed q185 path
+    * keeps the 64-bit hash: its key space grows with the timeline.
+    *
+    * Every invariance argument of [[phash64]] carries over verbatim:
+    * DCT basis rows for u ≥ 1 or v ≥ 1 are orthogonal to the constant
+    * raster, so a global brightness shift moves only the (0,0)
+    * coefficient, whose bit is pinned — brightness-shifted re-encodes
+    * hash identically on BOTH words (PhashSpec pins it). Coefficients
+    * round to integers before the threshold for the same determinism
+    * reason (the 127-element median routinely lands in a tie cluster
+    * of mathematically-equal coefficients). Cost: 32·8 + 16·8 length-
+    * 32 dot products per image — the row pass is phash64's exactly,
+    * the column pass doubles.
+    */
+  def phash128(luma: Array[Int]): (Long, Long) = {
+    require(luma.length == Side * Side,
+      s"phash128: expected a $Side×$Side raster (${Side * Side} " +
+        s"values), got ${luma.length}")
+    val rowC = Array.ofDim[Double](Side, 8)
+    var y = 0
+    while (y < Side) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < Side) { acc += luma(y * Side + x) * cosT(u)(x); x += 1 }
+        rowC(y)(u) = acc
+        u += 1
+      }
+      y += 1
+    }
+    val q = new Array[Long](128)
+    var v = 0
+    while (v < 16) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < Side) { acc += rowC(yy)(u) * cosT16(v)(yy); yy += 1 }
+        q(8 * v + u) = math.rint(acc).toLong
+        u += 1
+      }
+      v += 1
+    }
+    val ac = new Array[Long](127)
+    var j = 1
+    while (j < 128) { ac(j - 1) = q(j); j += 1 }
+    java.util.Arrays.sort(ac)
+    val med = ac(63)
+    var h0 = 0L
+    var h1 = 0L
+    j = 1
+    while (j < 128) {
+      if (q(j) > med) {
+        if (j < 64) h0 |= (1L << j) else h1 |= (1L << (j - 64))
+      }
+      j += 1
+    }
+    (h0, h1)
+  }
 }

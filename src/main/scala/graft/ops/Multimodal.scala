@@ -765,6 +765,20 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("h"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
+  /** [[clipHashPairs]]'s banding over the 128-bit (h0, h1) hash:
+    * 4×32-bit bands (0–1 from h0, 2–3 from h1) — the corpus-sized
+    * key space the offset-free join needs (the fold's scaladoc).
+    * Inline per row, like [[frameBandRows]], so in-doc duplicate
+    * hashes never fan out.
+    */
+  private def clipBandRows(hs: DataFrame): DataFrame =
+    hs.select(col("doc_id"), col("frame_idx"), col("h0"), col("h1"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+        "shiftrightunsigned(IF(b < 2, h0, h1), (b % 2) * 32) " +
+        "& 4294967295 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("h0"), col("h1"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
   private[graft] def videoHashPairs(hashes0: DataFrame): DataFrame = {
     // eager: per-doc counts + both band-join sides read it (q31 note)
     val hashes = hashes0.localCheckpoint()
@@ -870,10 +884,14 @@ object Multimodal {
     * frame — the honest cost of offset-free matching), a (band, bkey)
     * equi-join with q175's hot cap, then ONE partial-agg groupBy on
     * (pair, delta) — match-bound, never |A|×|B| frames: only frames
-    * sharing a 16-bit band meet. The oracle is pure id arithmetic
-    * over the planted cut structure — a hash match certifies codec
-    * round-trip, per-frame hashing, delta voting, and the
-    * whole-shorter-video predicate end-to-end.
+    * sharing a whole 32-bit band meet. Because the banding is
+    * offset-free (no frame key), its key space must be sized to the
+    * CORPUS, not the timeline — hence the 128-bit
+    * [[graft.functions.Phash.phash128]] banded 4×32 here, where q185
+    * keeps the 64-bit hash (see [[clipHashPairs]]'s bound). The
+    * oracle is pure id arithmetic over the planted cut structure — a
+    * hash match certifies codec round-trip, per-frame hashing, delta
+    * voting, and the whole-shorter-video predicate end-to-end.
     */
   def q186VideoClipPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -881,9 +899,10 @@ object Multimodal {
       .as[AviRow]
       .mapPartitions(_.flatMap { r =>
         Avi.decode(r.payload).frames.zipWithIndex.map { case (fb, f) =>
-          (r.doc_id, f.toLong, graft.functions.Phash.phash64(phashLuma(fb)))
+          val (h0, h1) = graft.functions.Phash.phash128(phashLuma(fb))
+          (r.doc_id, f.toLong, h0, h1)
         }
-      }).toDF("doc_id", "frame_idx", "h")
+      }).toDF("doc_id", "frame_idx", "h0", "h1")
     clipHashPairs(hashes)
   }
 
@@ -1028,37 +1047,42 @@ object Multimodal {
             .filter(f => math.abs(e(f) - e(f - 1)) >= VideoCutMinDelta)
           val sampled = (Set(0) ++ cuts.flatMap(f => Seq(f - 1, f)))
             .toSeq.sorted
-          sampled.map(f => (r.doc_id, f.toLong,
-            graft.functions.Phash.phash64(lumas(f))))
+          sampled.map { f =>
+            val (h0, h1) = graft.functions.Phash.phash128(lumas(f))
+            (r.doc_id, f.toLong, h0, h1)
+          }
         }
-      }).toDF("doc_id", "frame_idx", "h")
+      }).toDF("doc_id", "frame_idx", "h0", "h1")
   }
 
-  /** The delta-voting containment fold over a (doc_id, frame_idx, h)
-    * frame-hash table — [[q186VideoClipPairs]] minus the decode,
-    * factored for VideoPhashSpec (partial-overlap rejection, offset
-    * discovery, the still-video multi-delta caveat).
+  /** The delta-voting containment fold over a (doc_id, frame_idx,
+    * h0, h1) 128-bit frame-hash table — [[q186VideoClipPairs]] minus
+    * the decode, factored for VideoPhashSpec (partial-overlap
+    * rejection, offset discovery, the still-video multi-delta caveat).
     *
     * Band-width / corpus-size bound: offset-free banding keys on
-    * (band, bkey) ALONE, and the key space is fixed at 4×2^16, so
-    * expected bucket occupancy grows LINEARLY with total corpus
-    * frames — past ~[[PhashBandHotCap]]·2^16 ≈ 3.3M frames the
-    * AVERAGE bucket goes hot and the cap suppresses candidates
-    * wholesale (loudly, via `hot_buckets`, but the result degrades
-    * toward empty rather than gracefully). The 16-bit choice is
-    * sized to the tested frame volumes; at larger corpora the band
-    * key must widen with the corpus (e.g. 2×32-bit bands — Hamming
-    * tolerance 1 — once frames ≫ 2^16·cap) or the corpus must shard
-    * on a coarse content key before banding. q185's per-(frame,band)
-    * keying does NOT have this bound — its key space grows with the
-    * timeline — which is why only the offset-free containment path
-    * carries it.
+    * (band, bkey) ALONE, so expected bucket occupancy grows LINEARLY
+    * with total corpus frames and the key space must be sized to the
+    * corpus, not the timeline. The 64-bit hash's 4×2^16 bands put the
+    * all-hot cliff at ~[[PhashBandHotCap]]·2^16 ≈ 3.3M frames —
+    * GUARANTEED at video scale (the round-15 `weak`); this fold
+    * therefore bands the 128-bit [[graft.functions.Phash.phash128]]
+    * as 4×32-bit keys, keeping the pigeonhole guarantee (Hamming ≤ 3
+    * across 4 bands → one band exact) while moving the cliff to
+    * ~cap·2^32 ≈ 2.1·10^11 corpus frames — two orders above a 100 TB
+    * video corpus' ~10^9–10^10 frames (BandCliffProbe measures both
+    * keyings above the OLD bound; SCALING.md). [[PhashBandHotCap]]
+    * still applies per bucket, now doing only its intended job:
+    * suppressing genuine template/boilerplate frame clusters, loudly
+    * (`hot_buckets`), never average-occupancy mass. q185's
+    * per-(frame, band) keying never had the bound — its key space
+    * grows with the timeline — so it keeps the 64-bit hash.
     */
   private[graft] def clipHashPairs(hashes0: DataFrame): DataFrame = {
     // eager: per-doc counts + both band-join sides read it (q31 note)
     val hashes = hashes0.localCheckpoint()
     val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val bands = frameBandRows(hashes)
+    val bands = clipBandRows(hashes)
     val occ = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
     val hotCount = occ.where(col("n") > PhashBandHotCap)
@@ -1072,9 +1096,11 @@ object Multimodal {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.frame_idx").as("fa"), col("y.frame_idx").as("fb"),
-        col("x.h").as("pa"), col("y.h").as("pb"))
+        col("x.h0").as("pa0"), col("y.h0").as("pb0"),
+        col("x.h1").as("pa1"), col("y.h1").as("pb1"))
       .distinct() // identical hashes agree on all four bands
-      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .withColumn("hamming",
+        expr("bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)").cast("long"))
       .where(col("hamming") <= 3)
     frameMatches
       .groupBy(col("doc_a"), col("doc_b"),

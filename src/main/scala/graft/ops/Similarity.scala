@@ -1370,6 +1370,15 @@ object Similarity {
         col("query_id").as("neighbor_id"))
     val graph = fwd.union(rev).distinct()
     val medoids = s.read.parquet(gsnap("knn_medoids"))
+    // the delete feed reads OUTSIDE the two snapshot groups
+    // deliberately (q153's reasoning, restated here because the walk
+    // otherwise goes to stamp-check lengths): it is an independent
+    // lifecycle — a log of vec_ids, which are STABLE across cells and
+    // graph refreshes (a regeneration renumbers cells/edges, never
+    // vector identities) — so a delete-feed restage landing mid-query
+    // pairs correctly with ANY index generation, and serving the
+    // newest feed against the pinned graph snapshot is exactly the
+    // tombstone semantics q144/q192 certify.
     val del =
       if (masked) {
         if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)

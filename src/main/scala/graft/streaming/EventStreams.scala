@@ -323,8 +323,26 @@ object EventStreams {
     * a crash window that appended only part of a video's frames heals
     * on redelivery (the missing frames anti-join through; the logged
     * ones drop), where a doc-keyed guard would silently freeze the
-    * torn video. State is a 24-byte/frame parquet log, not the state
-    * store.
+    * torn video. State is a ~40-byte/frame parquet log, not the state
+    * store. The input carries BOTH video hash families per frame —
+    * the 64-bit `h` q185's position-keyed fold consumes and the
+    * 128-bit (`h0`, `h1`) the offset-free containment fold (q186/
+    * q191) bands — computed in the one decode pass upstream: one
+    * twin, one log, both derivations.
+    *
+    * REDELIVERY RULE (arrival-independent — the round-15 unification):
+    * a redelivered row whose content equals a logged row drops (the
+    * all-columns anti-join — replays and fresh-checkpoint redeliveries
+    * append nothing); a CONFLICTING redelivery (same (doc, frame),
+    * different hash — a feed bug) APPENDS, and readers resolve per
+    * key by the lexicographic MAX over (h, h0, h1)
+    * ([[resolvedFrameHashLog]]). Log CONTENT as resolved is therefore
+    * the per-key maximum over every row ever delivered — identical
+    * under ANY batching of the same feed (the old first-write-wins
+    * anti-join made the survivor depend on which batch arrived first),
+    * while the log file itself stays append-only: determinism moved
+    * from write order to the resolve fold. IngestRebatchSpec pins the
+    * two-batchings identity.
     */
   def videoHashIngestStream(hashes: DataFrame, stagedDir: String,
       checkpoint: String): StreamingQuery =
@@ -333,23 +351,26 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        // deterministic in-batch replay fold (the packIngestStream
-        // note): conflicting hashes for one (doc, frame) are a feed
-        // bug, resolved by MAX rather than an arbitrary surviving row;
-        // cross-batch redeliveries are first-write-wins via the
-        // anti-join (see packIngestStream's note for the full rule
-        // and its arrival-order caveat under a conflicting feed)
-        val rows = batch.select(col("doc_id"), col("frame_idx"), col("h"))
+        // deterministic in-batch replay fold: the SAME struct-MAX rule
+        // the read-side resolver applies, so in-batch and cross-batch
+        // redeliveries resolve identically (arrival-independence)
+        val rows = batch
+          .select(col("doc_id"), col("frame_idx"),
+            struct(col("h"), col("h0"), col("h1")).as("hs"))
           .groupBy(col("doc_id"), col("frame_idx"))
-          .agg(max(col("h")).as("h"))
+          .agg(max(col("hs")).as("hs"))
+          .select(col("doc_id"), col("frame_idx"),
+            col("hs.h").as("h"), col("hs.h0").as("h0"),
+            col("hs.h1").as("h1"))
         val path = s"$stagedDir/video_frame_hashes"
         val existing =
           if (stagedExists(s, path)) s.read.parquet(path)
-          else s.emptyDataFrame.select(lit(0L).as("doc_id"),
-            lit(0L).as("frame_idx"), lit(0L).as("h")).limit(0)
+          else rows.limit(0)
         rows
-          .join(existing.select(col("doc_id"), col("frame_idx")),
-            Seq("doc_id", "frame_idx"), "left_anti")
+          // content-keyed anti-join: identical redeliveries drop,
+          // conflicting ones append and resolve at read time
+          .join(existing,
+            Seq("doc_id", "frame_idx", "h", "h0", "h1"), "left_anti")
           // fully evaluate before appending to the same path
           // (read-your-own-writes hazard — the dedupIngest note)
           .localCheckpoint()
@@ -357,6 +378,18 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** The read-side resolve of [[videoHashIngestStream]]'s log: one
+    * row per (doc_id, frame_idx), conflicts folded by the same
+    * lexicographic MAX the in-batch rule applies — the half of the
+    * arrival-independence contract every consumer must go through.
+    */
+  def resolvedFrameHashLog(s: SparkSession, stagedDir: String): DataFrame =
+    s.read.parquet(s"$stagedDir/video_frame_hashes")
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(max(struct(col("h"), col("h0"), col("h1"))).as("hs"))
+      .select(col("doc_id"), col("frame_idx"), col("hs.h").as("h"),
+        col("hs.h0").as("h0"), col("hs.h1").as("h1"))
 
   /** Streaming NEAR-DUP pair staging — the q31→q173 pipeline
     * (shingle → minhash → LSH band → exact-Jaccard verify → star

@@ -59,6 +59,26 @@ class PhashSpec extends SparkSpec {
   test("hash refuses a wrong-sized raster by name") {
     val e = intercept[IllegalArgumentException](Phash.phash64(Array(1, 2, 3)))
     assert(e.getMessage.contains("32×32"))
+    val e2 = intercept[IllegalArgumentException](Phash.phash128(Array(1)))
+    assert(e2.getMessage.contains("32×32"))
+  }
+
+  test("128-bit variant: shift-invariant on both words, distinct rasters far") {
+    // same DCT-linearity law as the 64-bit hash — a global brightness
+    // shift moves only the pinned (0,0) bit, on the deeper corner too
+    for (seed <- 0L until 30L; delta <- Seq(1, 6, 40)) {
+      val base = raster(seed)
+      assert(Phash.phash128(base) === Phash.phash128(base.map(_ + delta)),
+        s"seed=$seed delta=$delta")
+    }
+    // discriminative side: scrambled rasters stay >> the d ≤ 3 cut on
+    // the 128-bit distance (the containment fold's verify)
+    val hs = (0L until 120L).map(s => Phash.phash128(raster(s)))
+    val minD = (for {
+      i <- hs.indices; j <- (i + 1) until hs.size
+    } yield java.lang.Long.bitCount(hs(i)._1 ^ hs(j)._1) +
+        java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)).min
+    assert(minD > 3, s"minimum pairwise 128-bit distance $minD")
   }
 
   test("JPEG round-trip + box downscale reproduce the constructed luma exactly") {

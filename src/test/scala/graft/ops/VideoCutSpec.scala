@@ -49,10 +49,11 @@ class VideoCutSpec extends SparkSpec {
     val allHashes = media.as[Multimodal.AviRow]
       .mapPartitions(_.flatMap { r =>
         Avi.decode(r.payload).frames.zipWithIndex.map { case (fb, f) =>
-          (r.doc_id, f.toLong,
-            graft.functions.Phash.phash64(Multimodal.phashLuma(fb)))
+          val (h0, h1) =
+            graft.functions.Phash.phash128(Multimodal.phashLuma(fb))
+          (r.doc_id, f.toLong, h0, h1)
         }
-      }).toDF("doc_id", "frame_idx", "h")
+      }).toDF("doc_id", "frame_idx", "h0", "h1")
     val allPairs = Multimodal.clipHashPairs(allHashes)
       .select(col("doc_a"), col("doc_b"), col("delta"))
       .as[(Long, Long, Long)].collect().toSet

@@ -47,10 +47,19 @@ class VideoPhashSpec extends SparkSpec {
     assert(fold(far) === Seq.empty)
   }
 
+  // the containment fold takes the 128-bit (h0, h1) hash — plant both
+  // words from independent mixes of the content key
   private def clipFold(rows: Seq[(Long, Long, Long)]) =
-    Multimodal.clipHashPairs(rows.toDF("doc_id", "frame_idx", "h"))
+    Multimodal.clipHashPairs(rows
+        .map { case (d, f, h) => (d, f, h, mix2(h)) }
+        .toDF("doc_id", "frame_idx", "h0", "h1"))
       .select("doc_a", "doc_b", "delta", "n_aligned")
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  private def mix2(x: Long): Long = {
+    var k = (x + 0x1234567L) * 0xFF51AFD7ED558CCDL; k ^= k >>> 33
+    k *= 0xC4CEB9FE1A85EC53L; k ^ (k >>> 33)
+  }
 
   test("clip fold finds the offset; partial overlap is rejected") {
     def mix(x: Long): Long = {

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
 
 /** Streamed video frame-hash ingest == the batch q185 pair set
   * ([[EventStreams.videoHashIngestStream]] folds (doc_id, frame_idx,
-  * h) rows into a durable log; [[Multimodal.videoHashPairs]] over the
-  * log must equal the batch derivation row-for-row — the packing
-  * twin's contract: the log is insert-monotone, pairs are a
-  * deterministic function of it). Pins TORN-VIDEO healing (a batch
-  * delivering only half a video's frames, completed later — the
+  * h, h0, h1) rows into a durable log; [[Multimodal.videoHashPairs]]
+  * over the resolved log must equal the batch derivation row-for-row
+  * — the packing twin's contract: the log is insert-monotone, pairs
+  * are a deterministic function of it). Pins TORN-VIDEO healing (a
+  * batch delivering only half a video's frames, completed later — the
   * all-frames rule means the pair appears only once the video is
   * whole), plus the standard drained re-run and fresh-checkpoint
-  * redelivery no-ops.
+  * redelivery no-ops, and that the SAME log serves both video hash
+  * families (q185's 64-bit fold and q186's 128-bit containment fold).
   */
 class VideoHashIngestStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -30,29 +31,34 @@ class VideoHashIngestStreamSpec extends SparkSpec {
       var k = x * 0x9E3779B97F4A7C15L; k ^= k >>> 31
       k *= 0xC2B2AE3D27D4EB4FL; k ^ (k >>> 29)
     }
-    val rows: Seq[(Long, Long, Long)] =
-      (for (g <- 0 until 2; m <- 0 until 3; f <- 0 until 3) yield {
-        val id = (g * 10 + m).toLong
-        (id, f.toLong * 2, mix(g.toLong * 100 + f))
-      }) ++
+    // one delivered row = both hash families for the frame, as the
+    // one-decode-pass upstream map emits them
+    def row(id: Long, f: Long, key: Long): (Long, Long, Long, Long, Long) =
+      (id, f, mix(key), mix(key + 7000), mix(key + 9000))
+    val rows: Seq[(Long, Long, Long, Long, Long)] =
+      (for (g <- 0 until 2; m <- 0 until 3; f <- 0 until 3) yield
+        row((g * 10 + m).toLong, f.toLong * 2, g.toLong * 100 + f)) ++
         (for (j <- 0 until 2; f <- 0 until 3)
-          yield ((100 + j).toLong, f.toLong * 2, mix(1000L + j * 10 + f)))
+          yield row((100 + j).toLong, f.toLong * 2, 1000L + j * 10 + f))
     val batch = Multimodal.videoHashPairs(
-        rows.toDF("doc_id", "frame_idx", "h"))
+        rows.toDF("doc_id", "frame_idx", "h", "h0", "h1")
+          .select("doc_id", "frame_idx", "h"))
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
     assert(batch.size === 2 * 3) // C(3,2) per group
 
     val staged =
       java.nio.file.Files.createTempDirectory("vhash-stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("vhash-ckpt").toString
-    val src = MemoryStream[(Long, Long, Long)]
-    def drain(ck: String, st: MemoryStream[(Long, Long, Long)]): Unit =
+    val src = MemoryStream[(Long, Long, Long, Long, Long)]
+    def drain(ck: String,
+        st: MemoryStream[(Long, Long, Long, Long, Long)]): Unit =
       EventStreams.videoHashIngestStream(
-        st.toDF().toDF("doc_id", "frame_idx", "h"), staged, ck)
+        st.toDF().toDF("doc_id", "frame_idx", "h", "h0", "h1"), staged, ck)
         .awaitTermination()
+    def resolved() = EventStreams.resolvedFrameHashLog(spark, staged)
     def derived(): Seq[(Long, Long, Long, Long, Long)] =
       Multimodal.videoHashPairs(
-          spark.read.parquet(s"$staged/video_frame_hashes"))
+          resolved().select("doc_id", "frame_idx", "h"))
         .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
 
     // batch 1: doc 0 arrives TORN (frames 0,2 only) with doc 1 whole
@@ -73,7 +79,7 @@ class VideoHashIngestStreamSpec extends SparkSpec {
 
     // fresh-checkpoint full redelivery: absorbed per (doc, frame)
     val ckpt2 = java.nio.file.Files.createTempDirectory("vhash-ckpt2").toString
-    val src2 = MemoryStream[(Long, Long, Long)]
+    val src2 = MemoryStream[(Long, Long, Long, Long, Long)]
     src2.addData(rows: _*)
     drain(ckpt2, src2)
     assert(derived() === batch)
@@ -81,12 +87,14 @@ class VideoHashIngestStreamSpec extends SparkSpec {
       === rows.size.toLong, "log must stay one row per (doc, frame)")
 
     // the SAME log serves the q186 clip fold — one ingest twin, two
-    // derivations (re-encode pairs and clip containments)
+    // derivations (re-encode pairs over h, clip containments over the
+    // 128-bit (h0, h1))
     def clips(df: org.apache.spark.sql.DataFrame) =
       Multimodal.clipHashPairs(df)
         .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
-    assert(clips(spark.read.parquet(s"$staged/video_frame_hashes")
-        .select(col("doc_id"), col("frame_idx"), col("h")))
-      === clips(rows.toDF("doc_id", "frame_idx", "h")))
+    assert(clips(resolved()
+        .select(col("doc_id"), col("frame_idx"), col("h0"), col("h1")))
+      === clips(rows.toDF("doc_id", "frame_idx", "h", "h0", "h1")
+        .select("doc_id", "frame_idx", "h0", "h1")))
   }
 }

@@ -1319,17 +1319,19 @@ object Similarity {
   def q192GraphWalkMasked(s: SparkSession, dir: String): DataFrame =
     graphWalkEntry(s, dir, masked = true)
 
-  private def graphWalkEntry(s: SparkSession, dir: String,
-      masked: Boolean, filtered: Boolean = false): DataFrame = {
-    val work = Dedup.stageRoot(dir)
-    // two group-consistent snapshots: the index family and the graph
-    // family — CROSS-CHECKED: the graph's stamp records the exact
-    // cells version it was built from, and a refresh landing between
-    // the two resolves would otherwise serve the walk medoids/edges
-    // keyed to RENUMBERED cells (the q79 mixed-generation hazard, one
-    // level up). On mismatch, re-ensure (which restages the graph
-    // against the moved index) and re-resolve; a persistently moving
-    // index fails by name rather than serving garbage.
+  /** The walk entries' two group-consistent snapshots — the index
+    * family and the graph family — CROSS-CHECKED: the graph's stamp
+    * records the exact cells version it was built from, and a refresh
+    * landing between the two resolves would otherwise serve the walk
+    * medoids/edges keyed to RENUMBERED cells (the q79
+    * mixed-generation hazard, one level up). On mismatch, re-ensure
+    * (which restages the graph against the moved index) and
+    * re-resolve; a persistently moving index fails by name rather
+    * than serving garbage. Shared by q189/q192/q193 and the
+    * PQ-priced q194.
+    */
+  private[graft] def resolveWalkSnapshots(s: SparkSession, dir: String,
+      work: String): (Map[String, String], Map[String, String]) = {
     var snap: Map[String, String] = null
     var gsnap: Map[String, String] = null
     var attempt = 0
@@ -1347,20 +1349,22 @@ object Similarity {
           s"$cellsV)")
       }
     }
-    val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(snap("cells")), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-    // traverse UNDIRECTED: k-NN edges are asymmetric, and greedy
-    // navigation needs the reverse direction too (HNSW stores both) —
-    // a node's in-edges are often the only path back toward a query
-    // on the other side of its neighborhood. Reverse fan-in is CAPPED
-    // per node ([[DescentReverseCap]], smallest source ids — the
-    // knnDescentOf discipline): out-degree is ≤ GraphDegree by
-    // construction but IN-degree is unbounded, and a 10^4-copy dup
-    // group aims every member's edges at its smallest ids, so an
-    // uncapped reverse union would make one hub expansion score 10^4
-    // candidates instead of ≤ GraphDegree + cap.
-    val g0 = s.read.parquet(gsnap("knn_graph"))
+    (snap, gsnap)
+  }
+
+  /** The walk's traversal substrate from a staged edge table: traverse
+    * UNDIRECTED — k-NN edges are asymmetric, and greedy navigation
+    * needs the reverse direction too (HNSW stores both); a node's
+    * in-edges are often the only path back toward a query on the
+    * other side of its neighborhood. Reverse fan-in is CAPPED per
+    * node ([[DescentReverseCap]], smallest source ids — the
+    * knnDescentOf discipline): out-degree is ≤ [[GraphDegree]] by
+    * construction but IN-degree is unbounded, and a 10^4-copy dup
+    * group aims every member's edges at its smallest ids, so an
+    * uncapped reverse union would make one hub expansion score 10^4
+    * candidates instead of ≤ GraphDegree + cap.
+    */
+  private def walkSubstrate(g0: DataFrame): DataFrame = {
     val fwd = g0.select(col("query_id").as("node"), col("neighbor_id"))
     val rev = g0
       .withColumn("r", row_number().over(
@@ -1368,8 +1372,44 @@ object Similarity {
       .where(col("r") <= DescentReverseCap)
       .select(col("neighbor_id").as("node"),
         col("query_id").as("neighbor_id"))
-    val graph = fwd.union(rev).distinct()
+    fwd.union(rev).distinct()
+  }
+
+  /** The ONE walk serving chain, over resolved snapshots and a ready
+    * (queries, probes) pair — shared by the batch entries
+    * (q189/q192/q193 via [[graphWalkEntry]], staged probes) and the
+    * streaming serving twin ([[graft.streaming.EventStreams
+    * .graphWalkSearchStream]], per-batch model probes): streamed ==
+    * batch is mechanism, not hope. `queries`: (query_id, qv, qn);
+    * `mask` applies q192's result-side tombstone rule;
+    * `filterLabels` applies q193's result-side label rule.
+    */
+  private[graft] def graphWalkServeOn(s: SparkSession, dir: String,
+      snap: Map[String, String], gsnap: Map[String, String],
+      queries: DataFrame, probes: DataFrame, topK: Int = 5,
+      mask: Option[DataFrame] = None,
+      filterLabels: Option[DataFrame] = None): DataFrame = {
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(snap("cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
     val medoids = s.read.parquet(gsnap("knn_medoids"))
+    filterLabels match {
+      case Some(lb) => labelFilteredWalkRank(
+        graphWalkVisited(queries, probes, medoids, graph, iv,
+          rounds = WalkRounds, beam = WalkBeam, mask = mask), lb, topK)
+      case None => graphWalkOf(queries, probes, medoids, graph, iv,
+        rounds = WalkRounds, beam = WalkBeam, topK = topK, mask = mask)
+    }
+  }
+
+  private def graphWalkEntry(s: SparkSession, dir: String,
+      masked: Boolean, filtered: Boolean = false): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(snap("cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
     // the delete feed reads OUTSIDE the two snapshot groups
     // deliberately (q153's reasoning, restated here because the walk
     // otherwise goes to stamp-check lengths): it is an independent
@@ -1393,15 +1433,11 @@ object Similarity {
         Seq("query_id"), "left_anti")
       case None => queries0
     }
-    val probes = s.read.parquet(snap("probes"))
-    if (filtered)
-      labelFilteredWalkRank(
-        graphWalkVisited(queries, probes, medoids, graph, iv,
-          rounds = WalkRounds, beam = WalkBeam, mask = del),
-        scaledVectors(s, dir).select(col("vec_id"), col("label")),
-        topK = 5)
-    else graphWalkOf(queries, probes, medoids, graph, iv,
-      rounds = WalkRounds, beam = WalkBeam, topK = 5, mask = del)
+    graphWalkServeOn(s, dir, snap, gsnap, queries,
+      s.read.parquet(snap("probes")), topK = 5, mask = del,
+      filterLabels = if (filtered)
+        Some(scaledVectors(s, dir).select(col("vec_id"), col("label")))
+      else None)
   }
 
   /** q193 — METADATA-FILTERED graph-walk serving: q189 with q145's
@@ -1420,6 +1456,224 @@ object Similarity {
     */
   def q193GraphWalkFiltered(s: SparkSession, dir: String): DataFrame =
     graphWalkEntry(s, dir, masked = false, filtered = true)
+
+  /** q194 — PQ-PRICED graph walk with exact re-rank: the
+    * {graph} × {compression} cell of the serving matrix, and the
+    * composition that IS production DiskANN's premise — the walk's
+    * every expansion is priced by ADC over the 4-byte PQ codes (q91's
+    * broadcast-LUT join as [[graphWalkVisitedAdc]]'s scoring
+    * callback; in a native server the code array lives in RAM while
+    * full vectors stay on disk), the frontier is elected by MIN
+    * quantized distance, and exactness returns only at the end: the
+    * per-query ADC top-[[RerankShortlist]] of the visited set
+    * re-ranks by the true integer-dot cosine ([[rerankExact]] — the
+    * q130/q136/q153 final mile). The traversal never touches a full
+    * vector: per query it reads ≤ budget × 4 code rows (16 bytes
+    * each) instead of 64-long vectors — the same 16× pricing-byte cut
+    * the scan routes bought from PQ, now on the TABLE-BEST-recall
+    * route. Recall trades exactly as q130's geometry predicts: the
+    * walk can wander where quantized ordering misleads (the planted
+    * metric-gap in GraphWalkPqSpec), and the exact re-rank recovers
+    * everything the shortlist retains — measured as a q126 route row
+    * (`graph_walk_pq_rerank`).
+    *
+    * Snapshot discipline: the (cells, probes) + (knn_graph,
+    * knn_medoids) pair resolves through the SAME stamp cross-check as
+    * q189 ([[resolveWalkSnapshots]]); the PQ family resolves
+    * group-consistently like q153 — its generation is INDEPENDENT of
+    * the cells/graph generation (codes key by vec_id, stable across
+    * index refreshes; a code row prices identically whichever cell
+    * its vector lives in). The DuckDB oracle is the SAME generated
+    * lockstep unroll as q189's with the pricing CTEs swapped to ADC
+    * ([[walkPqOracleSql]]) and the exact-re-rank tail appended.
+    */
+  def q194GraphWalkPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
+    ensurePq(s, dir, work)
+    val pq = Staged.resolveGroup(work, Seq("pq_codes", "pq_codebook"))
+    val codes = s.read.parquet(pq("pq_codes"))
+    val lut = adcLutFor(
+      scaledVectors(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")),
+      s.read.parquet(pq("pq_codebook")))
+    val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
+    val medoids = s.read.parquet(gsnap("knn_medoids"))
+    val probes = s.read.parquet(snap("probes"))
+    val visited = graphWalkVisitedAdc(probes, medoids, graph, codes,
+      lut, rounds = WalkRounds, beam = WalkBeam)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    rerankExact(s, dir,
+      visited.withColumn("arank", row_number().over(ws))
+        .where(col("arank") <= RerankShortlist), topK = 5)
+  }
+
+  /** Execute the GRAPH-family compaction q192's scaladoc defers to —
+    * the q154 discipline on the graph route: re-derive `knn_graph`/
+    * `knn_medoids` from SURVIVORS (the staged delete feed anti-joined
+    * off the assigned corpus, then the SAME [[deriveKnnGraph]] the
+    * batch staging and the streaming refresh run — a recipe change
+    * cannot fork the compacted artifact from the live one) and
+    * truncate the consumed feed to a NEW path
+    * (`graph_deletes_compacted`; the un-truncated `deletes` stays for
+    * q144/q192's oracle replays — the stageCompactedIndex note). The
+    * pair is group-stamped with BOTH source versions (cells +
+    * deletes): a moved index or a grown feed invalidates it.
+    *
+    * Unlike q154's assign-only compaction (cells ∖ deletes — the
+    * masked and compacted candidate sets are equal BY CONSTRUCTION),
+    * a graph compaction re-ROUTES: edges that pointed at tombstones
+    * re-aim at next-best survivors and medoids re-elect, so the
+    * compacted walk's visited set differs from the masked walk's and
+    * row-for-row equality with q192 is a DATA property, not a
+    * mechanism — GraphCompactionSpec asserts the guarantees that ARE
+    * mechanism (no tombstone anywhere in the compacted graph,
+    * medoids, or answers; deleted queries masked; the feed truncated)
+    * and measures the overlap on the real corpus.
+    */
+  def stageCompactedKnnGraph(s: SparkSession, dir: String,
+      work: String): Unit = {
+    ensureIvfIndex(s, dir, work)
+    if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
+    val key = compactedGraphKey(work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(Staged.path(work, "cells")), "vec_id")
+      .join(broadcast(deletes), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .localCheckpoint() // graph, bridges, medoids, rescore all read it
+    val (graph, medoids) = deriveKnnGraph(iv)
+    Staged.write(graph, work, "knn_graph_compact", group = Some(key))
+    Staged.write(medoids, work, "knn_medoids_compact", group = Some(key))
+    deletes.limit(0).repartition(1)
+      .stagePublish(work, "graph_deletes_compacted")
+  }
+
+  private def compactedGraphKey(work: String): String =
+    s"cells=${Staged.versionOf(work, "cells").getOrElse("absent")}," +
+      s"deletes=${Staged.versionOf(work, "deletes").getOrElse("absent")}"
+
+  private def ensureCompactedKnnGraph(s: SparkSession, dir: String,
+      work: String): Unit = {
+    ensureIvfIndex(s, dir, work)
+    if (!Staged.isFresh(work, "deletes")) stageDeletes(s, dir, work)
+    def key = compactedGraphKey(work)
+    val fresh = Seq("knn_graph_compact", "knn_medoids_compact").forall(a =>
+      Staged.isFresh(work, a) && Staged.groupOf(work, a).contains(key))
+    if (!fresh) stageCompactedKnnGraph(s, dir, work)
+  }
+
+  /** q195 — graph-walk serving over the COMPACTED graph
+    * ([[stageCompactedKnnGraph]]): q189's walk, byte-identical code,
+    * with only the staged table names changed — and NO result mask,
+    * because compaction consumed the feed (q154's claim, on the graph
+    * route). A tombstoned vector no longer queries either: deleted
+    * query ids are masked exactly as in q192 (the serving contract —
+    * in production they'd have no row in the compacted assignment to
+    * exist by). The cross-family stamp check pins the compacted pair
+    * to the cells AND deletes versions it was derived from (the
+    * resolveWalkSnapshots discipline, one source wider). The DuckDB
+    * oracle is the SAME generated unroll re-aimed at the compacted
+    * tables with the query-side mask kept and the result mask
+    * dropped.
+    */
+  def q195GraphCompactedWalk(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    var snap: Map[String, String] = null
+    var gsnap: Map[String, String] = null
+    var attempt = 0
+    while (snap == null) {
+      ensureCompactedKnnGraph(s, dir, work)
+      val s1 = Staged.resolveGroup(work, Seq("cells", "probes"))
+      val (g1, stamp) = Staged.resolveGroupStamped(work,
+        Seq("knn_graph_compact", "knn_medoids_compact"))
+      if (stamp == compactedGraphKey(work)) { snap = s1; gsnap = g1 }
+      else {
+        attempt += 1
+        require(attempt < 5, "compacted walk: staged compacted graph " +
+          s"kept trailing a moving cells/deletes refresh (stamp $stamp)")
+      }
+    }
+    val deletes = s.read.parquet(Staged.path(work, "deletes"))
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(snap("cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph_compact")))
+    val medoids = s.read.parquet(gsnap("knn_medoids_compact"))
+    val queries = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .join(broadcast(deletes.withColumnRenamed("vec_id", "query_id")),
+        Seq("query_id"), "left_anti")
+    graphWalkOf(queries, s.read.parquet(snap("probes")), medoids, graph,
+      iv, rounds = WalkRounds, beam = WalkBeam, topK = 5)
+  }
+
+  /** The q156 escalation ladder on the WALK route — q193's honest
+    * under-fill answered: run the label-filtered walk at the serving
+    * beam; queries whose filtered pool came up thinner than K
+    * (zero-row queries included — the universe is the query frame)
+    * re-walk at 2× beam (the knob q193's scaladoc names: a walk
+    * escalates its BUDGET, where a scan route escalates its probe
+    * width); everyone else keeps their narrow answer untouched.
+    * Output carries `escalated` (q156's metering column). The wide
+    * re-walk is restricted to deficient queries by broadcast
+    * semi-joins on BOTH walk inputs (queries and probes) — per-query
+    * traversal independence makes that exactly the full wide walk
+    * filtered, which is what the oracle replays.
+    */
+  private[graft] def escalatedFilteredWalk(queries: DataFrame,
+      probes: DataFrame, medoids: DataFrame, graph: DataFrame,
+      iv: DataFrame, labels: DataFrame, rounds: Int, beam: Int,
+      topK: Int): DataFrame = {
+    val base = labelFilteredWalkRank(
+        graphWalkVisited(queries, probes, medoids, graph, iv, rounds,
+          beam), labels, topK)
+      .localCheckpoint() // the deficiency agg + the keep side read it
+    val satisfied = base.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= topK)
+      .select(col("query_id"))
+    val deficient = queries.select(col("query_id")).distinct()
+      .join(satisfied, Seq("query_id"), "left_anti")
+    val wide = labelFilteredWalkRank(
+      graphWalkVisited(
+        queries.join(broadcast(deficient), Seq("query_id"), "left_semi"),
+        probes.join(broadcast(deficient), Seq("query_id"), "left_semi"),
+        medoids, graph, iv, rounds, 2 * beam),
+      labels, topK)
+    base.join(broadcast(deficient), Seq("query_id"), "left_anti")
+      .withColumn("escalated", lit(false))
+      .unionByName(wide.withColumn("escalated", lit(true)))
+  }
+
+  /** q196 — label-filtered graph-walk serving with UNDER-FILL
+    * ESCALATION ([[escalatedFilteredWalk]] over the staged walk
+    * assets): the production answer to q193's accepted under-fill,
+    * completing the walk's q156 analog. Cost is q156's shape: the
+    * deficiency test is a model-sized aggregate, and the re-walk pays
+    * the doubled beam ONLY for the deficient fraction. The oracle
+    * replays BOTH beam budgets from the shared seed CTE and selects
+    * per query by the same deficiency rule
+    * ([[walkEscalatedOracleSql]] — generated in lockstep).
+    */
+  def q196GraphWalkEscalated(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
+    val iv = scaledVectors(s, dir)
+      .join(s.read.parquet(snap("cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
+    val medoids = s.read.parquet(gsnap("knn_medoids"))
+    val queries = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    escalatedFilteredWalk(queries, s.read.parquet(snap("probes")),
+        medoids, graph, iv,
+        scaledVectors(s, dir).select(col("vec_id"), col("label")),
+        rounds = WalkRounds, beam = WalkBeam, topK = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** The walk core behind [[q189GraphWalk]], factored over plain
     * frames for GraphWalkSpec. `queries`: (query_id, qv, qn);
@@ -1457,24 +1711,51 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
             .as("cosine"))
-    // seeds: the probed cells' medoids (self excluded — the raw ANN
-    // routes never return the query itself)
-    var visited = score(
-      probes.join(medoids, "cluster")
-        .select(col("query_id"), col("medoid").as("neighbor_id"))
-        .where(col("neighbor_id") =!= col("query_id"))
-        .distinct())
-      .localCheckpoint()
-    // best-first over UNEXPANDED nodes (the DiskANN frontier rule):
-    // re-expanding a node adds nothing — its neighbors are already
-    // visited — so a frontier drawn from all of `visited` stalls as
-    // soon as the best beam nodes have all been expanded once
+    val visited = graphWalkLoop(
+      score(walkSeeds(probes, medoids)), graph, score,
+      Seq(col("cosine").desc, col("neighbor_id")), rounds, beam)
+    // tombstones mask RESULTS only — traversal above saw every node
+    // (FreshDiskANN's delete rule: dropping tombstones from the graph
+    // would disconnect routes; ranks are re-drawn over survivors)
+    mask match {
+      case Some(del) => visited.join(
+        broadcast(del.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+      case None => visited
+    }
+  }
+
+  /** Seeds of every walk variant: the probed cells' medoids (self
+    * excluded — the raw ANN routes never return the query itself).
+    */
+  private def walkSeeds(probes: DataFrame, medoids: DataFrame): DataFrame =
+    probes.join(medoids, "cluster")
+      .select(col("query_id"), col("medoid").as("neighbor_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .distinct()
+
+  /** The round loop every walk variant shares — exact-cosine (q189
+    * family) and ADC-priced (q194) walks differ ONLY in the pricing
+    * callback and the frontier ordering, which is exactly what this
+    * factoring pins: `seedsScored` is the already-priced seed set,
+    * `score` prices a (query_id, neighbor_id) candidate frame in the
+    * same shape, `orderCols` is the frontier election order (best
+    * first). Best-first over UNEXPANDED nodes (the DiskANN frontier
+    * rule): re-expanding a node adds nothing — its neighbors are
+    * already visited — so a frontier drawn from all of `visited`
+    * stalls as soon as the best beam nodes have all been expanded
+    * once. Driver-side loop over model-sized frames, one
+    * localCheckpoint per round (flat lineage).
+    */
+  private def graphWalkLoop(seedsScored: DataFrame, graph: DataFrame,
+      score: DataFrame => DataFrame, orderCols: Seq[Column],
+      rounds: Int, beam: Int): DataFrame = {
+    var visited = seedsScored.localCheckpoint()
     var expanded = visited
       .select(col("query_id"), col("neighbor_id").as("node"))
       .where(lit(false))
       .localCheckpoint()
-    val wb = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val wb = Window.partitionBy(col("query_id")).orderBy(orderCols: _*)
     for (_ <- 1 to rounds) {
       val frontier = visited
         .join(expanded.withColumnRenamed("node", "neighbor_id"),
@@ -1492,15 +1773,34 @@ object Similarity {
           Seq("query_id", "neighbor_id"), "left_anti")
       visited = visited.union(score(fresh)).localCheckpoint()
     }
-    // tombstones mask RESULTS only — traversal above saw every node
-    // (FreshDiskANN's delete rule: dropping tombstones from the graph
-    // would disconnect routes; ranks are re-drawn over survivors)
-    mask match {
-      case Some(del) => visited.join(
-        broadcast(del.select(col("vec_id").as("neighbor_id"))),
-        Seq("neighbor_id"), "left_anti")
-      case None => visited
-    }
+    visited
+  }
+
+  /** The ADC-priced walk behind [[q194GraphWalkPqRerank]], factored
+    * over plain frames for GraphWalkPqSpec: the SAME
+    * [[graphWalkLoop]] as the exact walk, with every pricing — seeds
+    * and expansions — an ADC broadcast-LUT join over the 4-byte PQ
+    * codes (`codes`: (vec_id, sub, code); `lut`: (query_id, sub,
+    * code, pd) from [[adcLutFor]]) and the frontier elected by
+    * MIN adc (ties by id). No full vector is touched during
+    * traversal — the DiskANN production premise: the graph's beam
+    * prices in compressed memory, exactness returns only in the final
+    * re-rank of a model-sized shortlist. Returns (query_id,
+    * neighbor_id, adc_dist).
+    */
+  private[graft] def graphWalkVisitedAdc(probes: DataFrame,
+      medoids: DataFrame, graph: DataFrame, codes: DataFrame,
+      lut: DataFrame, rounds: Int, beam: Int): DataFrame = {
+    val cy = codes.select(col("vec_id").as("neighbor_id"), col("sub"),
+      col("code"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(cy, "neighbor_id")
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("pd")).as("adc_dist"))
+    graphWalkLoop(
+      score(walkSeeds(probes, medoids)), graph, score,
+      Seq(col("adc_dist"), col("neighbor_id")), rounds, beam)
   }
 
   /** q193's result-side label filter over the walk's visited set —
@@ -5180,7 +5480,14 @@ object Similarity {
           q188KnnDescent(ss, d).where(col("query_id") < 20),
         Seq("cells", "knn_graph")),
       ("graph_walk_2probe", q189GraphWalk _,
-        Seq("cells", "probes", "knn_graph", "knn_medoids")))
+        Seq("cells", "probes", "knn_graph", "knn_medoids")),
+      // the {graph}x{compression} cell (round 16): the same walk
+      // priced by ADC codes, exactness only in the final re-rank —
+      // its delta vs graph_walk_2probe IS the quantized-traversal
+      // recall cost, and vs ivfpq_rerank_2probe the graph's gain
+      ("graph_walk_pq_rerank", q194GraphWalkPqRerank _,
+        Seq("cells", "probes", "knn_graph", "knn_medoids",
+          "pq_codebook", "pq_codes")))
     lastRecallRoutesRerun = 0
     methods.map { case (m, f, assets) =>
       val asset = s"recall/r_$m"
@@ -5440,6 +5747,9 @@ object Similarity {
     "q189_graph_walk" -> (q189GraphWalk _),
     "q192_graph_walk_masked" -> (q192GraphWalkMasked _),
     "q193_graph_walk_filtered" -> (q193GraphWalkFiltered _),
+    "q194_graph_walk_pq_rerank" -> (q194GraphWalkPqRerank _),
+    "q195_graph_compacted_walk" -> (q195GraphCompactedWalk _),
+    "q196_graph_walk_escalated" -> (q196GraphWalkEscalated _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
@@ -5764,6 +6074,89 @@ object Similarity {
   private def walkOracleSql: String =
     walkOracleSql(masked = false, filtered = false)
 
+  /** The exact-cosine pricing CTE every walk-oracle round shares. */
+  private def walkScoreSql(src: String): String = s"""
+             SELECT $src.query_id, $src.neighbor_id,
+               (list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
+                 / (q.qn * w.nrm)) AS cosine
+             FROM $src JOIN qv q ON q.query_id = $src.query_id
+                  JOIN civ w ON w.vec_id = $src.neighbor_id"""
+
+  /** The walk unroll's per-round CTE chain (frontier / expansion /
+    * visited fold), PREFIX-parameterized so two budgets can coexist
+    * in one query (the q196 escalation replays the same walk at 2×
+    * beam as a `w`-prefixed chain beside the unprefixed one). Round 0
+    * is `${p}v0` — callers alias it to the shared seed CTE.
+    */
+  private def walkRoundsSql(p: String, beam: Int): String =
+    (1 to WalkRounds).map { r =>
+      val pv = s"${p}v${r - 1}"
+      val notExpanded =
+        if (r == 1) ""
+        else "WHERE " + (1 until r).map(i =>
+          s"""NOT EXISTS (SELECT 1 FROM ${p}f$i
+              WHERE ${p}f$i.query_id = $pv.query_id
+                AND ${p}f$i.node = $pv.neighbor_id)""").mkString(" AND ")
+      s"""
+      ${p}f$r AS (SELECT query_id, neighbor_id AS node FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
+            query_id ORDER BY cosine DESC, neighbor_id) AS r
+          FROM $pv $notExpanded) WHERE r <= $beam),
+      ${p}n$r AS (SELECT DISTINCT ${p}f$r.query_id, g.neighbor_id
+             FROM ${p}f$r JOIN g ON g.node = ${p}f$r.node
+             WHERE g.neighbor_id <> ${p}f$r.query_id
+               AND NOT EXISTS (SELECT 1 FROM $pv
+                 WHERE $pv.query_id = ${p}f$r.query_id
+                   AND $pv.neighbor_id = g.neighbor_id)),
+      ${p}v$r AS (SELECT * FROM $pv UNION ALL ${walkScoreSql(s"${p}n$r")})"""
+    }.mkString(",")
+
+  /** The walk oracle's shared header CTEs: scaled vectors, the staged
+    * cell assignment, the symmetrized capped graph over `graphTable`,
+    * medoids from `medoidTable`, staged probes, the query frame, and
+    * the medoid-seeded `v0`. `queryMask` drops tombstoned QUERY ids
+    * (without masking results — q195's compacted read needs exactly
+    * that half: the compacted graph already contains no tombstones).
+    */
+  private def walkHeaderSql(withDel: Boolean, queryMask: Boolean,
+      graphTable: String, medoidTable: String): String = {
+    val delCte = if (withDel) """
+      del AS (SELECT vec_id
+              FROM '__GRAFT_STAGED__/deletes/*.parquet'),""" else ""
+    val qvMask = if (queryMask) """
+               AND NOT EXISTS (SELECT 1 FROM del
+                 WHERE del.vec_id = civ.vec_id)""" else ""
+    s"""
+      WITH $sqlScaled,
+      cells AS (SELECT vec_id, cluster
+                FROM '__GRAFT_STAGED__/cells/*.parquet'),$delCte
+      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm, iv.label
+              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
+      gr AS (SELECT query_id, neighbor_id
+             FROM '__GRAFT_STAGED__/$graphTable/*.parquet'),
+      g AS (SELECT query_id AS node, neighbor_id FROM gr
+            UNION SELECT neighbor_id AS node, query_id AS neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                      ORDER BY query_id) AS r
+                  FROM gr) t WHERE t.r <= $DescentReverseCap),
+      md AS (SELECT cluster, medoid
+             FROM '__GRAFT_STAGED__/$medoidTable/*.parquet'),
+      pr AS (SELECT query_id, cluster
+             FROM '__GRAFT_STAGED__/probes/*.parquet'),
+      qv AS (SELECT vec_id AS query_id, v AS qvv, nrm AS qn
+             FROM civ WHERE vec_id < 20$qvMask),
+      v0 AS (SELECT DISTINCT q.query_id, md.medoid AS neighbor_id,
+               (list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
+                 / (q.qn * w.nrm)) AS cosine
+             FROM pr JOIN md USING (cluster)
+                  JOIN qv q ON q.query_id = pr.query_id
+                  JOIN civ w ON w.vec_id = md.medoid
+             WHERE md.medoid <> q.query_id)"""
+  }
+
   /** `masked = true` adds q192's tombstone CTEs to the same unroll:
     * deleted query ids filter out of `qv` (zero rows), and the final
     * ranking is drawn over visited SURVIVORS — traversal CTEs are
@@ -5771,43 +6164,18 @@ object Similarity {
     * `filtered = true` emits q193's variant instead: the final
     * ranking joins the query's and neighbor's labels and keeps
     * matches only, again leaving traversal untouched.
+    * `graphTable`/`medoidTable`/`queryMask` re-aim the identical
+    * unroll at the COMPACTED graph family for q195 (tombstoned
+    * queries still masked — they have no row in the compacted
+    * assignment to exist by — but no result mask: the compacted graph
+    * contains no tombstones to mask).
     */
   private def walkOracleSql(masked: Boolean,
-      filtered: Boolean = false): String = {
-    def score(src: String) = s"""
-             SELECT $src.query_id, $src.neighbor_id,
-               (list_sum(list_transform(range(1, 65),
-                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
-                 / (q.qn * w.nrm)) AS cosine
-             FROM $src JOIN qv q ON q.query_id = $src.query_id
-                  JOIN civ w ON w.vec_id = $src.neighbor_id"""
-    val rounds = (1 to WalkRounds).map { r =>
-      val pv = s"v${r - 1}"
-      val notExpanded =
-        if (r == 1) ""
-        else "WHERE " + (1 until r).map(i =>
-          s"""NOT EXISTS (SELECT 1 FROM f$i
-              WHERE f$i.query_id = $pv.query_id
-                AND f$i.node = $pv.neighbor_id)""").mkString(" AND ")
-      s"""
-      f$r AS (SELECT query_id, neighbor_id AS node FROM (
-          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
-            query_id ORDER BY cosine DESC, neighbor_id) AS r
-          FROM $pv $notExpanded) WHERE r <= $WalkBeam),
-      n$r AS (SELECT DISTINCT f$r.query_id, g.neighbor_id
-             FROM f$r JOIN g ON g.node = f$r.node
-             WHERE g.neighbor_id <> f$r.query_id
-               AND NOT EXISTS (SELECT 1 FROM $pv
-                 WHERE $pv.query_id = f$r.query_id
-                   AND $pv.neighbor_id = g.neighbor_id)),
-      v$r AS (SELECT * FROM $pv UNION ALL ${score(s"n$r")})"""
-    }.mkString(",")
-    val delCte = if (masked) """
-      del AS (SELECT vec_id
-              FROM '__GRAFT_STAGED__/deletes/*.parquet'),""" else ""
-    val qvMask = if (masked) """
-               AND NOT EXISTS (SELECT 1 FROM del
-                 WHERE del.vec_id = civ.vec_id)""" else ""
+      filtered: Boolean = false,
+      graphTable: String = "knn_graph",
+      medoidTable: String = "knn_medoids",
+      queryMask: Boolean = false): String = {
+    val rounds = walkRoundsSql("", WalkBeam)
     val finalMask = if (masked) s"""
             WHERE NOT EXISTS (SELECT 1 FROM del
               WHERE del.vec_id = v$WalkRounds.neighbor_id)""" else ""
@@ -5829,12 +6197,100 @@ object Similarity {
       if (filtered)
         "query_id, CAST(rank AS INT) AS rank, neighbor_id, label, cosine"
       else "query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine"
+    s"""${walkHeaderSql(withDel = masked || queryMask,
+        queryMask = masked || queryMask, graphTable = graphTable,
+        medoidTable = medoidTable)},$rounds,
+      r AS ($finalRank)
+      SELECT $finalCols
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** q196's oracle — the SAME lockstep unroll replayed at TWO beam
+    * budgets in one query: the unprefixed chain at [[WalkBeam]]
+    * produces the narrow answer, the `w`-prefixed chain at 2× beam
+    * the escalated one (both from the shared seed CTE `v0` — beam
+    * only affects rounds), and the deficiency branch (q156's rule:
+    * fewer than topK label-filtered rows, zero-row queries included)
+    * selects per query. Stays in lockstep with
+    * [[WalkRounds]]/[[WalkBeam]] by construction.
+    */
+  private def walkEscalatedOracleSql: String = {
+    val r = WalkRounds
+    def rankOver(v: String) = s"""
+      SELECT $v.query_id, $v.neighbor_id, $v.cosine, wl.label,
+        ROW_NUMBER() OVER (PARTITION BY $v.query_id
+          ORDER BY $v.cosine DESC, $v.neighbor_id) AS rank
+      FROM $v
+           JOIN civ wl ON wl.vec_id = $v.neighbor_id
+           JOIN civ ql ON ql.vec_id = $v.query_id
+      WHERE wl.label = ql.label"""
+    s"""${walkHeaderSql(withDel = false, queryMask = false,
+        graphTable = "knn_graph", medoidTable = "knn_medoids")},
+      ${walkRoundsSql("", WalkBeam)},
+      wv0 AS (SELECT * FROM v0),${walkRoundsSql("w", 2 * WalkBeam)},
+      basek AS (SELECT * FROM (${rankOver(s"v$r")}) WHERE rank <= 5),
+      sat AS (SELECT query_id FROM basek
+              GROUP BY query_id HAVING COUNT(1) >= 5),
+      defq AS (SELECT query_id FROM qv
+               WHERE query_id NOT IN (SELECT query_id FROM sat)),
+      widek AS (SELECT * FROM (${rankOver(s"wv$r")}) WHERE rank <= 5)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, label,
+        cosine, escalated
+      FROM (
+        SELECT query_id, rank, neighbor_id, label, cosine,
+          FALSE AS escalated
+        FROM basek
+        WHERE query_id NOT IN (SELECT query_id FROM defq)
+        UNION ALL
+        SELECT query_id, rank, neighbor_id, label, cosine,
+          TRUE AS escalated
+        FROM widek
+        WHERE query_id IN (SELECT query_id FROM defq))
+      ORDER BY query_id, rank"""
+  }
+
+  /** q194's oracle — [[walkOracleSql]]'s lockstep unroll with the
+    * pricing CTEs swapped to ADC (q90's codes ⋈ LUT joins, the
+    * CAST(SUM AS BIGINT) exactness discipline of [[sqlAdc]]) and the
+    * exact-re-rank tail appended (q130's oracle shape): seeds and
+    * every round's expansion price by quantized distance, the
+    * frontier elects by MIN adc, and the final top-5 is the exact
+    * integer-dot cosine over the ADC top-[[RerankShortlist]]. Stays
+    * in lockstep with [[WalkRounds]]/[[WalkBeam]]/[[RerankShortlist]]
+    * by construction.
+    */
+  private def walkPqOracleSql: String = {
+    def adcScore(src: String) = s"""
+             SELECT $src.query_id, $src.neighbor_id,
+               CAST(SUM(l.pd) AS BIGINT) AS adc_dist
+             FROM $src JOIN codes c ON c.vec_id = $src.neighbor_id
+                  JOIN lut l ON l.query_id = $src.query_id
+                    AND l.sub = c.sub AND l.code = c.code
+             GROUP BY $src.query_id, $src.neighbor_id"""
+    val rounds = (1 to WalkRounds).map { r =>
+      val pv = s"v${r - 1}"
+      val notExpanded =
+        if (r == 1) ""
+        else "WHERE " + (1 until r).map(i =>
+          s"""NOT EXISTS (SELECT 1 FROM f$i
+              WHERE f$i.query_id = $pv.query_id
+                AND f$i.node = $pv.neighbor_id)""").mkString(" AND ")
+      s"""
+      f$r AS (SELECT query_id, neighbor_id AS node FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
+            query_id ORDER BY adc_dist, neighbor_id) AS r
+          FROM $pv $notExpanded) WHERE r <= $WalkBeam),
+      n$r AS (SELECT DISTINCT f$r.query_id, g.neighbor_id
+             FROM f$r JOIN g ON g.node = f$r.node
+             WHERE g.neighbor_id <> f$r.query_id
+               AND NOT EXISTS (SELECT 1 FROM $pv
+                 WHERE $pv.query_id = f$r.query_id
+                   AND $pv.neighbor_id = g.neighbor_id)),
+      nv$r AS (${adcScore(s"n$r")}),
+      v$r AS (SELECT * FROM $pv UNION ALL SELECT * FROM nv$r)"""
+    }.mkString(",")
     s"""
       WITH $sqlScaled,
-      cells AS (SELECT vec_id, cluster
-                FROM '__GRAFT_STAGED__/cells/*.parquet'),$delCte
-      civ AS (SELECT iv.vec_id, cells.cluster, iv.v, iv.nrm, iv.label
-              FROM iv JOIN cells ON iv.vec_id = cells.vec_id),
       gr AS (SELECT query_id, neighbor_id
              FROM '__GRAFT_STAGED__/knn_graph/*.parquet'),
       g AS (SELECT query_id AS node, neighbor_id FROM gr
@@ -5847,18 +6303,36 @@ object Similarity {
              FROM '__GRAFT_STAGED__/knn_medoids/*.parquet'),
       pr AS (SELECT query_id, cluster
              FROM '__GRAFT_STAGED__/probes/*.parquet'),
-      qv AS (SELECT vec_id AS query_id, v AS qvv, nrm AS qn
-             FROM civ WHERE vec_id < 20$qvMask),
-      v0 AS (SELECT DISTINCT q.query_id, md.medoid AS neighbor_id,
-               (list_sum(list_transform(range(1, 65),
-                  i -> CAST(q.qvv[i] * w.v[i] AS DOUBLE)))
-                 / (q.qn * w.nrm)) AS cosine
+      cb AS (SELECT * FROM '__GRAFT_STAGED__/pq_codebook/*.parquet'),
+      codes AS (SELECT * FROM '__GRAFT_STAGED__/pq_codes/*.parquet'),
+      ql AS (SELECT query_id,
+          CAST((g - 1) // $PqSubDim AS INT) AS sub,
+          CAST((g - 1) % $PqSubDim + 1 AS INT) AS dim, qw
+        FROM (SELECT vec_id AS query_id, unnest(v) AS qw,
+                generate_subscripts(v, 1) AS g
+              FROM iv WHERE vec_id < 20)),
+      lut AS (SELECT query_id, sub, code,
+          CAST(SUM((qw - w) * (qw - w)) AS BIGINT) AS pd
+        FROM ql JOIN cb USING (sub, dim) GROUP BY query_id, sub, code),
+      s0 AS (SELECT DISTINCT pr.query_id, md.medoid AS neighbor_id
              FROM pr JOIN md USING (cluster)
-                  JOIN qv q ON q.query_id = pr.query_id
-                  JOIN civ w ON w.vec_id = md.medoid
-             WHERE md.medoid <> q.query_id),$rounds,
-      r AS ($finalRank)
-      SELECT $finalCols
+             WHERE md.medoid <> pr.query_id),
+      v0 AS (${adcScore("s0")}),$rounds,
+      sl AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
+            query_id ORDER BY adc_dist, neighbor_id) AS arank
+          FROM v$WalkRounds) WHERE arank <= $RerankShortlist),
+      x AS (SELECT sl.query_id, sl.neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)
+            AS cosine
+        FROM sl JOIN iv q ON q.vec_id = sl.query_id
+          JOIN iv n ON n.vec_id = sl.neighbor_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM x)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
@@ -6768,6 +7242,15 @@ object Similarity {
     // ...and with the label-filter final instead
     "q193_graph_walk_filtered" ->
       walkOracleSql(masked = false, filtered = true),
+    // the same unroll with ADC pricing CTEs + the exact-rerank tail
+    "q194_graph_walk_pq_rerank" -> walkPqOracleSql,
+    // the same unroll re-aimed at the compacted graph family: query
+    // mask kept, result mask dropped (compaction consumed the feed)
+    "q195_graph_compacted_walk" -> walkOracleSql(masked = false,
+      graphTable = "knn_graph_compact",
+      medoidTable = "knn_medoids_compact", queryMask = true),
+    // two beam budgets from one seed CTE + the deficiency branch
+    "q196_graph_walk_escalated" -> walkEscalatedOracleSql,
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,
       scored AS (

@@ -278,16 +278,16 @@ object EventStreams {
         // deliveries of one doc_id with CONFLICTING text are a feed
         // bug, but the log must still be deterministic under them
         // (dropDuplicates keeps an arbitrary row). ACROSS batches the
-        // rule is first-write-wins — the anti-join below keeps the
-        // already-logged row and drops the redelivery — so a
-        // conflicting feed resolves by arrival order at batch
-        // granularity: deterministic for any FIXED batching, identical
-        // under every batching when deliveries agree (the non-buggy
-        // feed), and never an in-place rewrite of the insert-monotone
-        // log. The two rules differ only for a conflicting feed whose
-        // batch boundaries move; pick MIN/MAX-against-the-log instead
-        // if that case must be arrival-independent (it would cost an
-        // upsert rewrite of the log partition)
+        // rule is ARRIVAL-INDEPENDENT (the round-16 unification —
+        // previously first-write-wins, which made a conflicting
+        // feed's survivor depend on where the batch boundary fell):
+        // identical redeliveries drop via the content-keyed anti-join
+        // below, a conflicting redelivery APPENDS, and readers
+        // resolve per doc by the SAME MAX fold
+        // ([[resolvedPackCounts]]) — so resolved log content is the
+        // per-key maximum over every row ever delivered, identical
+        // under ANY batching, while the log file stays append-only.
+        // IngestRebatchSpec pins the two-batchings identity.
         val counts = graft.ops.Text.tokenCountsOf(batch)
           .groupBy(col("doc_id"))
           .agg(max(col("n_tokens")).as("n_tokens"))
@@ -297,7 +297,7 @@ object EventStreams {
           else s.emptyDataFrame.select(lit(0L).as("doc_id"),
             lit(0L).as("n_tokens")).limit(0)
         counts
-          .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .join(existing, Seq("doc_id", "n_tokens"), "left_anti")
           // fully evaluate before appending to the same path
           // (read-your-own-writes hazard — the dedupIngest note)
           .localCheckpoint()
@@ -305,6 +305,16 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** The read-side resolve of [[packIngestStream]]'s count log: one
+    * row per doc_id, conflicts folded by the same MAX the in-batch
+    * rule applies (the arrival-independence contract's read half —
+    * every consumer goes through this).
+    */
+  def resolvedPackCounts(s: SparkSession, stagedDir: String): DataFrame =
+    s.read.parquet(s"$stagedDir/pack_counts")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"))
 
   /** Streaming ingest twin of the VIDEO near-dup family (q185): a
     * continuous feed of per-frame hashes — (doc_id, frame_idx, h),
@@ -330,7 +340,7 @@ object EventStreams {
     * q191) bands — computed in the one decode pass upstream: one
     * twin, one log, both derivations.
     *
-    * REDELIVERY RULE (arrival-independent — the round-15 unification):
+    * REDELIVERY RULE (arrival-independent — the round-16 unification):
     * a redelivered row whose content equals a logged row drops (the
     * all-columns anti-join — replays and fresh-checkpoint redeliveries
     * append nothing); a CONFLICTING redelivery (same (doc, frame),
@@ -620,11 +630,21 @@ object EventStreams {
     * ([[refreshKnnGraphFromLog]]), never incremental edge upserts.
     * Per micro-batch: in-batch vec_id replays fold by MAX(v)
     * (deterministic under a conflicting feed — the
-    * [[packIngestStream]] rule; cross-batch redeliveries are
-    * first-write-wins via the anti-join), new vectors assign to their
-    * cell through the model's own [[graft.ops.Similarity.cellAssignment]]
+    * [[packIngestStream]] rule), new vectors assign to their cell
+    * through the model's own [[graft.ops.Similarity.cellAssignment]]
     * (the [[semDedupStarStream]] discipline) and append one narrow
     * row each. State is corpus-linear parquet, never the state store.
+    *
+    * REDELIVERY RULE (arrival-independent — the round-16
+    * unification): identical redeliveries drop via the content-keyed
+    * (vec_id, v) anti-join; a CONFLICTING redelivery (same vec_id,
+    * different vector — a feed bug) APPENDS, and readers resolve per
+    * vec_id by the SAME lexicographic-MAX(v) fold
+    * ([[resolvedKnnVectorLog]], which the refresh goes through) — so
+    * resolved log content, and therefore the derived graph, is
+    * identical under ANY batching of the same feed. nrm and cluster
+    * are pure functions of v, so the struct fold can never pair one
+    * delivery's vector with another's derived columns.
     */
   def knnGraphIngestStream(vectors: DataFrame,
       centroids: Array[Array[Double]], stagedDir: String,
@@ -647,7 +667,10 @@ object EventStreams {
           if (stagedExists(s, path)) s.read.parquet(path)
           else rows.limit(0)
         rows
-          .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          // content-keyed: identical redeliveries drop, conflicts
+          // append and resolve at read time (arrival-independence)
+          .join(existing.select(col("vec_id"), col("v")),
+            Seq("vec_id", "v"), "left_anti")
           // fully evaluate before appending to the same path
           // (read-your-own-writes hazard — the dedupIngest note)
           .localCheckpoint()
@@ -655,6 +678,19 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** The read-side resolve of [[knnGraphIngestStream]]'s vector log:
+    * one row per vec_id, conflicts folded by the same
+    * lexicographic-MAX(v) the in-batch rule applies; nrm/cluster ride
+    * the winning row (functions of v). Every consumer — the graph
+    * refresh included — goes through this.
+    */
+  def resolvedKnnVectorLog(s: SparkSession, stagedDir: String): DataFrame =
+    s.read.parquet(s"$stagedDir/knn_vectors")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("v"), col("nrm"), col("cluster"))).as("w"))
+      .select(col("vec_id"), col("w.cluster").as("cluster"),
+        col("w.v").as("v"), col("w.nrm").as("nrm"))
 
   /** The graph refresh over [[knnGraphIngestStream]]'s vector log:
     * exactly the batch derivation ([[graft.ops.Similarity.knnGraphOf]]
@@ -666,7 +702,7 @@ object EventStreams {
     */
   def refreshKnnGraphFromLog(s: SparkSession, stagedDir: String): Unit = {
     import graft.ops.{Similarity, Staged}
-    val iv = s.read.parquet(s"$stagedDir/knn_vectors")
+    val iv = resolvedKnnVectorLog(s, stagedDir)
       .localCheckpoint() // graph, bridges, rescore all read it
     // THE batch derivation, not a restatement of it — a recipe change
     // (degree, rounds, bridge rule) cannot silently fork the stream
@@ -1494,6 +1530,55 @@ object EventStreams {
           .select(col("query_id"), col("cluster"))
         val res = graft.ops.Similarity
           .tombstoneSearchOn(s, dir, work, probes)
+        val fresh =
+          if (stagedExists(s, path))
+            res.join(
+              s.read.parquet(path).select(col("query_id")).distinct(),
+              Seq("query_id"), "left_anti")
+          else res
+        fresh.localCheckpoint().write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
+  /** Streaming GRAPH-WALK serving — the serving twin of the
+    * TABLE-BEST-recall route (q189, 0.95/0.81 in the q126 table),
+    * closing the one serving-stream matrix gap the round-15 verdict
+    * named: micro-batches of query vectors select their nprobe cells
+    * from the broadcast flat centroids
+    * ([[graft.ops.Similarity.ivfProbes]], no shuffle — the
+    * tombstoneSearchStream probe discipline) and answer through the
+    * SAME [[graft.ops.Similarity.graphWalkServeOn]] chain the batch
+    * entry runs — snapshot-resolved + stamp-cross-checked staged
+    * graph/medoids, medoid seeds, [[graft.ops.Similarity
+    * .WalkRounds]]×[[graft.ops.Similarity.WalkBeam]] best-first
+    * expansion, exact pricing — so streamed == batch is mechanism.
+    * The per-batch cost is the walk's bounded score budget per query
+    * plus the rounds× graph-table joins amortized over the batch (the
+    * q189 economics); the graph refreshes independently of the query
+    * stream (the [[knnGraphIngestStream]] log + refresh is the write
+    * half). Results append-only, effectively-once per query id.
+    * GraphWalkSearchStreamSpec pins streamed == batch q189
+    * row-for-row on the real embeddings.
+    */
+  def graphWalkSearchStream(queries: DataFrame, dir: String,
+      work: String, centroids: Array[Array[Double]], nprobe: Int,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import graft.ops.Similarity
+        val path = s"$work/graph_walk_results_stream"
+        val q = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+          .localCheckpoint() // probe selection + the walk read it
+        val probes = Similarity.ivfProbes(q, centroids, nprobe)
+          .select(col("query_id"), col("cluster"))
+        val (snap, gsnap) = Similarity.resolveWalkSnapshots(s, dir, work)
+        val res = Similarity.graphWalkServeOn(s, dir, snap, gsnap,
+          q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn")), probes)
         val fresh =
           if (stagedExists(s, path))
             res.join(

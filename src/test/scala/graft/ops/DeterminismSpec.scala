@@ -116,7 +116,13 @@ class DeterminismSpec extends SparkSpec {
     // q191: the sampled banded pair emission meeting per-doc SAMPLED
     // counts in the delta-voting fold
     "q190_unigram_mstep", "q191_video_cut_containment",
-    "q192_graph_walk_masked", "q193_graph_walk_filtered")
+    "q192_graph_walk_masked", "q193_graph_walk_filtered",
+    // q194: the ADC-priced frontier elections + the shortlist window
+    // + the exact re-rank must all survive a re-partitioned shuffle
+    "q194_graph_walk_pq_rerank",
+    // q195: the compacted derivation's windows + the walk; q196: two
+    // beam budgets' frontier elections + the deficiency branch
+    "q195_graph_compacted_walk", "q196_graph_walk_escalated")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -47,7 +47,7 @@ class PackIngestStreamSpec extends SparkSpec {
         .awaitTermination()
     def derived(): Seq[(Long, Long, Long, Long, Long)] =
       Text.packIndexOfCounts(
-        spark.read.parquet(s"$staged/pack_counts"))
+        EventStreams.resolvedPackCounts(spark, staged))
         .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
 
     // 3-way split that scatters id order across batches, with an

@@ -99,6 +99,11 @@ object Explain {
     "q187_knn_graph", // dup-collapsed in-cell k-NN: (cluster,v) window, rep equi-join pricing, WindowGroupLimit cuts
     "q188_knn_descent", // staged-graph serve: a parquet read + presentation sort (the build rides the staging lane)
     "q189_graph_walk", // final walk round: broadcast frontier equi-joins, anti-join dedup, per-query rank window
+    "q192_graph_walk_masked", // q189's shape + two broadcast anti-joins (result mask + query mask)
+    "q193_graph_walk_filtered", // q189's shape + label join, ranks re-drawn over matching survivors
+    "q194_graph_walk_pq_rerank", // ADC-priced final round (codes join + broadcast LUT + partial-agg sum) + exact re-rank of the broadcast shortlist
+    "q195_graph_compacted_walk", // q189's shape over the compacted pair, no result mask
+    "q196_graph_walk_escalated", // narrow keep-side anti-join ∪ deficient 2x-beam re-walk, escalated flag
     "q190_unigram_mstep", // staged-segs partial-agg counts + model join + 1-row broadcast normalizer
     "q191_video_cut_containment", // cut-sampled frames through the (band,bkey) equi-join + delta-vote groupBy
     "q72_stitch_contigs") // closed-form stitch aggregation

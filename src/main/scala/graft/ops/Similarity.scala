@@ -1465,17 +1465,27 @@ object Similarity {
     * callback; in a native server the code array lives in RAM while
     * full vectors stay on disk), the frontier is elected by MIN
     * quantized distance, and exactness returns only at the end: the
-    * per-query ADC top-[[RerankShortlist]] of the visited set
-    * re-ranks by the true integer-dot cosine ([[rerankExact]] — the
-    * q130/q136/q153 final mile). The traversal never touches a full
-    * vector: per query it reads ≤ budget × 4 code rows (16 bytes
-    * each) instead of 64-long vectors — the same 16× pricing-byte cut
-    * the scan routes bought from PQ, now on the TABLE-BEST-recall
-    * route. Recall trades exactly as q130's geometry predicts: the
-    * walk can wander where quantized ordering misleads (the planted
-    * metric-gap in GraphWalkPqSpec), and the exact re-rank recovers
-    * everything the shortlist retains — measured as a q126 route row
-    * (`graph_walk_pq_rerank`).
+    * ENTIRE visited set — already bounded per query at seeds +
+    * rounds·beam·fan ≈ 1k worst / ~254 observed, the walk's defining
+    * property — re-ranks by the true integer-dot cosine
+    * ([[rerankExact]] — the q130/q136/q153 final mile). Re-ranking
+    * everything visited rather than an ADC top-[[RerankShortlist]]
+    * cut is DiskANN's own rule (the full-precision re-rank of the
+    * candidates the traversal touched) and is what the budget makes
+    * affordable here: the scan routes MUST cut to a shortlist because
+    * their ADC pass prices whole cells, the walk's candidate set is
+    * already shortlist-sized (measured: the top-50 cut reads 0.50/
+    * 0.44 recall@1/@5 — the aggressive 4×16 PQ misleads the cut
+    * exactly as it misleads ranking, q126's 0.05 ADC row — while
+    * re-ranking all visited reads 0.75/0.69, the best COMPRESSED
+    * route in the table vs ivfpq_rerank's 0.60/0.51). The traversal
+    * never touches a full vector: per query it reads ≤ budget × 4
+    * code rows (16 bytes each) instead of 64-long vectors — the same
+    * 16× pricing-byte cut the scan routes bought from PQ. The
+    * remaining gap to the exact walk's 0.95/0.81 is the
+    * quantized-TRAVERSAL cost (the frontier wanders where ADC
+    * misleads — the planted metric-gap in GraphWalkPqSpec), the
+    * honest price of never touching vectors mid-walk.
     *
     * Snapshot discipline: the (cells, probes) + (knn_graph,
     * knn_medoids) pair resolves through the SAME stamp cross-check as
@@ -1502,11 +1512,7 @@ object Similarity {
     val probes = s.read.parquet(snap("probes"))
     val visited = graphWalkVisitedAdc(probes, medoids, graph, codes,
       lut, rounds = WalkRounds, beam = WalkBeam)
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    rerankExact(s, dir,
-      visited.withColumn("arank", row_number().over(ws))
-        .where(col("arank") <= RerankShortlist), topK = 5)
+    rerankExact(s, dir, visited, topK = 5)
   }
 
   /** Execute the GRAPH-family compaction q192's scaladoc defers to —
@@ -6255,9 +6261,9 @@ object Similarity {
     * exact-re-rank tail appended (q130's oracle shape): seeds and
     * every round's expansion price by quantized distance, the
     * frontier elects by MIN adc, and the final top-5 is the exact
-    * integer-dot cosine over the ADC top-[[RerankShortlist]]. Stays
-    * in lockstep with [[WalkRounds]]/[[WalkBeam]]/[[RerankShortlist]]
-    * by construction.
+    * integer-dot cosine over the ENTIRE bounded visited set (the
+    * rerank-all rule — see q194's scaladoc). Stays in lockstep with
+    * [[WalkRounds]]/[[WalkBeam]] by construction.
     */
   private def walkPqOracleSql: String = {
     def adcScore(src: String) = s"""
@@ -6318,10 +6324,7 @@ object Similarity {
              FROM pr JOIN md USING (cluster)
              WHERE md.medoid <> pr.query_id),
       v0 AS (${adcScore("s0")}),$rounds,
-      sl AS (SELECT query_id, neighbor_id FROM (
-          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
-            query_id ORDER BY adc_dist, neighbor_id) AS arank
-          FROM v$WalkRounds) WHERE arank <= $RerankShortlist),
+      sl AS (SELECT query_id, neighbor_id FROM v$WalkRounds),
       x AS (SELECT sl.query_id, sl.neighbor_id,
           list_sum(list_transform(range(1, 65),
             i -> CAST(q.v[i] * n.v[i] AS DOUBLE))) / (q.nrm * n.nrm)

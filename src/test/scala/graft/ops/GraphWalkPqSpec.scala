@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   *     order — the quantized top-1 is wrong, and the exact re-rank of
   *     the ADC shortlist returns the true order;
   *  3. shortlist-recall semantics: the exact re-rank recovers ONLY
-  *     what the ADC shortlist retains — at width 1 the true neighbor
+  *     what its shortlist retains — at width 1 the true neighbor
   *     (ADC rank 2) is unrecoverable, the honest bound every
-  *     compressed route carries (q137's width logic).
+  *     compressed route carries (q137's width logic). This is
+  *     exactly why the shipped q194 re-ranks the ENTIRE bounded
+  *     visited set (DiskANN's rerank-all rule; measured 0.75/0.69
+  *     vs 0.50/0.44 for an ADC top-50 cut): the walk's candidate
+  *     set is already shortlist-sized, so no ADC-ordered cut — which
+  *     the quantizer misleads exactly as it misleads ranking — needs
+  *     to sit between traversal and exactness.
   */
 class GraphWalkPqSpec extends SparkSpec {
   import spark.implicits._

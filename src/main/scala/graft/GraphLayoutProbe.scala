@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, Staged}
+import graft.ops.{Dedup, Similarity}
 
 /** The round-15 watch item, measured: each walk round hash-joins a
   * model-sized frontier against the FULL staged graph table — Spark
@@ -48,7 +48,12 @@ object GraphLayoutProbe {
       .select(col("neighbor_id").as("node"),
         col("query_id").as("neighbor_id"))
     val substrate = fwd.union(rev).distinct().localCheckpoint()
-    val base = s"${sys.props("java.io.tmpdir")}/graft_graph_layout_x$factor"
+    // cache keyed by the resolved graph VERSION, not just the factor —
+    // a restaged graph (new testdata, new recipe) must not silently
+    // re-measure stale layouts
+    val gv = new java.io.File(gsnap("knn_graph")).getName
+    val base = s"${sys.props("java.io.tmpdir")}/" +
+      s"graft_graph_layout_x${factor}_$gv"
     val flatPath = s"$base/flat"
     val bktPath = s"$base/bkt"
     if (!new java.io.File(flatPath).exists())
@@ -105,7 +110,7 @@ object GraphLayoutProbe {
             // checkpointed ≤ queries×beam frame
             val bks = frontier
               .select(pmod(col("node"), lit(Buckets)).as("nb"))
-              .distinct().collect().map(_.getLong(0))
+              .distinct().collect().map(_.getLong(0)).toIndexedSeq
             bucketsTouched += bks.length
             spark.read.parquet(bktPath)
               .where(col("nb").isin(bks: _*))

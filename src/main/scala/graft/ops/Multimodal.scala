@@ -1077,6 +1077,21 @@ object Multimodal {
     * (`hot_buckets`), never average-occupancy mass. q185's
     * per-(frame, band) keying never had the bound — its key space
     * grows with the timeline — so it keeps the 64-bit hash.
+    *
+    * Tolerance trade, stated plainly: the verify cut stays Hamming
+    * ≤ 3 — now over 128 bits, so the RELATIVE noise tolerance halves
+    * (3/128 vs the old 3/64), and the deeper 16×8 corner includes
+    * higher vertical frequencies whose bits flip more readily under
+    * codec noise. This is the PRICE of the corpus-sized key space,
+    * not an accident: pigeonhole ties tolerance to band count
+    * (d ≤ B−1 with one clean band) and key width to 128/B bits, so
+    * raising tolerance back to 7 would need 8×16-bit bands — exactly
+    * the cliff being removed. The planted tables certify exact
+    * invariances (brightness-shifted re-encodes are Hamming 0 on both
+    * words), which this repo's codecs actually produce; a deployment
+    * whose re-encodes exceed d = 3 at 128 bits should shard the
+    * corpus on a coarse content key and band the classic 64-bit hash
+    * within shards instead — same oracle, different partitioner.
     */
   private[graft] def clipHashPairs(hashes0: DataFrame): DataFrame = {
     // eager: per-doc counts + both band-join sides read it (q31 note)

@@ -1331,26 +1331,53 @@ object Similarity {
     * PQ-priced q194.
     */
   private[graft] def resolveWalkSnapshots(s: SparkSession, dir: String,
-      work: String): (Map[String, String], Map[String, String]) = {
-    var snap: Map[String, String] = null
-    var gsnap: Map[String, String] = null
+      work: String): (Map[String, String], Map[String, String]) =
+    resolveStamped(
+      () => ensureKnnGraph(s, dir, work),
+      () => {
+        val s1 = Staged.resolveGroup(work, Seq("cells", "probes"))
+        (s1, s"cells=${new java.io.File(s1("cells")).getName}")
+      },
+      work, Seq("knn_graph", "knn_medoids"), "graph walk")
+
+  /** The stamp-retry loop [[resolveWalkSnapshots]] and the compacted
+    * walk share: resolve the SOURCE snapshot(s) and the expected
+    * stamp they imply (`sources` — re-evaluated each attempt, so the
+    * pinned source paths and the stamp always come from the same
+    * resolve), then the derived family's group stamp; on mismatch
+    * re-ensure and retry, failing by name if the sources keep moving.
+    * Returns (source snapshot, derived-family snapshot).
+    */
+  private def resolveStamped(ensure: () => Unit,
+      sources: () => (Map[String, String], String),
+      work: String, stampedAssets: Seq[String],
+      what: String): (Map[String, String], Map[String, String]) = {
+    var out: (Map[String, String], Map[String, String]) = null
     var attempt = 0
-    while (snap == null) {
-      ensureKnnGraph(s, dir, work)
-      val s1 = Staged.resolveGroup(work, Seq("cells", "probes"))
-      val (g1, stamp) =
-        Staged.resolveGroupStamped(work, Seq("knn_graph", "knn_medoids"))
-      val cellsV = new java.io.File(s1("cells")).getName
-      if (stamp == s"cells=$cellsV") { snap = s1; gsnap = g1 }
+    while (out == null) {
+      ensure()
+      val (src, want) = sources()
+      val (g1, stamp) = Staged.resolveGroupStamped(work, stampedAssets)
+      if (stamp == want) out = (src, g1)
       else {
         attempt += 1
-        require(attempt < 5, "graph walk: staged graph kept trailing " +
-          s"a moving cells refresh (graph stamp $stamp vs resolved " +
-          s"$cellsV)")
+        require(attempt < 5, s"$what: staged derived assets kept " +
+          s"trailing a moving source refresh (stamp $stamp vs " +
+          s"expected $want)")
       }
     }
-    (snap, gsnap)
+    out
   }
+
+  /** The (vec_id, cluster, v, nrm) corpus frame every walk entry and
+    * the serving chain read — scaled vectors joined to the resolved
+    * cell assignment, one definition instead of five inline copies.
+    */
+  private[graft] def walkVectors(s: SparkSession, dir: String,
+      snap: Map[String, String]): DataFrame =
+    scaledVectors(s, dir)
+      .join(s.read.parquet(snap("cells")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
 
   /** The walk's traversal substrate from a staged edge table: traverse
     * UNDIRECTED — k-NN edges are asymmetric, and greedy navigation
@@ -1389,9 +1416,7 @@ object Similarity {
       queries: DataFrame, probes: DataFrame, topK: Int = 5,
       mask: Option[DataFrame] = None,
       filterLabels: Option[DataFrame] = None): DataFrame = {
-    val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(snap("cells")), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val iv = walkVectors(s, dir, snap)
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     filterLabels match {
@@ -1407,9 +1432,7 @@ object Similarity {
       masked: Boolean, filtered: Boolean = false): DataFrame = {
     val work = Dedup.stageRoot(dir)
     val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
-    val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(snap("cells")), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val iv = walkVectors(s, dir, snap)
     // the delete feed reads OUTSIDE the two snapshot groups
     // deliberately (q153's reasoning, restated here because the walk
     // otherwise goes to stamp-check lengths): it is an independent
@@ -1586,25 +1609,27 @@ object Similarity {
     */
   def q195GraphCompactedWalk(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
-    var snap: Map[String, String] = null
-    var gsnap: Map[String, String] = null
-    var attempt = 0
-    while (snap == null) {
-      ensureCompactedKnnGraph(s, dir, work)
-      val s1 = Staged.resolveGroup(work, Seq("cells", "probes"))
-      val (g1, stamp) = Staged.resolveGroupStamped(work,
-        Seq("knn_graph_compact", "knn_medoids_compact"))
-      if (stamp == compactedGraphKey(work)) { snap = s1; gsnap = g1 }
-      else {
-        attempt += 1
-        require(attempt < 5, "compacted walk: staged compacted graph " +
-          s"kept trailing a moving cells/deletes refresh (stamp $stamp)")
-      }
-    }
-    val deletes = s.read.parquet(Staged.path(work, "deletes"))
-    val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(snap("cells")), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    // the deletes feed is resolved INSIDE the stamp loop to the exact
+    // VERSION the stamp records — unlike q192's live-symlink read
+    // (where newest-feed-vs-pinned-index IS the tombstone semantics),
+    // the compacted route has no result mask, so a delete restage
+    // landing mid-query must not widen the query mask past the
+    // generation the compaction consumed
+    val (snap, gsnap) = resolveStamped(
+      () => ensureCompactedKnnGraph(s, dir, work),
+      () => {
+        val s1 = Staged.resolveGroup(work, Seq("cells", "probes"))
+        val delV = Staged.versionOf(work, "deletes").getOrElse("absent")
+        val delPath = java.nio.file.Paths
+          .get(work, ".v", "deletes", delV).toString
+        (s1 + ("deletes" -> delPath),
+          s"cells=${new java.io.File(s1("cells")).getName}," +
+            s"deletes=$delV")
+      },
+      work, Seq("knn_graph_compact", "knn_medoids_compact"),
+      "compacted walk")
+    val deletes = s.read.parquet(snap("deletes"))
+    val iv = walkVectors(s, dir, snap)
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph_compact")))
     val medoids = s.read.parquet(gsnap("knn_medoids_compact"))
     val queries = iv.where(col("vec_id") < 20)
@@ -1666,9 +1691,7 @@ object Similarity {
   def q196GraphWalkEscalated(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
-    val iv = scaledVectors(s, dir)
-      .join(s.read.parquet(snap("cells")), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val iv = walkVectors(s, dir, snap)
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     val queries = iv.where(col("vec_id") < 20)
@@ -6092,10 +6115,16 @@ object Similarity {
   /** The walk unroll's per-round CTE chain (frontier / expansion /
     * visited fold), PREFIX-parameterized so two budgets can coexist
     * in one query (the q196 escalation replays the same walk at 2×
-    * beam as a `w`-prefixed chain beside the unprefixed one). Round 0
+    * beam as a `w`-prefixed chain beside the unprefixed one) and
+    * PRICING-parameterized so the exact and ADC walks share ONE
+    * unroll exactly as the Spark side shares [[graphWalkLoop]]
+    * (`score` prices an expansion CTE, `frontierOrder` elects the
+    * beam — "cosine DESC" for exact, "adc_dist" for q194). Round 0
     * is `${p}v0` — callers alias it to the shared seed CTE.
     */
-  private def walkRoundsSql(p: String, beam: Int): String =
+  private def walkRoundsSql(p: String, beam: Int,
+      score: String => String = walkScoreSql,
+      frontierOrder: String = "cosine DESC"): String =
     (1 to WalkRounds).map { r =>
       val pv = s"${p}v${r - 1}"
       val notExpanded =
@@ -6107,7 +6136,7 @@ object Similarity {
       s"""
       ${p}f$r AS (SELECT query_id, neighbor_id AS node FROM (
           SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
-            query_id ORDER BY cosine DESC, neighbor_id) AS r
+            query_id ORDER BY $frontierOrder, neighbor_id) AS r
           FROM $pv $notExpanded) WHERE r <= $beam),
       ${p}n$r AS (SELECT DISTINCT ${p}f$r.query_id, g.neighbor_id
              FROM ${p}f$r JOIN g ON g.node = ${p}f$r.node
@@ -6115,7 +6144,7 @@ object Similarity {
                AND NOT EXISTS (SELECT 1 FROM $pv
                  WHERE $pv.query_id = ${p}f$r.query_id
                    AND $pv.neighbor_id = g.neighbor_id)),
-      ${p}v$r AS (SELECT * FROM $pv UNION ALL ${walkScoreSql(s"${p}n$r")})"""
+      ${p}v$r AS (SELECT * FROM $pv UNION ALL ${score(s"${p}n$r")})"""
     }.mkString(",")
 
   /** The walk oracle's shared header CTEs: scaled vectors, the staged
@@ -6273,28 +6302,9 @@ object Similarity {
                   JOIN lut l ON l.query_id = $src.query_id
                     AND l.sub = c.sub AND l.code = c.code
              GROUP BY $src.query_id, $src.neighbor_id"""
-    val rounds = (1 to WalkRounds).map { r =>
-      val pv = s"v${r - 1}"
-      val notExpanded =
-        if (r == 1) ""
-        else "WHERE " + (1 until r).map(i =>
-          s"""NOT EXISTS (SELECT 1 FROM f$i
-              WHERE f$i.query_id = $pv.query_id
-                AND f$i.node = $pv.neighbor_id)""").mkString(" AND ")
-      s"""
-      f$r AS (SELECT query_id, neighbor_id AS node FROM (
-          SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY
-            query_id ORDER BY adc_dist, neighbor_id) AS r
-          FROM $pv $notExpanded) WHERE r <= $WalkBeam),
-      n$r AS (SELECT DISTINCT f$r.query_id, g.neighbor_id
-             FROM f$r JOIN g ON g.node = f$r.node
-             WHERE g.neighbor_id <> f$r.query_id
-               AND NOT EXISTS (SELECT 1 FROM $pv
-                 WHERE $pv.query_id = f$r.query_id
-                   AND $pv.neighbor_id = g.neighbor_id)),
-      nv$r AS (${adcScore(s"n$r")}),
-      v$r AS (SELECT * FROM $pv UNION ALL SELECT * FROM nv$r)"""
-    }.mkString(",")
+    // the SAME shared unroll as q189/q192/q193/q196, pricing swapped
+    // (the Spark side's graphWalkLoop parameterization, mirrored)
+    val rounds = walkRoundsSql("", WalkBeam, adcScore, "adc_dist")
     s"""
       WITH $sqlScaled,
       gr AS (SELECT query_id, neighbor_id

@@ -1571,21 +1571,29 @@ object EventStreams {
         val s = batch.sparkSession
         import graft.ops.Similarity
         val path = s"$work/graph_walk_results_stream"
-        val q = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
-          .localCheckpoint() // probe selection + the walk read it
-        val probes = Similarity.ivfProbes(q, centroids, nprobe)
-          .select(col("query_id"), col("cluster"))
-        val (snap, gsnap) = Similarity.resolveWalkSnapshots(s, dir, work)
-        val res = Similarity.graphWalkServeOn(s, dir, snap, gsnap,
-          q.select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qn")), probes)
-        val fresh =
-          if (stagedExists(s, path))
-            res.join(
-              s.read.parquet(path).select(col("query_id")).distinct(),
-              Seq("query_id"), "left_anti")
-          else res
-        fresh.localCheckpoint().write.mode("append").parquet(path)
+        // effectively-once guard BEFORE the walk, not after: the walk
+        // loop's per-round checkpoints execute eagerly, so a
+        // redelivered query filtered at the end would still pay the
+        // whole rounds×beam traversal to append nothing — anti-join
+        // the batch against the served log first and skip an
+        // all-replay batch entirely (the compactionStream discipline)
+        val q0 = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+        val q = (if (stagedExists(s, path))
+            q0.join(s.read.parquet(path)
+                .select(col("query_id").as("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+          else q0).localCheckpoint() // probes + the walk read it
+        if (!q.isEmpty) {
+          val probes = Similarity.ivfProbes(q, centroids, nprobe)
+            .select(col("query_id"), col("cluster"))
+          val (snap, gsnap) =
+            Similarity.resolveWalkSnapshots(s, dir, work)
+          Similarity.graphWalkServeOn(s, dir, snap, gsnap,
+              q.select(col("vec_id").as("query_id"),
+                col("v").as("qv"), col("nrm").as("qn")), probes)
+            .localCheckpoint()
+            .write.mode("append").parquet(path)
+        }
         ()
       }
       .start()

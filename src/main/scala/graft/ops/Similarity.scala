@@ -1667,15 +1667,26 @@ object Similarity {
       .select(col("query_id"))
     val deficient = queries.select(col("query_id")).distinct()
       .join(satisfied, Seq("query_id"), "left_anti")
-    val wide = labelFilteredWalkRank(
-      graphWalkVisited(
-        queries.join(broadcast(deficient), Seq("query_id"), "left_semi"),
-        probes.join(broadcast(deficient), Seq("query_id"), "left_semi"),
-        medoids, graph, iv, rounds, 2 * beam),
-      labels, topK)
-    base.join(broadcast(deficient), Seq("query_id"), "left_anti")
-      .withColumn("escalated", lit(false))
-      .unionByName(wide.withColumn("escalated", lit(true)))
+      .localCheckpoint() // the skip guard + both semi-joins read it
+    // driver-side branch on a model-sized frame: a walk round is
+    // expensive even EMPTY (4 rounds of eagerly-checkpointed jobs —
+    // measured ~2.6 s of zero-row overhead at sf0.1, where the (4,16)
+    // budget leaves no query deficient), so the rare-path ladder only
+    // runs when someone needs it. Output is identical by construction
+    // — no deficient queries means no escalated rows.
+    if (deficient.isEmpty)
+      base.withColumn("escalated", lit(false))
+    else {
+      val wide = labelFilteredWalkRank(
+        graphWalkVisited(
+          queries.join(broadcast(deficient), Seq("query_id"), "left_semi"),
+          probes.join(broadcast(deficient), Seq("query_id"), "left_semi"),
+          medoids, graph, iv, rounds, 2 * beam),
+        labels, topK)
+      base.join(broadcast(deficient), Seq("query_id"), "left_anti")
+        .withColumn("escalated", lit(false))
+        .unionByName(wide.withColumn("escalated", lit(true)))
+    }
   }
 
   /** q196 — label-filtered graph-walk serving with UNDER-FILL

@@ -1261,6 +1261,22 @@ object Similarity {
   val WalkBeam = 16
   val WalkRounds = 4
 
+  /** Beam width for the PQ-PRICED walk (q194) — measured separately
+    * (`runMain graft.WalkPqBudgetProbe`, SCALING.md round 16) because
+    * an ADC-guided frontier is NOISY: the 4×16 quantizer misleads
+    * elections, so the compressed route buys recall with WIDTH (keep
+    * more of the quantizer's near-misses alive for the exact
+    * rerank-all tail) where the exact walk's sweep saturated at 16.
+    * The sweep: (4,16) 0.75/0.69 @259 scores, (4,32) 0.90/0.87 @355,
+    * (6,32) 1.00/0.97 @454, (4,64) 1.00/0.98 @437 — (4,64) is the
+    * frontier (beam is cheaper than rounds: expansions batch inside a
+    * round, rounds each pay a full join ladder). Budget stays bounded:
+    * worst-case seeds + rounds·beam·fan ≈ 4k compressed prices + ~437
+    * observed exact rerank dots per query, independent of corpus and
+    * dup mass.
+    */
+  val WalkPqBeam = 64
+
   /** q189 — GREEDY GRAPH-WALK serving (the DiskANN/HNSW read path):
     * queries enter at their probed cells' MEDOIDS (staged
     * `knn_medoids` — the DiskANN entry-point election) and expand
@@ -1500,15 +1516,19 @@ object Similarity {
     * already shortlist-sized (measured: the top-50 cut reads 0.50/
     * 0.44 recall@1/@5 — the aggressive 4×16 PQ misleads the cut
     * exactly as it misleads ranking, q126's 0.05 ADC row — while
-    * re-ranking all visited reads 0.75/0.69, the best COMPRESSED
-    * route in the table vs ivfpq_rerank's 0.60/0.51). The traversal
-    * never touches a full vector: per query it reads ≤ budget × 4
-    * code rows (16 bytes each) instead of 64-long vectors — the same
-    * 16× pricing-byte cut the scan routes bought from PQ. The
-    * remaining gap to the exact walk's 0.95/0.81 is the
-    * quantized-TRAVERSAL cost (the frontier wanders where ADC
-    * misleads — the planted metric-gap in GraphWalkPqSpec), the
-    * honest price of never touching vectors mid-walk.
+    * re-ranking all visited at the same (4, 16) budget reads
+    * 0.75/0.69). The second measured lever is BEAM: the noisy
+    * ADC frontier wants width, and at the route's own swept default
+    * ([[WalkPqBeam]] = 64) the q126 row reads **1.00/0.98 — the best
+    * route in the table, above even the exact walk's 0.95/0.81** at
+    * ~437 exact rerank dots + ~4k compressed prices per query, both
+    * corpus-independent. Compressed traversal needs ~1.7× the exact
+    * walk's score budget to exceed its recall, and each of its
+    * traversal prices is 16× cheaper in bytes (4 code rows of 16
+    * bytes vs a 64-long vector) — the trade a production DiskANN
+    * makes deliberately. The planted metric-gap (GraphWalkPqSpec)
+    * remains the per-step story: ADC misleads locally, width +
+    * exact-tail recover globally.
     *
     * Snapshot discipline: the (cells, probes) + (knn_graph,
     * knn_medoids) pair resolves through the SAME stamp cross-check as
@@ -1534,7 +1554,7 @@ object Similarity {
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     val probes = s.read.parquet(snap("probes"))
     val visited = graphWalkVisitedAdc(probes, medoids, graph, codes,
-      lut, rounds = WalkRounds, beam = WalkBeam)
+      lut, rounds = WalkRounds, beam = WalkPqBeam)
     rerankExact(s, dir, visited, topK = 5)
   }
 
@@ -2141,7 +2161,7 @@ object Similarity {
     * (query, sub, code) — Q·m·k rows, always broadcast downstream.
     * Shared by q91, q117, and the spec-facing [[ivfPqSearch]].
     */
-  private def adcLutFor(queries: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def adcLutFor(queries: DataFrame, cb: DataFrame): DataFrame =
     queries
       .select(col("vec_id").as("query_id"),
         posexplode(col("v")).as(Seq("pos", "qw")))
@@ -6314,8 +6334,9 @@ object Similarity {
                     AND l.sub = c.sub AND l.code = c.code
              GROUP BY $src.query_id, $src.neighbor_id"""
     // the SAME shared unroll as q189/q192/q193/q196, pricing swapped
-    // (the Spark side's graphWalkLoop parameterization, mirrored)
-    val rounds = walkRoundsSql("", WalkBeam, adcScore, "adc_dist")
+    // (the Spark side's graphWalkLoop parameterization, mirrored) at
+    // the compressed route's own measured beam
+    val rounds = walkRoundsSql("", WalkPqBeam, adcScore, "adc_dist")
     s"""
       WITH $sqlScaled,
       gr AS (SELECT query_id, neighbor_id

@@ -1545,17 +1545,33 @@ object Similarity {
     val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
     ensurePq(s, dir, work)
     val pq = Staged.resolveGroup(work, Seq("pq_codes", "pq_codebook"))
+    graphWalkPqServeOn(s, dir, gsnap, pq,
+      scaledVectors(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v")),
+      s.read.parquet(snap("probes")))
+  }
+
+  /** The ONE compressed-walk serving chain, over resolved snapshots
+    * and a ready (queries, probes) pair — shared by the batch entry
+    * (q194, staged probes) and the streaming twin
+    * ([[graft.streaming.EventStreams.graphWalkPqSearchStream]],
+    * per-batch model probes): streamed == batch is mechanism.
+    * `queries`: (query_id, v) — the LUT is derived here so both
+    * callers price through the identical [[adcLutFor]] arithmetic.
+    */
+  private[graft] def graphWalkPqServeOn(s: SparkSession, dir: String,
+      gsnap: Map[String, String], pq: Map[String, String],
+      queries: DataFrame, probes: DataFrame,
+      topK: Int = 5): DataFrame = {
     val codes = s.read.parquet(pq("pq_codes"))
     val lut = adcLutFor(
-      scaledVectors(s, dir).where(col("vec_id") < 20)
-        .select(col("vec_id"), col("v")),
+      queries.select(col("query_id").as("vec_id"), col("v")),
       s.read.parquet(pq("pq_codebook")))
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
     val medoids = s.read.parquet(gsnap("knn_medoids"))
-    val probes = s.read.parquet(snap("probes"))
     val visited = graphWalkVisitedAdc(probes, medoids, graph, codes,
       lut, rounds = WalkRounds, beam = WalkPqBeam)
-    rerankExact(s, dir, visited, topK = 5)
+    rerankExact(s, dir, visited, topK)
   }
 
   /** Execute the GRAPH-family compaction q192's scaladoc defers to —

@@ -1598,6 +1598,54 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming COMPRESSED graph-walk serving — the q194 route's
+    * twin, completing the graph family's serving-stream column for
+    * the {graph} × {compression} cell: micro-batches of query vectors
+    * probe their nprobe cells from broadcast flat centroids and
+    * answer through the SAME
+    * [[graft.ops.Similarity.graphWalkPqServeOn]] chain the batch
+    * entry runs — per-batch ADC LUT from the staged codebook,
+    * beam-[[graft.ops.Similarity.WalkPqBeam]] compressed traversal
+    * over the staged graph, exact rerank-all tail — so streamed ==
+    * batch is mechanism. Per-batch cost: the bounded compressed
+    * budget per query plus the rounds× graph joins amortized over the
+    * batch; traversal reads 16-byte code rows, exactness only in the
+    * model-sized final re-rank. Effectively-once per query id,
+    * redeliveries dropped BEFORE the walk (the graphWalkSearchStream
+    * note). GraphWalkPqSearchStreamSpec pins streamed == batch q194
+    * row-for-row.
+    */
+  def graphWalkPqSearchStream(queries: DataFrame, dir: String,
+      work: String, centroids: Array[Array[Double]], nprobe: Int,
+      checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import graft.ops.{Similarity, Staged}
+        val path = s"$work/graph_walk_pq_results_stream"
+        val q0 = batch.where(col("nrm") > 0).dropDuplicates("vec_id")
+        val q = (if (stagedExists(s, path))
+            q0.join(s.read.parquet(path)
+                .select(col("query_id").as("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+          else q0).localCheckpoint() // probes + the walk read it
+        if (!q.isEmpty) {
+          val probes = Similarity.ivfProbes(q, centroids, nprobe)
+            .select(col("query_id"), col("cluster"))
+          val (_, gsnap) = Similarity.resolveWalkSnapshots(s, dir, work)
+          val pq = Staged.resolveGroup(work,
+            Seq("pq_codes", "pq_codebook"))
+          Similarity.graphWalkPqServeOn(s, dir, gsnap, pq,
+              q.select(col("vec_id").as("query_id"), col("v")), probes)
+            .localCheckpoint()
+            .write.mode("append").parquet(path)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming SQ8 serving — [[matryoshkaSearchStream]]'s twin for
     * q167's scalar-quantized route, completing the serving-stream
     * matrix for the SECOND compression layout: micro-batches of query

@@ -458,6 +458,39 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("the round-16 walk family's final mile: broadcast equi-joins, pushed top-k, no UDF") {
+    // the walk rounds themselves are eagerly checkpointed (model-sized
+    // frontiers — their plans are pinned by q189's EXPLAIN.md shape);
+    // what the FINAL plan must show is the serving tail — and it
+    // differs by entry: q194 re-ranks via broadcast vector fetches +
+    // a pushed top-k; q195 is the bare rank window over the
+    // checkpointed visited frame (all joins live inside the eager
+    // loop — a join HERE would mean corpus work after the walk);
+    // q196 re-ranks survivors through the broadcast label join. None
+    // may carry a cartesian or a UDF.
+    for (q <- Seq("q194_graph_walk_pq_rerank",
+        "q195_graph_compacted_walk", "q196_graph_walk_escalated")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: " + p.take(1200))
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q: " + p.take(1200))
+    }
+    val p194 = plan("q194_graph_walk_pq_rerank")
+    assert(p194.contains("BroadcastHashJoin") &&
+      p194.contains("WindowGroupLimit"), p194.take(1200))
+    val p195 = plan("q195_graph_compacted_walk")
+    assert(p195.contains("WindowGroupLimit") &&
+      p195.contains("Scan ExistingRDD") && !p195.contains("Join"),
+      p195.take(1200))
+    // q196 with nobody deficient (sf0.001 fills at the serving beam):
+    // the driver skip leaves the bare checkpointed base + the
+    // presentation sort — corpus work after the walk would be a bug
+    val p196 = plan("q196_graph_walk_escalated")
+    assert(p196.contains("Scan ExistingRDD") && !p196.contains("Join"),
+      p196.take(1200))
+  }
+
   test("q180 is a pure map stage: no join, no aggregate, only the presentation sort exchanges") {
     val p = plan("q180_fim_spans")
     assert(!p.contains("Join"), p.take(1200))

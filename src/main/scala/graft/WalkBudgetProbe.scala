@@ -55,7 +55,7 @@ object WalkBudgetProbe {
       .localCheckpoint()
     val nq = truth.select(col("query_id")).distinct().count()
     val rows = for ((rounds, beam) <- Seq((1, 4), (2, 4), (2, 8),
-        (4, 8), (6, 8), (4, 16))) yield {
+        (4, 8), (6, 8), (4, 16), (4, 32), (4, 64))) yield {
       val t0 = System.nanoTime()
       val res = Similarity.graphWalkOf(queries, probes, medoids, graph,
           iv, rounds = rounds, beam = beam, topK = 5)

@@ -104,6 +104,7 @@ object Explain {
     "q194_graph_walk_pq_rerank", // ADC-priced final round (codes join + broadcast LUT + partial-agg sum) + exact re-rank of the broadcast shortlist
     "q195_graph_compacted_walk", // q189's shape over the compacted pair, no result mask
     "q196_graph_walk_escalated", // narrow keep-side anti-join ∪ deficient 2x-beam re-walk, escalated flag
+    "q197_graph_walk_pruned", // q189's rank tail over the pruned-read walk (per-round partition-dir reads)
     "q190_unigram_mstep", // staged-segs partial-agg counts + model join + 1-row broadcast normalizer
     "q191_video_cut_containment", // cut-sampled frames through the (band,bkey) equi-join + delta-vote groupBy
     "q72_stitch_contigs") // closed-form stitch aggregation

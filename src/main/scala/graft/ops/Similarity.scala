@@ -1574,6 +1574,109 @@ object Similarity {
     rerankExact(s, dir, visited, topK)
   }
 
+  /** Partition-bucket count for the q197 substrate layout: coarse
+    * enough that each partition dir holds a meaningful slab of edges,
+    * fine enough that a serving-shaped frontier (queries × beam
+    * nodes) touches a pruned fraction — expected touched buckets =
+    * B·(1 − (1 − 1/B)^|frontier|), GraphLayoutProbe's measured 86–98%
+    * skip at small frontiers.
+    */
+  val WalkBuckets = 64
+
+  /** Stage the walk's SYMMETRIZED substrate (fwd ∪ capped reverse,
+    * [[walkSubstrate]]) as a DIRECTORY-PARTITIONED asset
+    * (`knn_graph_bkt`, partitioned by `nb = pmod(node,
+    * [[WalkBuckets]])` — [[Staged.writePartitioned]]), group-stamped
+    * with the exact `knn_graph` version it derives from. This is the
+    * q162 storage discipline applied to the graph: the round-15 watch
+    * item named the walk's rounds× full graph scans as its 100 TB
+    * bill, and a node-clustered layout converts each round's read
+    * into the frontier's touched-bucket fraction.
+    */
+  def stageWalkSubstrate(s: SparkSession, dir: String,
+      work: String): Unit = {
+    val (_, gsnap) = resolveWalkSnapshots(s, dir, work)
+    val key =
+      s"graph=${new java.io.File(gsnap("knn_graph")).getName}"
+    Staged.writePartitioned(
+      walkSubstrate(s.read.parquet(gsnap("knn_graph")))
+        .withColumn("nb", pmod(col("node"), lit(WalkBuckets))),
+      work, "knn_graph_bkt", partitionCol = "nb", group = Some(key))
+  }
+
+  private def ensureWalkSubstrate(s: SparkSession, dir: String,
+      work: String): Unit = {
+    ensureKnnGraph(s, dir, work)
+    def key = s"graph=${Staged.versionOf(work, "knn_graph")
+      .getOrElse("absent")}"
+    val fresh = Staged.isFresh(work, "knn_graph_bkt") &&
+      Staged.groupOf(work, "knn_graph_bkt").contains(key)
+    if (!fresh) stageWalkSubstrate(s, dir, work)
+  }
+
+  /** q197 — the walk served from the BUCKETED substrate with
+    * per-round PARTITION-PRUNED reads: q189's traversal, identical
+    * results by construction (every frontier node's edges live in its
+    * bucket; pruning skips buckets no frontier node hashes to), with
+    * each round's graph read narrowed from the full table to the
+    * frontier's touched partition dirs — the frontier is model-sized
+    * and driver-checkpointed, so enumerating its buckets is a free
+    * collect, and the read prunes at the FILE level (directory
+    * partitions), which is the storage-side answer to the walk's
+    * rounds×scan bill at 100 TB (GraphLayoutProbe: 86–98% of
+    * partition reads skipped at serving-shaped frontiers; wall-flat
+    * locally because job overhead dominates at probe scale — the
+    * honest SCALING.md attribution). The substrate asset is
+    * group-stamped to its `knn_graph` generation and re-resolved
+    * through the same retry discipline as every derived family.
+    *
+    * The DuckDB oracle is q189's unroll VERBATIM (reads `knn_graph`
+    * and re-derives the symmetrization): a green row therefore
+    * certifies that the materialized bucketed substrate + pruned
+    * reads serve EXACTLY the recurrence over the source graph —
+    * layout is invisible to semantics, which is the entire claim.
+    * GraphLayoutSpec additionally pins q197 == q189 row-for-row and
+    * the substrate's stamp.
+    */
+  def q197GraphWalkPruned(s: SparkSession, dir: String): DataFrame = {
+    val work = Dedup.stageRoot(dir)
+    val (src, bsnap) = resolveStamped(
+      () => ensureWalkSubstrate(s, dir, work),
+      () => {
+        val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
+        (snap ++ gsnap,
+          s"graph=${new java.io.File(gsnap("knn_graph")).getName}")
+      },
+      work, Seq("knn_graph_bkt"), "pruned walk")
+    val bktPath = bsnap("knn_graph_bkt")
+    val iv = walkVectors(s, dir, src)
+    val queries = iv.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val score = exactWalkScore(queries, iv)
+    val graphFor: DataFrame => DataFrame = frontier => {
+      // model-sized driver collect: the frontier is a checkpointed
+      // ≤ queries×beam frame (the GraphLayoutProbe discipline)
+      val bks = frontier
+        .select(pmod(col("node"), lit(WalkBuckets)).as("nb"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      s.read.parquet(bktPath).where(col("nb").isin(bks: _*))
+        .select(col("node"), col("neighbor_id"))
+    }
+    val visited = graphWalkLoop(
+      score(walkSeeds(s.read.parquet(src("probes")),
+        s.read.parquet(src("knn_medoids")))),
+      graphFor, score, Seq(col("cosine").desc, col("neighbor_id")),
+      WalkRounds, WalkBeam)
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    visited.withColumn("rank", row_number().over(wb))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Execute the GRAPH-family compaction q192's scaladoc defers to —
     * the q154 discipline on the graph route: re-derive `knn_graph`/
     * `knn_medoids` from SURVIVORS (the staged delete feed anti-joined
@@ -1776,19 +1879,26 @@ object Similarity {
     * here; q193's label filter applied by the caller) share one
     * traversal. Returns (query_id, neighbor_id, cosine).
     */
+  /** Exact-cosine pricing callback over a (query_id, qv, qn) query
+    * frame and the corpus — shared by the flat exact walk and q197's
+    * pruned-layout walk. */
+  private def exactWalkScore(queries: DataFrame,
+      iv: DataFrame): DataFrame => DataFrame = {
+    val vy = iv.select(col("vec_id").as("neighbor_id"), col("v"),
+      col("nrm"))
+    cand => cand.join(queries, "query_id").join(vy, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cosine"))
+  }
+
   private[graft] def graphWalkVisited(queries: DataFrame,
       probes: DataFrame, medoids: DataFrame, graph: DataFrame,
       iv: DataFrame, rounds: Int, beam: Int,
       mask: Option[DataFrame] = None): DataFrame = {
-    val vy = iv.select(col("vec_id").as("neighbor_id"), col("v"),
-      col("nrm"))
-    def score(cand: DataFrame): DataFrame =
-      cand.join(queries, "query_id").join(vy, "neighbor_id")
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
-            .as("cosine"))
+    val score = exactWalkScore(queries, iv)
     val visited = graphWalkLoop(
-      score(walkSeeds(probes, medoids)), graph, score,
+      score(walkSeeds(probes, medoids)), _ => graph, score,
       Seq(col("cosine").desc, col("neighbor_id")), rounds, beam)
     // tombstones mask RESULTS only — traversal above saw every node
     // (FreshDiskANN's delete rule: dropping tombstones from the graph
@@ -1816,14 +1926,19 @@ object Similarity {
     * factoring pins: `seedsScored` is the already-priced seed set,
     * `score` prices a (query_id, neighbor_id) candidate frame in the
     * same shape, `orderCols` is the frontier election order (best
-    * first). Best-first over UNEXPANDED nodes (the DiskANN frontier
+    * first), and `graphFor` supplies each round's edge frame GIVEN
+    * the round's frontier — `_ => graph` for the flat layouts,
+    * a partition-pruned read for q197's bucketed substrate (the
+    * frontier is model-sized, so enumerating its buckets is a free
+    * driver step). Best-first over UNEXPANDED nodes (the DiskANN frontier
     * rule): re-expanding a node adds nothing — its neighbors are
     * already visited — so a frontier drawn from all of `visited`
     * stalls as soon as the best beam nodes have all been expanded
     * once. Driver-side loop over model-sized frames, one
     * localCheckpoint per round (flat lineage).
     */
-  private def graphWalkLoop(seedsScored: DataFrame, graph: DataFrame,
+  private def graphWalkLoop(seedsScored: DataFrame,
+      graphFor: DataFrame => DataFrame,
       score: DataFrame => DataFrame, orderCols: Seq[Column],
       rounds: Int, beam: Int): DataFrame = {
     var visited = seedsScored.localCheckpoint()
@@ -1841,7 +1956,7 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id").as("node"))
         .localCheckpoint() // expanded fold + the edge join both read it
       expanded = expanded.union(frontier).localCheckpoint()
-      val fresh = frontier.join(graph, "node")
+      val fresh = frontier.join(graphFor(frontier), "node")
         .where(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"))
         .distinct()
@@ -1875,7 +1990,7 @@ object Similarity {
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(sum(col("pd")).as("adc_dist"))
     graphWalkLoop(
-      score(walkSeeds(probes, medoids)), graph, score,
+      score(walkSeeds(probes, medoids)), _ => graph, score,
       Seq(col("adc_dist"), col("neighbor_id")), rounds, beam)
   }
 
@@ -5826,6 +5941,7 @@ object Similarity {
     "q194_graph_walk_pq_rerank" -> (q194GraphWalkPqRerank _),
     "q195_graph_compacted_walk" -> (q195GraphCompactedWalk _),
     "q196_graph_walk_escalated" -> (q196GraphWalkEscalated _),
+    "q197_graph_walk_pruned" -> (q197GraphWalkPruned _),
     "q90_pq_adc" -> (q90PqAdc _),
     "q91_ivfpq_search" -> (q91IvfPq _),
     "q117_ivfpq_multiprobe" -> (q117IvfPqMultiprobe _),
@@ -7312,6 +7428,10 @@ object Similarity {
       medoidTable = "knn_medoids_compact", queryMask = true),
     // two beam budgets from one seed CTE + the deficiency branch
     "q196_graph_walk_escalated" -> walkEscalatedOracleSql,
+    // q189's unroll VERBATIM: the oracle re-derives the walk from
+    // knn_graph, so a green row certifies the bucketed substrate +
+    // pruned reads serve exactly the recurrence — layout invisible
+    "q197_graph_walk_pruned" -> walkOracleSql,
     "q40_cosine_topk" -> s"""
       WITH $sqlScaled,
       scored AS (

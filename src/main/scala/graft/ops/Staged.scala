@@ -228,6 +228,23 @@ object Staged {
     commit(work, name, vdir, durable = true, group = group)
   }
 
+  /** [[write]] with a DIRECTORY-PARTITIONED layout — the q162 storage
+    * discipline inside the versioned protocol: the asset's version
+    * dir gains one subdirectory per partition value, so a consumer
+    * whose per-read key set is model-sized can enumerate and read
+    * ONLY the touched partitions (q197's per-round pruned graph
+    * reads). Everything else — version dirs, manifest commit, group
+    * stamps, GC — is identical: partitioning is a layout choice
+    * inside one version, never a protocol change.
+    */
+  def writePartitioned(df: DataFrame, work: String, name: String,
+      partitionCol: String, group: Option[String] = None): Unit = {
+    val vdir = publishDir(work, name)
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(vdir)
+    commit(work, name, vdir, durable = true, group = group)
+  }
+
   /** The concrete `v=N` version name the asset's current manifest
     * points at, if any — the generation identity incremental
     * consumers key on (q126's per-route recall recertification: a

@@ -122,7 +122,9 @@ class DeterminismSpec extends SparkSpec {
     "q194_graph_walk_pq_rerank",
     // q195: the compacted derivation's windows + the walk; q196: two
     // beam budgets' frontier elections + the deficiency branch
-    "q195_graph_compacted_walk", "q196_graph_walk_escalated")
+    "q195_graph_compacted_walk", "q196_graph_walk_escalated",
+    // q197: the pruned per-round reads + frontier elections
+    "q197_graph_walk_pruned")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

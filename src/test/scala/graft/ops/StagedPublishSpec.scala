@@ -59,6 +59,38 @@ class StagedPublishSpec extends SparkSpec {
     assert(readAll(work, "a") === Set(7L))
   }
 
+  test("a partitioned publish rides the identical protocol: versioned, swapped, stamped") {
+    // writePartitioned is a LAYOUT choice inside one version (q197's
+    // substrate) — versioning, swap, group stamp, and freshness must
+    // behave byte-identically to a plain write
+    val work = freshWork()
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("k", "nb")
+    Staged.writePartitioned(df, work, "p", partitionCol = "nb",
+      group = Some("g1"))
+    assert(Files.isSymbolicLink(Paths.get(work, "p")))
+    assert(Staged.isFresh(work, "p") &&
+      Staged.groupOf(work, "p").contains("g1"))
+    // physically partitioned inside the version dir
+    val parts = Paths.get(work, "p").toRealPath().toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("nb="))
+    assert(parts.map(_.getName).sorted.toSeq === Seq("nb=10", "nb=20"))
+    // content round-trips, partition column included
+    assert(spark.read.parquet(s"$work/p").select("k", "nb")
+      .as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 10L)))
+    // republish swaps exactly like a plain asset; the old version
+    // stays for pinned readers (keep-2)
+    val pinned = Paths.get(work, "p").toRealPath().toString
+    Staged.writePartitioned(Seq((9L, 30L)).toDF("k", "nb"), work, "p",
+      partitionCol = "nb", group = Some("g2"))
+    assert(spark.read.parquet(s"$work/p").select("k")
+      .as[Long].collect().toSet === Set(9L))
+    assert(Staged.groupOf(work, "p").contains("g2"))
+    assert(spark.read.parquet(pinned).select("k")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "pre-swap reader keeps its complete partitioned snapshot")
+  }
+
   test("snapshot isolation: a pre-swap reader keeps the old complete version") {
     val work = freshWork()
     publish(work, "iso", Seq(1L, 2L, 3L))

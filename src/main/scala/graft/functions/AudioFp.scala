@@ -57,4 +57,46 @@ object AudioFp {
     }
     h
   }
+
+  /** Frame count of the 128-bit fingerprint. */
+  val Frames128 = 128
+
+  /** 128-bit variant: 128 frames, 127 energy-delta bits — the
+    * corpus-scale fingerprint q176's banded join keys on. The 64-bit
+    * form's 4×16-bit band keys go all-hot past ~cap·2^16 ≈ 3.3M
+    * recordings (average occupancy exceeds the hot cap, so the skew
+    * guard becomes wholesale suppression); 128 bits band as 4×32-bit
+    * keys, moving the cliff to ~cap·2^32 ≈ 2·10^11 — two orders above
+    * a 100 TB audio corpus. Same Haitsma–Kalker shape, same
+    * integer-exact m²-scaling invariance argument bit for bit (every
+    * E_t is a Long; scaling by integer m multiplies each by exactly
+    * m²); bit t lives in word t/64 at position t%64, bit 0 pinned 0.
+    * [[fingerprint64]] remains for the legacy-cliff comparison probes.
+    */
+  def fingerprint128(samples: Array[Short]): (Long, Long) = {
+    require(samples.length >= Frames128,
+      s"fingerprint128: need at least $Frames128 samples, " +
+        s"got ${samples.length}")
+    val flen = samples.length / Frames128
+    val e = new Array[Long](Frames128)
+    var t = 0
+    while (t < Frames128) {
+      var acc = 0L
+      var j = t * flen
+      val end = j + flen
+      while (j < end) { val s = samples(j).toLong; acc += s * s; j += 1 }
+      e(t) = acc
+      t += 1
+    }
+    var h0 = 0L
+    var h1 = 0L
+    t = 1
+    while (t < Frames128) {
+      if (e(t) > e(t - 1)) {
+        if (t < 64) h0 |= (1L << t) else h1 |= (1L << (t - 64))
+      }
+      t += 1
+    }
+    (h0, h1)
+  }
 }

@@ -125,8 +125,11 @@ object Phash {
     * key space instead of 2^16 — the average-occupancy hot-bucket
     * cliff moves from ~cap·2^16 ≈ 3.3M corpus frames (guaranteed at
     * video scale) to ~cap·2^32 ≈ 2·10^11 (two orders above a 100 TB
-    * video corpus' ~10^9–10^10 frames). The position-keyed q185 path
-    * keeps the 64-bit hash: its key space grows with the timeline.
+    * video corpus' ~10^9–10^10 frames). Since round 17 the
+    * position-keyed q185 path and the flat image entry (q175) band
+    * this hash too: frame-keying narrows buckets but every video
+    * still shares the frame-0 key space corpus-wide, so the hash key
+    * space must be corpus-sized on its own.
     *
     * Every invariance argument of [[phash64]] carries over verbatim:
     * DCT basis rows for u ≥ 1 or v ≥ 1 are orthogonal to the constant

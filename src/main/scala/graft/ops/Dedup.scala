@@ -353,7 +353,7 @@ object Dedup {
 
   /** Band-bucket occupancy cap for [[q122SimhashPairs]]: a (band, key)
     * bucket holding more than this many docs contributes C(n,2)
-    * candidate pairs — and an over-full 16-bit bucket at corpus scale
+    * candidate pairs — and an over-full bucket at corpus scale
     * is boilerplate-dominated signatures, not near-dup structure (the
     * q33/q115 hot-key discipline applied to Hamming space). Skipped
     * buckets are counted once in `hot_buckets`.
@@ -361,9 +361,11 @@ object Dedup {
   val BandHotCap = 50
 
   /** SimHash near-dup PAIRS — q32's signature taken to the join it
-    * exists for, with the recall guarantee stated exactly: 64-bit
-    * signatures (q32's 32-bit vote widened — 16-bit bands need the
-    * width to give 65k buckets) split into 4 bands of 16 bits; by
+    * exists for, with the recall guarantee stated exactly: 128-bit
+    * signatures (the full md5 per token — q32's 32-bit vote widened
+    * twice over; 32-bit bands key a corpus-sized 2^32 space, where
+    * the earlier 16-bit bands went all-hot past ~cap·2^16 ≈ 3.3M
+    * docs, the round-16 `weak`) split into 4 bands of 32 bits; by
     * pigeonhole any pair within Hamming distance 3 agrees on at least
     * one whole band, so the banded equi-join has PERFECT recall at
     * the d ≤ 3 cut — the Hamming-space twin of q31's MinHash banding,
@@ -392,21 +394,40 @@ object Dedup {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(words(col("text")))).as("tok"))
-      .withColumn("m16", expr("substr(md5(tok), 1, 16)"))
+      .withColumn("m32", expr("md5(tok)"))
       .withColumn("hv", expr(
-        "transform(sequence(1, 16), k -> instr('0123456789abcdef', substr(m16, k, 1)) - 1)"))
-    val voteAggs = (0 until 64).map { j =>
+        "transform(sequence(1, 32), k -> instr('0123456789abcdef', substr(m32, k, 1)) - 1)"))
+    val voteAggs = (0 until 128).map { j =>
       sum(expr(s"IF((shiftright(hv[${j / 4}], ${j % 4}) & 1) = 1, 1, -1)"))
         .as(s"v$j")
     }
     val sig = toks.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"),
-        concat((0 until 64).map(j =>
+        concat((0 until 128).map(j =>
           when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("sig"))
       .localCheckpoint() // bands + both join sides read it (q31 note)
+    simhashBandedPairs(sig)
+  }
+
+  /** The banding + occupancy-cap + Hamming-verify half of q122 over a
+    * prepared (doc_id, sig: 128-char binary string) signature frame —
+    * factored so the band-cliff probe and the capacity-guard spec can
+    * drive it on planted signatures. The caller must pass an
+    * already-materialized frame (q122 checkpoints its vote pass).
+    *
+    * 4×32-bit bands since round 17 (the 64-bit signature's 4×2^16 key
+    * space goes all-hot past ~[[BandHotCap]]·2^16 ≈ 3.3M docs —
+    * average occupancy then exceeds the cap and the skew guard
+    * suppresses wholesale); [[Banding.requireCapacity]] fails by name
+    * rather than let the bound be crossed silently.
+    */
+  private[graft] def simhashBandedPairs(sig: DataFrame)
+      : (DataFrame, DataFrame) = {
+    Banding.requireCapacity(sig.count(), 32, BandHotCap,
+      "simhashBandedPairs")
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(expr("transform(sequence(0, 3), b -> " +
-        "struct(b AS band, substr(sig, b * 16 + 1, 16) AS bkey))")).as("bk"))
+        "struct(b AS band, substr(sig, b * 32 + 1, 32) AS bkey))")).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val occ = bands.groupBy(col("band"), col("bkey"))
@@ -423,17 +444,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct() // a pair can agree on several bands
-      // Hamming via two 32-bit halves: conv(bits,2,10) → XOR →
-      // bit_count, all codegen'd — the interpreted 64-lambda HOF
+      // Hamming via four 32-bit quarters: conv(bits,2,10) → XOR →
+      // bit_count, all codegen'd — the interpreted per-bit HOF
       // spelling measured 2× slower on the candidate set (the verify
       // runs per CANDIDATE, so its constant matters; same lesson as
       // vec_ldot vs the HOF dot product)
       .withColumn("hamming",
-        expr("bit_count(cast(conv(substr(sa, 1, 32), 2, 10) as bigint)" +
-          " ^ cast(conv(substr(sb, 1, 32), 2, 10) as bigint))" +
-          " + bit_count(cast(conv(substr(sa, 33, 32), 2, 10) as bigint)" +
-          " ^ cast(conv(substr(sb, 33, 32), 2, 10) as bigint))")
-          .cast("long"))
+        (0 until 4).map(q =>
+          expr(s"bit_count(cast(conv(substr(sa, ${32 * q + 1}, 32), 2, 10) as bigint)" +
+            s" ^ cast(conv(substr(sb, ${32 * q + 1}, 32), 2, 10) as bigint))"))
+          .reduce(_ + _).cast("long"))
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     (pairs, hotCount)
@@ -1604,14 +1624,14 @@ object Dedup {
           SUM(CASE WHEN ((strpos('0123456789abcdef',
                 substr(md5(tok), (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1 = 1
               THEN 1 ELSE -1 END) AS v
-        FROM toks, (SELECT unnest(range(0, 64)) AS j)
+        FROM toks, (SELECT unnest(range(0, 128)) AS j)
         GROUP BY doc_id, j),
       sig AS (SELECT doc_id,
           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
             AS sig
         FROM votes GROUP BY doc_id),
       bands AS (SELECT doc_id, sig, b AS band,
-          substr(sig, b * 16 + 1, 16) AS bkey
+          substr(sig, b * 32 + 1, 32) AS bkey
         FROM sig, (SELECT unnest(range(0, 4)) AS b)),
       occ AS (SELECT band, bkey, COUNT(1) AS n
               FROM bands GROUP BY band, bkey),
@@ -1625,7 +1645,7 @@ object Dedup {
                  ON x.band = y.band AND x.bkey = y.bkey
                    AND x.doc_id < y.doc_id),
       scored AS (SELECT doc_a, doc_b,
-          CAST(list_sum(list_transform(range(1, 65),
+          CAST(list_sum(list_transform(range(1, 129),
             k -> CASE WHEN substr(sa, k, 1) <> substr(sb, k, 1)
                  THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         FROM cand)

@@ -546,8 +546,8 @@ object Multimodal {
   /** Band-bucket occupancy cap for [[bandedHammingPairs]] (q175's
     * image pHash and q176's audio fingerprint) — q122's
     * hot-bucket discipline applied to pHash space: a (band, key)
-    * bucket fans out C(n,2) candidate pairs, and an over-full 16-bit
-    * bucket at corpus scale is a template/boilerplate image cluster,
+    * bucket fans out C(n,2) candidate pairs, and an over-full bucket
+    * at corpus scale is a template/boilerplate image cluster,
     * not near-dup structure worth pricing pairwise. Skipped buckets
     * are counted once in `hot_buckets`.
     */
@@ -630,8 +630,8 @@ object Multimodal {
   }
 
   /** q175 — IMAGE near-dup pairs by perceptual hash: real JPEG decode
-    * → 64-bit DCT pHash ([[graft.functions.Phash]]) → 4×16-bit
-    * pigeonhole bands → exact Hamming verify, q122's Hamming-space
+    * → 128-bit DCT pHash ([[graft.functions.Phash.phash128]]) →
+    * 4×32-bit pigeonhole bands → exact Hamming verify, q122's Hamming-space
     * banding applied to the one dedup modality the engine lacked
     * (text exact/MinHash/SimHash and embedding SemDeDup exist; images
     * did not). Any pair within Hamming distance 3 agrees on at least
@@ -658,8 +658,9 @@ object Multimodal {
     val hashes = ensureMediaTable(s, dir, "phash_media", phashJpegTable)
       .as[JpegRow]
       .mapPartitions(_.map { r =>
-        (r.doc_id, graft.functions.Phash.phash64(phashLuma(r.payload)))
-      }).toDF("doc_id", "h")
+        val (h0, h1) = graft.functions.Phash.phash128(phashLuma(r.payload))
+        (r.doc_id, h0, h1)
+      }).toDF("doc_id", "h0", "h1")
     bandedHammingPairs(hashes)
   }
 
@@ -714,8 +715,9 @@ object Multimodal {
     * the last dedup modality column (text exact/MinHash/SimHash,
     * embedding SemDeDup, image pHash, audio fingerprint — video was
     * the gap). Real demux (q170's [[Avi.decode]]) → every SECOND
-    * frame sampled (the q170 keyframe rule) → per-frame 64-bit pHash
-    * → q175's pigeonhole banding PER (frame_idx, band) — candidates
+    * frame sampled (the q170 keyframe rule) → per-frame 128-bit
+    * pHash → q175's 4×32-bit pigeonhole banding PER (frame_idx,
+    * band) — candidates
     * must agree at the SAME temporal position, so a montage sharing
     * one stray frame never floods the join — → codegen'd Hamming
     * verify per frame → a PAIR of videos is near-dup iff EVERY
@@ -725,7 +727,7 @@ object Multimodal {
     * final count predicate, nothing upstream changes.
     *
     * Scale shape: decode+hash is the only payload-touching map;
-    * the join shuffles 24-byte (doc, frame, hash) rows keyed by
+    * the join shuffles 32-byte (doc, frame, h0, h1) rows keyed by
     * (frame_idx, band, bkey) with q175's hot-bucket cap; the
     * video-level fold is one partial-agg groupBy on the frame-pair
     * set (near-dup-bound, not corpus-bound). The oracle never decodes
@@ -743,9 +745,10 @@ object Multimodal {
         val v = Avi.decode(r.payload)
         v.frames.zipWithIndex.collect {
           case (fb, f) if f % 2 == 0 =>
-            (r.doc_id, f.toLong, graft.functions.Phash.phash64(phashLuma(fb)))
+            val (h0, h1) = graft.functions.Phash.phash128(phashLuma(fb))
+            (r.doc_id, f.toLong, h0, h1)
         }
-      }).toDF("doc_id", "frame_idx", "h")
+      }).toDF("doc_id", "frame_idx", "h0", "h1")
     videoHashPairs(hashes)
   }
 
@@ -754,15 +757,22 @@ object Multimodal {
     * minus the decode, factored so VideoPhashSpec can drive the
     * temporal-alignment and count-rule semantics on planted hashes.
     */
-  /** [[hashBandRows]] carrying `frame_idx` — the two video folds'
-    * shared banding. Inline (not a join-back by (doc, h)) so in-doc
-    * duplicate hashes — a still video is legal — never fan out.
+  /** [[hashBandRows]] carrying `frame_idx` — q185's position-keyed
+    * banding over the 128-bit (h0, h1) frame hash, 4×32-bit keys.
+    * The frame key narrows each bucket further, but the HASH key
+    * space must still be corpus-sized on its own: frame 0 of every
+    * video in a 10^9-video corpus lands in one (frame_idx=0, band)
+    * key space, which 16-bit keys saturate at ~3.3M videos (the
+    * round-16 `weak`). Inline (not a join-back by (doc, h)) so
+    * in-doc duplicate hashes — a still video is legal — never fan
+    * out.
     */
   private def frameBandRows(hs: DataFrame): DataFrame =
-    hs.select(col("doc_id"), col("frame_idx"), col("h"),
+    hs.select(col("doc_id"), col("frame_idx"), col("h0"), col("h1"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-        "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
-      .select(col("doc_id"), col("frame_idx"), col("h"),
+        "shiftrightunsigned(IF(b < 2, h0, h1), (b % 2) * 32) " +
+        "& 4294967295 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("h0"), col("h1"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
   /** [[clipHashPairs]]'s banding over the 128-bit (h0, h1) hash:
@@ -782,6 +792,8 @@ object Multimodal {
   private[graft] def videoHashPairs(hashes0: DataFrame): DataFrame = {
     // eager: per-doc counts + both band-join sides read it (q31 note)
     val hashes = hashes0.localCheckpoint()
+    Banding.requireCapacity(hashes.count(), 32, PhashBandHotCap,
+      "videoHashPairs")
     val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val bands = frameBandRows(hashes)
     val occ = bands.groupBy(col("frame_idx"), col("band"), col("bkey"))
@@ -800,9 +812,11 @@ object Multimodal {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.frame_idx").as("frame_idx"),
-        col("x.h").as("pa"), col("y.h").as("pb"))
+        col("x.h0").as("pa0"), col("y.h0").as("pb0"),
+        col("x.h1").as("pa1"), col("y.h1").as("pb1"))
       .distinct() // identical frame hashes agree on all four bands
-      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .withColumn("hamming",
+        expr("bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)").cast("long"))
       .where(col("hamming") <= 3)
     framePairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_frames"), max(col("hamming")).as("max_hamming"))
@@ -887,8 +901,9 @@ object Multimodal {
     * sharing a whole 32-bit band meet. Because the banding is
     * offset-free (no frame key), its key space must be sized to the
     * CORPUS, not the timeline — hence the 128-bit
-    * [[graft.functions.Phash.phash128]] banded 4×32 here, where q185
-    * keeps the 64-bit hash (see [[clipHashPairs]]'s bound). The
+    * [[graft.functions.Phash.phash128]] banded 4×32 here, the keying
+    * the whole banded family shares since round 17 (see
+    * [[clipHashPairs]]'s bound). The
     * oracle is pure id arithmetic over the planted cut structure — a
     * hash match certifies codec round-trip, per-frame hashing, delta
     * voting, and the whole-shorter-video predicate end-to-end.
@@ -1075,8 +1090,9 @@ object Multimodal {
     * still applies per bucket, now doing only its intended job:
     * suppressing genuine template/boilerplate frame clusters, loudly
     * (`hot_buckets`), never average-occupancy mass. q185's
-    * per-(frame, band) keying never had the bound — its key space
-    * grows with the timeline — so it keeps the 64-bit hash.
+    * per-(frame, band) keying shares the hash key space corpus-wide
+    * at each frame position (every video has a frame 0), so since
+    * round 17 it bands the same 128-bit hash.
     *
     * Tolerance trade, stated plainly: the verify cut stays Hamming
     * ≤ 3 — now over 128 bits, so the RELATIVE noise tolerance halves
@@ -1096,6 +1112,8 @@ object Multimodal {
   private[graft] def clipHashPairs(hashes0: DataFrame): DataFrame = {
     // eager: per-doc counts + both band-join sides read it (q31 note)
     val hashes = hashes0.localCheckpoint()
+    Banding.requireCapacity(hashes.count(), 32, PhashBandHotCap,
+      "clipHashPairs")
     val nS = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val bands = clipBandRows(hashes)
     val occ = bands.groupBy(col("band"), col("bkey"))
@@ -1154,30 +1172,49 @@ object Multimodal {
   }
 
   /** The shared media near-dup core behind q175 (image pHash) and
-    * q176 (audio fingerprint): (doc_id, 64-bit hash `h`) → verified
-    * pairs at Hamming ≤ 3. Four 16-bit bands (any pair within
-    * distance 3 agrees on at least one whole band — pigeonhole, so
-    * the banded equi-join has PERFECT recall at the cut), hot-bucket
-    * suppression over [[PhashBandHotCap]] with the skipped count
-    * reported once, exact codegen'd `bit_count(pa ^ pb)` verify.
-    * Never all-pairs; the shuffle carries 16-byte (doc_id, h) rows.
+    * q176 (audio fingerprint): (doc_id, 128-bit hash (`h0`, `h1`)) →
+    * verified pairs at Hamming ≤ 3. Four 32-bit bands (any pair
+    * within distance 3 agrees on at least one whole band —
+    * pigeonhole, so the banded equi-join has PERFECT recall at the
+    * cut), hot-bucket suppression over [[PhashBandHotCap]] with the
+    * skipped count reported once, exact codegen'd
+    * `bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)` verify. Never
+    * all-pairs; the shuffle carries 24-byte (doc_id, h0, h1) rows.
+    *
+    * 32-bit keys, not the round-15 16-bit ones: a 4×2^16 key space
+    * goes ALL-HOT past ~cap·2^16 ≈ 3.3M hashes (average occupancy
+    * exceeds the cap, the skew guard suppresses wholesale — the
+    * round-16 `weak`); 2^32 keys move that cliff to ~2·10^11, two
+    * orders above a 100 TB media corpus, and [[Banding]] fails the
+    * plan by name rather than let it be crossed silently.
     */
-  /** The 4×16-bit band rows of a (doc_id, h: 64-bit hash) frame —
-    * shared by [[bandedHammingPairs]] and the streaming ingest twin
+  /** The 4×32-bit band rows of a (doc_id, h0, h1) 128-bit hash frame
+    * (bands 0–1 slice h0, 2–3 slice h1) — shared by
+    * [[bandedHammingPairs]] and the streaming ingest twin
     * ([[graft.streaming.EventStreams.hammingStarStream]]), so stream
     * == batch is mechanism, not coincidence.
     */
-  private[graft] def hashBandRows(hs: DataFrame): DataFrame =
-    hs.select(col("doc_id"), col("h"),
+  private[graft] def hashBandRows(hs: DataFrame,
+      keyBits: Int = 32): DataFrame =
+    hs.select(col("doc_id"), col("h0"), col("h1"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-        "shiftrightunsigned(h, b * 16) & 65535 AS bkey))")).as("bk"))
-      .select(col("doc_id"), col("h"),
+        s"shiftrightunsigned(IF(b < 2, h0, h1), (b % 2) * $keyBits) " +
+        s"& ${(1L << keyBits) - 1} AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("h0"), col("h1"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
-  private[graft] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
+  /** `keyBits` (≤ 32, default the shipped 32) exists so the capacity
+    * guard is testable END-TO-END: a spec can plant a corpus above a
+    * narrow keying's bound and assert the named refusal without
+    * manufacturing 2·10^11 rows. Production callers never pass it.
+    */
+  private[graft] def bandedHammingPairs(hashes: DataFrame,
+      keyBits: Int = 32): DataFrame = {
     // eager checkpoint: occupancy + both self-join sides read it (q31 note)
     val hs = hashes.localCheckpoint()
-    val bands = hashBandRows(hs)
+    Banding.requireCapacity(hs.count(), keyBits, PhashBandHotCap,
+      "bandedHammingPairs")
+    val bands = hashBandRows(hs, keyBits)
     val occ = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
     val hotCount = occ.where(col("n") > PhashBandHotCap)
@@ -1190,9 +1227,11 @@ object Multimodal {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.h").as("pa"), col("y.h").as("pb"))
+        col("x.h0").as("pa0"), col("y.h0").as("pb0"),
+        col("x.h1").as("pa1"), col("y.h1").as("pb1"))
       .distinct() // identical hashes agree on all four bands
-      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .withColumn("hamming",
+        expr("bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)").cast("long"))
       .where(col("hamming") <= 3)
       .crossJoin(broadcast(hotCount)) // global 1-row scalar
       .select(col("doc_a"), col("doc_b"), col("hamming"),
@@ -1202,7 +1241,8 @@ object Multimodal {
 
   /** Deterministic planted-duplicate WAV table for q176 —
     * [[phashJpegTable]]'s design in the audio column: per doc, a
-    * genuine RIFF/PCM stream of 64 frames × 32 samples whose frame
+    * genuine RIFF/PCM stream of 128 frames × 32 samples (the 128-bit
+    * fingerprint's frame grid, every delta bit informative) whose frame
     * amplitudes are a pure function of the DUP GROUP g = doc_id/4
     * (splitmix-scrambled per frame: a_t = 2·(mix(g,t) mod 1000) + 2,
     * a ±a_t square wave per frame), and whose VARIANT r = doc_id%4
@@ -1223,7 +1263,7 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val g = id / 4
         val m = (id % 4).toInt + 1
-        val frames = graft.functions.AudioFp.Frames
+        val frames = graft.functions.AudioFp.Frames128
         val flen = 32
         val samples = new Array[Short](frames * flen)
         var tIdx = 0
@@ -1246,9 +1286,9 @@ object Multimodal {
   }
 
   /** q176 — AUDIO near-dup pairs by acoustic fingerprint: real WAV
-    * decode → 64-bit frame-energy-delta fingerprint
-    * ([[graft.functions.AudioFp]]) → the shared
-    * [[bandedHammingPairs]] core (4×16-bit pigeonhole bands, perfect
+    * decode → 128-bit frame-energy-delta fingerprint
+    * ([[graft.functions.AudioFp.fingerprint128]]) → the shared
+    * [[bandedHammingPairs]] core (4×32-bit pigeonhole bands, perfect
     * recall at Hamming ≤ 3, hot-bucket cap, codegen'd verify). With
     * q175 this completes the dedup modality matrix: text
     * (exact/MinHash/SimHash), embeddings (SemDeDup), images (pHash),
@@ -1269,9 +1309,10 @@ object Multimodal {
     val hashes = ensureMediaTable(s, dir, "fp_media", fpWavTable)
       .as[WavRow]
       .mapPartitions(_.map { r =>
-        (r.doc_id, graft.functions.AudioFp.fingerprint64(
-          Wav.decode(r.payload).samples))
-      }).toDF("doc_id", "h")
+        val (h0, h1) = graft.functions.AudioFp.fingerprint128(
+          Wav.decode(r.payload).samples)
+        (r.doc_id, h0, h1)
+      }).toDF("doc_id", "h0", "h1")
     bandedHammingPairs(hashes)
   }
 

@@ -317,8 +317,8 @@ object EventStreams {
       .agg(max(col("n_tokens")).as("n_tokens"))
 
   /** Streaming ingest twin of the VIDEO near-dup family (q185): a
-    * continuous feed of per-frame hashes — (doc_id, frame_idx, h),
-    * the hashed-stream boundary the media twins share (decode+hash is
+    * continuous feed of per-frame hashes — (doc_id, frame_idx, h0,
+    * h1), the hashed-stream boundary the media twins share (decode+hash is
     * a stateless per-row transform upstream of writeStream; payload
     * bytes never enter the stateful stage) — folds into a durable
     * frame-hash log, and the pair set is the batch derivation
@@ -333,19 +333,22 @@ object EventStreams {
     * a crash window that appended only part of a video's frames heals
     * on redelivery (the missing frames anti-join through; the logged
     * ones drop), where a doc-keyed guard would silently freeze the
-    * torn video. State is a ~40-byte/frame parquet log, not the state
-    * store. The input carries BOTH video hash families per frame —
-    * the 64-bit `h` q185's position-keyed fold consumes and the
-    * 128-bit (`h0`, `h1`) the offset-free containment fold (q186/
-    * q191) bands — computed in the one decode pass upstream: one
-    * twin, one log, both derivations.
+    * torn video. State is a ~32-byte/frame parquet log, not the state
+    * store. The input carries the ONE 128-bit frame hash (`h0`, `h1`)
+    * both video folds band since round 17 — q185's position-keyed
+    * re-encode fold and the offset-free containment fold (q186/q191)
+    * — computed in the one decode pass upstream: one twin, one log,
+    * both derivations. (Earlier rounds logged a separate 64-bit `h`
+    * for q185; widening the position-keyed banding retired it. A log
+    * written by that schema fails the read by name — see the guard —
+    * and re-stages, rather than joining on ghost columns.)
     *
     * REDELIVERY RULE (arrival-independent — the round-16 unification):
     * a redelivered row whose content equals a logged row drops (the
     * all-columns anti-join — replays and fresh-checkpoint redeliveries
     * append nothing); a CONFLICTING redelivery (same (doc, frame),
     * different hash — a feed bug) APPENDS, and readers resolve per
-    * key by the lexicographic MAX over (h, h0, h1)
+    * key by the lexicographic MAX over (h0, h1)
     * ([[resolvedFrameHashLog]]). Log CONTENT as resolved is therefore
     * the per-key maximum over every row ever delivered — identical
     * under ANY batching of the same feed (the old first-write-wins
@@ -366,21 +369,21 @@ object EventStreams {
         // redeliveries resolve identically (arrival-independence)
         val rows = batch
           .select(col("doc_id"), col("frame_idx"),
-            struct(col("h"), col("h0"), col("h1")).as("hs"))
+            struct(col("h0"), col("h1")).as("hs"))
           .groupBy(col("doc_id"), col("frame_idx"))
           .agg(max(col("hs")).as("hs"))
           .select(col("doc_id"), col("frame_idx"),
-            col("hs.h").as("h"), col("hs.h0").as("h0"),
-            col("hs.h1").as("h1"))
+            col("hs.h0").as("h0"), col("hs.h1").as("h1"))
         val path = s"$stagedDir/video_frame_hashes"
         val existing =
-          if (stagedExists(s, path)) s.read.parquet(path)
+          if (stagedExists(s, path)) requireFrameHashSchema(
+            s.read.parquet(path), "videoHashIngestStream")
           else rows.limit(0)
         rows
           // content-keyed anti-join: identical redeliveries drop,
           // conflicting ones append and resolve at read time
           .join(existing,
-            Seq("doc_id", "frame_idx", "h", "h0", "h1"), "left_anti")
+            Seq("doc_id", "frame_idx", "h0", "h1"), "left_anti")
           // fully evaluate before appending to the same path
           // (read-your-own-writes hazard — the dedupIngest note)
           .localCheckpoint()
@@ -389,16 +392,38 @@ object EventStreams {
       }
       .start()
 
+  /** Schema guard for the frame-hash log: a log written by the
+    * retired (doc_id, frame_idx, h) 64-bit format would make the
+    * content anti-join fail with an unresolved-column error deep in
+    * the plan; fail by NAME at the boundary instead, telling the
+    * operator to re-stage (the hashes re-derive from the payloads —
+    * the log is a cache of a deterministic map, so re-staging loses
+    * nothing).
+    */
+  private def requireFrameHashSchema(log: DataFrame,
+      site: String): DataFrame = {
+    val cols = log.columns.toSet
+    require(Set("doc_id", "frame_idx", "h0", "h1").subsetOf(cols),
+      s"$site: existing video_frame_hashes log has columns " +
+        s"${log.columns.mkString("(", ", ", ")")} — not the 128-bit " +
+        s"(doc_id, frame_idx, h0, h1) format this build writes. " +
+        s"Delete the log directory and re-run the ingest; frame " +
+        s"hashes re-derive deterministically from the stored payloads.")
+    log
+  }
+
   /** The read-side resolve of [[videoHashIngestStream]]'s log: one
     * row per (doc_id, frame_idx), conflicts folded by the same
     * lexicographic MAX the in-batch rule applies — the half of the
     * arrival-independence contract every consumer must go through.
     */
   def resolvedFrameHashLog(s: SparkSession, stagedDir: String): DataFrame =
-    s.read.parquet(s"$stagedDir/video_frame_hashes")
+    requireFrameHashSchema(
+        s.read.parquet(s"$stagedDir/video_frame_hashes"),
+        "resolvedFrameHashLog")
       .groupBy(col("doc_id"), col("frame_idx"))
-      .agg(max(struct(col("h"), col("h0"), col("h1"))).as("hs"))
-      .select(col("doc_id"), col("frame_idx"), col("hs.h").as("h"),
+      .agg(max(struct(col("h0"), col("h1"))).as("hs"))
+      .select(col("doc_id"), col("frame_idx"),
         col("hs.h0").as("h0"), col("hs.h1").as("h1"))
 
   /** Streaming NEAR-DUP pair staging — the q31→q173 pipeline
@@ -716,7 +741,8 @@ object EventStreams {
     * a continuous ingest, completing the dedup ingest-twin matrix
     * across modalities (text: [[neardupStarStream]]; embeddings:
     * [[semDedupStarStream]]; media hashes: here). The input is the
-    * HASHED stream (doc_id, h: 64-bit pHash or audio fingerprint) —
+    * HASHED stream (doc_id, h0, h1: 128-bit pHash or audio
+    * fingerprint) —
     * the decode+hash map is a stateless per-row transform the caller
     * applies upstream of `writeStream`, so one twin serves both
     * modalities and payload bytes never enter the stateful stage.
@@ -737,13 +763,17 @@ object EventStreams {
     *     whole bucket, so the two lanes agree exactly whenever no
     *     bucket is hot, which the spec pins, and diverge only by
     *     those early edges on a bucket that heats mid-stream);
-    *  3. verified (`bit_count ≤ 3`) edges fold into the durable star
+    *  3. verified (128-bit Hamming ≤ 3) edges fold into the durable star
     *     archive via [[graft.ops.Dedup.connectedComponentsStar]] —
     *     insert-monotone, so any batch split folds to the same star.
     *
-    * State is the hash log: 16 bytes/doc of parquet, not state store —
+    * State is the hash log: 24 bytes/doc of parquet, not state store —
     * the whole reason the hashed-stream boundary is the right one at
-    * 100 TB (the text twin must log shingles; this one logs one long).
+    * 100 TB (the text twin must log shingles; this one logs two
+    * longs). The hash is the 128-bit family (4×32-bit band keys) the
+    * batch core moved to in round 17 — the 64-bit keying's ~3.3M-row
+    * band-space cliff applies to a cumulative ingest log MORE than to
+    * any one batch.
     */
   def hammingStarStream(hashes: DataFrame, stagedDir: String,
       checkpoint: String): StreamingQuery =
@@ -778,13 +808,20 @@ object EventStreams {
               col("x.doc_id") =!= col("y.doc_id"))
           // least/greatest normalizes orientation so a new×new bucket
           // pair (seen from both sides) dedups in the distinct
-          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
-            least(col("x.h"), col("y.h")).as("pa"),
-            greatest(col("x.h"), col("y.h")).as("pb"))
+          // struct ordering is lexicographic with doc_id first, so
+          // each hash pair stays tied to its own doc after the swap
+          .select(least(struct(col("x.doc_id"), col("x.h0"), col("x.h1")),
+              struct(col("y.doc_id"), col("y.h0"), col("y.h1"))).as("a"),
+            greatest(struct(col("x.doc_id"), col("x.h0"), col("x.h1")),
+              struct(col("y.doc_id"), col("y.h0"), col("y.h1"))).as("b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.h0").as("pa0"), col("a.h1").as("pa1"),
+            col("b.h0").as("pb0"), col("b.h1").as("pb1"))
           .distinct()
         val newEdges = cand
-          .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+          .withColumn("hamming",
+            expr("bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)")
+              .cast("long"))
           .where(col("hamming") <= 3)
           .select(col("doc_a"), col("doc_b"))
         val prev =

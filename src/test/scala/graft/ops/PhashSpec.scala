@@ -122,15 +122,17 @@ class PhashSpec extends SparkSpec {
 
   test("banded pair set equals a brute-force all-pairs Hamming scan at d<=3") {
     // perfect-recall pigeonhole claim, checked against the oracle-free
-    // ground truth on the full sf0.001 hash table
+    // ground truth on the full sf0.001 hash table — over the 128-bit
+    // hash the shipped banding keys on
     val hashes = Multimodal.phashJpegTable(spark, sfDir)
       .as[(Long, Array[Byte])].collect()
       .map { case (id, payload) =>
-        (id, Phash.phash64(Multimodal.phashLuma(payload)))
+        (id, Phash.phash128(Multimodal.phashLuma(payload)))
       }
     val brute = (for {
       i <- hashes.indices; j <- (i + 1) until hashes.length
-      d = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      d = java.lang.Long.bitCount(hashes(i)._2._1 ^ hashes(j)._2._1) +
+        java.lang.Long.bitCount(hashes(i)._2._2 ^ hashes(j)._2._2)
       if d <= 3
     } yield {
       val (a, b) = (hashes(i)._1, hashes(j)._1)

@@ -3,9 +3,9 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** q122 SimHash banded pairs: exact plain-Scala replay (signature →
-  * 16-bit bands → occupancy cap → Hamming verify) on a planted
-  * near-dup corpus, plus the hot-bucket guard: a 60-deep exact-dup
+/** q122 SimHash banded pairs: exact plain-Scala replay (128-bit
+  * signature → 32-bit bands → occupancy cap → Hamming verify) on a
+  * planted near-dup corpus, plus the hot-bucket guard: a 60-deep exact-dup
   * family lands all its signatures in the same four band buckets,
   * whose occupancy (60 > cap 50) must suppress the C(60,2) = 1770
   * candidate pairs and surface as hot_buckets = 4 instead.
@@ -21,14 +21,14 @@ class SimhashPairsSpec extends SparkSpec {
     s0.toLowerCase.replaceAll("\\s+", " ").trim
       .split(" ", -1).toSeq
 
-  /** Plain-Scala 64-bit simhash of q122's exact construction. */
+  /** Plain-Scala 128-bit simhash of q122's exact construction. */
   private def simhash(text: String): String = {
-    val votes = Array.fill(64)(0)
+    val votes = Array.fill(128)(0)
     for (tok <- toks(text).distinct) {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(tok.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 16)
-      for (j <- 0 until 64) {
+        .map("%02x".format(_)).mkString
+      for (j <- 0 until 128) {
         val nib = "0123456789abcdef".indexOf(hex(j / 4))
         votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1 else -1)
       }
@@ -42,7 +42,7 @@ class SimhashPairsSpec extends SparkSpec {
     val sigs = docs.map { case (id, t0) => id -> simhash(t0) }
     val bands = for {
       (id, sg) <- sigs; b <- 0 until 4
-    } yield (b, sg.substring(b * 16, b * 16 + 16), id, sg)
+    } yield (b, sg.substring(b * 32, b * 32 + 32), id, sg)
     val occ = bands.groupBy(bk => (bk._1, bk._2)).view.mapValues(_.size)
     val hot = occ.count(_._2 > Dedup.BandHotCap).toLong
     val cold = bands.filter(bk => occ((bk._1, bk._2)) <= Dedup.BandHotCap)

@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
 class VideoPhashSpec extends SparkSpec {
   import spark.implicits._
 
+  // the fold takes the 128-bit (h0, h1) hash; the hamming-specific
+  // cases plant all content in h0 with h1 pinned 0, so per-frame
+  // distances are exactly the planted h0 bit differences
   private def fold(rows: Seq[(Long, Long, Long)]) =
-    Multimodal.videoHashPairs(rows.toDF("doc_id", "frame_idx", "h"))
+    Multimodal.videoHashPairs(rows
+        .map { case (d, f, h) => (d, f, h, 0L) }
+        .toDF("doc_id", "frame_idx", "h0", "h1"))
       .select("doc_a", "doc_b", "n_frames", "max_hamming")
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
 

@@ -44,8 +44,9 @@ class HammingStarStreamSpec extends SparkSpec {
     def hashed(df: org.apache.spark.sql.DataFrame) = {
       import spark.implicits._
       df.as[(Long, Array[Byte])].map { case (id, payload) =>
-        (id, AudioFp.fingerprint64(Wav.decode(payload).samples))
-      }.toDF("doc_id", "h")
+        val (h0, h1) = AudioFp.fingerprint128(Wav.decode(payload).samples)
+        (id, h0, h1)
+      }.toDF("doc_id", "h0", "h1")
     }
     val src = MemoryStream[(Long, Array[Byte])]
     def drain(ck: String, st: MemoryStream[(Long, Array[Byte])]): Unit =

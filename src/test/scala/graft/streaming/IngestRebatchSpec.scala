@@ -51,29 +51,29 @@ class IngestRebatchSpec extends SparkSpec {
 
   test("frame hashes: conflicting feed resolves identically under two batchings") {
     implicit val sqlCtx = spark.sqlContext
-    val r1 = (7L, 0L, 10L, 100L, 200L)
-    val r1conf = (7L, 0L, 11L, 300L, 50L) // same (doc, frame), new hash
-    val other = (8L, 0L, 20L, 21L, 22L)
-    def run(batches: Seq[Seq[(Long, Long, Long, Long, Long)]]) = {
+    val r1 = (7L, 0L, 100L, 200L)
+    val r1conf = (7L, 0L, 300L, 50L) // same (doc, frame), new hash
+    val other = (8L, 0L, 21L, 22L)
+    def run(batches: Seq[Seq[(Long, Long, Long, Long)]]) = {
       val staged = tmp("rebatch-vhash")
       val ckpt = tmp("rebatch-vhash-ckpt")
-      val src = MemoryStream[(Long, Long, Long, Long, Long)]
+      val src = MemoryStream[(Long, Long, Long, Long)]
       batches.foreach { b =>
         src.addData(b: _*)
         EventStreams.videoHashIngestStream(
-          src.toDF().toDF("doc_id", "frame_idx", "h", "h0", "h1"),
+          src.toDF().toDF("doc_id", "frame_idx", "h0", "h1"),
           staged, ckpt).awaitTermination()
       }
       EventStreams.resolvedFrameHashLog(spark, staged)
-        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     }
     val together = run(Seq(Seq(r1, r1conf, other)))
     val split = run(Seq(Seq(r1, other), Seq(r1conf)))
     val splitReversed = run(Seq(Seq(r1conf, other), Seq(r1)))
     assert(together === split && split === splitReversed,
       s"$together / $split / $splitReversed")
-    // lexicographic MAX over (h, h0, h1): (11, 300, 50) wins
-    assert(together === Seq((7L, 0L, 11L, 300L, 50L), other).sorted)
+    // lexicographic MAX over (h0, h1): (300, 50) wins
+    assert(together === Seq((7L, 0L, 300L, 50L), other).sorted)
   }
 
   test("knn vectors: conflicting feed derives the same graph input under two batchings") {

@@ -17,13 +17,23 @@ import graft.ops.{Dedup, Similarity}
   * frontier node's rows live in its bucket; pruning skips buckets no
   * frontier node hashes to.
   *
-  * The economics this probe quantifies: expected touched buckets =
-  * 64·(1 − (1 − 1/64)^|frontier|), so pruning wins when the PER-ROUND
-  * frontier is small relative to the bucket count — few queries per
-  * batch (the online-serving shape) — and degenerates to a full scan
-  * at the bench's 20-query batch (~320 frontier nodes → ~63.6 of 64
-  * buckets). Both shapes are measured, REPEAT per run, at the given
-  * replica factor.
+  * The economics this probe quantifies: with a RANDOM bucket key
+  * (`pmod(node, 64)`), expected touched buckets =
+  * 64·(1 − (1 − 1/64)^|frontier|) — pruning wins only when the
+  * per-round frontier is small (the online-serving shape) and
+  * degenerates to a full scan at the bench's 20-query batch (~320
+  * frontier nodes → ~63.6 of 64 buckets; measured 164/256 r16).
+  * CELL-ALIGNED keying (`pmod(cell(node), 64)`, round 17 — the
+  * shipped q197 layout) exploits what the random key wastes: a walk
+  * frontier is geometrically local, so its nodes concentrate in few
+  * cells and the touched fraction collapses toward the probed-cell
+  * fraction (the DiskANN layout premise). Each edge row carries its
+  * target's bucket (`neighbor_nb`), so the cell walk elects buckets
+  * from an accumulated model-sized (node, nb) map — no corpus
+  * lookup. All three layouts are measured (buckets touched + the
+  * ROW fraction those buckets hold — the honest read-bytes metric,
+  * since cell buckets are not equal-sized), REPEAT per run, at the
+  * given replica factor; visited sets asserted identical.
   */
 object GraphLayoutProbe {
   private val Buckets = 64
@@ -56,12 +66,35 @@ object GraphLayoutProbe {
       s"graft_graph_layout_x${factor}_$gv"
     val flatPath = s"$base/flat"
     val bktPath = s"$base/bkt"
+    val cellPath = s"$base/cell"
+    val nbOf = spark.read.parquet(snap("cells"))
+      .select(col("vec_id"),
+        pmod(col("cluster"), lit(Buckets)).cast("long").as("nb"))
     if (!new java.io.File(flatPath).exists())
       substrate.write.mode("overwrite").parquet(flatPath)
     if (!new java.io.File(bktPath).exists())
       substrate.withColumn("nb", pmod(col("node"), lit(Buckets)))
         .repartition(col("nb"))
         .write.mode("overwrite").partitionBy("nb").parquet(bktPath)
+    if (!new java.io.File(cellPath).exists())
+      substrate
+        .join(nbOf.withColumnRenamed("vec_id", "node"), "node")
+        .join(nbOf.select(col("vec_id").as("neighbor_id"),
+          col("nb").as("neighbor_nb")), "neighbor_id")
+        .select(col("node"), col("neighbor_id"), col("neighbor_nb"),
+          col("nb"))
+        .repartition(col("nb"))
+        .write.mode("overwrite").partitionBy("nb").parquet(cellPath)
+
+    // per-bucket row occupancy per layout — model-sized (≤64 rows),
+    // turns touched-bucket lists into the honest rows-read fraction
+    def occupancy(path: String): Map[Long, Long] =
+      spark.read.parquet(path).groupBy(col("nb").cast("long").as("nb"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val occRand = occupancy(bktPath)
+    val occCell = occupancy(cellPath)
+    val totalRows = substrate.count()
 
     val iv = Similarity.scaledVectors(spark, dir)
       .join(spark.read.parquet(snap("cells")), "vec_id")
@@ -69,9 +102,10 @@ object GraphLayoutProbe {
     val medoids = spark.read.parquet(gsnap("knn_medoids"))
     val probesAll = spark.read.parquet(snap("probes"))
 
-    // the walk loop, reading the graph per round — `pruned` restricts
-    // the read to the frontier's touched partition dirs
-    def walk(nQueries: Int, pruned: Boolean): (Double, Long, Long) = {
+    // the walk loop, reading the graph per round — layout "rand"
+    // prunes pmod(node) buckets, "cell" prunes cell-aligned buckets
+    // via the known-(node,nb) map, "flat" reads everything
+    def walk(nQueries: Int, layout: String): (Double, Long, Long, Long) = {
       val queries = iv.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -92,9 +126,16 @@ object GraphLayoutProbe {
       var expanded = visited
         .select(col("query_id"), col("neighbor_id").as("node"))
         .where(lit(false)).localCheckpoint()
+      var known =
+        if (layout == "cell")
+          medoids.select(col("medoid").as("node"),
+            pmod(col("cluster"), lit(Buckets)).cast("long").as("nb"))
+            .distinct().localCheckpoint()
+        else null
       val wb = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       var bucketsTouched = 0L
+      var rowsRead = 0L
       for (_ <- 1 to Similarity.WalkRounds) {
         val frontier = visited
           .join(expanded.withColumnRenamed("node", "neighbor_id"),
@@ -104,18 +145,40 @@ object GraphLayoutProbe {
           .select(col("query_id"), col("neighbor_id").as("node"))
           .localCheckpoint()
         expanded = expanded.union(frontier).localCheckpoint()
-        val graph =
-          if (pruned) {
+        val graph = layout match {
+          case "rand" =>
             // model-sized driver collect: the frontier is already a
             // checkpointed ≤ queries×beam frame
             val bks = frontier
               .select(pmod(col("node"), lit(Buckets)).as("nb"))
               .distinct().collect().map(_.getLong(0)).toIndexedSeq
             bucketsTouched += bks.length
+            rowsRead += bks.map(occRand.getOrElse(_, 0L)).sum
             spark.read.parquet(bktPath)
               .where(col("nb").isin(bks: _*))
               .select(col("node"), col("neighbor_id"))
-          } else spark.read.parquet(flatPath)
+          case "cell" =>
+            val bks = frontier.join(known, "node")
+              .select(col("nb")).distinct().collect()
+              .map(_.getLong(0)).toIndexedSeq
+            bucketsTouched += bks.length
+            rowsRead += bks.map(occCell.getOrElse(_, 0L)).sum
+            val fEdges = spark.read.parquet(cellPath)
+              .where(col("nb").isin(bks: _*))
+              .join(broadcast(frontier.select(col("node")).distinct()),
+                "node")
+              .select(col("node"), col("neighbor_id"),
+                col("neighbor_nb"))
+              .localCheckpoint()
+            known = known.union(fEdges
+                .select(col("neighbor_id").as("node"),
+                  col("neighbor_nb").as("nb")))
+              .distinct().localCheckpoint()
+            fEdges.select(col("node"), col("neighbor_id"))
+          case _ =>
+            rowsRead += totalRows
+            spark.read.parquet(flatPath)
+        }
         val fresh = frontier.join(graph, "node")
           .where(col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"))
@@ -125,24 +188,27 @@ object GraphLayoutProbe {
         visited = visited.union(score(fresh)).localCheckpoint()
       }
       val n = visited.count()
-      ((System.nanoTime() - t0) / 1e9, n, bucketsTouched)
+      ((System.nanoTime() - t0) / 1e9, n, bucketsTouched, rowsRead)
     }
 
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
     val shapes = Seq(2, 20)
+    val layouts = Seq("flat", "rand", "cell")
     val results = for {
       nq <- shapes
-      pruned <- Seq(false, true)
+      layout <- layouts
     } yield {
       val runs = (1 to repeat).map { i =>
-        val (sec, rows, bks) = walk(nq, pruned)
-        println(f"LAYOUT q=$nq%2d pruned=$pruned%-5s run$i $sec%7.2f s " +
-          f"visited=$rows buckets=$bks")
-        (sec, rows, bks)
+        val (sec, rows, bks, rr) = walk(nq, layout)
+        val frac = rr.toDouble / (totalRows * Similarity.WalkRounds)
+        println(f"LAYOUT q=$nq%2d layout=$layout%-4s run$i $sec%7.2f s " +
+          f"visited=$rows buckets=$bks rows_read=$rr (${frac * 100}%.1f%%)")
+        (sec, rows, bks, rr)
       }
       val rowsets = runs.map(_._2).distinct
       assert(rowsets.size == 1, s"non-deterministic visited: $rowsets")
-      (nq, pruned, runs.map(_._1).min, runs.head._2, runs.head._3)
+      (nq, layout, runs.map(_._1).min, runs.head._2, runs.head._3,
+        runs.head._4)
     }
     // identical visited counts across layouts at each query shape —
     // pruning must be invisible to results
@@ -150,11 +216,11 @@ object GraphLayoutProbe {
       val vs = results.filter(_._1 == nq).map(_._4).distinct
       assert(vs.size == 1, s"layouts disagree at q=$nq: $vs")
     }
-    val qs = results.map { case (nq, p, sec, _, bks) =>
-      s""""q${nq}_${if (p) "pruned" else "flat"}":{"sec":$sec,"buckets":$bks}"""
+    val qs = results.map { case (nq, layout, sec, _, bks, rr) =>
+      s""""q${nq}_$layout":{"sec":$sec,"buckets":$bks,"rows_read":$rr}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"graph_layout_probe","factor":$factor,""" +
-      s""""buckets":$Buckets,"shapes":$qs}""")
+      s""""buckets":$Buckets,"total_rows":$totalRows,"shapes":$qs}""")
     spark.stop()
   }
 }

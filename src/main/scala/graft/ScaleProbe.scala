@@ -212,6 +212,7 @@ object ScaleProbe {
       "q192_graph_walk_masked", "q193_graph_walk_filtered",
       "q194_graph_walk_pq_rerank", "q195_graph_compacted_walk",
       "q196_graph_walk_escalated", "q197_graph_walk_pruned",
+      "q198_graph_walk_converged",
       "q166_hier3_curation", "q167_sq8_rerank",
       "q168_sq8_constrained", "q169_sharded_hier_ann",
       "q170_video_decode",

@@ -207,7 +207,13 @@ object Assembly {
       .select(col("id"), col("next_id"), col("offset"), col("length"), col("content"))
       .localCheckpoint()
     var it = 0
-    var moved = true
+    // empty-input guard (q196's lesson): a zero-vertex input would
+    // still pay one eagerly-checkpointed join round before the
+    // accumulator reads 0 — the isEmpty probe on the checkpointed
+    // frame is one limit-1 job (the frontier variant needs no guard:
+    // its round-0 frontier accumulator already reads 0 and the loop
+    // never enters)
+    var moved = !state.isEmpty
     while (moved && it < maxIters) {
       // convergence detection rides the checkpoint: a one-boolean kernel
       // bumps a fresh accumulator while the eager localCheckpoint

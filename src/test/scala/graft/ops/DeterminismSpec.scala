@@ -124,7 +124,10 @@ class DeterminismSpec extends SparkSpec {
     // beam budgets' frontier elections + the deficiency branch
     "q195_graph_compacted_walk", "q196_graph_walk_escalated",
     // q197: the pruned per-round reads + frontier elections
-    "q197_graph_walk_pruned")
+    "q197_graph_walk_pruned",
+    // q198: the convergence-driven descent's per-round top-k windows
+    // + exceptAll termination + the walk over the converged graph
+    "q198_graph_walk_converged")
 
   test("catalog answers are identical under a different shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *     claim mechanical rather than oracle-coincidental;
   *  2. the staged substrate equals [[Similarity.walkSubstrate]] over
   *     the staged graph exactly (same edge set, every row's `nb` =
-  *     pmod(node, WalkBuckets)) and is group-stamped to the
-  *     `knn_graph` version it derives from;
+  *     pmod(CELL(node), WalkBuckets) and `neighbor_nb` =
+  *     pmod(CELL(neighbor), WalkBuckets) — the round-17 cell-aligned
+  *     layout) and is group-stamped to the `knn_graph` AND `cells`
+  *     versions it derives from;
   *  3. the layout is REAL: the version dir holds one `nb=` partition
   *     directory per touched bucket.
   */
@@ -49,12 +51,22 @@ class GraphLayoutSpec extends SparkSpec {
       .exceptAll(derived).count() === 0L)
     assert(derived.exceptAll(
       bkt.select(col("node"), col("neighbor_id"))).count() === 0L)
-    assert(bkt.where(col("nb") =!=
-      pmod(col("node"), lit(Similarity.WalkBuckets))).count() === 0L)
+    // cell-aligned buckets: nb keys on the node's IVF cell, and each
+    // edge carries its target's bucket (the walk's layout pointer)
+    val nbOf = spark.read.parquet(Staged.path(work, "cells"))
+      .select(col("vec_id"),
+        pmod(col("cluster"), lit(Similarity.WalkBuckets))
+          .cast("long").as("cnb"))
+    assert(bkt.join(nbOf.withColumnRenamed("vec_id", "node"), "node")
+      .where(col("nb") =!= col("cnb")).count() === 0L)
+    assert(bkt.join(nbOf.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id")
+      .where(col("neighbor_nb") =!= col("cnb")).count() === 0L)
 
-    // stamped to its source generation; physically partitioned
+    // stamped to BOTH source generations; physically partitioned
     val stamp = Staged.groupOf(work, "knn_graph_bkt")
-    assert(stamp.exists(_.startsWith("graph=")), stamp.toString)
+    assert(stamp.exists(st => st.startsWith("graph=") &&
+      st.contains("cells=")), stamp.toString)
     val vdir = new java.io.File(Staged.path(work, "knn_graph_bkt"))
     val parts = vdir.getCanonicalFile.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("nb="))

@@ -70,6 +70,55 @@ class KnnDescentSpec extends SparkSpec {
     assert(u === Seq(20L, 2L, 11L))
   }
 
+  test("convergence-driven descent recovers a 3-hop neighbor one round provably misses") {
+    // planted path u → m1 → m2 → w with w = u's true nearest
+    // (cos 0.9987 vs m1's 0.8): one round's candidate horizon is
+    // 2 hops (neighbors-of-neighbors), so round 1 CANNOT see w from
+    // u; round 2 reaches it through m2's refined list and the exact
+    // re-score ranks it first. The convergence loop must therefore
+    // keep iterating past round 1 and stop once the edge set dries.
+    val iv = withNrm(Seq(
+      (0L, 1L, Array(100L, 0L, 0L)),   // u
+      (0L, 10L, Array(80L, 60L, 0L)),  // m1
+      (0L, 11L, Array(60L, 80L, 0L)),  // m2
+      (0L, 20L, Array(99L, 5L, 0L)))   // w
+      .toDF("cluster", "vec_id", "v")).localCheckpoint()
+    val path = Seq((1L, 10L), (10L, 11L), (11L, 20L))
+      .toDF("query_id", "neighbor_id")
+    val oneRound = Similarity.knnDescentOf(iv, path, k = 3)
+    val u1 = oneRound.where(col("query_id") === 1)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(!u1.contains(20L),
+      s"one round must miss the 3-hop neighbor, got $u1")
+    val conv = Similarity.knnDescentConverged(iv, path, k = 3)
+      .localCheckpoint()
+    val uc = conv.where(col("query_id") === 1)
+      .orderBy(col("rank")).select(col("neighbor_id"))
+      .as[Long].collect().toSeq
+    assert(uc.head === 20L, s"converged descent must rank w first: $uc")
+    val rounds = Similarity.lastDescentRounds
+    assert(rounds >= 2 && rounds <= Similarity.DescentMaxRounds,
+      s"planted chain should converge in a few rounds, ran $rounds")
+
+    // idempotence: a converged graph is a descent fixpoint — feeding
+    // its own edges back converges immediately (one confirming round)
+    val again = Similarity.knnDescentConverged(iv,
+      conv.select(col("query_id"), col("neighbor_id")), k = 3)
+    assert(Similarity.lastDescentRounds === 2)
+    assert(again.select(col("query_id"), col("neighbor_id"))
+      .exceptAll(conv.select(col("query_id"), col("neighbor_id")))
+      .count() === 0L)
+
+    // the cap is a backstop, not the terminator: maxRounds = 1
+    // returns exactly the single-round graph
+    val capped = Similarity.knnDescentConverged(iv, path, k = 3,
+      maxRounds = 1)
+    assert(Similarity.lastDescentRounds === 1)
+    assert(capped.select(col("query_id"), col("neighbor_id"))
+      .exceptAll(oneRound.select(col("query_id"), col("neighbor_id")))
+      .count() === 0L)
+  }
+
   test("reverse cap bounds a hub's substrate in-list to the cap smallest sources") {
     // six nodes all point at hub 100; hub points at 200. After the
     // capped symmetrization the hub's neighbor list is {200} plus the

@@ -72,4 +72,45 @@ class GraphWalkPqSearchStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/graph_walk_pq_results_stream")
       .count() === batch.size.toLong, "one row per (query, rank), ever")
   }
+
+  test("an off-corpus streamed query reranks against its own vector") {
+    // the round-16 advice item: the exact tail used to resolve query
+    // vectors from the corpus by id, so a streamed query whose vec_id
+    // is absent from the corpus silently produced ZERO rows; since
+    // round 17 the caller's (v) threads end-to-end (priced and
+    // reranked with the same vector), so an off-corpus id carrying
+    // query 0's vector must answer — and at least as well as query 0
+    // (same walk, same scores, no self to suppress)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val work = Dedup.stageRoot(dir)
+    val batch = Similarity.q194GraphWalkPqRerank(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.nonEmpty)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val (centroids, _) = Similarity.trainCodebook(spark, dir,
+      k = Similarity.adaptiveCellCount(n))
+    val offId = 9999999L
+    val v0 = Similarity.scaledVectors(spark, dir)
+      .where(col("vec_id") === 0L)
+      .select(col("v"), col("nrm"))
+      .as[(Seq[Long], Double)].head()
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("gwpq-off-ckpt").toString
+    val src = MemoryStream[(Long, Seq[Long], Double)]
+    src.addData((offId, v0._1, v0._2))
+    EventStreams.graphWalkPqSearchStream(
+      src.toDF().toDF("vec_id", "v", "nrm"), dir, work, centroids,
+      nprobe = 2, ckpt).awaitTermination()
+    val off = spark.read.parquet(s"$work/graph_walk_pq_results_stream")
+      .where(col("query_id") === offId)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(off.size === q0.size,
+      s"off-corpus query must answer fully, got ${off.size}")
+    // reranked with query 0's vector: its best cosine can only match
+    // or beat query 0's (vec 0 itself, cosine 1, is now fair game)
+    assert(off.head._4 >= q0.head._4 - 1e-9,
+      s"${off.head} vs ${q0.head}")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.genomics
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
 
@@ -30,8 +31,17 @@ object AssemblyCli {
     }.toMap
     val infile = opts.getOrElse("infile", sys.error("--infile=<path> required"))
     val outfile = opts.getOrElse("outfile", sys.error("--outfile=<path> required"))
-    val source = opts.getOrElse("source", sys.error("--source=<id> required")).toLong
-    val dest = opts.getOrElse("destination", sys.error("--destination=<id> required")).toLong
+    // --source/--destination are OPTIONAL since round 17 — the
+    // reference's own TODO (assembly_final.cpp:670 "should not be
+    // inputed by user in the future"): an omitted source defaults to
+    // the chain HEAD of the best-path graph (the unique read with a
+    // best successor that no other read's best-successor pointer
+    // targets — in-degree 0 on the next_id graph), an omitted
+    // destination to that chain's END. Ambiguity (0 or 2+ heads —
+    // disjoint contigs, or a single-read graph) is an error BY NAME
+    // listing the candidates, never a silent guess.
+    val sourceOpt = opts.get("source").map(_.toLong)
+    val destOpt = opts.get("destination").map(_.toLong)
     val engine = opts.getOrElse("engine", "auto")
     // S4 edge sink: defined in v1/v2, disabled by the final reference
     // (assembly_final.cpp:743) — so opt-in, default off
@@ -53,11 +63,74 @@ object AssemblyCli {
       case _       => Files.size(Paths.get(infile)) < LocalThresholdBytes
     }
     if (useLocal && codec != "lz4")
-      runLocal(infile, outfile, source, dest, saveEdges, codec)
-    else runSpark(infile, outfile, source, dest, saveEdges, codec)
+      runLocal(infile, outfile, sourceOpt, destOpt, saveEdges, codec)
+    else runSpark(infile, outfile, sourceOpt, destOpt, saveEdges, codec)
   }
 
-  private def runLocal(infile: String, outfile: String, source: Long, dest: Long,
+  /** Spark-path source/destination defaulting over a best-successor
+    * frame — factored for GoldenAssemblySpec (head election, chain-end
+    * pointer doubling, the ambiguity error).
+    */
+  private[genomics] def autoSourceDest(nextOnly: org.apache.spark.sql.DataFrame,
+      sourceOpt: Option[Long], destOpt: Option[Long]): (Long, Long) = {
+    val source = sourceOpt.getOrElse {
+      val heads = nextOnly.where(col("next_id") =!= -1L)
+        .join(nextOnly.select(col("next_id").as("hid"))
+            .where(col("hid") =!= -1L),
+          col("id") === col("hid"), "left_anti")
+        .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
+      if (heads.size != 1) sys.error(headError(heads))
+      heads.head
+    }
+    val dest = destOpt.getOrElse {
+      // chain end by pointer doubling (Assembly.pathWithHops — the
+      // O(log path) derivation, no driver-side corpus walk): the
+      // chain member at maximum hop from the source
+      Assembly.pathWithHops(nextOnly, source)
+        .orderBy(col("hop").desc, col("id"))
+        .select(col("id")).first().getLong(0)
+    }
+    (source, dest)
+  }
+
+  /** Local-engine twin of [[autoSourceDest]] over the parsed vectors —
+    * same election, plain Scala.
+    */
+  private[genomics] def autoSourceDestLocal(
+      vertices: Vector[LocalAssembly.V], edges: Vector[(Long, Long)],
+      sourceOpt: Option[Long], destOpt: Option[Long]): (Long, Long) = {
+    val next0 = LocalAssembly.phases12(vertices, edges, -1L)
+    val source = sourceOpt.getOrElse {
+      val pointed = next0.values.map(_._2).filter(_ != -1L).toSet
+      val heads = vertices.map(_.id)
+        .filter(id => next0(id)._2 != -1L && !pointed(id)).sorted
+      if (heads.size != 1) sys.error(headError(heads))
+      heads.head
+    }
+    val dest = destOpt.getOrElse {
+      // chain end: follow next_id from source, cycle-guarded
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var cur = source
+      while (next0.contains(cur) && next0(cur)._2 != -1L &&
+          !seen(next0(cur)._2)) {
+        seen += cur
+        cur = next0(cur)._2
+      }
+      cur
+    }
+    (source, dest)
+  }
+
+  /** Shared head-election error text, asserted by GoldenAssemblySpec. */
+  private[genomics] def headError(heads: Seq[Long]): String =
+    s"--source omitted and ${heads.size} chain heads found" +
+      (if (heads.nonEmpty) heads.sorted.mkString(" (", ", ", ")")
+       else "") +
+      " - the best-path graph has no unique in-degree-0 read; pass" +
+      " --source (and --destination) explicitly"
+
+  private def runLocal(infile: String, outfile: String,
+      sourceOpt: Option[Long], destOpt: Option[Long],
       saveEdges: Boolean = false, codec: String = "none"): Unit = {
     // single-file text write, gzip-compressed when asked — the local
     // twin of Spark's `compression` option (same .gz suffix, so either
@@ -73,6 +146,10 @@ object AssemblyCli {
       } else Files.writeString(p, body)
     }
     val (vertices, edges) = LocalAssembly.parse(infile)
+    // next_id is destination-independent (phases12's argmax reads only
+    // edges + scores), so the derivation can run before dest is known
+    val (source, dest) =
+      autoSourceDestLocal(vertices, edges, sourceOpt, destOpt)
     if (saveEdges) {
       writeText(s"$outfile.edges/part-00000",
         edges.map { case (s, d) => s"($s\t$d)" }.mkString("", "\n", "\n"))
@@ -92,7 +169,8 @@ object AssemblyCli {
     println(s"assembled contig: offset=${span.offset} length=${span.length}")
   }
 
-  private def runSpark(infile: String, outfile: String, source: Long, dest: Long,
+  private def runSpark(infile: String, outfile: String,
+      sourceOpt: Option[Long], destOpt: Option[Long],
       saveEdges: Boolean = false, codec: String = "none"): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -105,10 +183,13 @@ object AssemblyCli {
     spark.sparkContext.setLogLevel("WARN")
 
     val (vertices, edges) = Reads.loadGraphTsv(spark, infile)
-    // faithful tag-only prune (the reference never filters on `valid`,
-    // assembly_final.cpp:175) ahead of the per-vertex sink
-    val withNext = Assembly.bestSuccessor(
-      Assembly.withValidFlag(vertices, edges, dest), edges)
+    // best successor first (destination-independent — the argmax reads
+    // only edges + scores), so source/destination can default from it;
+    // the valid tag joins on afterwards (tag-only prune — the
+    // reference never filters on `valid`, assembly_final.cpp:175)
+    val nextOnly = Assembly.bestSuccessor(vertices, edges)
+    val (source, dest) = autoSourceDest(nextOnly, sourceOpt, destOpt)
+    val withNext = Assembly.withValidFlag(nextOnly, edges, dest)
 
     // per-vertex projection, the reference's vertex sink; gzip/zstd
     // land as Hadoop-codec'd part files that spark.read auto-detects

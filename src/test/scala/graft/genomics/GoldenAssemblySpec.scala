@@ -91,6 +91,48 @@ class GoldenAssemblySpec extends SparkSpec {
     assert(r33 === Read(33L, 119, c33, 1304, 0.980775))
   }
 
+  test("auto source/destination: both engines derive (33, 38) from the sample graph") {
+    // the reference's own TODO (assembly_final.cpp:670): source = the
+    // unique in-degree-0 head of the best-path graph, destination =
+    // its chain end — derived, not typed
+    val (v, e) = sample
+    assert(AssemblyCli.autoSourceDest(
+      Assembly.bestSuccessor(v, e), None, None) === ((33L, 38L)))
+    // a supplied flag wins over the derivation
+    assert(AssemblyCli.autoSourceDest(
+      Assembly.bestSuccessor(v, e), Some(10L), None) === ((10L, 38L)))
+    val lv = Vector(
+      LocalAssembly.V(33L, 119, c33, 1304, 0.980775),
+      LocalAssembly.V(10L, 104, c10, 3326, 0.988595),
+      LocalAssembly.V(38L, 132, c38, 3891, 0.975873))
+    val le = Vector((33L, 10L), (10L, 38L))
+    assert(AssemblyCli.autoSourceDestLocal(lv, le, None, None)
+      === ((33L, 38L)))
+  }
+
+  test("auto source: ambiguous graphs fail by name, listing the candidate heads") {
+    // two disjoint 2-read chains → two in-degree-0 heads → refusal
+    // naming both (never a silent guess of either contig)
+    val v = Seq(
+      Read(1L, 10, "A" * 10, 0, 0.9), Read(2L, 10, "C" * 10, 20, 0.8),
+      Read(5L, 10, "G" * 10, 0, 0.9), Read(6L, 10, "T" * 10, 20, 0.8))
+      .toDF()
+    val e = Seq(OverlapEdge(1L, 2L), OverlapEdge(5L, 6L)).toDF()
+    val err = intercept[RuntimeException](
+      AssemblyCli.autoSourceDest(Assembly.bestSuccessor(v, e), None, None))
+    assert(err.getMessage.contains("2 chain heads") &&
+      err.getMessage.contains("1, 5"), err.getMessage)
+    val lv = Vector(
+      LocalAssembly.V(1L, 10, "A" * 10, 0, 0.9),
+      LocalAssembly.V(2L, 10, "C" * 10, 20, 0.8),
+      LocalAssembly.V(5L, 10, "G" * 10, 0, 0.9),
+      LocalAssembly.V(6L, 10, "T" * 10, 20, 0.8))
+    val lerr = intercept[RuntimeException](
+      AssemblyCli.autoSourceDestLocal(lv, Vector((1L, 2L), (5L, 6L)),
+        None, None))
+    assert(lerr.getMessage.contains("2 chain heads"), lerr.getMessage)
+  }
+
   test("pathMembers walks the chain and is cycle-safe") {
     val (v, e) = sample
     val withNext = Assembly.bestSuccessor(v, e)

@@ -67,9 +67,11 @@ object GraphLayoutProbe {
     val flatPath = s"$base/flat"
     val bktPath = s"$base/bkt"
     val cellPath = s"$base/cell"
+    val nCells = spark.read.parquet(gsnap("knn_medoids")).count()
     val nbOf = spark.read.parquet(snap("cells"))
       .select(col("vec_id"),
-        pmod(col("cluster"), lit(Buckets)).cast("long").as("nb"))
+        Similarity.walkBucketExpr(col("cluster"), col("vec_id"), nCells)
+          .as("nb"))
     if (!new java.io.File(flatPath).exists())
       substrate.write.mode("overwrite").parquet(flatPath)
     if (!new java.io.File(bktPath).exists())
@@ -129,7 +131,8 @@ object GraphLayoutProbe {
       var known =
         if (layout == "cell")
           medoids.select(col("medoid").as("node"),
-            pmod(col("cluster"), lit(Buckets)).cast("long").as("nb"))
+            Similarity.walkBucketExpr(col("cluster"), col("medoid"),
+              nCells).as("nb"))
             .distinct().localCheckpoint()
         else null
       val wb = Window.partitionBy(col("query_id"))

@@ -1735,16 +1735,44 @@ object Similarity {
     * layout pointer a DiskANN node stores for its neighbors), so the
     * per-round pruning decision stays a model-sized driver step with
     * NO corpus-sized node→bucket lookup anywhere in the loop.
+    *
+    * SUB-SPLIT for small cell counts: a corpus with FEWER cells than
+    * buckets (the local SFs: 5–64 cells vs 64 buckets) would make
+    * each cell-bucket a 1/#cells slab — fatter than the random
+    * keying's 1/B, so pruned reads would MOVE MORE BYTES than the
+    * layout they replace (measured: 87% vs 32% of rows at sf0.1).
+    * [[walkBucketExpr]] therefore splits each cell across
+    * K = ⌈B/#cells⌉ sub-buckets keyed by the node id: bucket size
+    * stays ≤ max(1/B, 1/#cells), a frontier's touched set stays
+    * ≤ Σ_cell min(nodes-in-cell, K) — never worse than the random
+    * keying's min(|frontier|, B) and collapsing to the probed-cell
+    * fraction exactly when cells ≥ buckets (K = 1, the 100 TB
+    * regime: ~262k cells over B = 64-4096 buckets). #cells comes
+    * from the medoids asset (one medoid per cell, model-sized),
+    * re-derived identically at serving time from the same resolved
+    * generation.
     */
+  /** The layout bucket of a (cluster, node) pair — shared by the
+    * staging write, the serving seeds, and GraphLayoutSpec's
+    * assertions, so the formula cannot fork.
+    */
+  private[graft] def walkBucketExpr(cluster: Column, node: Column,
+      nCells: Long): Column = {
+    val split = math.max(1L, (WalkBuckets + nCells - 1) / nCells)
+    pmod(cluster.cast("long") * lit(split) + pmod(node, lit(split)),
+      lit(WalkBuckets.toLong)).cast("long")
+  }
+
   def stageWalkSubstrate(s: SparkSession, dir: String,
       work: String): Unit = {
     val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
     val key =
       s"graph=${new java.io.File(gsnap("knn_graph")).getName}," +
         s"cells=${new java.io.File(snap("cells")).getName}"
+    val nCells = s.read.parquet(gsnap("knn_medoids")).count()
     val nbOf = s.read.parquet(snap("cells"))
       .select(col("vec_id"),
-        pmod(col("cluster"), lit(WalkBuckets)).cast("long").as("nb"))
+        walkBucketExpr(col("cluster"), col("vec_id"), nCells).as("nb"))
     Staged.writePartitioned(
       walkSubstrate(s.read.parquet(gsnap("knn_graph")))
         .join(nbOf.withColumnRenamed("vec_id", "node"), "node")
@@ -1820,9 +1848,11 @@ object Similarity {
     // and each pruned read returns `neighbor_nb` for the nodes it
     // discovers — `known` is the accumulated (node, nb) map, bounded
     // by the visited set, so bucket election never joins the corpus
-    var known = s.read.parquet(src("knn_medoids"))
+    val medoidsDf = s.read.parquet(src("knn_medoids")).localCheckpoint()
+    var known = medoidsDf
       .select(col("medoid").as("node"),
-        pmod(col("cluster"), lit(WalkBuckets)).cast("long").as("nb"))
+        walkBucketExpr(col("cluster"), col("medoid"), medoidsDf.count())
+          .as("nb"))
       .distinct().localCheckpoint()
     val graphFor: DataFrame => DataFrame = frontier => {
       // model-sized driver collect: the frontier is a checkpointed

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *     in its bucket), and this is the assertion that makes the
   *     claim mechanical rather than oracle-coincidental;
   *  2. the staged substrate equals [[Similarity.walkSubstrate]] over
-  *     the staged graph exactly (same edge set, every row's `nb` =
-  *     pmod(CELL(node), WalkBuckets) and `neighbor_nb` =
-  *     pmod(CELL(neighbor), WalkBuckets) — the round-17 cell-aligned
-  *     layout) and is group-stamped to the `knn_graph` AND `cells`
-  *     versions it derives from;
+  *     the staged graph exactly (same edge set, every row's `nb` and
+  *     `neighbor_nb` = the shared cell-aligned sub-split formula
+  *     [[Similarity.walkBucketExpr]] — the round-17 layout) and is
+  *     group-stamped to the `knn_graph` AND `cells` versions it
+  *     derives from;
   *  3. the layout is REAL: the version dir holds one `nb=` partition
   *     directory per touched bucket.
   */
@@ -51,12 +51,15 @@ class GraphLayoutSpec extends SparkSpec {
       .exceptAll(derived).count() === 0L)
     assert(derived.exceptAll(
       bkt.select(col("node"), col("neighbor_id"))).count() === 0L)
-    // cell-aligned buckets: nb keys on the node's IVF cell, and each
+    // cell-aligned buckets through the SHARED formula (sub-split for
+    // small cell counts): nb keys on the node's IVF cell, and each
     // edge carries its target's bucket (the walk's layout pointer)
+    val nCells = spark.read.parquet(Staged.path(work, "knn_medoids"))
+      .count()
     val nbOf = spark.read.parquet(Staged.path(work, "cells"))
       .select(col("vec_id"),
-        pmod(col("cluster"), lit(Similarity.WalkBuckets))
-          .cast("long").as("cnb"))
+        Similarity.walkBucketExpr(col("cluster"), col("vec_id"), nCells)
+          .as("cnb"))
     assert(bkt.join(nbOf.withColumnRenamed("vec_id", "node"), "node")
       .where(col("nb") =!= col("cnb")).count() === 0L)
     assert(bkt.join(nbOf.withColumnRenamed("vec_id", "neighbor_id"),

@@ -1847,29 +1847,41 @@ object Similarity {
     // medoids' buckets derive from their own cluster (model-sized),
     // and each pruned read returns `neighbor_nb` for the nodes it
     // discovers — `known` is the accumulated (node, nb) map, bounded
-    // by the visited set, so bucket election never joins the corpus
+    // by the visited set, so bucket election never joins the corpus.
+    // The map lives on the DRIVER (it is model-sized by construction),
+    // which turns the former per-round (bucket-join collect + known
+    // union checkpoint) — two whole jobs per round — into free lookups
     val medoidsDf = s.read.parquet(src("knn_medoids")).localCheckpoint()
-    var known = medoidsDf
+    val known = scala.collection.mutable.HashMap.empty[Long, Long]
+    medoidsDf
       .select(col("medoid").as("node"),
         walkBucketExpr(col("cluster"), col("medoid"), medoidsDf.count())
           .as("nb"))
-      .distinct().localCheckpoint()
+      .collect().foreach(row => known.update(row.getLong(0), row.getLong(1)))
+    // ONE file-index listing of the partitioned asset, reused by every
+    // round's pruned read (a per-round s.read.parquet re-listed all
+    // partition dirs each time)
+    val bkt = s.read.parquet(bktPath)
+    import s.implicits._
     val graphFor: DataFrame => DataFrame = frontier => {
       // model-sized driver collect: the frontier is a checkpointed
       // ≤ queries×beam frame (the GraphLayoutProbe discipline)
-      val bks = frontier.join(known, "node")
-        .select(col("nb")).distinct().collect()
-        .map(_.getLong(0)).toIndexedSeq
-      val fEdges = s.read.parquet(bktPath)
-        .where(col("nb").isin(bks: _*))
-        .join(broadcast(frontier.select(col("node")).distinct()), "node")
+      val fNodes = frontier.select(col("node")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      val bks = fNodes.flatMap(known.get).distinct
+      // the pruned read: partition pruning on nb (directory level) +
+      // the frontier membership pushed into the scan as an IN filter —
+      // frontier × degree rows come back, model-sized by construction
+      val fEdges = bkt
+        .where(col("nb").isin(bks: _*) && col("node").isin(fNodes: _*))
         .select(col("node"), col("neighbor_id"), col("neighbor_nb"))
-        .localCheckpoint() // model-sized: frontier × degree
-      known = known.union(fEdges
-          .select(col("neighbor_id").as("node"),
-            col("neighbor_nb").as("nb")))
-        .distinct().localCheckpoint()
-      fEdges.select(col("node"), col("neighbor_id"))
+        .collect()
+      fEdges.foreach { row =>
+        if (!known.contains(row.getLong(1)))
+          known.update(row.getLong(1), row.getLong(2))
+      }
+      fEdges.map(row => (row.getLong(0), row.getLong(1))).toSeq
+        .toDF("node", "neighbor_id")
     }
     val visited = graphWalkLoop(
       score(walkSeeds(s.read.parquet(src("probes")),
@@ -2149,30 +2161,44 @@ object Similarity {
       graphFor: DataFrame => DataFrame,
       score: DataFrame => DataFrame, orderCols: Seq[Column],
       rounds: Int, beam: Int): DataFrame = {
+    val sc = seedsScored.sparkSession.sparkContext
     var visited = seedsScored.localCheckpoint()
-    var expanded = visited
-      .select(col("query_id"), col("neighbor_id").as("node"))
-      .where(lit(false))
-      .localCheckpoint()
+    // the expanded set is the union of the frontiers elected so far —
+    // kept as a LAZY union of the already-checkpointed frontier frames
+    // rather than a per-round eagerly-checkpointed accumulator: every
+    // member is eager (flat lineage) and ≤ queries×beam rows, so the
+    // left_anti below reads a handful of model-sized local blocks and
+    // the loop saves one whole eager job per round, in EVERY walk entry
+    var expanded = List.empty[DataFrame]
     val wb = Window.partitionBy(col("query_id")).orderBy(orderCols: _*)
     var r = 0
     var drained = false
     while (r < rounds && !drained) {
-      val frontier = visited
-        .join(expanded.withColumnRenamed("node", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        .withColumn("r", row_number().over(wb))
-        .where(col("r") <= beam)
-        .select(col("query_id"), col("neighbor_id").as("node"))
-        .localCheckpoint() // expanded fold + the edge join both read it
       // q196's empty-round lesson, generalized: an empty frontier —
       // every query's visited set fully expanded, or an all-deleted
       // query mask — makes every remaining round a no-op that still
-      // pays its eager checkpoints (~0.6 s/round measured); the check
-      // is a limit-1 probe on the frame just materialized
-      if (frontier.isEmpty) drained = true
+      // pays its eager checkpoints. Drain detection rides the frontier
+      // checkpoint's own materialization via an accumulator-bumping
+      // kernel (stitchIterative's pattern) — the former limit-1
+      // isEmpty probe was one more whole job per round.
+      val acc = sc.longAccumulator(s"walk_frontier_round_$r")
+      val bump = udf { _: Boolean => acc.add(1L); true }
+      val unexp = expanded match {
+        case Nil => visited
+        case fs => visited.join(
+          fs.reduce(_ union _).withColumnRenamed("node", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      }
+      val frontier = unexp
+        .withColumn("r", row_number().over(wb))
+        .where(col("r") <= beam)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+        .withColumn("_c", bump(lit(true)))
+        .localCheckpoint() // expanded fold + the edge join both read it
+        .drop("_c")
+      if (acc.value == 0L) drained = true
       else {
-        expanded = expanded.union(frontier).localCheckpoint()
+        expanded ::= frontier
         val fresh = frontier.join(graphFor(frontier), "node")
           .where(col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"))

@@ -336,13 +336,16 @@ object Dedup {
     * formulation shuffled |tokens|×32 rows instead).
     */
   def q32Simhash(s: SparkSession, dir: String): DataFrame = {
+    // one md5/token; the first 8 hex digits as ONE codegen'd BIGINT —
+    // digit d at nibble (7 − d), so vote bit j = bit ((7 − j/4)·4 + j%4)
+    // (q122's quarter spelling, one quarter wide; the transform/instr
+    // digit array was interpreted per token row)
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("tok"))
-      .withColumn("m8", expr("substr(md5(tok), 1, 8)")) // bound: one md5/token
-      .withColumn("hv", expr(
-        "transform(sequence(1, 8), k -> instr('0123456789abcdef', substr(m8, k, 1)) - 1)"))
+      .withColumn("_q0", expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"))
     val voteAggs = (0 until 32).map { j =>
-      sum(expr(s"IF((shiftright(hv[${j / 4}], ${j % 4}) & 1) = 1, 1, -1)")).as(s"v$j")
+      val bit = (7 - j / 4) * 4 + j % 4
+      sum(expr(s"IF((shiftright(_q0, $bit) & 1) = 1, 1, -1)")).as(s"v$j")
     }
     toks.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"),
@@ -391,14 +394,25 @@ object Dedup {
     */
   private def simhashPairCore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
+    // 4 × 32-bit quarters of the 128-bit md5 as codegen'd BIGINTs: the
+    // previous transform(sequence(1,32), instr(...)) built a 32-long
+    // digit ARRAY per token row — an interpreted HOF (the repo's own
+    // no-CSE gotcha) feeding 128 interpreted array lookups. Quarter k
+    // holds hex digits 8k..8k+7; digit d sits at nibble (7 − d%8), so
+    // bit (j%4) of digit (j/4) — the instr()-derived vote bit — is bit
+    // ((7 − (j/4)%8)·4 + j%4) of quarter ((j/4)/8), bit-for-bit.
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(words(col("text")))).as("tok"))
       .withColumn("m32", expr("md5(tok)"))
-      .withColumn("hv", expr(
-        "transform(sequence(1, 32), k -> instr('0123456789abcdef', substr(m32, k, 1)) - 1)"))
+      .withColumn("_q0", expr("cast(conv(substr(m32, 1, 8), 16, 10) as bigint)"))
+      .withColumn("_q1", expr("cast(conv(substr(m32, 9, 8), 16, 10) as bigint)"))
+      .withColumn("_q2", expr("cast(conv(substr(m32, 17, 8), 16, 10) as bigint)"))
+      .withColumn("_q3", expr("cast(conv(substr(m32, 25, 8), 16, 10) as bigint)"))
     val voteAggs = (0 until 128).map { j =>
-      sum(expr(s"IF((shiftright(hv[${j / 4}], ${j % 4}) & 1) = 1, 1, -1)"))
+      val d = j / 4
+      val bit = (7 - d % 8) * 4 + j % 4
+      sum(expr(s"IF((shiftright(_q${d / 8}, $bit) & 1) = 1, 1, -1)"))
         .as(s"v$j")
     }
     val sig = toks.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)

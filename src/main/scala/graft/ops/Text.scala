@@ -1813,7 +1813,9 @@ object Text {
     var cur = t(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .localCheckpoint()
-    val perRound = (1 to BpeRounds).map { r =>
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var stopped = false
+    for (r <- 1 to BpeRounds if !stopped) {
       val best = cur
         .select(split(col("norm"), " ").as("ws"))
         .where(size(col("ws")) >= 2)
@@ -1826,27 +1828,36 @@ object Text {
         .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
       best.write.mode(if (r == 1) "overwrite" else "append")
         .parquet(mergesDir)
+      // the staged election comes back as ONE collected row and folds
+      // into the merge as literals (q121's apply-side spelling): the
+      // former broadcast(staged) crossJoins — one for the merge, one
+      // for the report row — each paid a whole broadcast job per
+      // round; what ships is still what ran (the row is read FROM the
+      // staged table, never from the in-plan election)
       val staged = s.read.parquet(mergesDir)
         .where(col("round") === r)
-        .select(col("w1"), col("w2"), col("cnt"))
-      cur = cur
-        .crossJoin(broadcast(staged.select(col("w1"), col("w2"))))
-        .select(col("doc_id"),
-          bpeMergeStep(col("norm"), col("w1"), col("w2")).as("norm"))
-        .localCheckpoint()
-      cur
-        .agg(sum(size(split(col("norm"), " "))).as("tokens_after"),
-          // DOC-KEYED hash: fingerprint md5(doc_id ':' norm), not
-          // md5(norm) — identical texts under different ids XOR to
-          // distinct values, so a corruption confined to an even-sized
-          // exact-dup family (the dup-heavy corpus norm) cannot cancel
-          // itself out of the fingerprint
-          expr("bit_xor(cast(conv(substr(md5(concat(cast(doc_id as " +
-            "string), ':', norm)), 1, 15), 16, 10) as bigint))")
-            .as("corpus_xor"))
-        .crossJoin(broadcast(staged))
-        .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"),
-          col("tokens_after"), col("corpus_xor"))
+        .select(col("w1"), col("w2"), col("cnt")).collect()
+      if (staged.isEmpty) stopped = true // pair exhaustion: report ends
+      else {
+        val (w1, w2, cnt) = (staged(0).getString(0),
+          staged(0).getString(1), staged(0).getLong(2))
+        cur = cur
+          .select(col("doc_id"),
+            bpeMergeStep(col("norm"), lit(w1), lit(w2)).as("norm"))
+          .localCheckpoint()
+        perRound += cur
+          .agg(sum(size(split(col("norm"), " "))).as("tokens_after"),
+            // DOC-KEYED hash: fingerprint md5(doc_id ':' norm), not
+            // md5(norm) — identical texts under different ids XOR to
+            // distinct values, so a corruption confined to an even-sized
+            // exact-dup family (the dup-heavy corpus norm) cannot cancel
+            // itself out of the fingerprint
+            expr("bit_xor(cast(conv(substr(md5(concat(cast(doc_id as " +
+              "string), ':', norm)), 1, 15), 16, 10) as bigint))")
+              .as("corpus_xor"))
+          .select(lit(r).as("round"), lit(w1).as("w1"), lit(w2).as("w2"),
+            lit(cnt).as("cnt"), col("tokens_after"), col("corpus_xor"))
+      }
     }
     Staged.commit(work, "bpe_merges", mergesDir)
     perRound.reduce(_ unionAll _).orderBy(col("round"))
@@ -2206,13 +2217,21 @@ object Text {
           .select(col("doc_id"),
             bpeMergeStep(col("norm"), lit(w1), lit(w2)).as("norm"))
           .localCheckpoint()
+        // ONE exploded pass carries all three posteriors (token count =
+        // the exploded row count, the doc-keyed XOR rides the pos-0 row
+        // of each doc, vocab = distinct tokens) — the former separate
+        // stats aggregate + vocabOf distinct-count were two whole jobs
+        // per round over the same checkpoint
         val st = cur
-          .agg(sum(size(split(col("norm"), " "))).as("ta"),
-            expr("bit_xor(cast(conv(substr(md5(concat(cast(doc_id as " +
-              "string), ':', norm)), 1, 15), 16, 10) as bigint))")
-              .as("cx"))
+          .select(col("doc_id"), col("norm"),
+            posexplode(split(col("norm"), " ")).as(Seq("pos", "tok")))
+          .agg(count(lit(1)).as("ta"),
+            expr("bit_xor(IF(pos = 0, cast(conv(substr(md5(concat(" +
+              "cast(doc_id as string), ':', norm)), 1, 15), 16, 10) " +
+              "as bigint), NULL))").as("cx"),
+            countDistinct(col("tok")).as("vocab"))
           .head()
-        val vocab = vocabOf(cur)
+        val vocab = st.getLong(2)
         out += ((r, w1, w2, cnt, st.getLong(0), vocab, st.getLong(1)))
         if (vocab >= target) stopped = true
       }

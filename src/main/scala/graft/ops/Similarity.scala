@@ -3041,40 +3041,54 @@ object Similarity {
     val work = Dedup.stageRoot(dir)
     ensureIvfIndex(s, dir, work)
     ensurePq(s, dir, work)
-    val cells = s.read.parquet(Staged.path(work, "cells"))
-    val probes = s.read.parquet(Staged.path(work, "probes"))
-    val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
-    val codes = s.read.parquet(Staged.path(work, "pq_codes"))
-    val lut = adcLutFor(
-      scaledVectors(s, dir).where(col("vec_id") < 20)
-        .select(col("vec_id"), col("v")), cb)
-    val cand = probes.join(cells, Seq("cluster"))
-      .where(col("vec_id") =!= col("query_id"))
-      .join(codes, Seq("vec_id"))
-    // widest ranking once; narrower shortlists are its rank-prefixes
-    val widest = adcRank(cand, lut, topK = RerankWidths.max)
-      .localCheckpoint()
-    RerankWidths.map { wd =>
-      rerankExact(s, dir, widest.where(col("rank") <= wd), topK = 5)
-        .select(lit(wd).as("shortlist_width"), col("query_id"),
-          col("rank"), col("neighbor_id"))
-    }.reduce(_ unionByName _)
-      .stagePublish(work, "wreport/results")
-    val iv = scaledVectors(s, dir).where(col("nrm") > 0)
-      .select(col("vec_id"), col("v"), col("nrm"))
-    val q = iv.where(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .stagePublish(work, "wreport/truth")
+    // incremental recertification (q126's discipline, applied to the
+    // width sweep): the staged results/truth are keyed to the exact
+    // index + PQ generations they were searched over — a warm report
+    // re-runs ZERO searches and pays only the scoring joins; any
+    // refresh of cells/probes/pq invalidates the stamp and re-sweeps
+    def wkey =
+      s"cells=${Staged.versionOf(work, "cells").getOrElse("absent")}," +
+        s"probes=${Staged.versionOf(work, "probes").getOrElse("absent")}," +
+        s"pq=${Staged.versionOf(work, "pq_codes").getOrElse("absent")}," +
+        s"cb=${Staged.versionOf(work, "pq_codebook").getOrElse("absent")}"
+    val swept = Seq("wreport/results", "wreport/truth").forall(n =>
+      Staged.isFresh(work, n) && Staged.groupOf(work, n).contains(wkey))
+    if (!swept) {
+      val cells = s.read.parquet(Staged.path(work, "cells"))
+      val probes = s.read.parquet(Staged.path(work, "probes"))
+      val cb = s.read.parquet(Staged.path(work, "pq_codebook"))
+      val codes = s.read.parquet(Staged.path(work, "pq_codes"))
+      val lut = adcLutFor(
+        scaledVectors(s, dir).where(col("vec_id") < 20)
+          .select(col("vec_id"), col("v")), cb)
+      val cand = probes.join(cells, Seq("cluster"))
+        .where(col("vec_id") =!= col("query_id"))
+        .join(codes, Seq("vec_id"))
+      // widest ranking once; narrower shortlists are its rank-prefixes
+      val widest = adcRank(cand, lut, topK = RerankWidths.max)
+        .localCheckpoint()
+      RerankWidths.map { wd =>
+        rerankExact(s, dir, widest.where(col("rank") <= wd), topK = 5)
+          .select(lit(wd).as("shortlist_width"), col("query_id"),
+            col("rank"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+        .stagePublish(work, "wreport/results", wkey)
+      val iv = scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val q = iv.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      broadcast(q).join(iv, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .stagePublish(work, "wreport/truth", wkey)
+    }
     val truth = s.read.parquet(Staged.path(work, "wreport/truth"))
     val results = s.read.parquet(Staged.path(work, "wreport/results"))
     val totals = truth.agg(count(lit(1)).as("t_rows"),
@@ -6146,25 +6160,37 @@ object Similarity {
   def q135IndexCompaction(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val work = Dedup.stageRoot(dir)
-    val isNew = col("vec_id") % 10 === 9
+    // freshness-guarded like every other staged trainer since round 14
+    // (the q78/q126 discipline): both Lloyd trainings are deterministic
+    // over the stage-root-keyed corpus, so a warm run reads the staged
+    // phase tables and pays only the report joins — a retrain per
+    // invocation re-derived byte-identical tables (~3 s/run at sf0.1)
+    val compactAssets = Seq("compact/cells_before", "compact/cells_after",
+      "compact/cent_before", "compact/cent_after")
+    if (!compactAssets.forall(Staged.isFresh(work, _))) {
+      val isNew = col("vec_id") % 10 === 9
+      val ivTrain = scaledVectors(s, dir).where(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint() // old split + new split both read it
+      val (cOld, oldCells) =
+        trainCodebookOn(ivTrain.where(!isNew), k = 4, iters = 5)
+      oldCells.union(ivTrain.where(isNew)
+          .select(col("vec_id"), cellAssignment(cOld).as("cluster")))
+        .stagePublish(work, "compact/cells_before")
+      val (cNew, newCells) = trainCodebookOn(ivTrain, k = 4, iters = 5)
+      newCells.stagePublish(work, "compact/cells_after")
+      def centDf(cs: Array[Array[Double]]) =
+        cs.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (x, d) =>
+            (i, d + 1, math.floor(x * 65536.0).toLong)
+          }
+        }.toSeq.toDF("cluster", "dim", "c")
+      centDf(cOld).coalesce(1).stagePublish(work, "compact/cent_before")
+      centDf(cNew).coalesce(1).stagePublish(work, "compact/cent_after")
+    }
     val ivAll = scaledVectors(s, dir).where(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm"))
-      .localCheckpoint() // old split, new split, and both reports read it
-    val (cOld, oldCells) =
-      trainCodebookOn(ivAll.where(!isNew), k = 4, iters = 5)
-    oldCells.union(ivAll.where(isNew)
-        .select(col("vec_id"), cellAssignment(cOld).as("cluster")))
-      .stagePublish(work, "compact/cells_before")
-    val (cNew, newCells) = trainCodebookOn(ivAll, k = 4, iters = 5)
-    newCells.stagePublish(work, "compact/cells_after")
-    def centDf(cs: Array[Array[Double]]) =
-      cs.zipWithIndex.flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (x, d) =>
-          (i, d + 1, math.floor(x * 65536.0).toLong)
-        }
-      }.toSeq.toDF("cluster", "dim", "c")
-    centDf(cOld).coalesce(1).stagePublish(work, "compact/cent_before")
-    centDf(cNew).coalesce(1).stagePublish(work, "compact/cent_after")
+      .localCheckpoint() // both phase reports read it
     // the report reads ONLY the staged tables — the oracle's surface
     def phase(name: String): DataFrame = {
       val cells = s.read.parquet(s"$work/compact/cells_$name")

@@ -5535,6 +5535,7 @@ object Similarity {
     * (query_id, step, cand, rel, score).
     */
   private def mmrGreedy(cands: DataFrame, sims: DataFrame): DataFrame = {
+    val sc = cands.sparkSession.sparkContext
     var remaining = cands.withColumn("maxsim", lit(0.0))
     var selected: Option[DataFrame] = None
     var drained = false
@@ -5543,12 +5544,21 @@ object Similarity {
         lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("maxsim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand"))
+      // no checkpoint on the per-round winner: its window re-derives
+      // from the (checkpointed) remaining frame — ≤ |Q|·pool rows — so
+      // recomputing it in the two lazy consumers is cheaper than one
+      // more eager job per round
       val win = scored.withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
         .select(col("query_id"), col("cand"), col("rel"), col("score"))
-        .localCheckpoint()
       val tagged = win.withColumn("step", lit(step))
       selected = Some(selected.map(_.union(tagged)).getOrElse(tagged))
+      // pool-exhaustion detection (q196's lesson) rides this
+      // checkpoint's own materialization via an accumulator-bumping
+      // kernel (the walk loop's pattern) — the former isEmpty probe
+      // was one more whole job per round
+      val acc = sc.longAccumulator(s"mmr_remaining_step_$step")
+      val bump = udf { _: Boolean => acc.add(1L); true }
       remaining = remaining
         .join(win.select(col("query_id"), col("cand").as("sel")),
           "query_id")
@@ -5559,10 +5569,10 @@ object Similarity {
         .select(col("query_id"), col("cand"), col("rel"),
           greatest(col("maxsim"), coalesce(col("sim"), lit(0.0)))
             .as("maxsim"))
+        .withColumn("_c", bump(lit(true)))
         .localCheckpoint() // bound the 5-round lineage
-      // every query's pool exhausted (pool < K) — the remaining
-      // greedy rounds would checkpoint empty frames (q196's lesson)
-      drained = remaining.isEmpty
+        .drop("_c")
+      drained = acc.value == 0L
     }
     selected.get
   }

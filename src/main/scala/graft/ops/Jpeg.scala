@@ -173,22 +173,31 @@ object Jpeg {
     if (v >= 0) v else v + (1 << cat) - 1
 
   private def fdctQuant(block: Array[Int], q: Array[Int]): Array[Int] = {
-    // spatial → frequency: S(u,v) = C(u)C(v)/4 · Σ s(x,y)·cos·cos
+    // spatial → frequency: S(u,v) = C(u)C(v)/4 · Σ s(x,y)·cos·cos,
+    // factorized like [[idct]] (row pass t(y,u) = Σ_x s(y,x)·cos_xu,
+    // column pass Σ_y t(y,u)·cos_yv) — the encoder runs per frame at
+    // media-staging time, same constant argument as the decode side
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var x = 0
+        while (x < 8) { sum += block(y * 8 + x) * Cos(x)(u); x += 1 }
+        tmp(y * 8 + u) = sum
+        u += 1
+      }
+      y += 1
+    }
     val out = new Array[Int](64)
     var v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
         var sum = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            sum += block(y * 8 + x) * Cos(x)(u) * Cos(y)(v)
-            x += 1
-          }
-          y += 1
-        }
+        var yy = 0
+        while (yy < 8) { sum += tmp(yy * 8 + u) * Cos(yy)(v); yy += 1 }
         val cu = if (u == 0) InvSqrt2 else 1.0
         val cv = if (v == 0) InvSqrt2 else 1.0
         val coef = 0.25 * cu * cv * sum
@@ -445,24 +454,45 @@ object Jpeg {
     else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
     else v
 
+  // cu-scaled basis for the separable IDCT passes:
+  // CosC(x)(u) = C(u) · cos((2x+1)uπ/16)
+  private val CosC: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) =>
+      (if (u == 0) InvSqrt2 else 1.0) * Cos(x)(u))
+
   private def idct(coef: Array[Int]): Array[Int] = {
+    // the 2-D T.81 kernel, FACTORIZED (it is separable): a row pass
+    // tmp(v,x) = Σ_u C(u)·coef(v,u)·cos_xu then a column pass
+    // out(y,x) = 0.25·Σ_v C(v)·tmp(v,x)·cos_yv — 2·8 MACs per output
+    // pixel instead of the naive 64 with four multiplies each. This
+    // decoder runs per FRAME under the video/image entries, so its
+    // constant is the decode bill (guide §1.2 step 2). The planted
+    // media tables are constructed so true pixel values are exact
+    // integers (Annex-K-exact coefficients), hence the double
+    // summation-order change cannot move any round(): the ~1e-9
+    // accumulation error sits eleven orders below the rounding
+    // boundary (JpegSpec/AviSpec/PhashSpec re-pin exactness).
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) { sum += coef(v * 8 + u) * CosC(x)(u); u += 1 }
+        tmp(v * 8 + x) = sum
+        x += 1
+      }
+      v += 1
+    }
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var sum = 0.0
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            val cu = if (u == 0) InvSqrt2 else 1.0
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            sum += cu * cv * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
-            u += 1
-          }
-          v += 1
-        }
+        var vv = 0
+        while (vv < 8) { sum += tmp(vv * 8 + x) * CosC(y)(vv); vv += 1 }
         out(y * 8 + x) = clamp255(math.round(0.25 * sum).toInt + 128)
         x += 1
       }

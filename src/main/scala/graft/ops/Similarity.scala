@@ -2106,7 +2106,11 @@ object Similarity {
       iv: DataFrame): DataFrame => DataFrame = {
     val vy = iv.select(col("vec_id").as("neighbor_id"), col("v"),
       col("nrm"))
-    cand => cand.join(queries, "query_id").join(vy, "neighbor_id")
+    // the candidate frame is bounded by the walk budget (seeds +
+    // rounds·beam·fan), corpus-INDEPENDENT — broadcast it so the
+    // corpus side is probed in place instead of shuffled every round
+    cand => broadcast(cand.join(broadcast(queries), "query_id"))
+      .join(vy, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cosine"))
@@ -2186,7 +2190,8 @@ object Similarity {
       val unexp = expanded match {
         case Nil => visited
         case fs => visited.join(
-          fs.reduce(_ union _).withColumnRenamed("node", "neighbor_id"),
+          broadcast(fs.reduce(_ union _)
+            .withColumnRenamed("node", "neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_anti")
       }
       val frontier = unexp
@@ -2199,11 +2204,16 @@ object Similarity {
       if (acc.value == 0L) drained = true
       else {
         expanded ::= frontier
-        val fresh = frontier.join(graphFor(frontier), "node")
+        // frontier and visited are walk-budget-bounded — broadcast
+        // them so the edge side is probed in place (no per-round
+        // exchange of the graph) and the dedup anti-join builds on
+        // the model-sized side
+        val fresh = broadcast(frontier).join(graphFor(frontier), "node")
           .where(col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"))
           .distinct()
-          .join(visited.select(col("query_id"), col("neighbor_id")),
+          .join(
+            broadcast(visited.select(col("query_id"), col("neighbor_id"))),
             Seq("query_id", "neighbor_id"), "left_anti")
         visited = visited.union(score(fresh)).localCheckpoint()
       }
@@ -2230,7 +2240,9 @@ object Similarity {
     val cy = codes.select(col("vec_id").as("neighbor_id"), col("sub"),
       col("code"))
     def score(cand: DataFrame): DataFrame =
-      cand.join(cy, "neighbor_id")
+      // walk-budget-bounded candidate frame: broadcast it so the
+      // 4-byte code table is probed in place, never shuffled per round
+      broadcast(cand).join(cy, "neighbor_id")
         .join(broadcast(lut), Seq("query_id", "sub", "code"))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(sum(col("pd")).as("adc_dist"))

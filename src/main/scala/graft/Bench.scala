@@ -28,12 +28,35 @@ object Bench {
     // a failed query must never flatter the total: its time is reported
     // as -1 (excluded from the sum), the error is carried into the JSON,
     // and the process exits nonzero
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    // q135/q137's measured cost IS their derivation (two Lloyd
+    // trainings; the width sweep + brute-force truth): a freshness-
+    // guarded replay of a previous run's staged answer would time a
+    // parquet read, not the query (the round-17 gaming finding). The
+    // bench therefore drops all trust in exactly those derived report
+    // assets before EVERY timed run (including the min-of-2 re-run), so
+    // the timed number is always the cold derivation. Index-family
+    // assets (cells, probes, codes, graphs, media blobs) stay warm —
+    // those are shared production infrastructure, priced once and
+    // reported via the `staged` map below.
+    val derivedReportAssets = Map(
+      "q135_index_compaction" -> Seq("compact/cells_before",
+        "compact/cells_after", "compact/cent_before", "compact/cent_after"),
+      "q137_rerank_width_report" -> Seq("wreport/results", "wreport/truth"))
+    val work = graft.ops.Dedup.stageRoot(sfDir)
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Option[String]) = {
+      derivedReportAssets.getOrElse(name, Nil)
+        .foreach(graft.ops.Staged.invalidate(work, _))
+      graft.ops.Staged.stagingSecondsAndReset()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       val dt = (System.nanoTime() - t0) / 1e9
+      // staging seconds INSIDE the timed run (Staged.write wall time):
+      // lets the driver separate index-construction cost from the
+      // query's own read path, warm runs report 0 here
+      val staged = graft.ops.Staged.stagingSecondsAndReset()
       // operators that cache intermediates (dedup shingle sets) would
       // otherwise accumulate blocks across all 48 queries
       spark.catalog.clearCache()
@@ -45,7 +68,7 @@ object Bench {
       // per query, OUTSIDE the timed section, starts every query from
       // the same block-manager state.
       System.gc()
-      (if (err.isEmpty) dt else -1.0, err)
+      (if (err.isEmpty) dt else -1.0, staged, err)
     }
     // dev facility: SPARK_GRAFT_ONLY=q31_minhash_pairs,q33_jaccard_pairs
     // benches a subset; the driver sets no filter and benches everything
@@ -65,22 +88,31 @@ object Bench {
         only.map(_.contains(name))
           .getOrElse(!certificationLane.contains(name)) }
       .map { case (name, fn) =>
-      val (first, err) = once(fn)
+      val (first, staged1, err) = once(name, fn)
       if (err.isEmpty && first > 0.8) {
-        val (second, err2) = once(fn)
+        val (second, staged2, err2) = once(name, fn)
         // a failure on the re-run must stay visible (errors entry +
         // nonzero exit), even though the first run's time still counts
-        (name, if (err2.isEmpty) math.min(first, second) else first, err2)
-      } else (name, first, err)
+        // the staged seconds reported are the COUNTED run's
+        if (err2.isEmpty && second < first) (name, second, staged2, err2)
+        else (name, first, staged1, err2)
+      } else (name, first, staged1, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, Some(e)) =>
+    // per-query staging seconds (Staged.write wall time inside the
+    // counted run) — only entries that actually staged; additive key,
+    // the driver's parser ignores what it doesn't know
+    val stagedEntries = results.collect { case (k, _, st, _) if st > 0.001 =>
+      s"\"" + k + "\":" + st }
+    val stagedJson = if (stagedEntries.isEmpty) ""
+      else stagedEntries.mkString(""","staged":{""", ",", "}")
+    val errors = results.collect { case (k, _, _, Some(e)) =>
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\"" }
     val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$stagedJson$errJson}""")
     // the full line above can exceed the driver's tail capture (observed:
     // BENCH_r09 recorded rc=0 but "parsed": null because the head of the
     // line was truncated away) — repeat the headline numbers as a short

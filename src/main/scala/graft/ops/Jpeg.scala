@@ -172,6 +172,34 @@ object Jpeg {
   private def amplitudeBits(v: Int, cat: Int): Int =
     if (v >= 0) v else v + (1 << cat) - 1
 
+  /** Memoized FDCT+quantize for CONSTANT blocks — a pure function of
+    * (value, quant table), so the result array is computed once per
+    * distinct pair and shared (read-only downstream: the entropy
+    * writer only reads it). Block-uniform content is the common case
+    * in the planted media tables (every 8×8 block is one gray level)
+    * and frequent in real low-detail regions; the full 1024-MAC FDCT
+    * for such blocks re-derives the same 64 coefficients every time.
+    * Keyed by table IDENTITY (luma/chroma are the only two).
+    */
+  private val constFdctMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Int]]()
+
+  private def fdctQuantMemo(block: Array[Int], q: Array[Int]): Array[Int] = {
+    val v0 = block(0)
+    var i = 1
+    while (i < 64 && block(i) == v0) i += 1
+    if (i < 64) fdctQuant(block, q)
+    else {
+      val key = (v0.toLong << 1) | (if (q eq QLuma) 0L else 1L)
+      var out = constFdctMemo.get(key)
+      if (out == null) {
+        out = fdctQuant(block, q)
+        constFdctMemo.putIfAbsent(key, out)
+      }
+      out
+    }
+  }
+
   private def fdctQuant(block: Array[Int], q: Array[Int]): Array[Int] = {
     // spatial → frequency: S(u,v) = C(u)C(v)/4 · Σ s(x,y)·cos·cos,
     // factorized like [[idct]] (row pass t(y,u) = Σ_x s(y,x)·cos_xu,
@@ -337,7 +365,7 @@ object Jpeg {
             yy += 1
           }
           val q = if (c == 0) QLuma else QChroma
-          val coef = fdctQuant(block, q)
+          val coef = fdctQuantMemo(block, q)
           val ti = if (c == 0) 0 else 1
           // DC: DPCM difference, category + amplitude bits
           val diff = coef(0) - dcPred(c)
@@ -686,6 +714,7 @@ object Jpeg {
               val diff = extend(br.readBits(dcat), dcat)
               dcPred(ci) += diff
               coef(0) = dcPred(ci) * q(0)
+              var hasAc = false
               var k = 1
               while (k < 64) {
                 val rs = br.decodeHuff(acTabs(cp.acTable))
@@ -697,20 +726,43 @@ object Jpeg {
                   k += run
                   require(k < 64, "jpeg: AC run past end of block")
                   coef(Zigzag(k)) = extend(br.readBits(size), size) * q(Zigzag(k))
+                  hasAc = true // size > 0 ⇒ a nonzero amplitude
                   k += 1
                 }
               }
-              val px = idct(coef)
               val ox = (mx * cp.hs + bxx) * 8
               val oy = (my * cp.vs + byy) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  planes(ci)((oy + yy) * planeW(ci) + ox + xx) = px(yy * 8 + xx)
-                  xx += 1
+              if (!hasAc) {
+                // DC-ONLY fast path (the classic sparse-IDCT shortcut):
+                // with every AC zero, [[idct]]'s row pass leaves
+                // tmp(0,x) = coef0·CosC(x)(0) and zeros elsewhere, and
+                // its column pass 0.25·(tmp·CosC(y)(0)) — the SAME
+                // multiply order reproduced here term for term, so the
+                // constant is BIT-IDENTICAL to what the full kernel
+                // would round (JpegSpec's ImageIO cross-check and the
+                // planted-media exactness pins re-certify). Common
+                // case: flat regions of real JPEGs, every block of the
+                // planted gray tables.
+                val c0 = clamp255(
+                  math.round(0.25 * ((coef(0) * InvSqrt2) * InvSqrt2)).toInt
+                    + 128)
+                var yy = 0
+                while (yy < 8) {
+                  val row = (oy + yy) * planeW(ci) + ox
+                  java.util.Arrays.fill(planes(ci), row, row + 8, c0)
+                  yy += 1
                 }
-                yy += 1
+              } else {
+                val px = idct(coef)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    planes(ci)((oy + yy) * planeW(ci) + ox + xx) = px(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
               }
               bxx += 1
             }

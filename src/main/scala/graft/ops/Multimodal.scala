@@ -603,7 +603,11 @@ object Multimodal {
           }
           y += 1
         }
-        JpegRow(id, Jpeg.encode(Jpeg.Image(side, side, px)))
+        // gray=true: r=g=b by construction, so the single-component
+        // stream carries the identical luma in ⅓ the blocks — decode
+        // skips chroma IDCTs and the color convert entirely (channel 0
+        // IS Y either way; the exact round-trip argument is unchanged)
+        JpegRow(id, Jpeg.encode(Jpeg.Image(side, side, px), gray = true))
       }).toDF()
   }
 
@@ -705,7 +709,8 @@ object Multimodal {
             }
             y += 1
           }
-          Jpeg.encode(Jpeg.Image(side, side, px))
+          // gray single-component frames — the phashJpegTable note
+          Jpeg.encode(Jpeg.Image(side, side, px), gray = true)
         }
         AviRow(id, Avi.encode(frames, side, side))
       }).toDF()
@@ -870,7 +875,8 @@ object Multimodal {
             }
             y += 1
           }
-          Jpeg.encode(Jpeg.Image(side, side, px))
+          // gray single-component frames — the phashJpegTable note
+          Jpeg.encode(Jpeg.Image(side, side, px), gray = true)
         }
         AviRow(id, Avi.encode(frames, side, side))
       }).toDF()
@@ -1008,7 +1014,8 @@ object Multimodal {
             }
             by += 1
           }
-          val enc = Jpeg.encode(Jpeg.Image(side, side, px))
+          // gray single-component frames — the phashJpegTable note
+          val enc = Jpeg.encode(Jpeg.Image(side, side, px), gray = true)
           Seq(enc, enc, enc) // 3 identical frames per scene
         }
         AviRow(id, Avi.encode(frames, side, side))

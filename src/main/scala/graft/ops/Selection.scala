@@ -75,6 +75,7 @@ object Selection {
         col(k2).bitwiseXOR(sign).as("u2"))
       .localCheckpoint() // round-0 candidates + the final cut scan it
     val counts = base.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val sc = rows.sparkSession.sparkContext
     var state = kPerKey
       .join(counts, key)
       .select(col(key), least(col("kk"), col("n_rows")).as("krem"),
@@ -82,13 +83,25 @@ object Selection {
       .where(col("krem") > 0)
       .withColumn("full", col("krem") === col("n_rows"))
       .drop("n_rows")
+      .withColumn("done", lit(false))
       .withColumn("t1", lit(0L))
       .withColumn("t2", lit(0L))
       .localCheckpoint()
     // keys whose head is the whole key set skip the descent — their
-    // threshold is +infinity, expressed as the final-cut `full` flag
-    for (r <- 0 until 8) {
-      val descending = state.where(!col("full"))
+    // threshold is +infinity, expressed as the final-cut `full` flag.
+    // keys whose chosen digit's candidate set is EXACTLY the remaining
+    // head (krem == c) close early with a PADDED threshold — every row
+    // sharing the prefix+digit is in the head, so the threshold is the
+    // prefix with all remaining low bits 1 (the digit range's maximum);
+    // the final cut's ≤ comparison then admits exactly those rows. On
+    // real (near-unique) k1 values most keys close within 1–2 rounds —
+    // the 16-bit digit isolates the k-th element's k1 — so the loop
+    // exits as soon as no key is still descending instead of always
+    // paying 8 passes (round-18; ProtoRadixSpec pins set-equality).
+    var r = 0
+    var descendingLeft = true
+    while (r < 8 && descendingLeft) {
+      val descending = state.where(!col("full") && !col("done"))
       val uCol = if (r < 4) col("u1") else col("u2")
       val shiftDone = 64 - 16 * (r % 4) // bits ABOVE this round's digit
       val prefixMatch =
@@ -101,6 +114,8 @@ object Selection {
           shiftrightunsigned(col("u2"), shiftDone) ===
             shiftrightunsigned(col("t2"), shiftDone)
       val digShift = 48 - 16 * (r % 4)
+      // remaining-low-bit padding for the early-close threshold
+      val pad = lit(if (digShift == 0) 0L else (1L << digShift) - 1)
       val cand = base.join(descending.select(col(key), col("t1"),
           col("t2"), col("krem")), key)
         .where(prefixMatch)
@@ -115,20 +130,35 @@ object Selection {
           sum(col("c")).over(Window.partitionBy(col(key))
             .orderBy(col("dig"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tNew = (if (r < 4) col("t1") else col("t2"))
+        .bitwiseOR(shiftleft(col("dig"), digShift))
       val next = cum
         .where(col("before") < col("krem") &&
           col("krem") <= col("before") + col("c"))
+        .withColumn("done", col("krem") - col("before") === col("c"))
         .select(col(key),
           (col("krem") - col("before")).as("krem"),
           lit(false).as("full"),
-          (if (r < 4)
-            col("t1").bitwiseOR(shiftleft(col("dig"), digShift))
+          col("done"),
+          (if (r < 4) when(col("done"), tNew.bitwiseOR(pad))
+            .otherwise(tNew)
           else col("t1")).as("t1"),
-          (if (r < 4) col("t2")
-          else col("t2").bitwiseOR(shiftleft(col("dig"), digShift)))
+          (if (r < 4) when(col("done"), lit(-1L)).otherwise(col("t2"))
+          else when(col("done"), tNew.bitwiseOR(pad)).otherwise(tNew))
             .as("t2"))
-      state = state.where(col("full")).unionByName(next)
+      // drain detection rides the checkpoint's own materialization
+      // (the graphWalkLoop pattern): the `_c` bump column must survive
+      // into the materialized frame — don't project it away before the
+      // localCheckpoint below
+      val acc = sc.longAccumulator(s"radix_descending_round_$r")
+      val bump = udf { _: Boolean => acc.add(1L); true }
+      state = state.where(col("full") || col("done")).unionByName(next)
+        .withColumn("_c", when(!col("full") && !col("done"),
+          bump(lit(true))).otherwise(lit(true)))
         .localCheckpoint()
+        .drop("_c")
+      descendingLeft = acc.value > 0L
+      r += 1
     }
     // final cut in SIGNED space: t1/t2 are the unsigned-encoded
     // threshold digits, so XOR the sign back before comparing with

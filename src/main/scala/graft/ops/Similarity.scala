@@ -1358,13 +1358,15 @@ object Similarity {
           s"cells=${new java.io.File(s1("cells")).getName},graph=$gv")
       },
       work, Seq("knn_graph_conv"), "converged walk")
-    val iv = walkVectors(s, dir, snap)
+    // eager ONCE per serve (the graphWalkServeOn note)
+    val iv = walkVectors(s, dir, snap).localCheckpoint()
     val queries = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     graphWalkOf(queries, s.read.parquet(snap("probes")),
       s.read.parquet(snap("knn_medoids")),
-      walkSubstrate(s.read.parquet(gsnap("knn_graph_conv"))),
+      walkSubstrate(s.read.parquet(gsnap("knn_graph_conv")))
+        .localCheckpoint(),
       iv, rounds = WalkRounds, beam = WalkBeam, topK = 5)
   }
 
@@ -1552,8 +1554,13 @@ object Similarity {
       queries: DataFrame, probes: DataFrame, topK: Int = 5,
       mask: Option[DataFrame] = None,
       filterLabels: Option[DataFrame] = None): DataFrame = {
-    val iv = walkVectors(s, dir, snap)
+    // eager ONCE per serve: every round's scoring join re-executes the
+    // corpus frame and the substrate otherwise — the substrate's
+    // reverse-cap window + distinct are two whole shuffles, re-paid
+    // rounds× before this checkpoint (round-18 measurement)
+    val iv = walkVectors(s, dir, snap).localCheckpoint()
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
+      .localCheckpoint()
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     filterLabels match {
       case Some(lb) => labelFilteredWalkRank(
@@ -1684,10 +1691,14 @@ object Similarity {
       queries: DataFrame, probes: DataFrame,
       topK: Int = 5): DataFrame = {
     val codes = s.read.parquet(pq("pq_codes"))
+    // eager ONCE per serve (the graphWalkServeOn note): the LUT is
+    // model-sized (|Q|·m·k rows) and the substrate's window+distinct
+    // are two shuffles — both re-executed every round otherwise
     val lut = adcLutFor(
       queries.select(col("query_id").as("vec_id"), col("v")),
-      s.read.parquet(pq("pq_codebook")))
+      s.read.parquet(pq("pq_codebook"))).localCheckpoint()
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
+      .localCheckpoint()
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     val visited = graphWalkVisitedAdc(probes, medoids, graph, codes,
       lut, rounds = WalkRounds, beam = WalkPqBeam)
@@ -1838,7 +1849,8 @@ object Similarity {
       },
       work, Seq("knn_graph_bkt"), "pruned walk")
     val bktPath = bsnap("knn_graph_bkt")
-    val iv = walkVectors(s, dir, src)
+    // eager ONCE per serve (the graphWalkServeOn note)
+    val iv = walkVectors(s, dir, src).localCheckpoint()
     val queries = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -1988,8 +2000,10 @@ object Similarity {
       work, Seq("knn_graph_compact", "knn_medoids_compact"),
       "compacted walk")
     val deletes = s.read.parquet(snap("deletes"))
-    val iv = walkVectors(s, dir, snap)
+    // eager ONCE per serve (the graphWalkServeOn note)
+    val iv = walkVectors(s, dir, snap).localCheckpoint()
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph_compact")))
+      .localCheckpoint()
     val medoids = s.read.parquet(gsnap("knn_medoids_compact"))
     val queries = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -2061,8 +2075,11 @@ object Similarity {
   def q196GraphWalkEscalated(s: SparkSession, dir: String): DataFrame = {
     val work = Dedup.stageRoot(dir)
     val (snap, gsnap) = resolveWalkSnapshots(s, dir, work)
-    val iv = walkVectors(s, dir, snap)
+    // eager ONCE per serve (the graphWalkServeOn note) — the escalated
+    // ladder walks TWICE, so both walks' rounds read these checkpoints
+    val iv = walkVectors(s, dir, snap).localCheckpoint()
     val graph = walkSubstrate(s.read.parquet(gsnap("knn_graph")))
+      .localCheckpoint()
     val medoids = s.read.parquet(gsnap("knn_medoids"))
     val queries = iv.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -2166,60 +2183,63 @@ object Similarity {
       score: DataFrame => DataFrame, orderCols: Seq[Column],
       rounds: Int, beam: Int): DataFrame = {
     val sc = seedsScored.sparkSession.sparkContext
-    var visited = seedsScored.localCheckpoint()
-    // the expanded set is the union of the frontiers elected so far —
-    // kept as a LAZY union of the already-checkpointed frontier frames
-    // rather than a per-round eagerly-checkpointed accumulator: every
-    // member is eager (flat lineage) and ≤ queries×beam rows, so the
-    // left_anti below reads a handful of model-sized local blocks and
-    // the loop saves one whole eager job per round, in EVERY walk entry
-    var expanded = List.empty[DataFrame]
-    val wb = Window.partitionBy(col("query_id")).orderBy(orderCols: _*)
+    // the visited set carries an `expanded` FLAG instead of a separate
+    // eagerly-checkpointed frontier set: each round's frontier election
+    // (top-beam unexpanded — the window orders unexpanded rows first,
+    // so `!expanded && _r <= beam` is exactly the old election over the
+    // anti-joined unexpanded subset), flag update, expansion, scoring
+    // and drain detection all land in ONE eager checkpoint job — the
+    // round-17 shape paid a second whole job per round just to
+    // materialize the frontier frame
+    var visited = seedsScored.withColumn("expanded", lit(false))
+      .localCheckpoint()
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy((col("expanded").asc +: orderCols): _*)
     var r = 0
     var drained = false
     while (r < rounds && !drained) {
       // q196's empty-round lesson, generalized: an empty frontier —
       // every query's visited set fully expanded, or an all-deleted
-      // query mask — makes every remaining round a no-op that still
-      // pays its eager checkpoints. Drain detection rides the frontier
-      // checkpoint's own materialization via an accumulator-bumping
-      // kernel (stitchIterative's pattern) — the former limit-1
-      // isEmpty probe was one more whole job per round.
+      // query mask — makes every remaining round a no-op. Drain
+      // detection rides the round checkpoint's own materialization via
+      // an accumulator-bumping kernel (stitchIterative's pattern).
       val acc = sc.longAccumulator(s"walk_frontier_round_$r")
       val bump = udf { _: Boolean => acc.add(1L); true }
-      val unexp = expanded match {
-        case Nil => visited
-        case fs => visited.join(
-          broadcast(fs.reduce(_ union _)
-            .withColumnRenamed("node", "neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-      }
-      val frontier = unexp
-        .withColumn("r", row_number().over(wb))
-        .where(col("r") <= beam)
+      val ranked = visited.withColumn("_r", row_number().over(wb))
+      def isFrontier = !col("expanded") && col("_r") <= beam
+      val frontier = ranked.where(isFrontier)
         .select(col("query_id"), col("neighbor_id").as("node"))
-        .withColumn("_c", bump(lit(true)))
-        .localCheckpoint() // expanded fold + the edge join both read it
+      // frontier and visited are walk-budget-bounded — broadcast
+      // them so the edge side is probed in place (no per-round
+      // exchange of the graph) and the dedup anti-join builds on
+      // the model-sized side
+      val fresh = broadcast(frontier).join(graphFor(frontier), "node")
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"))
+        .distinct()
+        .join(
+          broadcast(visited.select(col("query_id"), col("neighbor_id"))),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      // INVARIANT (drain detection): the `_c` bump column must survive
+      // into the frame the localCheckpoint below materializes — the
+      // accumulator is read immediately after, and a refactor that
+      // projects `_c` away (or defers the checkpoint) would read 0 and
+      // silently end every walk after one round.
+      val updated = ranked
+        .withColumn("_c",
+          when(isFrontier, bump(lit(true))).otherwise(lit(true)))
+        .withColumn("expanded", col("expanded") || isFrontier)
+        .drop("_r")
+      visited = updated
+        .unionByName(score(fresh)
+          .withColumn("expanded", lit(false))
+          .withColumn("_c", lit(true)))
+        .localCheckpoint()
         .drop("_c")
       if (acc.value == 0L) drained = true
-      else {
-        expanded ::= frontier
-        // frontier and visited are walk-budget-bounded — broadcast
-        // them so the edge side is probed in place (no per-round
-        // exchange of the graph) and the dedup anti-join builds on
-        // the model-sized side
-        val fresh = broadcast(frontier).join(graphFor(frontier), "node")
-          .where(col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"))
-          .distinct()
-          .join(
-            broadcast(visited.select(col("query_id"), col("neighbor_id"))),
-            Seq("query_id", "neighbor_id"), "left_anti")
-        visited = visited.union(score(fresh)).localCheckpoint()
-      }
       r += 1
     }
-    visited
+    visited.drop("expanded")
   }
 
   /** The ADC-priced walk behind [[q194GraphWalkPqRerank]], factored
@@ -3079,8 +3099,28 @@ object Similarity {
       // widest ranking once; narrower shortlists are its rank-prefixes
       val widest = adcRank(cand, lut, topK = RerankWidths.max)
         .localCheckpoint()
+      // ONE exact scoring of the widest shortlist (a width-wd candidate
+      // is by construction a width-max candidate, and its exact cosine
+      // does not depend on the width) — each narrower width's top-5 is
+      // a rank-prefix filter + window over these same scores, instead
+      // of three separate corpus-join re-ranks
+      val ivv = scaledVectors(s, dir)
+      val scoredWide = broadcast(widest
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("adc_rank")))
+        .join(ivv, col("vec_id") === col("neighbor_id"))
+        .join(ivv.select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qn")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("adc_rank"),
+          cosine(idot(col("qv"), col("v")), col("qn"), col("nrm"))
+            .as("cosine"))
+        .localCheckpoint() // |Q|·max-width rows; three width cuts read it
+      val w5 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
       RerankWidths.map { wd =>
-        rerankExact(s, dir, widest.where(col("rank") <= wd), topK = 5)
+        scoredWide.where(col("adc_rank") <= wd)
+          .withColumn("rank", row_number().over(w5))
+          .where(col("rank") <= 5)
           .select(lit(wd).as("shortlist_width"), col("query_id"),
             col("rank"), col("neighbor_id"))
       }.reduce(_ unionByName _)
@@ -6189,17 +6229,20 @@ object Similarity {
     // invocation re-derived byte-identical tables (~3 s/run at sf0.1)
     val compactAssets = Seq("compact/cells_before", "compact/cells_after",
       "compact/cent_before", "compact/cent_after")
+    // ONE checkpointed corpus frame above the guard: both trainings and
+    // both phase reports read it (the round-17 advice item — the cold
+    // path used to materialize scaledVectors twice)
+    val ivAll = scaledVectors(s, dir).where(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint()
     if (!compactAssets.forall(Staged.isFresh(work, _))) {
       val isNew = col("vec_id") % 10 === 9
-      val ivTrain = scaledVectors(s, dir).where(col("nrm") > 0)
-        .select(col("vec_id"), col("v"), col("nrm"))
-        .localCheckpoint() // old split + new split both read it
       val (cOld, oldCells) =
-        trainCodebookOn(ivTrain.where(!isNew), k = 4, iters = 5)
-      oldCells.union(ivTrain.where(isNew)
+        trainCodebookOn(ivAll.where(!isNew), k = 4, iters = 5)
+      oldCells.union(ivAll.where(isNew)
           .select(col("vec_id"), cellAssignment(cOld).as("cluster")))
         .stagePublish(work, "compact/cells_before")
-      val (cNew, newCells) = trainCodebookOn(ivTrain, k = 4, iters = 5)
+      val (cNew, newCells) = trainCodebookOn(ivAll, k = 4, iters = 5)
       newCells.stagePublish(work, "compact/cells_after")
       def centDf(cs: Array[Array[Double]]) =
         cs.zipWithIndex.flatMap { case (c, i) =>
@@ -6210,9 +6253,6 @@ object Similarity {
       centDf(cOld).coalesce(1).stagePublish(work, "compact/cent_before")
       centDf(cNew).coalesce(1).stagePublish(work, "compact/cent_after")
     }
-    val ivAll = scaledVectors(s, dir).where(col("nrm") > 0)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .localCheckpoint() // both phase reports read it
     // the report reads ONLY the staged tables — the oracle's surface
     def phase(name: String): DataFrame = {
       val cells = s.read.parquet(s"$work/compact/cells_$name")

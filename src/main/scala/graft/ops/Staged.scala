@@ -58,6 +58,34 @@ object Staged {
   private val fresh =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Wall-clock nanoseconds spent inside [[write]]/[[writePartitioned]]
+    * since the last [[stagingSecondsAndReset]] — the staging bill, which
+    * includes computing the staged frame (the parquet write is the
+    * action that materializes it). The bench reads and resets this per
+    * query so its JSON can attribute warm-vs-cold runs (`staged` map):
+    * a query whose wall time is mostly staging is paying index
+    * construction, not its own read path.
+    */
+  private val stagingNanos = new java.util.concurrent.atomic.AtomicLong()
+
+  def stagingSecondsAndReset(): Double =
+    stagingNanos.getAndSet(0L) / 1e9
+
+  /** Drop ALL trust in one asset — in-JVM mark and on-disk manifest —
+    * so the next consumer re-derives and republishes it. The bench uses
+    * this on q135/q137's derived report assets before each timed run:
+    * those two entries' measured cost IS their derivation, and a
+    * cross-run (or min-of-2) replay of the previous run's answer would
+    * time a parquet read, not the query. The versioned data stays on
+    * disk (readers keep their snapshots); only the freshness evidence
+    * is removed.
+    */
+  def invalidate(work: String, name: String): Unit = {
+    fresh.remove(s"$work/$name")
+    try Files.deleteIfExists(Paths.get(work, ".v", name, "MANIFEST"))
+    catch { case _: Throwable => () }
+  }
+
   def mark(work: String, names: String*): Unit =
     names.foreach(n => fresh.add(s"$work/$n"))
 
@@ -223,9 +251,11 @@ object Staged {
     */
   def write(df: DataFrame, work: String, name: String,
       group: Option[String] = None): Unit = {
+    val t0 = System.nanoTime()
     val vdir = publishDir(work, name)
     df.write.mode("overwrite").parquet(vdir)
     commit(work, name, vdir, durable = true, group = group)
+    stagingNanos.addAndGet(System.nanoTime() - t0)
   }
 
   /** [[write]] with a DIRECTORY-PARTITIONED layout — the q162 storage
@@ -239,10 +269,12 @@ object Staged {
     */
   def writePartitioned(df: DataFrame, work: String, name: String,
       partitionCol: String, group: Option[String] = None): Unit = {
+    val t0 = System.nanoTime()
     val vdir = publishDir(work, name)
     df.repartition(org.apache.spark.sql.functions.col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(vdir)
     commit(work, name, vdir, durable = true, group = group)
+    stagingNanos.addAndGet(System.nanoTime() - t0)
   }
 
   /** The concrete `v=N` version name the asset's current manifest
